@@ -1,0 +1,286 @@
+"""DuckDB oracle SQL for the fuzzy core, generated from the SAME
+FuzzyPartitions constants as the Spark plan.
+
+Every CTE mirrors one stage of rules.py/inference.py with identical
+operand order, so doubles match bit-for-bit up to aggregation
+reorderings (whose error is absorbed by round(...,6) on both sides).
+The driver runs these on parquet views `lineitem` etc. at sf0.01.
+"""
+
+from __future__ import annotations
+
+from chi_frbcs_bigdatacs_spark.fuzzy.membership import (
+    membership_sql,
+    memberships_array_sql,
+)
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
+
+
+def _ants(parts: FuzzyPartitions) -> list[str]:
+    return [f"l{i + 1}" for i in range(len(parts.features))]
+
+
+def _mu_product(parts: FuzzyPartitions, f: str = "f", r: str = "r") -> str:
+    terms = [
+        f"{f}.mus_{feat.name}[{r}.r_l{i + 1}]"
+        for i, feat in enumerate(parts.features)
+    ]
+    return " * ".join(terms)
+
+
+def chi_ctes(fixture_sql: str, parts: FuzzyPartitions, num_buckets: int | None = None) -> str:
+    """WITH-chain through: clf, fz, counts, costs, cand, ants, stats,
+    tot, rw, resolved[, rules, defclass, scored, wrpred, acpred]."""
+    ants = _ants(parts)
+    b = num_buckets is not None
+    bcol = "bucket, " if b else ""
+    bsel = f", CAST(id % {num_buckets} AS INT) AS bucket" if b else ""
+    mus_cols = ",\n         ".join(
+        f"{memberships_array_sql(f, parts)} AS mus_{f.name}" for f in parts.features
+    )
+    lab_cols = ",\n         ".join(
+        f"CAST(list_position(mus_{f.name}, list_max(mus_{f.name})) AS INT) AS l{i + 1}"
+        for i, f in enumerate(parts.features)
+    )
+    ant_list = ", ".join(ants)
+    r_ant_list = ", ".join(f"l{i + 1} AS r_l{i + 1}" for i in range(len(ants)))
+    mu_prod = _mu_product(parts)
+    stats_keys = (("r.bucket, " if b else "") + ", ".join(f"r.r_{a}" for a in ants))
+    bucket_eq_cost = " AND f.bucket = c.bucket" if b else ""
+    ants_join = (
+        "JOIN ants r ON r.bucket = f.bucket" if b else "CROSS JOIN ants r"
+    )
+    win_part = "PARTITION BY bucket" if b else ""
+
+    return f"""
+WITH clf AS (
+  SELECT *{bsel} FROM ({fixture_sql}) base
+),
+fm AS (
+  SELECT id, label, {bcol.rstrip(', ') + ',' if b else ''}
+         {mus_cols}
+  FROM clf
+),
+fz AS (
+  SELECT *,
+         {lab_cols}
+  FROM fm
+),
+counts AS (
+  SELECT {bcol}label, count(*) AS n FROM fz GROUP BY {bcol}label
+),
+costs AS (
+  SELECT {bcol}label, CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE) AS cost
+  FROM (SELECT *, max(n) OVER ({win_part}) AS maxn FROM counts) t
+),
+cand AS (
+  SELECT DISTINCT {bcol}{ant_list}, label AS cls FROM fz
+),
+ants AS (
+  SELECT DISTINCT {bcol}{r_ant_list} FROM fz
+),
+stats AS (
+  SELECT {stats_keys.replace('r.r_', 'r.r_')}, f.label AS cls,
+         sum({mu_prod} * c.cost) AS s
+  FROM fz f
+  JOIN costs c ON f.label = c.label{bucket_eq_cost}
+  {ants_join}
+  WHERE {mu_prod} > 0
+  GROUP BY {('r.bucket, ' if b else '') + ', '.join('r.r_' + a for a in ants)}, f.label
+),
+statsr AS (
+  SELECT {('bucket, ' if b else '')}{', '.join(f'r_{a} AS {a}' for a in ants)}, cls, s FROM stats
+),
+tot AS (
+  SELECT {bcol}{ant_list}, sum(s) AS stot FROM statsr GROUP BY {bcol}{ant_list}
+),
+rw AS (
+  SELECT c.*, round((2.0 * s.s - t.stot) / t.stot, 6) AS weight
+  FROM cand c
+  JOIN statsr s USING ({bcol}{ant_list}, cls)
+  JOIN tot t USING ({bcol}{ant_list})
+),
+resolved AS (
+  SELECT {bcol}{ant_list}, cls, weight FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {bcol}{ant_list} ORDER BY weight DESC, cls ASC) AS rn
+    FROM rw) t
+  WHERE rn = 1
+)"""
+
+
+def scoring_ctes(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    """Extends chi_ctes (exact-global) with scoring CTEs: rules,
+    defclass, scored, wrpred, acpred."""
+    ants = _ants(parts)
+    ant_list = ", ".join(ants)
+    mu_prod = _mu_product(parts)
+    r_order = ", ".join(f"r.r_{a}" for a in ants)
+    base = chi_ctes(fixture_sql, parts)
+    return base + f""",
+rules AS (
+  SELECT {', '.join(f'{a} AS r_{a}' for a in ants)}, cls AS r_cls, weight
+  FROM resolved WHERE weight > 0
+),
+defclass AS (
+  SELECT label AS d FROM counts ORDER BY n DESC, label ASC LIMIT 1
+),
+scored AS (
+  SELECT f.id, f.label, r.r_cls, {', '.join(f'r.r_{a}' for a in ants)},
+         {mu_prod} * r.weight AS score
+  FROM fz f CROSS JOIN rules r
+  WHERE {mu_prod} > 0
+),
+wrbest AS (
+  SELECT id, r_cls FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY score DESC, {r_order.replace('r.', '')}, r_cls ASC) AS rn
+    FROM scored) t
+  WHERE rn = 1
+),
+wrpred AS (
+  SELECT c.id, c.label,
+         COALESCE(w.r_cls, (SELECT d FROM defclass)) AS prediction
+  FROM clf c LEFT JOIN wrbest w ON c.id = w.id
+),
+acagg AS (
+  SELECT id, r_cls, round(sum(score), 9) AS cscore
+  FROM scored GROUP BY id, r_cls
+),
+acbest AS (
+  SELECT id, r_cls FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY cscore DESC, r_cls ASC) AS rn
+    FROM acagg) t
+  WHERE rn = 1
+),
+acpred AS (
+  SELECT c.id, c.label,
+         COALESCE(w.r_cls, (SELECT d FROM defclass)) AS prediction
+  FROM clf c LEFT JOIN acbest w ON c.id = w.id
+)"""
+
+
+# ---- per-query final SELECTs ----
+
+
+def fuzzify_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    cols = []
+    for f in parts.features:
+        h = parts.half_width(f)
+        peaks = parts.peaks(f)
+        for j in range(parts.num_labels):
+            cols.append(
+                f"{membership_sql(f.name, peaks[j], h, j, parts.num_labels)}"
+                f" AS mu_{f.name}_{j + 1}"
+            )
+    return (
+        f"SELECT id, label,\n       "
+        + ",\n       ".join(cols)
+        + f"\nFROM ({fixture_sql}) base"
+    )
+
+
+def rulegen_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    ants = ", ".join(_ants(parts))
+    return chi_ctes(fixture_sql, parts) + f"\nSELECT id, label, {ants} FROM fz"
+
+
+def class_counts_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    return (
+        chi_ctes(fixture_sql, parts)
+        + "\nSELECT label, n, cost FROM counts JOIN costs USING (label)"
+    )
+
+
+def ruleweight_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    ants = ", ".join(_ants(parts))
+    return chi_ctes(fixture_sql, parts) + f"\nSELECT {ants}, cls, weight FROM rw"
+
+
+def resolved_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    ants = ", ".join(_ants(parts))
+    return chi_ctes(fixture_sql, parts) + f"\nSELECT {ants}, cls, weight FROM resolved"
+
+
+def partitioned_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
+    ants = ", ".join(_ants(parts))
+    return (
+        chi_ctes(fixture_sql, parts, num_buckets=n)
+        + f"\nSELECT bucket, {ants}, cls, weight FROM resolved"
+    )
+
+
+def merge_max_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
+    ants = ", ".join(_ants(parts))
+    return (
+        chi_ctes(fixture_sql, parts, num_buckets=n)
+        + f""",
+merged AS (
+  SELECT {ants}, cls, weight FROM (
+    SELECT {ants}, cls, weight, row_number() OVER (
+      PARTITION BY {ants} ORDER BY weight DESC, cls ASC) AS rn
+    FROM resolved) t
+  WHERE rn = 1
+)
+SELECT {ants}, cls, weight FROM merged"""
+    )
+
+
+def merge_avg_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
+    ants = ", ".join(_ants(parts))
+    return (
+        chi_ctes(fixture_sql, parts, num_buckets=n)
+        + f""",
+avged AS (
+  SELECT {ants}, cls, round(avg(weight), 6) AS weight
+  FROM resolved GROUP BY {ants}, cls
+),
+merged AS (
+  SELECT {ants}, cls, weight FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY {ants} ORDER BY weight DESC, cls ASC) AS rn
+    FROM avged) t
+  WHERE rn = 1
+)
+SELECT {ants}, cls, weight FROM merged"""
+    )
+
+
+def classify_wr_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    return scoring_ctes(fixture_sql, parts) + "\nSELECT id, label, prediction FROM wrpred"
+
+
+def classify_ac_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    return scoring_ctes(fixture_sql, parts) + "\nSELECT id, label, prediction FROM acpred"
+
+
+def confusion_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    return (
+        scoring_ctes(fixture_sql, parts)
+        + "\nSELECT label, prediction, count(*) AS cnt FROM wrpred GROUP BY label, prediction"
+    )
+
+
+def metrics_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+    return (
+        scoring_ctes(fixture_sql, parts)
+        + """,
+m AS (
+  SELECT
+    sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS tn,
+    sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS fn
+  FROM wrpred
+)
+SELECT
+  round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS acc,
+  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS tpr,
+  round(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) AS tnr,
+  round(sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+           * (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))), 6) AS gm,
+  round((1.0 + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             - CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)) / 2.0, 6) AS auc
+FROM m"""
+    )

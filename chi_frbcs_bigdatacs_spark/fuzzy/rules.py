@@ -1,0 +1,209 @@
+"""O7-O11 — Chi rule generation, PCF-CS weighting, conflict
+resolution, and rule-base fusion, as pure DataFrame algebra.
+
+References (snapshot empty, SURVEY §0; semantics paper-pinned):
+  O7 rule generation  [REF: RuleBase.java::searchForBestAntecedent | conf=M] [CHI96] [FSS258 §2.1]
+  O8 PCF-CS weights   [REF: RuleBase.java::assingConsequent | conf=M] [FSS258 §3.2, §4.2]
+  O9 conflict resolve [REF: RuleBase.java duplicate check | conf=M]
+  O10 partitioned build [REF: mapreduce/partial/Step1Mapper.java | conf=M] [FSS258 §4.1]
+  O11 fusion          [FSS258 §4.1] [IJCIS8] (MAX default, AVE variant)
+
+Pipeline shape (exact-global mode):
+  fuzzify (O6 exprs) -> per-row argmax antecedent (no shuffle)
+  -> class counts (tiny agg) -> costs
+  -> broadcast join of the distinct-antecedent set against examples
+     with matching-degree > 0 (product t-norm)
+  -> ONE partial+final hash aggregation keyed by antecedent x class
+  -> PCF-CS weight + per-antecedent argmax (broadcast-side, tiny).
+
+Scale notes (100 TB): the example table is never shuffled on a wide
+key — the only wide-data aggregation is groupBy(antecedent, class)
+which map-side-combines down to <= |cells| x |classes| rows. The
+candidate-rule set (<= L^d data-touched cells) is broadcast. For
+high-d problems where L^d explodes, the same pipeline applies with
+the rule set still bounded by distinct observed antecedents; the
+cross-join carries a matching-degree>0 filter so AQE prunes empty
+pairs. Tie-breaking is fully deterministic (documented below), so
+results are partition-count-invariant.
+
+Determinism decisions (pinned by tests/golden oracle):
+  - argmax label ties -> lowest label index (Java linear-scan argmax).
+  - equal PCF weights across classes -> lowest class id.
+  - rules with weight <= 0 are dropped before scoring (they can never
+    win WR against any positive-weight match; KEEL drops them).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.fuzzy.membership import memberships_array_col
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
+
+WEIGHT_DECIMALS = 6  # oracle-parity rounding of float aggregates
+
+
+def mus_col(name: str) -> str:
+    return f"mus_{name}"
+
+
+def label_col(i: int) -> str:
+    return f"l{i + 1}"
+
+
+def fuzzify(df: DataFrame, parts: FuzzyPartitions) -> DataFrame:
+    """O6: append one array<double> membership column per feature."""
+    out = df
+    for f in parts.features:
+        out = out.withColumn(mus_col(f.name), memberships_array_col(f, parts))
+    return out
+
+
+def with_antecedent(fuzz: DataFrame, parts: FuzzyPartitions) -> DataFrame:
+    """O7: per-feature argmax label (1-based; ties -> lowest index)."""
+    out = fuzz
+    for i, f in enumerate(parts.features):
+        c = mus_col(f.name)
+        out = out.withColumn(
+            label_col(i),
+            F.array_position(F.col(c), F.array_max(F.col(c))).cast("int"),
+        )
+    return out
+
+
+def class_counts(df: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+    """O5: examples per class (optionally per emulation bucket)."""
+    keys = (extra_keys or []) + ["label"]
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+
+
+def with_costs(counts: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+    """O5: cost_c = N_largest / N_c (binary: C(min)=IR, C(maj)=1)
+    [FSS258 §3.2]. Pure DataFrame (broadcast of a tiny max) so the
+    same code runs per-bucket in emulation mode."""
+    keys = extra_keys or []
+    if keys:
+        maxn = counts.groupBy(*keys).agg(F.max("n").alias("maxn"))
+        joined = counts.join(F.broadcast(maxn), keys)
+    else:
+        maxn = counts.agg(F.max("n").alias("maxn"))
+        joined = counts.crossJoin(F.broadcast(maxn))
+    return joined.withColumn(
+        "cost", F.col("maxn").cast("double") / F.col("n").cast("double")
+    ).drop("maxn")
+
+
+def _match_degree(rules_prefix: str, parts: FuzzyPartitions):
+    """Product t-norm matching degree of an example row against a
+    rule's antecedent labels (columns `{prefix}l1..ld`)."""
+    factors = [
+        F.element_at(F.col(mus_col(f.name)), F.col(f"{rules_prefix}{label_col(i)}"))
+        for i, f in enumerate(parts.features)
+    ]
+    return reduce(lambda a, b: a * b, factors)
+
+
+def build_rules(
+    df: DataFrame,
+    parts: FuzzyPartitions,
+    num_buckets: int | None = None,
+    resolve: bool = True,
+) -> DataFrame:
+    """O7-O9 (+O10 when num_buckets): full rule-base build.
+
+    Returns (bucket?,) l1..ld, cls, weight — one row per candidate
+    (antecedent, class) if resolve=False, else one row per antecedent
+    (the max-weight rule, ties -> lowest class id).
+
+    Emulation mode uses a STABLE bucket `id % num_buckets` (never
+    spark_partition_id, which is nondeterministic) so the reference's
+    per-split statistics [FSS258 §4.1] are reproducible and
+    oracle-checkable.
+    """
+    ants = [label_col(i) for i in range(len(parts.features))]
+    keys: list[str] = []
+    fz = with_antecedent(fuzzify(df, parts), parts)
+    if num_buckets is not None:
+        fz = fz.withColumn("bucket", (F.col("id") % num_buckets).cast("int"))
+        keys = ["bucket"]
+
+    counts = class_counts(fz, keys)
+    costs = with_costs(counts, keys).select(*keys, "label", "cost")
+
+    # candidate (antecedent, class) pairs actually generated by data
+    cand = fz.select(*keys, *ants, F.col("label").alias("cls")).distinct()
+    # distinct antecedent cells (the data-touched subset of L^d)
+    rmap = {a: f"r_{a}" for a in ants}
+    ants_df = fz.select(*keys, *[F.col(a).alias(rmap[a]) for a in ants]).distinct()
+
+    # matching-degree stats: sum over examples of mu_A(x) * cost(cls(x)),
+    # per (antecedent, example-class). Examples x rules via broadcast —
+    # the example table is never shuffled; the agg map-side-combines.
+    ex = fz.join(F.broadcast(costs), keys + ["label"])
+    if keys:
+        pairs = ex.join(F.broadcast(ants_df), keys)
+    else:
+        pairs = ex.crossJoin(F.broadcast(ants_df))
+    stats = (
+        pairs.withColumn("mu", _match_degree("r_", parts))
+        .filter(F.col("mu") > 0)
+        .groupBy(*keys, *[rmap[a] for a in ants], "label")
+        .agg(F.sum(F.col("mu") * F.col("cost")).alias("s"))
+    )
+    for a in ants:
+        stats = stats.withColumnRenamed(rmap[a], a)
+    stats = stats.withColumnRenamed("label", "cls")
+    tot = stats.groupBy(*keys, *ants).agg(F.sum("s").alias("stot"))
+
+    # PCF-CS: RW = (s_c - (stot - s_c)) / stot = (2 s_c - stot)/stot
+    rw = (
+        cand.join(stats, keys + ants + ["cls"])
+        .join(tot, keys + ants)
+        .withColumn(
+            "weight",
+            F.round(
+                (F.lit(2.0) * F.col("s") - F.col("stot")) / F.col("stot"),
+                WEIGHT_DECIMALS,
+            ),
+        )
+        .select(*keys, *ants, "cls", "weight")
+    )
+    if not resolve:
+        return rw
+    return resolve_conflicts(rw, ants, keys)
+
+
+def resolve_conflicts(
+    rw: DataFrame, ants: list[str], keys: list[str] | None = None
+) -> DataFrame:
+    """O9: one rule per antecedent — max weight, ties -> lowest cls."""
+    from pyspark.sql.window import Window
+
+    keys = keys or []
+    w = Window.partitionBy(*keys, *ants).orderBy(
+        F.col("weight").desc(), F.col("cls").asc()
+    )
+    return (
+        rw.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def merge_max(partials: DataFrame, ants: list[str]) -> DataFrame:
+    """O11 fusion, MAX policy: across buckets keep the max-weight rule
+    per antecedent (ties -> lowest cls) [FSS258 §4.1]."""
+    return resolve_conflicts(partials.drop("bucket"), ants)
+
+
+def merge_avg(partials: DataFrame, ants: list[str]) -> DataFrame:
+    """O11 fusion, AVE policy [IJCIS8]: average same-(antecedent,class)
+    weights across buckets, then keep the max-average rule."""
+    avged = (
+        partials.groupBy(*ants, "cls")
+        .agg(F.round(F.avg("weight"), WEIGHT_DECIMALS).alias("weight"))
+    )
+    return resolve_conflicts(avged, ants)

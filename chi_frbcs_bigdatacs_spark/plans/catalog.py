@@ -1,0 +1,138 @@
+"""Catalog: registers every checked query key (SURVEY.md §2).
+
+Fuzzy-core keys here; relational / text / dedup / similarity /
+streaming catalogs register from their own modules (imported at the
+bottom so one import wires the whole surface).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.fuzzy import oracle
+from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+from chi_frbcs_bigdatacs_spark.fuzzy import inference as I
+from chi_frbcs_bigdatacs_spark.fuzzy import metrics as M
+from chi_frbcs_bigdatacs_spark.fuzzy.membership import membership_col
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import LINEITEM_CLF_SQL, lineitem_clf
+
+P = LINEITEM_CLF_PARTITIONS
+ANTS = [R.label_col(i) for i in range(len(P.features))]
+EMU_BUCKETS = 8  # reference mapper-count emulation (deterministic id % n)
+
+
+# --- O6 fuzzify -------------------------------------------------------------
+def q_fuzzify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    cols = []
+    for f in P.features:
+        h = P.half_width(f)
+        peaks = P.peaks(f)
+        for j in range(P.num_labels):
+            cols.append(
+                membership_col(F.col(f.name), peaks[j], h, j, P.num_labels).alias(
+                    f"mu_{f.name}_{j + 1}"
+                )
+            )
+    return df.select("id", "label", *cols)
+
+
+# --- O7 rule generation -----------------------------------------------------
+def q_rulegen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fz = R.with_antecedent(R.fuzzify(lineitem_clf(spark, sf_dir), P), P)
+    return fz.select("id", "label", *ANTS)
+
+
+# --- O5 class counts + CS cost vector --------------------------------------
+def q_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    counts = R.class_counts(lineitem_clf(spark, sf_dir))
+    return R.with_costs(counts).select("label", "n", "cost")
+
+
+# --- O8 PCF-CS weights (all candidate rules) --------------------------------
+def q_ruleweight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=False)
+
+
+# --- O9 conflict resolution (final exact-global rule base) ------------------
+def q_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=True)
+
+
+# --- O10 partitioned build (reference mapper emulation) ---------------------
+def q_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+
+
+# --- O11 fusion -------------------------------------------------------------
+def q_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    partials = R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+    return R.merge_max(partials, ANTS)
+
+
+def q_merge_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    partials = R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+    return R.merge_avg(partials, ANTS)
+
+
+# --- O12 model sink/source round-trip ---------------------------------------
+def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rules = R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=True)
+    path = tempfile.mkdtemp(prefix="chi_rules_") + "/rules.parquet"
+    rules.write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path).select(*ANTS, "cls", "weight")
+
+
+# --- O13/O14 scoring --------------------------------------------------------
+def _fit_predict(spark: SparkSession, sf_dir: str, frm: str) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    rules = R.build_rules(df, P, resolve=True)
+    dc = I.default_class(R.class_counts(df))
+    if frm == "wr":
+        return I.classify_wr(df, rules, P, dc)
+    return I.classify_ac(df, rules, P, dc)
+
+
+def q_classify_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fit_predict(spark, sf_dir, "wr")
+
+
+def q_classify_ac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _fit_predict(spark, sf_dir, "ac")
+
+
+# --- O16 metrics ------------------------------------------------------------
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.confusion(_fit_predict(spark, sf_dir, "wr"))
+
+
+def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.metrics_binary(_fit_predict(spark, sf_dir, "wr"))
+
+
+register("fuzzify", q_fuzzify, oracle.fuzzify_sql(LINEITEM_CLF_SQL, P))
+register("rulegen_antecedent", q_rulegen, oracle.rulegen_sql(LINEITEM_CLF_SQL, P))
+register("agg_class_counts", q_class_counts, oracle.class_counts_sql(LINEITEM_CLF_SQL, P))
+register("ruleweight_pcfcs", q_ruleweight, oracle.ruleweight_sql(LINEITEM_CLF_SQL, P))
+register("rule_conflict_resolve", q_resolved, oracle.resolved_sql(LINEITEM_CLF_SQL, P))
+register(
+    "rulebuild_partitioned",
+    q_partitioned,
+    oracle.partitioned_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS),
+)
+register("rulemerge_max", q_merge_max, oracle.merge_max_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS))
+register("rulemerge_avg", q_merge_avg, oracle.merge_avg_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS))
+register("model_roundtrip", q_model_roundtrip, oracle.resolved_sql(LINEITEM_CLF_SQL, P))
+register("classify_wr", q_classify_wr, oracle.classify_wr_sql(LINEITEM_CLF_SQL, P))
+register("classify_ac", q_classify_ac, oracle.classify_ac_sql(LINEITEM_CLF_SQL, P))
+register("metrics_confusion", q_confusion, oracle.confusion_sql(LINEITEM_CLF_SQL, P))
+register("metrics_gm_auc", q_metrics, oracle.metrics_sql(LINEITEM_CLF_SQL, P))
+
+# Widen the surface: relational / text / dedup / similarity catalogs.
+for _mod in ():  # populated as operator modules land
+    pass

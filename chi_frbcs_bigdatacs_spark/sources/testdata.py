@@ -1,0 +1,93 @@
+"""Loaders for the driver-generated parquet testdata plus the derived
+classification fixtures (FIXTURES.md §B).
+
+The reference loads KEEL-format text from HDFS splits
+[REF: data/DataLoader.java | conf=M — snapshot empty, SURVEY.md §0];
+here the harness inputs are parquet, read via the vectorized parquet
+reader so column pruning / predicate pushdown reach the scan. The
+KEEL text format itself is supported by sources/keel.py.
+
+Every fixture is ALSO expressible as a DuckDB SQL view (oracle
+contract): `LINEITEM_CLF_SQL` is the exact SQL the oracle runs, and
+the Spark builder mirrors it expression-for-expression.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every testdata table as a temp view for spark.sql use."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# --- lineitem_clf: primary imbalanced binary fixture (FIXTURES.md §B1) ---
+# id is a stable pk (used for deterministic partition emulation);
+# label = 1 iff l_returnflag == 'R' (IR ~ 2 at every sf).
+
+LINEITEM_CLF_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS id,
+       l_quantity AS f1,
+       l_extendedprice AS f2,
+       l_discount AS f3,
+       l_tax AS f4,
+       CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label
+FROM lineitem
+"""
+
+
+def lineitem_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        F.col("l_quantity").alias("f1"),
+        F.col("l_extendedprice").alias("f2"),
+        F.col("l_discount").alias("f3"),
+        F.col("l_tax").alias("f4"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+
+
+# --- embeddings_clf: multiclass fixture (FIXTURES.md §B2) ---
+
+EMBEDDINGS_CLF_SQL = """
+SELECT vec_id AS id,
+       CAST(embedding[1] AS DOUBLE) AS f1,
+       CAST(embedding[2] AS DOUBLE) AS f2,
+       CAST(embedding[3] AS DOUBLE) AS f3,
+       CAST(embedding[4] AS DOUBLE) AS f4,
+       label
+FROM embeddings
+"""
+
+
+def embeddings_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        F.col("vec_id").alias("id"),
+        F.element_at("embedding", 1).cast("double").alias("f1"),
+        F.element_at("embedding", 2).cast("double").alias("f2"),
+        F.element_at("embedding", 3).cast("double").alias("f3"),
+        F.element_at("embedding", 4).cast("double").alias("f4"),
+        F.col("label"),
+    )

@@ -1,0 +1,44 @@
+"""Replica of the driver's Spark-vs-DuckDB compare: row count, schema
+(column names), and order-insensitive values. Stricter than the
+driver on values: exact equality for non-floats, and for floats we
+assert bit-equality by default, reporting max abs diff on failure so
+rounding policy can be tuned.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 0.0) -> None:
+    s = normalize(spark_df.toPandas())
+    d = normalize(duck_df)
+    assert list(s.columns) == list(d.columns), f"columns: {list(s.columns)} vs {list(d.columns)}"
+    assert len(s) == len(d), f"row count: {len(s)} vs {len(d)}"
+    for c in s.columns:
+        sv, dv = s[c], d[c]
+        if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+            sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
+            bad = []
+            for i, (a, b) in enumerate(zip(sa, da)):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                if a != b and abs(a - b) > float_tol:
+                    bad.append((i, a, b, abs(a - b)))
+            assert not bad, (
+                f"col {c}: {len(bad)} float mismatches, worst {max(bad, key=lambda t: t[3])[:4]}"
+            )
+        else:
+            mism = (sv.astype(object) != dv.astype(object)).to_numpy().nonzero()[0]
+            assert len(mism) == 0, (
+                f"col {c}: {len(mism)} mismatches, first at {mism[0]}: "
+                f"{sv.iloc[mism[0]]!r} vs {dv.iloc[mism[0]]!r}"
+            )

@@ -1,0 +1,34 @@
+"""Primary correctness gate replica: every registered query with an
+oracle must match DuckDB at sf0.001 (the driver runs sf0.01)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.parity import compare
+
+
+def _keys():
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    return sorted(k for k, s in get_registry().items() if s.sql is not None)
+
+
+@pytest.mark.parametrize("key", _keys())
+def test_query_matches_oracle(spark, duck, key):
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+    from tests.conftest import SF_SMALL
+
+    spec = get_registry()[key]
+    sdf = spec.fn(spark, SF_SMALL)
+    ddf = duck.execute(spec.sql).df()
+    compare(sdf, ddf)
+
+
+def test_rows_only_keys_run(spark):
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+    from tests.conftest import SF_SMALL
+
+    for k, spec in get_registry().items():
+        if spec.sql is None:
+            assert spec.fn(spark, SF_SMALL).count() >= 0, k
