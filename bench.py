@@ -1,0 +1,73 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {key: sec}, "sf": ...}.
+
+Each query executes fully via the noop sink (no driver-side collect
+skew); a tiny warmup action amortizes JVM/codegen startup out of q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "classify_wr",          # flagship: full fuzzy fit + broadcast WR scoring
+    "metrics_gm_auc",       # fit + score + metrics
+    "rulemerge_max",        # partitioned emulation + fusion
+    "agg_pricing_summary",  # TPC-H q1 shape
+    "filter_pred",          # pushdown + q6 shape
+    "join_sortmerge",       # fact-fact shuffle join
+    "join_broadcast",       # dim broadcast join
+    "window_rank",          # per-group top-k
+    "dedup_exact",          # hash-group dedup
+    "simsearch_topk",       # brute-force cosine top-k
+    "text_tokens",          # tokenization scan
+    "json_extract",         # json path extraction
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from chi_frbcs_bigdatacs_spark.session import get_spark
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    spark = get_spark(app_name="chi-frbcs-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = get_registry()
+
+    # warmup: touch the fact table once so FS cache/codegen are warm
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for key in HEADLINE:
+        t0 = time.perf_counter()
+        df = reg[key].fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[key] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

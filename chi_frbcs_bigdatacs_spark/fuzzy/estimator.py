@@ -1,0 +1,198 @@
+"""M3 — MLlib-style Estimator/Model packaging of the Chi-FRBCS-CS
+learner, plus the performance-tuned fit/score paths used by bench.
+
+Mirrors the reference's two-job lifecycle [FSS258 §4.1]: fit() is the
+build job (E1), transform() is the map-only classify job (E2) with
+the model broadcast to tasks (the Spark-native DistributedCache).
+
+Physical tuning vs the plain spec functions in rules.py:
+  - the fuzzified training set is repartitioned to the session's
+    default parallelism and persisted ONCE; every downstream branch
+    (class counts, candidate cells, matching stats, scoring) reuses
+    it instead of re-scanning + re-fuzzifying. On a cluster the
+    repartition spreads a few large input splits across executors
+    before the 16-81x row expansion of the matching join.
+  - the final rule base is collected to the driver (bounded by the
+    data-touched subset of L^d cells; L=3,d=4 -> <= 81 rules; the
+    reference's models are the same size) and re-emitted as a
+    LITERAL DataFrame, so transform() is a pure broadcast join with
+    no recomputation of the build lineage. For very high-d problems
+    construct the model with collect_rules=False to keep the rule
+    base distributed.
+  - per-example argmax scoring uses max(struct(...)) hash
+    aggregation (map-side combine, no sort shuffle) instead of a
+    row_number window; the struct field order encodes exactly the
+    oracle's ORDER BY score DESC, l1..ld ASC, cls ASC tie-break.
+
+Model persistence (O12): rules parquet + params JSON
+[REF: mapreduce/MapredOutput.java, Builder.java | conf=M].
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StructField,
+    StructType,
+)
+
+from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec, FuzzyPartitions
+
+
+def _rules_schema(d: int) -> StructType:
+    return StructType(
+        [StructField(f"l{i + 1}", IntegerType()) for i in range(d)]
+        + [StructField("cls", IntegerType()), StructField("weight", DoubleType())]
+    )
+
+
+@dataclass
+class ChiFRBCSModel:
+    parts: FuzzyPartitions
+    rules_rows: list[tuple]  # (l1..ld, cls, weight)
+    default_cls: int
+    frm: str = "wr"  # 'wr' | 'ac'
+
+    def rules_df(self, spark: SparkSession) -> DataFrame:
+        return spark.createDataFrame(
+            self.rules_rows, _rules_schema(len(self.parts.features))
+        )
+
+    # -- scoring --
+    def transform(self, df: DataFrame) -> DataFrame:
+        fuzz = R.fuzzify(df, self.parts)
+        return self.transform_fuzzified(fuzz)
+
+    def transform_fuzzified(self, fuzz: DataFrame) -> DataFrame:
+        spark = fuzz.sparkSession
+        ants = [R.label_col(i) for i in range(len(self.parts.features))]
+        rules = self.rules_df(spark).filter(F.col("weight") > 0).withColumnRenamed(
+            "cls", "r_cls"
+        )
+        # each example matches <= 2^d cells; broadcast HASH equi-join on
+        # the cell key (no nested-loop join, example side never shuffles)
+        cells = R.candidate_cells(fuzz, self.parts)
+        scored = cells.join(F.broadcast(rules), ants)
+        if self.frm == "wr":
+            # argmax via lexicographic struct max == ORDER BY score DESC,
+            # l1..ld ASC, cls ASC (negated ints invert the order).
+            key = F.struct(
+                (F.col("mu") * F.col("weight")).alias("s"),
+                *[(-F.col(a)).alias(f"n_{a}") for a in ants],
+                (-F.col("r_cls")).alias("ncls"),
+            )
+            best = scored.groupBy("id").agg(F.max(key).alias("k")).select(
+                "id", (-F.col("k.ncls")).alias("prediction")
+            )
+        else:  # ac
+            per_class = scored.groupBy("id", "r_cls").agg(
+                F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore")
+            )
+            key = F.struct(F.col("cscore").alias("s"), (-F.col("r_cls")).alias("ncls"))
+            best = per_class.groupBy("id").agg(F.max(key).alias("k")).select(
+                "id", (-F.col("k.ncls")).alias("prediction")
+            )
+        return (
+            fuzz.select("id", "label")
+            .join(best, "id", "left")
+            .select(
+                "id",
+                "label",
+                F.coalesce(F.col("prediction"), F.lit(self.default_cls)).alias(
+                    "prediction"
+                ),
+            )
+        )
+
+    # -- persistence (O12) --
+    def save(self, path: str) -> None:
+        spark = SparkSession.getActiveSession()
+        self.rules_df(spark).write.mode("overwrite").parquet(f"{path}/rules.parquet")
+        meta = {
+            "num_labels": self.parts.num_labels,
+            "features": [
+                {"name": f.name, "fmin": f.fmin, "fmax": f.fmax}
+                for f in self.parts.features
+            ],
+            "default_cls": self.default_cls,
+            "frm": self.frm,
+        }
+        os.makedirs(path, exist_ok=True)
+        with open(f"{path}/params.json", "w") as fh:
+            json.dump(meta, fh)
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str) -> "ChiFRBCSModel":
+        with open(f"{path}/params.json") as fh:
+            meta = json.load(fh)
+        parts = FuzzyPartitions(
+            features=tuple(
+                FeatureSpec(f["name"], f["fmin"], f["fmax"]) for f in meta["features"]
+            ),
+            num_labels=meta["num_labels"],
+        )
+        d = len(parts.features)
+        rows = [
+            tuple(r)
+            for r in spark.read.parquet(f"{path}/rules.parquet")
+            .select(*[f"l{i + 1}" for i in range(d)], "cls", "weight")
+            .collect()
+        ]
+        return cls(parts, rows, meta["default_cls"], meta["frm"])
+
+
+@dataclass
+class ChiFRBCSClassifier:
+    """Params mirror the reference CLI: labels L (via parts), rule
+    weight = PCF-CS, FRM in {WR, AC}, mapper-count emulation."""
+
+    parts: FuzzyPartitions
+    frm: str = "wr"
+    num_buckets: int | None = None  # None = exact-global (invariant) mode
+    merge_policy: str = "max"  # 'max' | 'avg' (O11 [IJCIS8])
+    repartition: int | None = None  # None = session default parallelism
+    _fuzz: DataFrame | None = field(default=None, repr=False)
+
+    def fit(self, df: DataFrame) -> ChiFRBCSModel:
+        spark = df.sparkSession
+        n = self.repartition or spark.sparkContext.defaultParallelism
+        # repartition the narrow input BEFORE fuzzification so the wide
+        # membership arrays are computed in parallel, not shuffled
+        fz = R.with_antecedent(R.fuzzify(df.repartition(n), self.parts), self.parts)
+        fz = fz.persist()
+        self._fuzz = fz  # reusable for resubstitution scoring
+
+        ants = [R.label_col(i) for i in range(len(self.parts.features))]
+        if self.num_buckets is None:
+            rules = R.build_rules(fz, self.parts, resolve=True, prefuzzified=True)
+        else:
+            partials = R.build_rules(
+                fz,
+                self.parts,
+                num_buckets=self.num_buckets,
+                resolve=True,
+                prefuzzified=True,
+            )
+            rules = (
+                R.merge_max(partials, ants)
+                if self.merge_policy == "max"
+                else R.merge_avg(partials, ants)
+            )
+        rows = [tuple(r) for r in rules.select(*ants, "cls", "weight").collect()]
+        counts = R.class_counts(fz)
+        row = counts.orderBy(F.col("n").desc(), F.col("label").asc()).first()
+        return ChiFRBCSModel(self.parts, rows, int(row["label"]), self.frm)
+
+    def fit_transform(self, df: DataFrame) -> DataFrame:
+        """Fit and score the same data (resubstitution), reusing the
+        persisted fuzzified input for both passes."""
+        model = self.fit(df)
+        return model.transform_fuzzified(self._fuzz)

@@ -233,7 +233,8 @@ def merge_avg_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
         chi_ctes(fixture_sql, parts, num_buckets=n)
         + f""",
 avged AS (
-  SELECT {ants}, cls, round(avg(weight), 6) AS weight
+  SELECT {ants}, cls,
+         CAST(sum(CAST(weight AS DECIMAL(18,6))) AS DOUBLE) / count(*) AS weight
   FROM resolved GROUP BY {ants}, cls
 ),
 merged AS (

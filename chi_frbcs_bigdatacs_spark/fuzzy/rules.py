@@ -106,11 +106,52 @@ def _match_degree(rules_prefix: str, parts: FuzzyPartitions):
     return reduce(lambda a, b: a * b, factors)
 
 
+def candidate_cells(
+    fuzz: DataFrame, parts: FuzzyPartitions, keys: list[str] | None = None
+) -> DataFrame:
+    """Explode each example into its matching antecedent cells.
+
+    A value has nonzero membership in at most 2 adjacent labels per
+    feature, so each example matches <= 2^d cells; the product
+    t-norm matching degree is positive exactly on those combinations.
+    Emitting them directly (4 chained explodes on <=2-element arrays)
+    replaces an examples x rules nested-loop join with a row expansion
+    bounded by 2^d, after which rule statistics are ONE hash
+    aggregation and scoring is ONE broadcast equi-join on the cell
+    key — both map-side combinable and skew-splittable by AQE.
+
+    Output: keys..., id, label, l1..ld (cell labels), mu (>0).
+    """
+    keys = keys or []
+    d = len(parts.features)
+    out = fuzz
+    for i, f in enumerate(parts.features):
+        cands = F.filter(
+            F.transform(
+                F.col(mus_col(f.name)),
+                lambda m, j: F.struct(
+                    (j + F.lit(1)).cast("int").alias("l"), m.alias("m")
+                ),
+            ),
+            lambda s: s["m"] > 0,
+        )
+        out = out.withColumn(f"_c{i}", F.explode(cands))
+    mu = reduce(lambda a, b: a * b, [F.col(f"_c{i}.m") for i in range(d)])
+    return out.select(
+        *keys,
+        "id",
+        "label",
+        *[F.col(f"_c{i}.l").alias(label_col(i)) for i in range(d)],
+        mu.alias("mu"),
+    )
+
+
 def build_rules(
     df: DataFrame,
     parts: FuzzyPartitions,
     num_buckets: int | None = None,
     resolve: bool = True,
+    prefuzzified: bool = False,
 ) -> DataFrame:
     """O7-O9 (+O10 when num_buckets): full rule-base build.
 
@@ -125,7 +166,7 @@ def build_rules(
     """
     ants = [label_col(i) for i in range(len(parts.features))]
     keys: list[str] = []
-    fz = with_antecedent(fuzzify(df, parts), parts)
+    fz = df if prefuzzified else with_antecedent(fuzzify(df, parts), parts)
     if num_buckets is not None:
         fz = fz.withColumn("bucket", (F.col("id") % num_buckets).cast("int"))
         keys = ["bucket"]
@@ -135,27 +176,18 @@ def build_rules(
 
     # candidate (antecedent, class) pairs actually generated by data
     cand = fz.select(*keys, *ants, F.col("label").alias("cls")).distinct()
-    # distinct antecedent cells (the data-touched subset of L^d)
-    rmap = {a: f"r_{a}" for a in ants}
-    ants_df = fz.select(*keys, *[F.col(a).alias(rmap[a]) for a in ants]).distinct()
 
     # matching-degree stats: sum over examples of mu_A(x) * cost(cls(x)),
-    # per (antecedent, example-class). Examples x rules via broadcast —
-    # the example table is never shuffled; the agg map-side-combines.
-    ex = fz.join(F.broadcast(costs), keys + ["label"])
-    if keys:
-        pairs = ex.join(F.broadcast(ants_df), keys)
-    else:
-        pairs = ex.crossJoin(F.broadcast(ants_df))
+    # per (antecedent cell, example-class). Cells come from the bounded
+    # per-example explosion (<=2^d rows each), so this is a single
+    # map-side-combining hash aggregation — no examples x rules join.
+    cells = candidate_cells(fz, parts, keys)
+    ex = cells.join(F.broadcast(costs), keys + ["label"])
     stats = (
-        pairs.withColumn("mu", _match_degree("r_", parts))
-        .filter(F.col("mu") > 0)
-        .groupBy(*keys, *[rmap[a] for a in ants], "label")
+        ex.groupBy(*keys, *ants, "label")
         .agg(F.sum(F.col("mu") * F.col("cost")).alias("s"))
+        .withColumnRenamed("label", "cls")
     )
-    for a in ants:
-        stats = stats.withColumnRenamed(rmap[a], a)
-    stats = stats.withColumnRenamed("label", "cls")
     tot = stats.groupBy(*keys, *ants).agg(F.sum("s").alias("stot"))
 
     # PCF-CS: RW = (s_c - (stot - s_c)) / stot = (2 s_c - stot)/stot
@@ -202,8 +234,15 @@ def merge_max(partials: DataFrame, ants: list[str]) -> DataFrame:
 def merge_avg(partials: DataFrame, ants: list[str]) -> DataFrame:
     """O11 fusion, AVE policy [IJCIS8]: average same-(antecedent,class)
     weights across buckets, then keep the max-average rule."""
-    avged = (
-        partials.groupBy(*ants, "cls")
-        .agg(F.round(F.avg("weight"), WEIGHT_DECIMALS).alias("weight"))
+    # weights are 6dp-rounded; sum them as exact DECIMAL so the average
+    # is order-insensitive and bit-identical to the DuckDB oracle.
+    # NO re-rounding: averages of 6dp values sit exactly on half-unit
+    # boundaries where engine rounding modes disagree; the raw
+    # exact-sum / count double is already identical on both sides.
+    avged = partials.groupBy(*ants, "cls").agg(
+        (
+            F.sum(F.col("weight").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("weight")
     )
     return resolve_conflicts(avged, ants)

@@ -1,0 +1,468 @@
+"""M1 — relational substrate operators (SURVEY.md §2b).
+
+The reference has only scan/project/filter plus one implicit
+broadcast (model via DistributedCache); a usable engine needs the
+full relational surface, and the harness's TPC-H-ish tables exercise
+it. Every query here is a (Spark callable, DuckDB oracle) pair
+registered under its SURVEY §2b key.
+
+Cross-engine float policy: money aggregates are summed as
+DECIMAL(18,2) (exact, order-insensitive) and cast to DOUBLE at the
+end, so Spark's partial/final agg ordering and DuckDB's agree
+bit-for-bit. Ratios/averages divide exact sums. Window/running sums
+accumulate in identical frame order, so plain doubles are safe.
+
+Scale notes (100 TB):
+  - dims (region/nation/customer at dim-scale) join via explicit
+    broadcast(); fact-fact joins force sort-merge via .hint("merge")
+    with AQE skew-join splitting enabled in the session.
+  - every scan projects only referenced columns and filters early, so
+    Catalyst pushes predicates into the parquet scan (verified by
+    tests/test_plans.py on PushedFilters).
+  - per-group top-k uses window rank (single shuffle on the partition
+    key), global top-k uses orderBy+limit (TakeOrdered, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+
+def _dec(c, scale: int = 2):
+    return F.col(c).cast(f"decimal(18,{scale})")
+
+
+# --- O1 scan + pushdown ----------------------------------------------------
+def q_scan_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(F.col("l_quantity") >= 45).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+SCAN_SOURCE_SQL = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+FROM lineitem WHERE l_quantity >= 45
+"""
+
+
+# --- O3 projection + nominal dictionary encode -----------------------------
+# Frozen vocab (declared, KEEL-header style): returnflag {A,N,R},
+# linestatus {F,O} -> 0-based codes. [REF: data/DataConverter.java | conf=M]
+def q_project_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rf = (
+        F.when(F.col("l_returnflag") == "A", 0)
+        .when(F.col("l_returnflag") == "N", 1)
+        .when(F.col("l_returnflag") == "R", 2)
+        .otherwise(-1)
+    )
+    ls = (
+        F.when(F.col("l_linestatus") == "F", 0)
+        .when(F.col("l_linestatus") == "O", 1)
+        .otherwise(-1)
+    )
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        rf.alias("returnflag_code"),
+        ls.alias("linestatus_code"),
+        F.col("l_quantity").alias("f1"),
+    )
+
+
+PROJECT_ENCODE_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS id,
+       CASE WHEN l_returnflag = 'A' THEN 0
+            WHEN l_returnflag = 'N' THEN 1
+            WHEN l_returnflag = 'R' THEN 2 ELSE -1 END AS returnflag_code,
+       CASE WHEN l_linestatus = 'F' THEN 0
+            WHEN l_linestatus = 'O' THEN 1 ELSE -1 END AS linestatus_code,
+       l_quantity AS f1
+FROM lineitem
+"""
+
+
+# --- O4 validity filter ----------------------------------------------------
+def q_filter_valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    feats = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    return (
+        li.na.drop(subset=feats)
+        .agg(F.count(F.lit(1)).alias("valid_rows"))
+    )
+
+
+FILTER_VALID_SQL = """
+SELECT count(*) AS valid_rows FROM lineitem
+WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+  AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+"""
+
+
+# --- predicate language (TPC-H q6 shape) -----------------------------------
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+            & F.col("l_returnflag").isin("A", "R")
+        )
+        .agg(
+            F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+FILTER_PRED_SQL = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+  AND l_returnflag IN ('A', 'R')
+"""
+
+
+# --- TPC-H q1 pricing summary (headline agg; bench q1) ---------------------
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = _dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - _dec("l_discount"))
+    charge = disc * (F.lit(1).cast("decimal(18,2)") + _dec("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(_dec("l_extendedprice")).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+       count(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- rollup ----------------------------------------------------------------
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+        )
+    )
+
+
+AGG_ROLLUP_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --- distinct aggregation --------------------------------------------------
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+AGG_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- set ops ---------------------------------------------------------------
+def q_setop_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    b = c.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    return a.union(b).distinct()
+
+
+SETOP_UNION_SQL = """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+UNION
+SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+"""
+
+
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    return c.exceptAll(o.distinct()).distinct()
+
+
+SETOP_EXCEPT_SQL = """
+SELECT c_custkey FROM customer
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders
+"""
+
+
+# --- joins -----------------------------------------------------------------
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("sum_bal"),
+        )
+    )
+
+
+JOIN_BROADCAST_SQL = """
+SELECT r_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def q_join_sortmerge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+JOIN_SORTMERGE_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_SEMI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+JOIN_ANTI_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+# --- range (theta) join: events within 1 minute per user -------------------
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e1 = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("event_id").alias("e1"), F.col("ts").alias("ts1")
+    )
+    e2 = load_table(spark, sf_dir, "events").select(
+        F.col("user_id"), F.col("event_id").alias("e2"), F.col("ts").alias("ts2")
+    )
+    pairs = e1.join(e2, "user_id").filter(
+        (F.col("ts2") > F.col("ts1"))
+        & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 MINUTE"))
+    )
+    return pairs.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+JOIN_RANGE_SQL = """
+SELECT e1.user_id AS user_id, count(*) AS n_pairs
+FROM events e1 JOIN events e2
+  ON e1.user_id = e2.user_id
+ AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 1 MINUTE
+GROUP BY e1.user_id
+"""
+
+
+# --- windows ---------------------------------------------------------------
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders) t
+WHERE rn <= 3
+"""
+
+
+def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 6).alias("running_value"),
+        F.lag("event_id").over(
+            Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        ).alias("prev_event"),
+    )
+
+
+WINDOW_RUNNING_SQL = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_value,
+       lag(event_id) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_event
+FROM events
+"""
+
+
+# --- top-k -----------------------------------------------------------------
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(
+            F.col("l_extendedprice").desc(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(10)
+    )
+
+
+TOPK_GLOBAL_SQL = """
+SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC
+LIMIT 10
+"""
+
+
+# --- date/time -------------------------------------------------------------
+def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+        )
+    )
+
+
+DATE_BUCKET_SQL = """
+SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY date_trunc('month', o_orderdate)
+"""
+
+
+# --- json ------------------------------------------------------------------
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.select("event_id", "event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_EXTRACT_SQL = """
+SELECT event_type, count(*) AS n,
+       sum(CAST(props->>'k' AS INT)) AS sum_k,
+       min(CAST(props->>'k' AS INT)) AS min_k,
+       max(CAST(props->>'k' AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def register_all() -> None:
+    register("scan_source", q_scan_source, SCAN_SOURCE_SQL)
+    register("project_encode", q_project_encode, PROJECT_ENCODE_SQL)
+    register("filter_valid", q_filter_valid, FILTER_VALID_SQL)
+    register("filter_pred", q_filter_pred, FILTER_PRED_SQL)
+    register("agg_pricing_summary", q_pricing_summary, PRICING_SUMMARY_SQL)
+    register("agg_rollup", q_agg_rollup, AGG_ROLLUP_SQL)
+    register("agg_distinct", q_agg_distinct, AGG_DISTINCT_SQL)
+    register("setop_union", q_setop_union, SETOP_UNION_SQL)
+    register("setop_except", q_setop_except, SETOP_EXCEPT_SQL)
+    register("join_broadcast", q_join_broadcast, JOIN_BROADCAST_SQL)
+    register("join_sortmerge", q_join_sortmerge, JOIN_SORTMERGE_SQL)
+    register("join_semi", q_join_semi, JOIN_SEMI_SQL)
+    register("join_anti", q_join_anti, JOIN_ANTI_SQL)
+    register("join_range", q_join_range, JOIN_RANGE_SQL)
+    register("window_rank", q_window_rank, WINDOW_RANK_SQL)
+    register("window_running", q_window_running, WINDOW_RUNNING_SQL)
+    register("topk_global", q_topk_global, TOPK_GLOBAL_SQL)
+    register("date_bucket", q_date_bucket, DATE_BUCKET_SQL)
+    register("json_extract", q_json_extract, JSON_EXTRACT_SQL)

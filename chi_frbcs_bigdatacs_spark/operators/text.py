@@ -1,0 +1,89 @@
+"""M4 — text analysis operators over the `documents` table.
+
+Token counting, per-corpus stats, and quality scoring as pure
+column expressions (JVM-side; no Python in the hot path). At 100 TB
+these are embarrassingly parallel scans with small aggregations, so
+the only physical concern is column pruning (each query selects the
+minimal column set — `text` is the wide column and is only read by
+queries that need it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+
+# --- tokenization + counts -------------------------------------------------
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+TEXT_TOKENS_SQL = """
+SELECT doc_id, lang,
+       len(string_split(text, ' ')) AS n_tokens,
+       len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
+# --- corpus stats: lang x source -------------------------------------------
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+TEXT_STATS_SQL = """
+SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+       CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+FROM documents GROUP BY lang, source
+"""
+
+
+# --- quality scoring: length / type-token / lexical ratios -----------------
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    uniq_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    # mean token length: chars excluding the (n_tokens - 1) separators
+    mean_tok_len = (F.length("text").cast("double") - (n_tok - F.lit(1.0))) / n_tok
+    return d.select(
+        "doc_id",
+        F.round(uniq_ratio, 6).alias("unique_token_ratio"),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        (F.length("text") >= 200).cast("int").alias("len_ok"),
+    )
+
+
+TEXT_QUALITY_SQL = """
+SELECT doc_id,
+       round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS unique_token_ratio,
+       round((CAST(length(text) AS DOUBLE) - (CAST(len(string_split(text, ' ')) AS DOUBLE) - 1.0))
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS mean_token_len,
+       CAST(length(text) >= 200 AS INT) AS len_ok
+FROM documents
+"""
+
+
+def register_all() -> None:
+    register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)
+    register("text_stats", q_text_stats, TEXT_STATS_SQL)
+    register("text_quality", q_text_quality, TEXT_QUALITY_SQL)

@@ -54,48 +54,57 @@ def q_class_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.with_costs(counts).select("label", "n", "cost")
 
 
+def _clf_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixture repartitioned to session parallelism: the testdata files
+    are single-row-group parquet (unsplittable), so parallelism for the
+    CPU-heavy build must come from an explicit repartition."""
+    n = spark.sparkContext.defaultParallelism
+    return lineitem_clf(spark, sf_dir).repartition(n)
+
+
 # --- O8 PCF-CS weights (all candidate rules) --------------------------------
 def q_ruleweight(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=False)
+    return R.build_rules(_clf_par(spark, sf_dir), P, resolve=False)
 
 
 # --- O9 conflict resolution (final exact-global rule base) ------------------
 def q_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=True)
+    return R.build_rules(_clf_par(spark, sf_dir), P, resolve=True)
 
 
 # --- O10 partitioned build (reference mapper emulation) ---------------------
 def q_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+    return R.build_rules(_clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
 
 
 # --- O11 fusion -------------------------------------------------------------
 def q_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
-    partials = R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+    partials = R.build_rules(_clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
     return R.merge_max(partials, ANTS)
 
 
 def q_merge_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    partials = R.build_rules(lineitem_clf(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
+    partials = R.build_rules(_clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
     return R.merge_avg(partials, ANTS)
 
 
 # --- O12 model sink/source round-trip ---------------------------------------
 def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    rules = R.build_rules(lineitem_clf(spark, sf_dir), P, resolve=True)
-    path = tempfile.mkdtemp(prefix="chi_rules_") + "/rules.parquet"
-    rules.write.mode("overwrite").parquet(path)
-    return spark.read.parquet(path).select(*ANTS, "cls", "weight")
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier, ChiFRBCSModel
+
+    model = ChiFRBCSClassifier(parts=P).fit(lineitem_clf(spark, sf_dir))
+    path = tempfile.mkdtemp(prefix="chi_model_")
+    model.save(path)
+    loaded = ChiFRBCSModel.load(spark, path)
+    return loaded.rules_df(spark).select(*ANTS, "cls", "weight")
 
 
 # --- O13/O14 scoring --------------------------------------------------------
 def _fit_predict(spark: SparkSession, sf_dir: str, frm: str) -> DataFrame:
-    df = lineitem_clf(spark, sf_dir)
-    rules = R.build_rules(df, P, resolve=True)
-    dc = I.default_class(R.class_counts(df))
-    if frm == "wr":
-        return I.classify_wr(df, rules, P, dc)
-    return I.classify_ac(df, rules, P, dc)
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    est = ChiFRBCSClassifier(parts=P, frm=frm)
+    return est.fit_transform(lineitem_clf(spark, sf_dir))
 
 
 def q_classify_wr(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -134,5 +143,12 @@ register("metrics_confusion", q_confusion, oracle.confusion_sql(LINEITEM_CLF_SQL
 register("metrics_gm_auc", q_metrics, oracle.metrics_sql(LINEITEM_CLF_SQL, P))
 
 # Widen the surface: relational / text / dedup / similarity catalogs.
-for _mod in ():  # populated as operator modules land
-    pass
+from chi_frbcs_bigdatacs_spark.operators import relational as _relational  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import text as _text  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import dedup as _dedup  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import similarity as _similarity  # noqa: E402
+
+_relational.register_all()
+_text.register_all()
+_dedup.register_all()
+_similarity.register_all()

@@ -37,7 +37,9 @@ def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 0.0) -> None:
                 f"col {c}: {len(bad)} float mismatches, worst {max(bad, key=lambda t: t[3])[:4]}"
             )
         else:
-            mism = (sv.astype(object) != dv.astype(object)).to_numpy().nonzero()[0]
+            sv = sv.astype(object).where(pd.notna(sv), "\x00NULL")
+            dv = dv.astype(object).where(pd.notna(dv), "\x00NULL")
+            mism = (sv != dv).to_numpy().nonzero()[0]
             assert len(mism) == 0, (
                 f"col {c}: {len(mism)} mismatches, first at {mism[0]}: "
                 f"{sv.iloc[mism[0]]!r} vs {dv.iloc[mism[0]]!r}"
