@@ -51,11 +51,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 
 # --- lineitem_clf: primary imbalanced binary fixture (FIXTURES.md §B1) ---
-# id is a stable pk (used for deterministic partition emulation);
-# label = 1 iff l_returnflag == 'R' (IR ~ 2 at every sf).
+# id is a stable pk (used for deterministic partition emulation and
+# per-example scoring groups); (l_orderkey, l_linenumber) is NOT
+# unique in the synthetic data, so the id packs the full natural key
+# (orderkey, linenumber, partkey, suppkey, quantity) — verified unique
+# at every sf, fits int64. label = 1 iff l_returnflag == 'R' (IR ~ 2).
 
 LINEITEM_CLF_SQL = """
-SELECT l_orderkey * 10 + l_linenumber AS id,
+SELECT (((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000
+        + l_suppkey) * 100 + CAST(l_quantity AS INT) AS id,
        l_quantity AS f1,
        l_extendedprice AS f2,
        l_discount AS f3,
@@ -67,8 +71,16 @@ FROM lineitem
 
 def lineitem_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    pk = (
+        (
+            (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 100000
+            + F.col("l_partkey")
+        )
+        * 10000
+        + F.col("l_suppkey")
+    ) * 100 + F.col("l_quantity").cast("int")
     return li.select(
-        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("id"),
+        pk.alias("id"),
         F.col("l_quantity").alias("f1"),
         F.col("l_extendedprice").alias("f2"),
         F.col("l_discount").alias("f3"),

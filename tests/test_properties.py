@@ -1,0 +1,92 @@
+"""Property tests (SURVEY.md §5.3): partition invariance of the
+exact-global mode, emulation-mode degeneracy, weight bounds, and
+metric goldens."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _rules(spark, df):
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+
+    return {
+        (r["l1"], r["l2"], r["l3"], r["l4"]): (r["cls"], r["weight"])
+        for r in R.build_rules(df, P).collect()
+    }
+
+
+@pytest.mark.parametrize("k", [1, 5, 17])
+def test_exact_mode_partition_invariant(spark, k):
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    base = _rules(spark, df)
+    rep = _rules(spark, df.repartition(k))
+    assert set(base) == set(rep)
+    for a in base:
+        assert base[a][0] == rep[a][0]
+        assert abs(base[a][1] - rep[a][1]) < 2e-6
+
+
+def test_emulate_one_bucket_equals_exact(spark):
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    exact = _rules(spark, df)
+    emu = {
+        (r["l1"], r["l2"], r["l3"], r["l4"]): (r["cls"], r["weight"])
+        for r in R.build_rules(df, P, num_buckets=1).drop("bucket").collect()
+    }
+    assert exact == emu
+
+
+def test_weights_bounded(spark):
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    rw = R.build_rules(lineitem_clf(spark, SF_SMALL), P, resolve=False)
+    out = rw.agg(
+        F.min("weight").alias("lo"), F.max("weight").alias("hi")
+    ).first()
+    assert -1.0 <= out["lo"] <= out["hi"] <= 1.0
+
+
+def test_metrics_golden(spark):
+    """Hand-computed confusion: tp=2 tn=3 fp=1 fn=2."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.metrics import metrics_binary
+
+    rows = [(1, 1), (1, 1), (1, 0), (1, 0), (0, 0), (0, 0), (0, 0), (0, 1)]
+    pred = spark.createDataFrame(rows, "label int, prediction int")
+    m = metrics_binary(pred).first()
+    assert m["acc"] == 0.625
+    assert m["tpr"] == 0.5
+    assert m["tnr"] == 0.75
+    assert abs(m["gm"] - 0.612372) < 1e-9
+    assert m["auc"] == 0.625
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import (
+        ChiFRBCSClassifier,
+        ChiFRBCSModel,
+    )
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    model = ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+    model.save(str(tmp_path / "m"))
+    loaded = ChiFRBCSModel.load(spark, str(tmp_path / "m"))
+    assert sorted(loaded.rules_rows) == sorted(model.rules_rows)
+    assert loaded.default_cls == model.default_cls
+    a = model.transform(df).toPandas().sort_values("id", ignore_index=True)
+    b = loaded.transform(df).toPandas().sort_values("id", ignore_index=True)
+    assert a.equals(b)
