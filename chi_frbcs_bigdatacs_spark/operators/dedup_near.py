@@ -1,0 +1,214 @@
+"""M4 — near-duplicate detection: MinHash-LSH and SimHash.
+
+Unlike MLlib's MinHashLSH (seeded random affine hashes, not
+reproducible outside Spark), the hash family here is md5-derived —
+`md5(seed ':' shingle)` — which BOTH Spark and DuckDB compute
+identically, so the whole pipeline (shingle -> minhash signature ->
+band -> bucket-join -> Jaccard verify) is hash-checkable end-to-end.
+
+Scale shape (100 TB):
+  - signatures: one explode(shingles) + one groupBy(doc) with K min()
+    aggregates — map-side combinable, no all-pairs work;
+  - candidates: self-join on (band_idx, band_hash) — the LSH trick
+    turns near-dup search into an equi-join that shuffles only docs
+    sharing a bucket; AQE splits skewed buckets (boilerplate docs);
+  - verification: Jaccard on the distinct-shingle sets of candidate
+    pairs only.
+
+SimHash: 60-bit fingerprint from per-token md5 (hex -> int via conv),
+bit-majority aggregated by (doc, bit) — two hash aggregations, no
+joins; Hamming-close fingerprints mean near-dup text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+SHINGLE = 3          # tokens per shingle
+NUM_HASHES = 16      # minhash signature length
+BANDS = 4            # 4 bands x 4 rows
+ROWS_PER_BAND = NUM_HASHES // BANDS
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = 60    # 15 hex chars -> fits signed int64
+
+
+def _shingles_col() -> Column:
+    """Distinct 3-token shingles of `text` (empty if < 3 tokens)."""
+    toks = F.split(F.col("text"), " ")
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= SHINGLE, mk).otherwise(F.array().cast("array<string>"))
+    )
+
+
+SHINGLES_SQL = f"""
+list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - {SHINGLE - 2}),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + {SHINGLE - 1}), ' ')))
+""".strip()
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", _shingles_col().alias("shingles"))
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with verified Jaccard >= threshold."""
+    docs = _docs(spark, sf_dir)
+    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
+            for k in range(NUM_HASHES)
+        ]
+    )
+    band_rows = []
+    for b in range(BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        band_rows.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("bv"),
+            )
+        )
+    bands = band_rows[0]
+    for br in band_rows[1:]:
+        bands = bands.unionByName(br)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bv") == F.col("b.bv")))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    jac = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def _minhash_sql() -> str:
+    sig_cols = ",\n         ".join(
+        f"min(md5('{k}:' || s)) AS h{k}" for k in range(NUM_HASHES)
+    )
+    band_selects = []
+    for b in range(BANDS):
+        cols = " || '|' || ".join(
+            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bv FROM sig"
+        )
+    bands_union = "\n  UNION ALL\n  ".join(band_selects)
+    return f"""
+WITH docs AS (
+  SELECT doc_id, {SHINGLES_SQL} AS shingles
+  FROM documents
+),
+sh AS (SELECT doc_id, unnest(shingles) AS s FROM docs),
+sig AS (
+  SELECT doc_id,
+         {sig_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  {bands_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bv = b.bv
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE)
+               / CAST(len(list_distinct(da.shingles || db.shingles)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN docs da ON da.doc_id = c.doc_a
+  JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash fingerprint per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("t")
+    )
+    th = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("t")), 1, SIMHASH_BITS // 4), 16, 10)
+        .cast("long")
+        .alias("v"),
+    )
+    bits = (
+        th.select("doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(v, b) & 1") == 1, 1).otherwise(-1)
+            ).alias("sb")
+        )
+    )
+    return (
+        bits.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("sb") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), b)")
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
+
+
+DEDUP_SIMHASH_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t FROM documents
+),
+th AS (
+  SELECT doc_id,
+         list_sum(list_transform(range(0, {SIMHASH_BITS // 4}),
+             i -> (CAST(strpos('0123456789abcdef', substr(md5(t), i + 1, 1)) AS BIGINT) - 1)
+                  << (4 * ({SIMHASH_BITS // 4 - 1} - i)))) AS v
+  FROM tok
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END) AS sb
+  FROM th CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS b) bs
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       sum(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def register_all() -> None:
+    register("dedup_minhash", q_dedup_minhash, _minhash_sql())
+    register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)

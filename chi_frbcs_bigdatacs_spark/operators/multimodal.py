@@ -1,0 +1,144 @@
+"""M4 — multimodal columns: binary media + typed metadata.
+
+No image/audio libraries exist in this container (and the testdata
+has no real media), so the fixture derives a deterministic `media`
+BINARY column from `documents.text` (utf8 bytes) with typed metadata
+— which makes the SPARK-SIDE PLUMBING (binary columns, schema,
+Arrow-batched mapInPandas, frame partitioning) fully real and
+testable while the codec itself is stubbed.
+
+  - media_meta  (oracled): binary length + typed metadata projection.
+  - media_frames (oracled): fixed-size frame sampling with per-frame
+    digests — the frame slicing/alignment logic of a video pipeline.
+  - media_decode (rows-only): Arrow-batched mapInPandas "decoder"
+    producing per-media feature vectors from raw bytes; real codecs
+    plug into `_decode_bytes` (NotImplementedError for non-stub
+    formats, per the build contract).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+FRAME_BYTES = 64
+
+
+def media_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, media binary, format, width, height)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("text").cast("binary").alias("media"),
+        # deterministic typed metadata derived from existing columns
+        F.when(F.col("lang") == "en", "png").otherwise("jpeg").alias("format"),
+        (F.col("n_chars") % 640 + 16).cast("int").alias("width"),
+        (F.col("n_chars") % 480 + 16).cast("int").alias("height"),
+    )
+
+
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = media_fixture(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.length("media").alias("n_bytes"),
+        "format",
+        "width",
+        "height",
+        (F.col("width") * F.col("height")).alias("n_pixels"),
+    )
+
+
+MEDIA_META_SQL = """
+SELECT doc_id,
+       strlen(text) AS n_bytes,
+       CASE WHEN lang = 'en' THEN 'png' ELSE 'jpeg' END AS format,
+       CAST(n_chars % 640 + 16 AS INT) AS width,
+       CAST(n_chars % 480 + 16 AS INT) AS height,
+       CAST(n_chars % 640 + 16 AS INT) * CAST(n_chars % 480 + 16 AS INT) AS n_pixels
+FROM documents
+"""
+
+
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample fixed-size frames: (doc_id, frame_idx, frame_len, digest).
+    The digest is computed over the frame bytes; DuckDB mirrors it on
+    the string (ascii) representation, proving slice alignment."""
+    d = load_table(spark, sf_dir, "documents")
+    n_frames = F.ceil(F.length("text") / F.lit(FRAME_BYTES)).cast("int")
+    frames = d.select(
+        "doc_id",
+        F.col("text"),
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )
+    frame = F.substring(
+        F.col("text"), F.col("frame_idx") * FRAME_BYTES + 1, FRAME_BYTES
+    )
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.length(frame).alias("frame_len"),
+        F.md5(frame.cast("binary")).alias("frame_md5"),
+    )
+
+
+MEDIA_FRAMES_SQL = f"""
+WITH fr AS (
+  SELECT doc_id, text,
+         unnest(range(0, CAST(ceil(length(text) / {FRAME_BYTES}.0) AS BIGINT))) AS frame_idx
+  FROM documents
+)
+SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+       length(substr(text, CAST(frame_idx AS INT) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_len,
+       md5(substr(text, CAST(frame_idx AS INT) * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS frame_md5
+FROM fr
+"""
+
+
+def _decode_bytes(raw: bytes, fmt: str) -> list[float]:
+    """STUB codec. Deterministic byte-level features for the fake
+    formats; real decoders (PIL/ffmpeg/...) are not available in this
+    environment and belong here when they are."""
+    if fmt not in ("png", "jpeg"):
+        raise NotImplementedError(f"codec for format {fmt!r} not available")
+    if not raw:
+        return [0.0, 0.0, 0.0]
+    n = len(raw)
+    s = sum(raw)
+    mx = max(raw)
+    return [float(n), s / n, float(mx)]
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode: binary -> feature columns.
+    Rows-only check (the decode is Python-side by design)."""
+    m = media_fixture(spark, sf_dir)
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_bytes(raw, fmt) for raw, fmt in zip(pdf["media"], pdf["format"])]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": [f[0] for f in feats],
+                    "mean_byte": [f[1] for f in feats],
+                    "max_byte": [f[2] for f in feats],
+                }
+            )
+
+    return m.mapInPandas(
+        decode, "doc_id long, n_bytes double, mean_byte double, max_byte double"
+    )
+
+
+def register_all() -> None:
+    register("media_meta", q_media_meta, MEDIA_META_SQL)
+    register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
+    register("media_decode", q_media_decode, None)  # python-side: rows-only

@@ -95,6 +95,96 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_TOPK_SQL = _cosine_sql("ORDER BY cosine DESC, vec_id ASC\nLIMIT 10")
 
 
+# --- embedding near-dup: top-20 closest PAIRS (exact, blocked join) --------
+# All-pairs cosine is the exact baseline; at scale the bucketed variant
+# below replaces it. Self-join keeps vec_a < vec_b to halve the work.
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
+    dot = _dot_col("ea", "eb")
+    cos = dot / (F.sqrt(_norm2_col("ea")) * F.sqrt(_norm2_col("eb")))
+    return (
+        pairs.select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_a").asc(), F.col("vec_b").asc())
+        .limit(20)
+    )
+
+
+EMBED_NEARDUP_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(({_dot_sql('a.embedding', 'b.embedding')})
+             / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cosine DESC, vec_a ASC, vec_b ASC
+LIMIT 20
+"""
+
+
+# --- LSH-bucketed approximate top-k (the 100 TB scale path) ----------------
+# Deterministic sign-LSH: bucket = sign bits of the first 8 components.
+# The query only scans its own bucket (expected n/256 of the data); the
+# same bucketing is a trivial SQL expression, so the approximate result
+# is still exactly oracle-checkable.
+N_SIGN_BITS = 8
+
+
+def _bucket_col(c: str) -> Column:
+    from functools import reduce as _r
+
+    bits = [
+        F.when(F.element_at(c, i + 1) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        for i in range(N_SIGN_BITS)
+    ]
+    return _r(lambda x, y: x + y, bits).cast("int")
+
+
+def _bucket_sql(c: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {c}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_SIGN_BITS)
+    )
+
+
+def q_simsearch_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col("embedding")
+    )
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+    )
+    joined = emb.join(F.broadcast(q), emb["bucket"] == q["qbucket"])
+    dot = _dot_col("embedding", "qvec")
+    cos = dot / (F.sqrt(_norm2_col("embedding")) * F.sqrt(_norm2_col("qvec")))
+    return (
+        joined.select("vec_id", "bucket", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+SIMSEARCH_IVF_SQL = f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+),
+q AS (
+  SELECT embedding AS qvec, bucket AS qbucket FROM e ORDER BY vec_id ASC LIMIT 1
+)
+SELECT vec_id, bucket,
+       round(({_dot_sql('embedding', 'qvec')})
+             / (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qvec', 'qvec')})), 6) AS cosine
+FROM e JOIN q ON e.bucket = q.qbucket
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
+    register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)
+    register("simsearch_ivf", q_simsearch_ivf, SIMSEARCH_IVF_SQL)

@@ -83,7 +83,64 @@ FROM documents
 """
 
 
+# --- language-ID: n-gram/stopword-lexicon heuristic ------------------------
+# Tiny per-language lexicons; the score is the count of distinct lexicon
+# tokens present. Deterministic argmax: first language (in LANGS order)
+# reaching the max score. Synthetic corpora make the scores mostly 0 —
+# the operator still proves the lexicon-overlap plumbing end-to-end.
+LANGS = ["en", "de", "es", "fr", "zh"]
+LEXICON = {
+    "en": ["the", "and", "of", "to", "in", "is", "you", "that"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "ich"],
+    "es": ["el", "la", "de", "que", "y", "los", "es", "una"],
+    "fr": ["le", "la", "et", "les", "des", "est", "une", "dans"],
+    "zh": ["de5", "shi4", "zai4", "le5", "wo3", "you3", "he2", "ren2"],
+}
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    hits = {
+        lg: F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in LEXICON[lg]])))
+        for lg in LANGS
+    }
+    best = F.greatest(*[hits[lg] for lg in LANGS])
+    pred = F.lit("und")
+    for lg in reversed(LANGS):  # build CASE so earlier langs win ties
+        pred = F.when((best > 0) & (hits[lg] == best), lg).otherwise(pred)
+    return d.select(
+        "doc_id",
+        "lang",
+        *[hits[lg].alias(f"hits_{lg}") for lg in LANGS],
+        pred.alias("pred_lang"),
+    )
+
+
+def _langid_sql() -> str:
+    def lex(lg):
+        inner = ", ".join(f"'{w}'" for w in LEXICON[lg])
+        return f"len(list_intersect(list_distinct(string_split(text, ' ')), [{inner}]))"
+
+    hits_cols = ",\n       ".join(f"{lex(lg)} AS hits_{lg}" for lg in LANGS)
+    best = "greatest(" + ", ".join(f"hits_{lg}" for lg in LANGS) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {best} > 0 AND hits_{lg} = {best} THEN '{lg}'" for lg in LANGS
+    ) + " ELSE 'und' END"
+    return f"""
+WITH h AS (
+  SELECT doc_id, lang,
+       {hits_cols}
+  FROM documents
+)
+SELECT doc_id, lang, hits_en, hits_de, hits_es, hits_fr, hits_zh,
+       {case} AS pred_lang
+FROM h
+"""
+
+
 def register_all() -> None:
     register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)
     register("text_stats", q_text_stats, TEXT_STATS_SQL)
     register("text_quality", q_text_quality, TEXT_QUALITY_SQL)
+    register("text_langid", q_text_langid, _langid_sql())

@@ -147,8 +147,15 @@ from chi_frbcs_bigdatacs_spark.operators import relational as _relational  # noq
 from chi_frbcs_bigdatacs_spark.operators import text as _text  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import dedup as _dedup  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import similarity as _similarity  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import dedup_near as _dedup_near  # noqa: E402
+
+from chi_frbcs_bigdatacs_spark.operators import multimodal as _multimodal  # noqa: E402
+from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
 
 _relational.register_all()
 _text.register_all()
 _dedup.register_all()
 _similarity.register_all()
+_dedup_near.register_all()
+_multimodal.register_all()
+_stream_windows.register_all()

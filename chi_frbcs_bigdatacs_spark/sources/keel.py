@@ -1,0 +1,146 @@
+"""O1/O2 — KEEL dataset format: header parse + schema-bound load.
+
+The reference reads KEEL text files from HDFS: a header
+(`@relation`, `@attribute name real [min, max]` or
+`@attribute name {v1, v2, ...}`, `@inputs`, `@outputs`) followed by
+CSV rows after `@data`
+[REF: data/DataLoader.java::generateDataset, data/Dataset.java |
+conf=M — snapshot empty, SURVEY §0] [FSS258 §5].
+
+Spark-native translation: the header is parsed driver-side (it is a
+few KB) into an explicit StructType + declared ranges (never
+inferSchema — ranges are DECLARED, SURVEY §1 D2), then the data
+section is read by the distributed CSV reader with that schema.
+Nominal attributes keep their string values; `encode_nominal`
+dictionary-encodes them from the DECLARED vocab (deterministic,
+unlike StringIndexer's frequency ordering). The declared ranges feed
+FuzzyPartitions directly, so a KEEL file is a complete model input.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec, FuzzyPartitions
+
+_ATTR_RE = re.compile(
+    r"@attribute\s+(\S+)\s+"
+    r"(?:(real|integer)\s*\[\s*([-\d.eE+]+)\s*,\s*([-\d.eE+]+)\s*\]"
+    r"|\{\s*(.*?)\s*\})",
+    re.IGNORECASE,
+)
+
+
+@dataclass
+class KeelAttribute:
+    name: str
+    kind: str  # 'real' | 'integer' | 'nominal'
+    fmin: float | None = None
+    fmax: float | None = None
+    values: list[str] = field(default_factory=list)
+
+
+@dataclass
+class KeelDataset:
+    relation: str
+    attributes: list[KeelAttribute]
+    inputs: list[str]
+    outputs: list[str]
+    data_start_line: int
+
+    def attr(self, name: str) -> KeelAttribute:
+        return next(a for a in self.attributes if a.name == name)
+
+    def schema(self) -> StructType:
+        fields = []
+        for a in self.attributes:
+            t = StringType() if a.kind == "nominal" else DoubleType()
+            fields.append(StructField(a.name, t))
+        return StructType(fields)
+
+    def fuzzy_partitions(self, num_labels: int = 3) -> FuzzyPartitions:
+        """DataBase from the DECLARED input ranges [FSS258 §2.1]."""
+        feats = []
+        for name in self.inputs:
+            a = self.attr(name)
+            if a.kind == "nominal":
+                continue  # nominal features get crisp memberships (O6)
+            feats.append(FeatureSpec(name, float(a.fmin), float(a.fmax)))
+        return FuzzyPartitions(features=tuple(feats), num_labels=num_labels)
+
+
+def parse_header(text: str) -> KeelDataset:
+    relation = ""
+    attributes: list[KeelAttribute] = []
+    inputs: list[str] = []
+    outputs: list[str] = []
+    data_line = 0
+    for i, line in enumerate(text.splitlines()):
+        s = line.strip()
+        low = s.lower()
+        if low.startswith("@relation"):
+            relation = s.split(None, 1)[1] if " " in s else ""
+        elif low.startswith("@attribute"):
+            m = _ATTR_RE.match(s)
+            if not m:
+                raise ValueError(f"unparsable @attribute line: {s!r}")
+            name, kind, lo, hi, vocab = m.groups()
+            if kind:
+                attributes.append(
+                    KeelAttribute(name, kind.lower(), float(lo), float(hi))
+                )
+            else:
+                attributes.append(
+                    KeelAttribute(
+                        name, "nominal", values=[v.strip() for v in vocab.split(",")]
+                    )
+                )
+        elif low.startswith("@inputs"):
+            inputs = [v.strip() for v in s.split(None, 1)[1].split(",")]
+        elif low.startswith("@outputs"):
+            outputs = [v.strip() for v in s.split(None, 1)[1].split(",")]
+        elif low.startswith("@data"):
+            data_line = i + 1
+            break
+    if not inputs:  # KEEL default: all but last are inputs
+        inputs = [a.name for a in attributes[:-1]]
+    if not outputs:
+        outputs = [attributes[-1].name]
+    return KeelDataset(relation, attributes, inputs, outputs, data_line)
+
+
+def read_keel(spark: SparkSession, path: str) -> tuple[DataFrame, KeelDataset]:
+    """Parse the header (driver-side) and load @data distributed."""
+    # header is tiny: read the first chunk locally via the JVM-free path
+    with open(path) as fh:
+        header_text = fh.read()
+    ds = parse_header(header_text)
+    df = (
+        spark.read.schema(ds.schema())
+        .option("comment", "@")  # header lines all start with @
+        .option("ignoreLeadingWhiteSpace", True)
+        .option("ignoreTrailingWhiteSpace", True)
+        .option("mode", "DROPMALFORMED")  # O4 [REF: data/DataConverter.java | conf=M]
+        .csv(path)
+    )
+    return df, ds
+
+
+def encode_nominal(df: DataFrame, ds: KeelDataset) -> DataFrame:
+    """Dictionary-encode nominal columns from the DECLARED vocab
+    (0-based, header order — deterministic; O3)."""
+    out = df
+    for a in ds.attributes:
+        if a.kind != "nominal":
+            continue
+        col = F.lit(None).cast("int")
+        expr = col
+        for idx, v in enumerate(a.values):
+            expr = F.when(F.col(a.name) == v, idx).otherwise(expr)
+        out = out.withColumn(a.name, expr)
+    return out

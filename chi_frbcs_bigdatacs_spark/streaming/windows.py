@@ -1,0 +1,139 @@
+"""M5 — Structured Streaming slice over the `events` table.
+
+The reference is batch-only MapReduce; the north star adds streaming.
+Queries here REALLY run through Structured Streaming (readStream on a
+parquet source dir -> watermarked windowed aggregation -> memory
+sink, trigger availableNow), then return the sink table. Because
+availableNow replays the whole table in order, no rows fall behind
+the watermark, so the result equals the batch windowed aggregation —
+which is exactly what the DuckDB oracle computes. The
+batch-equivalence property (stream == batch plan on the same input)
+is additionally pinned by tests/test_streaming.py.
+
+Scale notes: tumbling/sliding aggs are incremental state-store aggs
+keyed by (window, group) — state is bounded by watermark eviction;
+session windows use Spark's built-in session_window merge. At 100 TB/
+day ingest the same plan runs on a real source (Kafka/files) with
+partition-parallel state.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+
+def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as a bounded stream: stage the parquet into a source dir
+    and readStream it (ts arrives as raw nanos -> micros)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = tempfile.mkdtemp(prefix="chi_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
+    name = f"chi_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return agg.sparkSession.table(name)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("hour"), "event_type", "n")
+    )
+    return _run_to_memory(agg)
+
+
+STREAM_TUMBLING_SQL = """
+SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+FROM events GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "30 minutes", "10 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n")
+    )
+    return _run_to_memory(agg)
+
+
+# each event belongs to 3 sliding windows: time_bucket minus k*slide
+STREAM_SLIDING_SQL = """
+SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS window_start,
+       event_type, count(*) AS n
+FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks
+WHERE ts < time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' + INTERVAL '30 minutes'
+GROUP BY 1, 2
+"""
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — Spark's built-in
+    session_window operator (the same operator Structured Streaming
+    uses for stateful sessionization), here over the bounded replay."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+# gaps-and-islands: a new session starts when the gap > 30 minutes
+STREAM_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def register_all() -> None:
+    register("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_SQL)
+    register("stream_sliding", q_stream_sliding, STREAM_SLIDING_SQL)
+    register("stream_session", q_stream_session, STREAM_SESSION_SQL)
