@@ -77,39 +77,41 @@ class ChiFRBCSModel:
         rules = self.rules_df(spark).filter(F.col("weight") > 0).withColumnRenamed(
             "cls", "r_cls"
         )
-        # each example matches <= 2^d cells; broadcast HASH equi-join on
-        # the cell key (no nested-loop join, example side never shuffles)
+        # each example matches <= 2^d cells; LEFT broadcast HASH equi-join
+        # on the cell key (no nested-loop join, example side never
+        # shuffles). Cells with no positive-weight rule score -inf and
+        # carry the default class, so the unmatched-example fallback
+        # folds into the same argmax aggregation — no join-back of
+        # predictions onto examples (saves a wide sort-merge join).
         cells = R.candidate_cells(fuzz, self.parts)
-        scored = cells.join(F.broadcast(rules), ants)
+        scored = cells.join(F.broadcast(rules), ants, "left")
+        neg_inf = F.lit(float("-inf"))
         if self.frm == "wr":
             # argmax via lexicographic struct max == ORDER BY score DESC,
             # l1..ld ASC, cls ASC (negated ints invert the order).
             key = F.struct(
-                (F.col("mu") * F.col("weight")).alias("s"),
+                F.coalesce(F.col("mu") * F.col("weight"), neg_inf).alias("s"),
                 *[(-F.col(a)).alias(f"n_{a}") for a in ants],
-                (-F.col("r_cls")).alias("ncls"),
+                (-F.coalesce(F.col("r_cls"), F.lit(self.default_cls))).alias("ncls"),
             )
-            best = scored.groupBy("id").agg(F.max(key).alias("k")).select(
-                "id", (-F.col("k.ncls")).alias("prediction")
+            return (
+                scored.groupBy("id")
+                .agg(F.max(key).alias("k"), F.max("label").alias("label"))
+                .select("id", "label", (-F.col("k.ncls")).alias("prediction"))
             )
-        else:  # ac
-            per_class = scored.groupBy("id", "r_cls").agg(
-                F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore")
-            )
-            key = F.struct(F.col("cscore").alias("s"), (-F.col("r_cls")).alias("ncls"))
-            best = per_class.groupBy("id").agg(F.max(key).alias("k")).select(
-                "id", (-F.col("k.ncls")).alias("prediction")
-            )
+        # ac: per-class additive scores, then argmax per example
+        per_class = scored.groupBy("id", "r_cls").agg(
+            F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
+            F.max("label").alias("label"),
+        )
+        key = F.struct(
+            F.coalesce(F.col("cscore"), neg_inf).alias("s"),
+            (-F.coalesce(F.col("r_cls"), F.lit(self.default_cls))).alias("ncls"),
+        )
         return (
-            fuzz.select("id", "label")
-            .join(best, "id", "left")
-            .select(
-                "id",
-                "label",
-                F.coalesce(F.col("prediction"), F.lit(self.default_cls)).alias(
-                    "prediction"
-                ),
-            )
+            per_class.groupBy("id")
+            .agg(F.max(key).alias("k"), F.max("label").alias("label"))
+            .select("id", "label", (-F.col("k.ncls")).alias("prediction"))
         )
 
     # -- persistence (O12) --
