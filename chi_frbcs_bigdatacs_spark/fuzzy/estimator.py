@@ -158,6 +158,7 @@ class ChiFRBCSClassifier:
 
     parts: FuzzyPartitions
     frm: str = "wr"
+    cost_mode: str = "cs"  # 'cs' (PCF-CS [FSS258]) | 'none' (plain PCF [IJCIS8])
     num_buckets: int | None = None  # None = exact-global (invariant) mode
     merge_policy: str = "max"  # 'max' | 'avg' (O11 [IJCIS8])
     repartition: int | None = None  # None = session default parallelism
@@ -174,7 +175,9 @@ class ChiFRBCSClassifier:
 
         ants = [R.label_col(i) for i in range(len(self.parts.features))]
         if self.num_buckets is None:
-            rules = R.build_rules(fz, self.parts, resolve=True, prefuzzified=True)
+            rules = R.build_rules(
+                fz, self.parts, resolve=True, prefuzzified=True, cost_mode=self.cost_mode
+            )
         else:
             partials = R.build_rules(
                 fz,
@@ -182,6 +185,7 @@ class ChiFRBCSClassifier:
                 num_buckets=self.num_buckets,
                 resolve=True,
                 prefuzzified=True,
+                cost_mode=self.cost_mode,
             )
             rules = (
                 R.merge_max(partials, ants)

@@ -28,7 +28,12 @@ def _mu_product(parts: FuzzyPartitions, f: str = "f", r: str = "r") -> str:
     return " * ".join(terms)
 
 
-def chi_ctes(fixture_sql: str, parts: FuzzyPartitions, num_buckets: int | None = None) -> str:
+def chi_ctes(
+    fixture_sql: str,
+    parts: FuzzyPartitions,
+    num_buckets: int | None = None,
+    cost_mode: str = "cs",
+) -> str:
     """WITH-chain through: clf, fz, counts, costs, cand, ants, stats,
     tot, rw, resolved[, rules, defclass, scored, wrpred, acpred]."""
     ants = _ants(parts)
@@ -70,8 +75,9 @@ counts AS (
   SELECT {bcol}label, count(*) AS n FROM fz GROUP BY {bcol}label
 ),
 costs AS (
-  SELECT {bcol}label, CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE) AS cost
-  FROM (SELECT *, max(n) OVER ({win_part}) AS maxn FROM counts) t
+  {"SELECT " + bcol + "label, CAST(1.0 AS DOUBLE) AS cost FROM counts" if cost_mode == "none" else
+   "SELECT " + bcol + "label, CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE) AS cost"
+   + " FROM (SELECT *, max(n) OVER (" + win_part + ") AS maxn FROM counts) t"}
 ),
 cand AS (
   SELECT DISTINCT {bcol}{ant_list}, label AS cls FROM fz
@@ -109,14 +115,14 @@ resolved AS (
 )"""
 
 
-def scoring_ctes(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def scoring_ctes(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     """Extends chi_ctes (exact-global) with scoring CTEs: rules,
     defclass, scored, wrpred, acpred."""
     ants = _ants(parts)
     ant_list = ", ".join(ants)
     mu_prod = _mu_product(parts)
     r_order = ", ".join(f"r.r_{a}" for a in ants)
-    base = chi_ctes(fixture_sql, parts)
+    base = chi_ctes(fixture_sql, parts, cost_mode=cost_mode)
     return base + f""",
 rules AS (
   SELECT {', '.join(f'{a} AS r_{a}' for a in ants)}, cls AS r_cls, weight
@@ -181,26 +187,26 @@ def fuzzify_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
     )
 
 
-def rulegen_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def rulegen_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     ants = ", ".join(_ants(parts))
     return chi_ctes(fixture_sql, parts) + f"\nSELECT id, label, {ants} FROM fz"
 
 
-def class_counts_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def class_counts_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     return (
         chi_ctes(fixture_sql, parts)
         + "\nSELECT label, n, cost FROM counts JOIN costs USING (label)"
     )
 
 
-def ruleweight_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def ruleweight_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     ants = ", ".join(_ants(parts))
-    return chi_ctes(fixture_sql, parts) + f"\nSELECT {ants}, cls, weight FROM rw"
+    return chi_ctes(fixture_sql, parts, cost_mode=cost_mode) + f"\nSELECT {ants}, cls, weight FROM rw"
 
 
-def resolved_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def resolved_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     ants = ", ".join(_ants(parts))
-    return chi_ctes(fixture_sql, parts) + f"\nSELECT {ants}, cls, weight FROM resolved"
+    return chi_ctes(fixture_sql, parts, cost_mode=cost_mode) + f"\nSELECT {ants}, cls, weight FROM resolved"
 
 
 def partitioned_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
@@ -248,17 +254,17 @@ SELECT {ants}, cls, weight FROM merged"""
     )
 
 
-def classify_wr_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
-    return scoring_ctes(fixture_sql, parts) + "\nSELECT id, label, prediction FROM wrpred"
+def classify_wr_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
+    return scoring_ctes(fixture_sql, parts, cost_mode) + "\nSELECT id, label, prediction FROM wrpred"
 
 
-def classify_ac_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
-    return scoring_ctes(fixture_sql, parts) + "\nSELECT id, label, prediction FROM acpred"
+def classify_ac_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
+    return scoring_ctes(fixture_sql, parts, cost_mode) + "\nSELECT id, label, prediction FROM acpred"
 
 
-def confusion_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
+def confusion_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
     return (
-        scoring_ctes(fixture_sql, parts)
+        scoring_ctes(fixture_sql, parts, cost_mode)
         + "\nSELECT label, prediction, count(*) AS cnt FROM wrpred GROUP BY label, prediction"
     )
 

@@ -80,11 +80,21 @@ def class_counts(df: DataFrame, extra_keys: list[str] | None = None) -> DataFram
     return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
 
 
-def with_costs(counts: DataFrame, extra_keys: list[str] | None = None) -> DataFrame:
+def with_costs(
+    counts: DataFrame,
+    extra_keys: list[str] | None = None,
+    cost_mode: str = "cs",
+) -> DataFrame:
     """O5: cost_c = N_largest / N_c (binary: C(min)=IR, C(maj)=1)
     [FSS258 §3.2]. Pure DataFrame (broadcast of a tiny max) so the
-    same code runs per-bucket in emulation mode."""
+    same code runs per-bucket in emulation mode.
+
+    cost_mode='none' sets every cost to 1 — plain (non-cost-sensitive)
+    PCF, i.e. the sibling Chi-FRBCS-BigData algorithm [IJCIS8].
+    """
     keys = extra_keys or []
+    if cost_mode == "none":
+        return counts.withColumn("cost", F.lit(1.0))
     if keys:
         maxn = counts.groupBy(*keys).agg(F.max("n").alias("maxn"))
         joined = counts.join(F.broadcast(maxn), keys)
@@ -152,6 +162,7 @@ def build_rules(
     num_buckets: int | None = None,
     resolve: bool = True,
     prefuzzified: bool = False,
+    cost_mode: str = "cs",
 ) -> DataFrame:
     """O7-O9 (+O10 when num_buckets): full rule-base build.
 
@@ -172,7 +183,7 @@ def build_rules(
         keys = ["bucket"]
 
     counts = class_counts(fz, keys)
-    costs = with_costs(counts, keys).select(*keys, "label", "cost")
+    costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
 
     # candidate (antecedent, class) pairs actually generated by data
     cand = fz.select(*keys, *ants, F.col("label").alias("cls")).distinct()

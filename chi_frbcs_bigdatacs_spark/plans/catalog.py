@@ -124,6 +124,32 @@ def q_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.metrics_binary(_fit_predict(spark, sf_dir, "wr"))
 
 
+# --- non-CS variant (plain PCF, the sibling Chi-FRBCS-BigData [IJCIS8]) ----
+def q_ruleweight_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(_clf_par(spark, sf_dir), P, resolve=False, cost_mode="none")
+
+
+def q_classify_wr_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    est = ChiFRBCSClassifier(parts=P, frm="wr", cost_mode="none")
+    return est.fit_transform(lineitem_clf(spark, sf_dir))
+
+
+# --- multiclass (10-class embeddings fixture, FIXTURES.md §B2) -------------
+def q_classify_wr_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import EMBEDDINGS_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import embeddings_clf
+
+    est = ChiFRBCSClassifier(parts=EMBEDDINGS_CLF_PARTITIONS, frm="wr")
+    return est.fit_transform(embeddings_clf(spark, sf_dir))
+
+
+def q_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.confusion(q_classify_wr_multiclass(spark, sf_dir))
+
+
 register("fuzzify", q_fuzzify, oracle.fuzzify_sql(LINEITEM_CLF_SQL, P))
 register("rulegen_antecedent", q_rulegen, oracle.rulegen_sql(LINEITEM_CLF_SQL, P))
 register("agg_class_counts", q_class_counts, oracle.class_counts_sql(LINEITEM_CLF_SQL, P))
@@ -141,6 +167,30 @@ register("classify_wr", q_classify_wr, oracle.classify_wr_sql(LINEITEM_CLF_SQL, 
 register("classify_ac", q_classify_ac, oracle.classify_ac_sql(LINEITEM_CLF_SQL, P))
 register("metrics_confusion", q_confusion, oracle.confusion_sql(LINEITEM_CLF_SQL, P))
 register("metrics_gm_auc", q_metrics, oracle.metrics_sql(LINEITEM_CLF_SQL, P))
+
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import EMBEDDINGS_CLF_PARTITIONS  # noqa: E402
+from chi_frbcs_bigdatacs_spark.sources.testdata import EMBEDDINGS_CLF_SQL  # noqa: E402
+
+register(
+    "ruleweight_pcf_plain",
+    q_ruleweight_plain,
+    oracle.ruleweight_sql(LINEITEM_CLF_SQL, P, cost_mode="none"),
+)
+register(
+    "classify_wr_plain",
+    q_classify_wr_plain,
+    oracle.classify_wr_sql(LINEITEM_CLF_SQL, P, cost_mode="none"),
+)
+register(
+    "classify_wr_multiclass",
+    q_classify_wr_multiclass,
+    oracle.classify_wr_sql(EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS),
+)
+register(
+    "metrics_confusion_multiclass",
+    q_confusion_multiclass,
+    oracle.confusion_sql(EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS),
+)
 
 # Widen the surface: relational / text / dedup / similarity catalogs.
 from chi_frbcs_bigdatacs_spark.operators import relational as _relational  # noqa: E402
