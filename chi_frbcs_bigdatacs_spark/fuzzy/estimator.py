@@ -114,6 +114,71 @@ class ChiFRBCSModel:
             .select("id", "label", (-F.col("k.ncls")).alias("prediction"))
         )
 
+    # -- pandas/Arrow fast scorer (SURVEY §4: the path for high-d rule
+    # bases where the per-cell explosion stops paying off) --
+    def transform_pandas(self, df: DataFrame) -> DataFrame:
+        """mapInPandas scorer: per Arrow batch, build the n x L
+        membership matrix per feature in numpy, gather per rule,
+        product, scale by weights, argmax with the same deterministic
+        tie-break as the expression path (rules pre-sorted by
+        antecedent labels then class; np.argmax takes the first max).
+        Bit-identical to transform() — numpy evaluates the identical
+        IEEE expression chain (pinned by tests)."""
+        import numpy as np
+
+        parts = self.parts
+        d = len(parts.features)
+        L = parts.num_labels
+        rules = sorted((r for r in self.rules_rows if r[d + 1] > 0))
+        if rules:
+            rl = np.array([r[:d] for r in rules], dtype=np.int64) - 1  # 0-based
+            rcls = np.array([r[d] for r in rules], dtype=np.int64)
+            rw = np.array([r[d + 1] for r in rules], dtype=np.float64)
+        feat_names = [f.name for f in parts.features]
+        peaks = [np.array(parts.peaks(f)) for f in parts.features]
+        hws = [parts.half_width(f) for f in parts.features]
+        default_cls = self.default_cls
+
+        def score(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                n = len(pdf)
+                if n == 0 or not rules:
+                    yield pd.DataFrame(
+                        {
+                            "id": pdf["id"],
+                            "label": pdf["label"],
+                            "prediction": np.full(n, default_cls, dtype=np.int64),
+                        }
+                    )
+                    continue
+                mu = np.ones((n, len(rules)))
+                for k in range(d):
+                    x = pdf[feat_names[k]].to_numpy(dtype=np.float64)[:, None]
+                    p = peaks[k][None, :]
+                    h = hws[k]
+                    m = np.empty((n, L))
+                    m[:, 0] = np.maximum(
+                        0.0, np.minimum(1.0, 1.0 - (x[:, 0] - p[0, 0]) / h)
+                    )
+                    for j in range(1, L - 1):
+                        m[:, j] = np.maximum(0.0, 1.0 - np.abs(x[:, 0] - p[0, j]) / h)
+                    m[:, L - 1] = np.maximum(
+                        0.0, np.minimum(1.0, 1.0 - (p[0, L - 1] - x[:, 0]) / h)
+                    )
+                    mu = mu * m[:, rl[:, k]]
+                scores = np.where(mu > 0, mu * rw[None, :], -np.inf)
+                best = np.argmax(scores, axis=1)
+                pred = np.where(
+                    np.isneginf(scores[np.arange(n), best]), default_cls, rcls[best]
+                )
+                yield pd.DataFrame(
+                    {"id": pdf["id"], "label": pdf["label"], "prediction": pred}
+                )
+
+        return df.mapInPandas(score, "id long, label int, prediction int")
+
     # -- persistence (O12) --
     def save(self, path: str) -> None:
         spark = SparkSession.getActiveSession()

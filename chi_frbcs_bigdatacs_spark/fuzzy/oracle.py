@@ -28,6 +28,19 @@ def _mu_product(parts: FuzzyPartitions, f: str = "f", r: str = "r") -> str:
     return " * ".join(terms)
 
 
+def _costs_cte(bcol: str, win_part: str, cost_mode) -> str:
+    if isinstance(cost_mode, dict):
+        case = "CASE " + " ".join(
+            f"WHEN label = {c} THEN CAST({float(v)!r} AS DOUBLE)"
+            for c, v in sorted(cost_mode.items())
+        ) + " ELSE CAST(1.0 AS DOUBLE) END"
+        return f"SELECT {bcol}label, {case} AS cost FROM counts"
+    if cost_mode == "none":
+        return f"SELECT {bcol}label, CAST(1.0 AS DOUBLE) AS cost FROM counts"
+    return (f"SELECT {bcol}label, CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE) AS cost"
+            f" FROM (SELECT *, max(n) OVER ({win_part}) AS maxn FROM counts) t")
+
+
 def chi_ctes(
     fixture_sql: str,
     parts: FuzzyPartitions,
@@ -75,9 +88,7 @@ counts AS (
   SELECT {bcol}label, count(*) AS n FROM fz GROUP BY {bcol}label
 ),
 costs AS (
-  {"SELECT " + bcol + "label, CAST(1.0 AS DOUBLE) AS cost FROM counts" if cost_mode == "none" else
-   "SELECT " + bcol + "label, CAST(maxn AS DOUBLE) / CAST(n AS DOUBLE) AS cost"
-   + " FROM (SELECT *, max(n) OVER (" + win_part + ") AS maxn FROM counts) t"}
+  {_costs_cte(bcol, win_part, cost_mode)}
 ),
 cand AS (
   SELECT DISTINCT {bcol}{ant_list}, label AS cls FROM fz

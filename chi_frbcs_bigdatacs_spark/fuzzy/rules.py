@@ -83,7 +83,7 @@ def class_counts(df: DataFrame, extra_keys: list[str] | None = None) -> DataFram
 def with_costs(
     counts: DataFrame,
     extra_keys: list[str] | None = None,
-    cost_mode: str = "cs",
+    cost_mode: str | dict = "cs",
 ) -> DataFrame:
     """O5: cost_c = N_largest / N_c (binary: C(min)=IR, C(maj)=1)
     [FSS258 §3.2]. Pure DataFrame (broadcast of a tiny max) so the
@@ -93,6 +93,12 @@ def with_costs(
     PCF, i.e. the sibling Chi-FRBCS-BigData algorithm [IJCIS8].
     """
     keys = extra_keys or []
+    if isinstance(cost_mode, dict):
+        # explicit cost matrix {class -> misclassification cost}
+        expr = F.lit(1.0)
+        for c, v in sorted(cost_mode.items()):
+            expr = F.when(F.col("label") == c, F.lit(float(v))).otherwise(expr)
+        return counts.withColumn("cost", expr)
     if cost_mode == "none":
         return counts.withColumn("cost", F.lit(1.0))
     if keys:

@@ -139,8 +139,63 @@ FROM h
 """
 
 
+# --- BPE-ish subword token counting ----------------------------------------
+# A BPE-like pre-tokenizer regex: runs of letters, runs of digits, or a
+# single other non-space char. Same char-class regex semantics in Java
+# (Spark) and RE2-ish (DuckDB) engines.
+BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(BPE_RE), 0)
+    ws = F.size(F.split(F.col("text"), " "))
+    return d.select(
+        "doc_id",
+        F.size(pieces).alias("n_bpe_pieces"),
+        ws.alias("n_ws_tokens"),
+        F.round(
+            F.size(pieces).cast("double") / ws.cast("double"), 6
+        ).alias("pieces_per_token"),
+    )
+
+
+TEXT_TOKENS_BPE_SQL = f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{BPE_RE}')) AS n_bpe_pieces,
+       len(string_split(text, ' ')) AS n_ws_tokens,
+       round(CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS pieces_per_token
+FROM documents
+"""
+
+
+# --- document fingerprinting -----------------------------------------------
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    prefix = F.concat_ws(" ", F.slice(toks, 1, 16))
+    return d.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp_full"),
+        F.md5(prefix.cast("binary")).alias("fp_prefix16"),
+        F.length("text").alias("n_chars_text"),
+    )
+
+
+TEXT_FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(text) AS fp_full,
+       md5(array_to_string(list_slice(string_split(text, ' '), 1, 16), ' ')) AS fp_prefix16,
+       length(text) AS n_chars_text
+FROM documents
+"""
+
+
 def register_all() -> None:
     register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)
     register("text_stats", q_text_stats, TEXT_STATS_SQL)
     register("text_quality", q_text_quality, TEXT_QUALITY_SQL)
     register("text_langid", q_text_langid, _langid_sql())
+    register("text_tokens_bpe", q_text_tokens_bpe, TEXT_TOKENS_BPE_SQL)
+    register("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_SQL)

@@ -136,6 +136,26 @@ def q_classify_wr_plain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.fit_transform(lineitem_clf(spark, sf_dir))
 
 
+# --- explicit cost matrix (user-supplied misclassification costs) ----------
+COST_MATRIX = {0: 1.0, 1: 3.5}
+
+
+def q_ruleweight_costmatrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(
+        _clf_par(spark, sf_dir), P, resolve=False, cost_mode=COST_MATRIX
+    )
+
+
+# --- finer linguistic granularity: L = 5 labels ----------------------------
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions as _FP  # noqa: E402
+
+P5 = _FP(features=P.features, num_labels=5)
+
+
+def q_resolved_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(_clf_par(spark, sf_dir), P5, resolve=True)
+
+
 # --- multiclass (10-class embeddings fixture, FIXTURES.md §B2) -------------
 def q_classify_wr_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
@@ -190,6 +210,16 @@ register(
     "metrics_confusion_multiclass",
     q_confusion_multiclass,
     oracle.confusion_sql(EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS),
+)
+register(
+    "ruleweight_pcfcs_costmatrix",
+    q_ruleweight_costmatrix,
+    oracle.ruleweight_sql(LINEITEM_CLF_SQL, P, cost_mode=COST_MATRIX),
+)
+register(
+    "rule_conflict_resolve_l5",
+    q_resolved_l5,
+    oracle.resolved_sql(LINEITEM_CLF_SQL, P5),
 )
 
 # Widen the surface: relational / text / dedup / similarity catalogs.
