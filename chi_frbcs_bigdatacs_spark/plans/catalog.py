@@ -230,6 +230,7 @@ from chi_frbcs_bigdatacs_spark.operators import similarity as _similarity  # noq
 from chi_frbcs_bigdatacs_spark.operators import dedup_near as _dedup_near  # noqa: E402
 
 from chi_frbcs_bigdatacs_spark.operators import multimodal as _multimodal  # noqa: E402
+from chi_frbcs_bigdatacs_spark.streaming import stateful as _stream_stateful  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
 
 _relational.register_all()
@@ -239,3 +240,4 @@ _similarity.register_all()
 _dedup_near.register_all()
 _multimodal.register_all()
 _stream_windows.register_all()
+_stream_stateful.register_all()
