@@ -204,7 +204,7 @@ bits AS (
   GROUP BY doc_id, b
 )
 SELECT doc_id,
-       sum(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS simhash
+       CAST(sum(CASE WHEN sb > 0 THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
 FROM bits GROUP BY doc_id
 """
 

@@ -48,7 +48,7 @@ def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = media_fixture(spark, sf_dir)
     return m.select(
         "doc_id",
-        F.length("media").alias("n_bytes"),
+        F.length("media").cast("long").alias("n_bytes"),
         "format",
         "width",
         "height",
@@ -84,7 +84,7 @@ def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "doc_id",
         "frame_idx",
-        F.length(frame).alias("frame_len"),
+        F.length(frame).cast("long").alias("frame_len"),
         F.md5(frame.cast("binary")).alias("frame_md5"),
     )
 

@@ -341,7 +341,7 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
-        .select("o_orderpriority", "rn", "o_orderkey", "o_totalprice")
+        .select("o_orderpriority", F.col("rn").cast("long").alias("rn"), "o_orderkey", "o_totalprice")
     )
 
 
@@ -415,9 +415,9 @@ def q_date_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DATE_BUCKET_SQL = """
-SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_orders,
+SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP_NS) AS month, count(*) AS n_orders,
        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
-FROM orders GROUP BY date_trunc('month', o_orderdate)
+FROM orders GROUP BY 1
 """
 
 
@@ -439,7 +439,7 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JSON_EXTRACT_SQL = """
 SELECT event_type, count(*) AS n,
-       sum(CAST(props->>'k' AS INT)) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS INT)) AS BIGINT) AS sum_k,
        min(CAST(props->>'k' AS INT)) AS min_k,
        max(CAST(props->>'k' AS INT)) AS max_k
 FROM events GROUP BY event_type

@@ -24,9 +24,9 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.length("text").alias("n_chars_text"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_unique_tokens"),
+        F.length("text").cast("long").alias("n_chars_text"),
     )
 
 
@@ -50,7 +50,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 TEXT_STATS_SQL = """
-SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+SELECT lang, source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
        CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
 FROM documents GROUP BY lang, source
 """
@@ -112,7 +112,7 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        *[hits[lg].alias(f"hits_{lg}") for lg in LANGS],
+        *[hits[lg].cast("long").alias(f"hits_{lg}") for lg in LANGS],
         pred.alias("pred_lang"),
     )
 
@@ -152,8 +152,8 @@ def q_text_tokens_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.size(F.split(F.col("text"), " "))
     return d.select(
         "doc_id",
-        F.size(pieces).alias("n_bpe_pieces"),
-        ws.alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_bpe_pieces"),
+        ws.cast("long").alias("n_ws_tokens"),
         F.round(
             F.size(pieces).cast("double") / ws.cast("double"), 6
         ).alias("pieces_per_token"),
@@ -179,7 +179,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.col("text").cast("binary")).alias("fp_full"),
         F.md5(prefix.cast("binary")).alias("fp_prefix16"),
-        F.length("text").alias("n_chars_text"),
+        F.length("text").cast("long").alias("n_chars_text"),
     )
 
 

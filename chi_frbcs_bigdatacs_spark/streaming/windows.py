@@ -70,8 +70,8 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 STREAM_TUMBLING_SQL = """
-SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
-FROM events GROUP BY date_trunc('hour', ts), event_type
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS hour, event_type, count(*) AS n
+FROM events GROUP BY 1, 2
 """
 
 
@@ -88,7 +88,7 @@ def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # each event belongs to 3 sliding windows: time_bucket minus k*slide
 STREAM_SLIDING_SQL = """
-SELECT time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS window_start,
+SELECT CAST(time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' AS TIMESTAMP_NS) AS window_start,
        event_type, count(*) AS n
 FROM events CROSS JOIN (SELECT unnest(range(0, 3)) AS k) ks
 WHERE ts < time_bucket(INTERVAL '10 minutes', ts) - k * INTERVAL '10 minutes' + INTERVAL '30 minutes'
@@ -128,7 +128,7 @@ sessions AS (
                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
   FROM marked
 )
-SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+SELECT user_id, CAST(min(ts) AS TIMESTAMP_NS) AS session_start, count(*) AS n_events
 FROM sessions GROUP BY user_id, sid
 """
 
