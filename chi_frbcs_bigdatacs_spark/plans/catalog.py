@@ -230,6 +230,7 @@ from chi_frbcs_bigdatacs_spark.operators import similarity as _similarity  # noq
 from chi_frbcs_bigdatacs_spark.operators import dedup_near as _dedup_near  # noqa: E402
 
 from chi_frbcs_bigdatacs_spark.operators import multimodal as _multimodal  # noqa: E402
+from chi_frbcs_bigdatacs_spark.sources import formats as _formats  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import stateful as _stream_stateful  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
 
@@ -241,3 +242,4 @@ _dedup_near.register_all()
 _multimodal.register_all()
 _stream_windows.register_all()
 _stream_stateful.register_all()
+_formats.register_all()

@@ -1,0 +1,135 @@
+"""Source/sink format coverage beyond parquet (SURVEY §2b scans/sinks).
+
+The reference reads HDFS text (KEEL); a general engine needs CSV and
+JSON-lines sources with DECLARED schemas (never inferSchema — schema
+binding is compile-time, SURVEY §1 D2) and partitioned columnar
+sinks. Queries here stage a deterministic derivation of the testdata
+into a temp dir in the requested format, read it back through the
+distributed reader, and aggregate — the oracle computes the same
+aggregate straight from the base table, so the round-trip through the
+format is what is actually checked.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
+
+
+def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nation -> csv -> declared-schema distributed read -> agg."""
+    n = load_table(spark, sf_dir, "nation")
+    path = tempfile.mkdtemp(prefix="chi_csv_") + "/nation_csv"
+    n.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
+    return back.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.min("n_name").alias("first_name"),
+    )
+
+
+SCAN_CSV_SQL = """
+SELECT n_regionkey, count(*) AS n_nations, min(n_name) AS first_name
+FROM nation GROUP BY n_regionkey
+"""
+
+
+def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """supplier -> json-lines -> declared-schema read -> agg."""
+    s = load_table(spark, sf_dir, "supplier")
+    path = tempfile.mkdtemp(prefix="chi_jsonl_") + "/supplier_json"
+    s.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    ).json(path)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.col("s_acctbal").cast("decimal(18,2)")).cast("double").alias("sum_bal"),
+    )
+
+
+SCAN_JSONL_SQL = """
+SELECT s_nationkey, count(*) AS n_supp,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM supplier GROUP BY s_nationkey
+"""
+
+
+def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> parquet partitioned by returnflag -> partition-pruned
+    read-back. The read of ONE partition directory proves partition
+    layout; the oracle filters the base table the same way."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_returnflag"
+    )
+    path = tempfile.mkdtemp(prefix="chi_part_") + "/li_by_flag"
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
+    return back.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+    )
+
+
+SINK_PARTITIONED_SQL = """
+SELECT count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
+# --- shared-text ANSI SQL: the SAME string runs in Spark SQL and DuckDB ----
+SQL_Q3 = """
+SELECT o_orderkey,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+       o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+SQL_Q5 = """
+SELECT n_name,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name ASC
+"""
+
+
+def _sql_query(sql: str):
+    from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+def register_all() -> None:
+    register("scan_csv", q_scan_csv, SCAN_CSV_SQL)
+    register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
+    register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
+    register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
+    register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
