@@ -181,6 +181,17 @@ acpred AS (
 # ---- per-query final SELECTs ----
 
 
+def stats_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -> str:
+    """Raw matching-degree statistics per (antecedent cell, class) —
+    the incrementally-maintainable heart of O8 (used by the streaming
+    rule-stat maintenance query)."""
+    ants = ", ".join(_ants(parts))
+    return (
+        chi_ctes(fixture_sql, parts, cost_mode=cost_mode)
+        + f"\nSELECT {ants}, cls, round(s, 6) AS s FROM statsr"
+    )
+
+
 def fuzzify_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
     cols = []
     for f in parts.features:

@@ -88,5 +88,68 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
+def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental fuzzy-rule statistics over a stream: the O8
+    matching-degree sums per (antecedent cell, class), maintained by a
+    stateful streaming aggregation as micro-batches of training
+    examples arrive. This is the streaming path to model maintenance
+    [SURVEY §4: 'incremental rule-stat maintenance']: the final state
+    equals the batch statistics (the DuckDB oracle), because the sums
+    are associative and every batch is replayed.
+
+    cost_mode='none' (plain PCF) so the statistic needs no global
+    class-count pre-pass. Sums are monotone (mu > 0), so the final
+    value per key is the max over update-mode emissions.
+    """
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = __import__(
+        "chi_frbcs_bigdatacs_spark.sources.testdata", fromlist=["lineitem_clf"]
+    ).lineitem_clf(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="chi_rulestat_src_")
+    batch.repartition(N_SOURCE_FILES).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ants = [R.label_col(i) for i in range(len(P.features))]
+    cells = R.candidate_cells(R.fuzzify(stream, P), P)
+    agg = cells.groupBy(*ants, F.col("label").alias("cls")).agg(
+        F.sum("mu").alias("s_run")
+    )
+    name = f"chi_rulestat_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # restrict to data-touched antecedents (cells some example argmax-
+    # maps to) — the set the batch build keys rules on (O7)
+    touched = (
+        R.with_antecedent(R.fuzzify(batch, P), P).select(*ants).distinct()
+    )
+    return (
+        spark.table(name)
+        .groupBy(*ants, "cls")
+        .agg(F.round(F.max("s_run"), 6).alias("s"))
+        .join(F.broadcast(touched), ants, "left_semi")
+    )
+
+
+def _rule_stats_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.fuzzy import oracle
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+    from chi_frbcs_bigdatacs_spark.sources.testdata import LINEITEM_CLF_SQL
+
+    return oracle.stats_sql(LINEITEM_CLF_SQL, P, cost_mode="none")
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
+    register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
