@@ -446,7 +446,76 @@ FROM events GROUP BY event_type
 """
 
 
+# --- remaining join types / set ops / cube ---------------------------------
+def q_join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "full_outer")
+        .select(
+            F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            "c_mktsegment",
+        )
+    )
+
+
+JOIN_OUTER_SQL = """
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       COALESCE(n_orders, 0) AS n_orders,
+       c_mktsegment
+FROM customer
+FULL OUTER JOIN (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = load_table(spark, sf_dir, "region").select("r_name")
+    n = load_table(spark, sf_dir, "nation").select("n_name")
+    return r.crossJoin(n).groupBy("r_name").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+JOIN_CROSS_SQL = """
+SELECT r_name, count(*) AS n_pairs FROM region CROSS JOIN nation GROUP BY r_name
+"""
+
+
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))
+    p = load_table(spark, sf_dir, "part").select(F.col("p_partkey").alias("k"))
+    return li.intersect(p)
+
+
+SETOP_INTERSECT_SQL = """
+SELECT l_partkey AS k FROM lineitem INTERSECT SELECT p_partkey AS k FROM part
+"""
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+AGG_CUBE_SQL = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
 def register_all() -> None:
+    register("join_outer", q_join_outer, JOIN_OUTER_SQL)
+    register("join_cross", q_join_cross, JOIN_CROSS_SQL)
+    register("setop_intersect", q_setop_intersect, SETOP_INTERSECT_SQL)
+    register("agg_cube", q_agg_cube, AGG_CUBE_SQL)
     register("scan_source", q_scan_source, SCAN_SOURCE_SQL)
     register("project_encode", q_project_encode, PROJECT_ENCODE_SQL)
     register("filter_valid", q_filter_valid, FILTER_VALID_SQL)
