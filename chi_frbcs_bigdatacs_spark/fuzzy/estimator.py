@@ -260,6 +260,11 @@ class ChiFRBCSClassifier:
         rows = [tuple(r) for r in rules.select(*ants, "cls", "weight").collect()]
         counts = R.class_counts(fz)
         row = counts.orderBy(F.col("n").desc(), F.col("label").asc()).first()
+        if row is None:
+            raise ValueError(
+                "ChiFRBCSClassifier.fit: empty training set (no rows after "
+                "validity filtering) — cannot derive costs or a default class"
+            )
         return ChiFRBCSModel(self.parts, rows, int(row["label"]), self.frm)
 
     def fit_transform(self, df: DataFrame) -> DataFrame:

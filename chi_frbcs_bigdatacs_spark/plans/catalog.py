@@ -156,6 +156,39 @@ def q_resolved_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.build_rules(_clf_par(spark, sf_dir), P5, resolve=True)
 
 
+# --- d=8 build (higher-dimensional antecedents; generators scale by d) -----
+EMBEDDINGS_CLF8_SQL = """
+SELECT vec_id AS id,
+       CAST(embedding[1] AS DOUBLE) AS f1, CAST(embedding[2] AS DOUBLE) AS f2,
+       CAST(embedding[3] AS DOUBLE) AS f3, CAST(embedding[4] AS DOUBLE) AS f4,
+       CAST(embedding[5] AS DOUBLE) AS f5, CAST(embedding[6] AS DOUBLE) AS f6,
+       CAST(embedding[7] AS DOUBLE) AS f7, CAST(embedding[8] AS DOUBLE) AS f8,
+       label
+FROM embeddings
+"""
+
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec as _FS  # noqa: E402
+
+P8 = _FP(
+    features=tuple(_FS(f"f{i}", -4.0, 4.0) for i in range(1, 9)), num_labels=3
+)
+
+
+def q_resolved_d8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    df = emb.select(
+        F.col("vec_id").alias("id"),
+        *[
+            F.element_at("embedding", i).cast("double").alias(f"f{i}")
+            for i in range(1, 9)
+        ],
+        F.col("label"),
+    ).repartition(spark.sparkContext.defaultParallelism)
+    return R.build_rules(df, P8, resolve=True)
+
+
 # --- multiclass (10-class embeddings fixture, FIXTURES.md §B2) -------------
 def q_classify_wr_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
@@ -220,6 +253,11 @@ register(
     "rule_conflict_resolve_l5",
     q_resolved_l5,
     oracle.resolved_sql(LINEITEM_CLF_SQL, P5),
+)
+register(
+    "rule_conflict_resolve_d8",
+    q_resolved_d8,
+    oracle.resolved_sql(EMBEDDINGS_CLF8_SQL, P8),
 )
 
 # Widen the surface: relational / text / dedup / similarity catalogs.

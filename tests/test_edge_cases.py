@@ -1,0 +1,52 @@
+"""Edge cases: empty training input, single-class input, and scoring
+out-of-range values (shoulder coverage end-to-end)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_fit_empty_input_raises(spark):
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL).filter(F.lit(False))
+    with pytest.raises(ValueError, match="empty training set"):
+        ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+
+
+def test_fit_single_class(spark):
+    """Degenerate one-class data: every rule predicts that class with
+    weight 1 (PCF numerator == denominator)."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL).filter(F.col("label") == 1)
+    model = ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+    assert model.default_cls == 1
+    assert all(r[-2] == 1 and r[-1] == 1.0 for r in model.rules_rows)
+    pred = model.transform(df)
+    assert pred.filter(F.col("prediction") != 1).count() == 0
+
+
+def test_score_out_of_range_values(spark):
+    """Values outside the declared ranges hit the shoulders and still
+    classify (never unmatched-by-degeneracy)."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    model = ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+    wild = spark.createDataFrame(
+        [(1, -1e6, 1e9, -5.0, 99.0, 0), (2, 1e6, -1e9, 5.0, -99.0, 1)],
+        "id long, f1 double, f2 double, f3 double, f4 double, label int",
+    )
+    out = model.transform(wild).collect()
+    assert len(out) == 2
+    assert all(r["prediction"] in (0, 1) for r in out)
