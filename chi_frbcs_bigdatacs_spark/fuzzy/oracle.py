@@ -178,6 +178,103 @@ acpred AS (
 )"""
 
 
+_METRICS_TAIL = """
+SELECT {fold_col}
+  round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS acc,
+  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS tpr,
+  round(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) AS tnr,
+  round(sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
+           * (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))), 6) AS gm,
+  round((1.0 + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
+             - CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)) / 2.0, 6) AS auc
+FROM m"""
+
+
+def traintest_scoring_ctes(
+    train_sql: str, test_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs"
+) -> str:
+    """chi_ctes on the TRAIN fixture, then WR-score a DISTINCT test
+    fixture (tclf) — the honest train/test lifecycle (E1 then E2)."""
+    ants = _ants(parts)
+    mus_cols = ",\n         ".join(
+        f"{memberships_array_sql(f, parts)} AS mus_{f.name}" for f in parts.features
+    )
+    mu_prod = _mu_product(parts)
+    r_order = ", ".join(f"r_{a}" for a in ants)
+    base = chi_ctes(train_sql, parts, cost_mode=cost_mode)
+    return base + f""",
+rules AS (
+  SELECT {', '.join(f'{a} AS r_{a}' for a in ants)}, cls AS r_cls, weight
+  FROM resolved WHERE weight > 0
+),
+defclass AS (
+  SELECT label AS d FROM counts ORDER BY n DESC, label ASC LIMIT 1
+),
+tclf AS (
+  SELECT * FROM ({test_sql}) tbase
+),
+tfz AS (
+  SELECT id, label,
+         {mus_cols}
+  FROM tclf
+),
+scored AS (
+  SELECT f.id, f.label, r.r_cls, {', '.join(f'r.r_{a}' for a in ants)},
+         {mu_prod} * r.weight AS score
+  FROM tfz f CROSS JOIN rules r
+  WHERE {mu_prod} > 0
+),
+wrbest AS (
+  SELECT id, r_cls FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id ORDER BY score DESC, {r_order}, r_cls ASC) AS rn
+    FROM scored) t
+  WHERE rn = 1
+),
+wrpred AS (
+  SELECT c.id, c.label,
+         COALESCE(w.r_cls, (SELECT d FROM defclass)) AS prediction
+  FROM tclf c LEFT JOIN wrbest w ON c.id = w.id
+)"""
+
+
+def holdout_classify_sql(
+    train_sql: str, test_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs"
+) -> str:
+    return (
+        traintest_scoring_ctes(train_sql, test_sql, parts, cost_mode)
+        + "\nSELECT id, label, prediction FROM wrpred"
+    )
+
+
+def crossval_sql(
+    fixture_sql: str,
+    parts: FuzzyPartitions,
+    n_folds: int = 5,
+    cost_mode: str = "cs",
+) -> str:
+    """k-fold CV [FSS258 §4.3]: per fold, fit on id%k<>f / score on
+    id%k=f, emit one binary-metrics row. Folds are deterministic hash
+    buckets of the stable pk (the engine uses the same split)."""
+    fold_queries = []
+    for k in range(n_folds):
+        train = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} <> {k}"
+        test = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} = {k}"
+        ctes = traintest_scoring_ctes(train, test, parts, cost_mode)
+        m = f""",
+m AS (
+  SELECT
+    sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS tn,
+    sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS fn
+  FROM wrpred
+)"""
+        tail = _METRICS_TAIL.format(fold_col=f"{k} AS fold,")
+        fold_queries.append(f"SELECT * FROM ({ctes}{m}{tail}) f{k}")
+    return "\nUNION ALL\n".join(fold_queries)
+
+
 # ---- per-query final SELECTs ----
 
 

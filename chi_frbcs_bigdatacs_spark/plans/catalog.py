@@ -156,6 +156,43 @@ def q_resolved_l5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.build_rules(_clf_par(spark, sf_dir), P5, resolve=True)
 
 
+# --- train/test holdout + k-fold cross-validation (FSS258 §4.3) ------------
+N_FOLDS = 5
+
+
+def q_classify_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fit on folds 1..4, score the held-out fold 0 — the reference's
+    E1-then-E2 lifecycle with genuinely disjoint train/test data."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    df = lineitem_clf(spark, sf_dir)
+    train = df.filter(F.col("id") % N_FOLDS != 0)
+    test = df.filter(F.col("id") % N_FOLDS == 0)
+    model = ChiFRBCSClassifier(parts=P).fit(train)
+    return model.transform(test)
+
+
+def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV on deterministic id-hash folds; one metrics row per
+    fold [FSS258 §4.3 — the paper's validation methodology]."""
+    from functools import reduce as _reduce
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    df = lineitem_clf(spark, sf_dir)
+    outs = []
+    for k in range(N_FOLDS):
+        train = df.filter(F.col("id") % N_FOLDS != k)
+        test = df.filter(F.col("id") % N_FOLDS == k)
+        model = ChiFRBCSClassifier(parts=P).fit(train)
+        outs.append(
+            M.metrics_binary(model.transform(test)).select(
+                F.lit(k).alias("fold"), "acc", "tpr", "tnr", "gm", "auc"
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
 # --- d=8 build (higher-dimensional antecedents; generators scale by d) -----
 EMBEDDINGS_CLF8_SQL = """
 SELECT vec_id AS id,
@@ -258,6 +295,20 @@ register(
     "rule_conflict_resolve_d8",
     q_resolved_d8,
     oracle.resolved_sql(EMBEDDINGS_CLF8_SQL, P8),
+)
+register(
+    "classify_holdout",
+    q_classify_holdout,
+    oracle.holdout_classify_sql(
+        f"SELECT * FROM ({LINEITEM_CLF_SQL}) b WHERE id % {N_FOLDS} <> 0",
+        f"SELECT * FROM ({LINEITEM_CLF_SQL}) b WHERE id % {N_FOLDS} = 0",
+        P,
+    ),
+)
+register(
+    "crossval_gm_auc",
+    q_crossval,
+    oracle.crossval_sql(LINEITEM_CLF_SQL, P, n_folds=N_FOLDS),
 )
 
 # Widen the surface: relational / text / dedup / similarity catalogs.
