@@ -511,7 +511,50 @@ FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """
 
 
+def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Spark pivot (wide confusion-style counts); the oracle
+    mirrors with conditional aggregation — same result, same names."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .count()
+        .select(
+            "l_returnflag",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_F"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_O"),
+        )
+    )
+
+
+AGG_PIVOT_SQL = """
+SELECT l_returnflag,
+       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
+       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (R-7 linear interpolation in both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 6).alias("p95"),
+    )
+
+
+AGG_PERCENTILE_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def register_all() -> None:
+    register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
+    register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)
     register("join_outer", q_join_outer, JOIN_OUTER_SQL)
     register("join_cross", q_join_cross, JOIN_CROSS_SQL)
     register("setop_intersect", q_setop_intersect, SETOP_INTERSECT_SQL)

@@ -183,8 +183,134 @@ LIMIT 10
 """
 
 
+# --- IVF with LEARNED centroids (relational k-means, 1 Lloyd step) ---------
+# Deterministic at any scale and fully oracle-able: seeds = first K
+# vectors by id; assignment = argmin squared distance (ties -> lowest
+# cluster id); centroid means rounded to 6dp on both engines so the
+# re-assignment sees identical centroids despite sum-order differences.
+# Search probes only the query's cluster — the true IVF access path.
+K_CLUSTERS = 4
+
+
+def _sqdist_col(a: str, b: str) -> Column:
+    from functools import reduce as _r
+
+    terms = [
+        (
+            F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+        )
+        * (F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double"))
+        for i in range(1, DIM + 1)
+    ]
+    return _r(lambda x, y: x + y, terms)
+
+
+def _sqdist_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        f" * (CAST({a}[{i}] AS DOUBLE) - CAST({b}[{i}] AS DOUBLE))"
+        for i in range(1, DIM + 1)
+    )
+
+
+def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(K_CLUSTERS)
+        .select(
+            F.row_number().over(Window.orderBy(F.col("vec_id").asc())).alias("k"),
+            F.col("embedding").alias("cvec"),
+        )
+    )
+
+    def assign(centroids: DataFrame) -> DataFrame:
+        pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
+            "dist", _sqdist_col("embedding", "cvec")
+        )
+        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("k").asc())
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "embedding", "k")
+        )
+
+    a1 = assign(seeds)
+    cent = a1.groupBy("k").agg(
+        *[
+            F.round(
+                F.sum(F.element_at("embedding", i).cast("double"))
+                / F.count(F.lit(1)),
+                6,
+            ).alias(f"c{i}")
+            for i in range(1, DIM + 1)
+        ]
+    )
+    cent = cent.select("k", F.array(*[f"c{i}" for i in range(1, DIM + 1)]).alias("cvec"))
+    a2 = assign(cent)
+
+    q = (
+        a2.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("embedding").alias("qvec"), F.col("k").alias("qk"))
+    )
+    cand = a2.join(F.broadcast(q), a2["k"] == q["qk"])
+    cos = _dot_col("embedding", "qvec") / (
+        F.sqrt(_norm2_col("embedding")) * F.sqrt(_norm2_col("qvec"))
+    )
+    return (
+        cand.select("vec_id", "k", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _ivf_kmeans_sql() -> str:
+    mean_list = ", ".join(
+        f"round(sum(CAST(embedding[{i}] AS DOUBLE)) / count(*), 6)"
+        for i in range(1, DIM + 1)
+    )
+    return f"""
+WITH seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS k, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {K_CLUSTERS}) s
+),
+a1 AS (
+  SELECT vec_id, embedding, k FROM (
+    SELECT e.vec_id, e.embedding, s.k,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.embedding', 's.cvec')} ASC, s.k ASC) AS rn
+    FROM embeddings e CROSS JOIN seeds s) t
+  WHERE rn = 1
+),
+cent AS (
+  SELECT k, [{mean_list}] AS cvec FROM a1 GROUP BY k
+),
+a2 AS (
+  SELECT vec_id, embedding, k FROM (
+    SELECT e.vec_id, e.embedding, c.k,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.k ASC) AS rn
+    FROM embeddings e CROSS JOIN cent c) t
+  WHERE rn = 1
+),
+q AS (
+  SELECT embedding AS qvec, k AS qk FROM a2 ORDER BY vec_id ASC LIMIT 1
+)
+SELECT vec_id, k,
+       round(({_dot_sql('embedding', 'qvec')})
+             / (sqrt({_dot_sql('embedding', 'embedding')}) * sqrt({_dot_sql('qvec', 'qvec')})), 6) AS cosine
+FROM a2 JOIN q ON a2.k = q.qk
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)
     register("simsearch_ivf", q_simsearch_ivf, SIMSEARCH_IVF_SQL)
+    register("simsearch_ivf_kmeans", q_simsearch_ivf_kmeans, _ivf_kmeans_sql())
