@@ -192,7 +192,45 @@ FROM documents
 """
 
 
+# --- composed corpus-cleaning pipeline -------------------------------------
+# The end-to-end shape of a training-data prep job: quality filter ->
+# exact dedup (min-id survivor) -> per-language accounting. One DAG,
+# one oracle — demonstrates operator composition, not just single ops.
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = d.filter(
+        (F.length("text") >= 100)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3)
+    )
+    survivors = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    return survivors.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text").cast("long")).alias("sum_chars"),
+    )
+
+
+PIPELINE_CLEAN_SQL = """
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE length(text) >= 100
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' ')) AS DOUBLE) >= 0.3
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+  FROM quality GROUP BY text
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS sum_chars
+FROM survivors GROUP BY lang
+"""
+
+
 def register_all() -> None:
+    register("pipeline_clean_corpus", q_pipeline_clean_corpus, PIPELINE_CLEAN_SQL)
     register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)
     register("text_stats", q_text_stats, TEXT_STATS_SQL)
     register("text_quality", q_text_quality, TEXT_QUALITY_SQL)
