@@ -26,9 +26,11 @@ HEADLINE = [
     "join_broadcast",       # dim broadcast join
     "window_rank",          # per-group top-k
     "dedup_exact",          # hash-group dedup
+    "dedup_minhash",        # MinHash-LSH banding near-dup
     "simsearch_topk",       # brute-force cosine top-k
     "text_tokens",          # tokenization scan
     "json_extract",         # json path extraction
+    "stream_tumbling",      # structured-streaming windowed agg
 ]
 
 

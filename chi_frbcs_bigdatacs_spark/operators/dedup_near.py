@@ -56,18 +56,39 @@ list_distinct(list_transform(
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # testdata parquet is single-row-group (unsplittable): spread the
+    # docs before the CPU-heavy shingle/hash work
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     return d.select("doc_id", _shingles_col().alias("shingles"))
+
+
+# Affine minhash family over the 2^61-1 prime field: ONE md5 per
+# shingle (hex -> 60-bit int), then h_k = (a_k*v + b_k) mod P derived
+# arithmetically — 16x fewer md5 calls than hashing per-seed, and the
+# exact integer arithmetic (DECIMAL(38,0) in Spark, HUGEINT in DuckDB)
+# is bit-identical across engines.
+MERSENNE_P = (1 << 61) - 1
+AFFINE = [(2 * k + 3, 7919 * (k + 1) + 1) for k in range(NUM_HASHES)]
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with verified Jaccard >= threshold."""
-    docs = _docs(spark, sf_dir)
-    sh = docs.select("doc_id", F.explode("shingles").alias("s"))
+    # docs feeds three branches (signatures + both sides of the
+    # Jaccard verify join): persist so shingling happens once
+    docs = _docs(spark, sf_dir).persist()
+    sh = docs.select("doc_id", F.explode("shingles").alias("s")).withColumn(
+        "v", F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{k}:"), F.col("s")))).alias(f"h{k}")
-            for k in range(NUM_HASHES)
+            F.min(
+                F.expr(
+                    f"CAST((CAST(v AS DECIMAL(38,0)) * {a} + {b}) % {MERSENNE_P} AS BIGINT)"
+                )
+            ).alias(f"h{k}")
+            for k, (a, b) in enumerate(AFFINE)
         ]
     )
     band_rows = []
@@ -77,7 +98,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             sig.select(
                 "doc_id",
                 F.lit(b).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("bv"),
+                F.md5(
+                    F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast(
+                        "binary"
+                    )
+                ).alias("bv"),
             )
         )
     bands = band_rows[0]
@@ -110,13 +135,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql() -> str:
+    hexv = (
+        "list_sum(list_transform(range(0, 15), "
+        "i -> (CAST(strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) AS BIGINT) - 1)"
+        " << (4 * (14 - i))))"
+    )
     sig_cols = ",\n         ".join(
-        f"min(md5('{k}:' || s)) AS h{k}" for k in range(NUM_HASHES)
+        f"min(CAST((CAST(v AS HUGEINT) * {a} + {b}) % {MERSENNE_P} AS BIGINT)) AS h{k}"
+        for k, (a, b) in enumerate(AFFINE)
     )
     band_selects = []
     for b in range(BANDS):
         cols = " || '|' || ".join(
-            f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            f"CAST(h{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
         )
         band_selects.append(
             f"SELECT doc_id, {b} AS band, md5({cols}) AS bv FROM sig"
@@ -127,7 +158,10 @@ WITH docs AS (
   SELECT doc_id, {SHINGLES_SQL} AS shingles
   FROM documents
 ),
-sh AS (SELECT doc_id, unnest(shingles) AS s FROM docs),
+sh AS (
+  SELECT doc_id, {hexv} AS v
+  FROM (SELECT doc_id, unnest(shingles) AS s FROM docs) t
+),
 sig AS (
   SELECT doc_id,
          {sig_cols}
