@@ -552,7 +552,78 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# --- as-of join ------------------------------------------------------------
+# For each purchase event, the most recent prior-or-same-time view by
+# the same user. Implemented with the scalable union-marker technique:
+# one union, one sort per user (window), NO range self-join — the plan
+# a 100 TB as-of join needs (single shuffle on user_id).
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    marked = e.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        marked.withColumn("asof_view", F.last("view_id", ignorenulls=True).over(w))
+        .filter(F.col("is_purchase"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("asof_view").alias("asof_view_id"),
+        )
+    )
+
+
+JOIN_ASOF_SQL = """
+SELECT event_id AS purchase_id, user_id, asof_view_id
+FROM (
+  SELECT user_id, ts, event_id, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN event_id END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_view_id
+  FROM events
+  WHERE event_type IN ('view', 'purchase')
+) t
+WHERE event_type = 'purchase'
+"""
+
+
+# --- unpivot / melt --------------------------------------------------------
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.col("l_quantity").alias("quantity"),
+        F.col("l_discount").alias("discount"),
+        F.col("l_tax").alias("tax"),
+    )
+    return li.unpivot(
+        ids=["rid"],
+        values=["quantity", "discount", "tax"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS rid, 'quantity' AS measure, l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey * 10 + l_linenumber, 'discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey * 10 + l_linenumber, 'tax', l_tax FROM lineitem
+"""
+
+
 def register_all() -> None:
+    register("join_asof", q_join_asof, JOIN_ASOF_SQL)
+    register("unpivot_measures", q_unpivot, UNPIVOT_SQL)
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
     register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)
     register("join_outer", q_join_outer, JOIN_OUTER_SQL)
