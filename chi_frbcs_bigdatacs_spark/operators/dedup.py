@@ -53,6 +53,25 @@ FROM documents GROUP BY text HAVING count(*) > 1
 """
 
 
+def q_dedup_hashkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keyed on md5(text) instead of the raw text — the
+    scale variant: the shuffle key is 32 bytes regardless of document
+    size, so 100 TB of documents dedup with a fixed-width exchange."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text").cast("binary")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("copies"))
+        .select("text_md5", "doc_id", "copies")
+    )
+
+
+DEDUP_HASHKEY_SQL = """
+SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS copies
+FROM documents GROUP BY md5(text)
+"""
+
+
 def register_all() -> None:
     register("dedup_exact", q_dedup_exact, DEDUP_EXACT_SQL)
     register("dedup_groups", q_dedup_groups, DEDUP_GROUPS_SQL)
+    register("dedup_hashkey", q_dedup_hashkey, DEDUP_HASHKEY_SQL)

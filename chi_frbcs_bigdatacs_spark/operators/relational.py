@@ -621,7 +621,30 @@ SELECT l_orderkey * 10 + l_linenumber, 'tax', l_tax FROM lineitem
 """
 
 
+def q_agg_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type stats over an arbitrary-precision double column:
+    min/max are exact; sum/avg round away the (tiny) accumulation-order
+    difference between engines."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+        F.round(F.sum("value"), 3).alias("sum_v"),
+        F.round(F.sum("value") / F.count(F.lit(1)), 6).alias("avg_v"),
+    )
+
+
+AGG_VALUE_STATS_SQL = """
+SELECT event_type, count(*) AS n, min(value) AS min_v, max(value) AS max_v,
+       round(sum(value), 3) AS sum_v,
+       round(sum(value) / count(*), 6) AS avg_v
+FROM events GROUP BY event_type
+"""
+
+
 def register_all() -> None:
+    register("agg_value_stats", q_agg_value_stats, AGG_VALUE_STATS_SQL)
     register("join_asof", q_join_asof, JOIN_ASOF_SQL)
     register("unpivot_measures", q_unpivot, UNPIVOT_SQL)
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)

@@ -229,7 +229,45 @@ FROM survivors GROUP BY lang
 """
 
 
+# --- lexical quality: stopword + punctuation + digit ratios ----------------
+_ALL_STOPWORDS = sorted({w for ws in LEXICON.values() for w in ws})
+
+
+def q_text_lexical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks).cast("double")
+    sw = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    stop_hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast("double")
+    n_punct = (
+        F.length(F.regexp_replace(F.col("text"), "[a-z0-9 ]", "")).cast("double")
+    )
+    n_digit = F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).cast("double")
+    n_chars = F.length("text").cast("double")
+    return d.select(
+        "doc_id",
+        F.round(stop_hits / n_tok, 6).alias("stopword_ratio"),
+        F.round(n_punct / n_chars, 6).alias("punct_ratio"),
+        F.round(n_digit / n_chars, 6).alias("digit_ratio"),
+    )
+
+
+def _lexical_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    return f"""
+SELECT doc_id,
+       round(CAST(len(list_filter(string_split(text, ' '), t -> list_contains([{sw}], t))) AS DOUBLE)
+             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6) AS stopword_ratio,
+       round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS punct_ratio,
+       round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE), 6) AS digit_ratio
+FROM documents
+"""
+
+
 def register_all() -> None:
+    register("text_lexical", q_text_lexical, _lexical_sql())
     register("pipeline_clean_corpus", q_pipeline_clean_corpus, PIPELINE_CLEAN_SQL)
     register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)
     register("text_stats", q_text_stats, TEXT_STATS_SQL)
