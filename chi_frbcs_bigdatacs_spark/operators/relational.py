@@ -643,7 +643,128 @@ FROM events GROUP BY event_type
 """
 
 
+# --- scalar function batteries (SURVEY §2b scalar fns) ---------------------
+def q_scalar_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("upper_name"),
+        F.lower("c_mktsegment").alias("lower_seg"),
+        F.substring("c_name", 1, 8).alias("prefix8"),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("padded_key"),
+        F.regexp_extract("c_name", "([0-9]+)", 1).alias("name_digits"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("renamed"),
+        F.concat_ws("-", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+    )
+
+
+SCALAR_STRING_SQL = """
+SELECT c_custkey,
+       upper(c_name) AS upper_name,
+       lower(c_mktsegment) AS lower_seg,
+       substr(c_name, 1, 8) AS prefix8,
+       length(c_name) AS name_len,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS padded_key,
+       COALESCE(regexp_extract(c_name, '([0-9]+)', 1), '') AS name_digits,
+       replace(c_name, 'Customer', 'Cust') AS renamed,
+       c_mktsegment || '-' || CAST(c_custkey AS VARCHAR) AS seg_key
+FROM customer
+"""
+
+
+def q_scalar_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_extendedprice")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.abs(x - 50000.0).alias("abs_diff"),
+        F.ceil("l_quantity").cast("long").alias("ceil_qty"),
+        F.floor(F.col("l_discount") * 100).cast("long").alias("floor_disc_pct"),
+        F.round(F.sqrt(x), 6).alias("sqrt_price"),
+        F.round(F.log(x), 6).alias("ln_price"),
+        F.round(F.log10(x), 6).alias("log10_price"),
+        F.round(F.pow(F.col("l_quantity"), 2.0), 6).alias("qty_sq"),
+        F.pmod(F.col("l_orderkey"), 7).alias("key_mod7"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+SCALAR_MATH_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS rid,
+       abs(l_extendedprice - 50000.0) AS abs_diff,
+       CAST(ceil(l_quantity) AS BIGINT) AS ceil_qty,
+       CAST(floor(l_discount * 100) AS BIGINT) AS floor_disc_pct,
+       round(sqrt(l_extendedprice), 6) AS sqrt_price,
+       round(ln(l_extendedprice), 6) AS ln_price,
+       round(log10(l_extendedprice), 6) AS log10_price,
+       round(pow(l_quantity, 2.0), 6) AS qty_sq,
+       l_orderkey % 7 AS key_mod7,
+       CAST(CASE WHEN l_discount - 0.05 > 0 THEN 1
+                 WHEN l_discount - 0.05 < 0 THEN -1 ELSE 0 END AS INT) AS disc_sign
+FROM lineitem
+"""
+
+
+def q_scalar_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        # ISO day-of-week (Mon=1..Sun=7): same convention both engines
+        F.dayofweek(F.col("o_orderdate")).alias("dow_sun1"),
+        F.datediff(F.lit("1998-01-01").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_98"
+        ),
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    )
+
+
+SCALAR_DATE_SQL = """
+SELECT o_orderkey,
+       CAST(year(o_orderdate) AS INT) AS y,
+       CAST(month(o_orderdate) AS INT) AS m,
+       CAST(day(o_orderdate) AS INT) AS d,
+       CAST(quarter(o_orderdate) AS INT) AS q,
+       CAST(dayofweek(o_orderdate) + 1 AS INT) AS dow_sun1,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS INT) AS days_to_98,
+       strftime(o_orderdate, '%Y-%m') AS ym
+FROM orders
+"""
+
+
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.cume_dist().over(w), 6).alias("cdist"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+WINDOW_DISTRIBUTION_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       ntile(4) OVER w AS quartile,
+       round(cume_dist() OVER w, 6) AS cdist,
+       round(percent_rank() OVER w, 6) AS prank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC)
+"""
+
+
 def register_all() -> None:
+    register("scalar_string_funcs", q_scalar_string, SCALAR_STRING_SQL)
+    register("scalar_math_funcs", q_scalar_math, SCALAR_MATH_SQL)
+    register("scalar_date_funcs", q_scalar_date, SCALAR_DATE_SQL)
+    register("window_distribution", q_window_distribution, WINDOW_DISTRIBUTION_SQL)
     register("agg_value_stats", q_agg_value_stats, AGG_VALUE_STATS_SQL)
     register("join_asof", q_join_asof, JOIN_ASOF_SQL)
     register("unpivot_measures", q_unpivot, UNPIVOT_SQL)
