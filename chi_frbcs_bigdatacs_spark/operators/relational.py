@@ -529,8 +529,8 @@ def q_agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 AGG_PIVOT_SQL = """
 SELECT l_returnflag,
-       sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_F,
-       sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_O
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_O
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -24,6 +24,11 @@ def compare(spark_df, duck_df: pd.DataFrame, float_tol: float = 0.0) -> None:
     assert list(s.columns) == list(d.columns), f"columns: {list(s.columns)} vs {list(d.columns)}"
     assert len(s) == len(d), f"row count: {len(s)} vs {len(d)}"
     for c in s.columns:
+        sk, dk = s[c].dtype.kind, d[c].dtype.kind
+        # int-vs-float (or any numeric-kind) drift changes the driver's
+        # value hash even when the values are equal (agg_pivot, round 1).
+        assert sk == dk, f"col {c}: dtype kind {s[c].dtype} vs {d[c].dtype}"
+    for c in s.columns:
         sv, dv = s[c], d[c]
         if sv.dtype.kind == "f" or dv.dtype.kind == "f":
             sa, da = sv.astype(float).to_numpy(), dv.astype(float).to_numpy()
