@@ -17,8 +17,9 @@ Physical tuning vs the plain spec functions in rules.py:
     reference's models are the same size) and re-emitted as a
     LITERAL DataFrame, so transform() is a pure broadcast join with
     no recomputation of the build lineage. For very high-d problems
-    construct the model with collect_rules=False to keep the rule
-    base distributed.
+    construct the ESTIMATOR with collect_rules=False: fit() then
+    materializes the rule base as a persisted DataFrame (never on the
+    driver) and transform() broadcast-joins it unchanged.
   - per-example argmax scoring uses max(struct(...)) hash
     aggregation (map-side combine, no sort shuffle) instead of a
     row_number window; the struct field order encodes exactly the
@@ -57,14 +58,27 @@ def _rules_schema(d: int) -> StructType:
 @dataclass
 class ChiFRBCSModel:
     parts: FuzzyPartitions
-    rules_rows: list[tuple]  # (l1..ld, cls, weight)
+    rules_rows: list[tuple] | None  # (l1..ld, cls, weight); None = distributed
     default_cls: int
     frm: str = "wr"  # 'wr' | 'ac'
+    # collect_rules=False keeps the rule base as this persisted
+    # DataFrame instead of driver-side rows — the scale path for
+    # L^d-explosive models (L=5, d>=8) where the driver collect is the
+    # bottleneck. transform() broadcast-joins it exactly as the
+    # literal path does.
+    rules_dataframe: DataFrame | None = field(default=None, repr=False)
 
     def rules_df(self, spark: SparkSession) -> DataFrame:
+        if self.rules_dataframe is not None:
+            return self.rules_dataframe
         return spark.createDataFrame(
             self.rules_rows, _rules_schema(len(self.parts.features))
         )
+
+    def release(self) -> None:
+        """Unpersist the distributed rule base (no-op for literal models)."""
+        if self.rules_dataframe is not None:
+            self.rules_dataframe.unpersist()
 
     # -- scoring --
     def transform(self, df: DataFrame) -> DataFrame:
@@ -128,15 +142,26 @@ class ChiFRBCSModel:
 
         parts = self.parts
         d = len(parts.features)
-        L = parts.num_labels
+        if self.rules_rows is None:
+            # the numpy matmul path needs the rule arrays driver-side;
+            # materialize once from the distributed rule base
+            self.rules_rows = [tuple(r) for r in self.rules_dataframe.collect()]
         rules = sorted((r for r in self.rules_rows if r[d + 1] > 0))
         if rules:
             rl = np.array([r[:d] for r in rules], dtype=np.int64) - 1  # 0-based
             rcls = np.array([r[d] for r in rules], dtype=np.int64)
             rw = np.array([r[d + 1] for r in rules], dtype=np.float64)
         feat_names = [f.name for f in parts.features]
-        peaks = [np.array(parts.peaks(f)) for f in parts.features]
-        hws = [parts.half_width(f) for f in parts.features]
+        kinds = [f.kind for f in parts.features]
+        Ls = [parts.labels_for(f) for f in parts.features]
+        peaks = [
+            np.array(parts.peaks(f)) if f.kind == "numeric" else None
+            for f in parts.features
+        ]
+        hws = [
+            parts.half_width(f) if f.kind == "numeric" else None
+            for f in parts.features
+        ]
         default_cls = self.default_cls
 
         def score(batches):
@@ -156,17 +181,24 @@ class ChiFRBCSModel:
                 mu = np.ones((n, len(rules)))
                 for k in range(d):
                     x = pdf[feat_names[k]].to_numpy(dtype=np.float64)[:, None]
-                    p = peaks[k][None, :]
-                    h = hws[k]
-                    m = np.empty((n, L))
-                    m[:, 0] = np.maximum(
-                        0.0, np.minimum(1.0, 1.0 - (x[:, 0] - p[0, 0]) / h)
-                    )
-                    for j in range(1, L - 1):
-                        m[:, j] = np.maximum(0.0, 1.0 - np.abs(x[:, 0] - p[0, j]) / h)
-                    m[:, L - 1] = np.maximum(
-                        0.0, np.minimum(1.0, 1.0 - (p[0, L - 1] - x[:, 0]) / h)
-                    )
+                    L = Ls[k]
+                    if kinds[k] == "nominal":
+                        # crisp indicator: mu = 1 iff encoded value == j
+                        m = (x[:, 0:1] == np.arange(L)[None, :]).astype(np.float64)
+                    else:
+                        p = peaks[k][None, :]
+                        h = hws[k]
+                        m = np.empty((n, L))
+                        m[:, 0] = np.maximum(
+                            0.0, np.minimum(1.0, 1.0 - (x[:, 0] - p[0, 0]) / h)
+                        )
+                        for j in range(1, L - 1):
+                            m[:, j] = np.maximum(
+                                0.0, 1.0 - np.abs(x[:, 0] - p[0, j]) / h
+                            )
+                        m[:, L - 1] = np.maximum(
+                            0.0, np.minimum(1.0, 1.0 - (p[0, L - 1] - x[:, 0]) / h)
+                        )
                     mu = mu * m[:, rl[:, k]]
                 scores = np.where(mu > 0, mu * rw[None, :], -np.inf)
                 best = np.argmax(scores, axis=1)
@@ -186,7 +218,13 @@ class ChiFRBCSModel:
         meta = {
             "num_labels": self.parts.num_labels,
             "features": [
-                {"name": f.name, "fmin": f.fmin, "fmax": f.fmax}
+                {
+                    "name": f.name,
+                    "fmin": f.fmin,
+                    "fmax": f.fmax,
+                    "kind": f.kind,
+                    "values": list(f.values),
+                }
                 for f in self.parts.features
             ],
             "default_cls": self.default_cls,
@@ -202,7 +240,14 @@ class ChiFRBCSModel:
             meta = json.load(fh)
         parts = FuzzyPartitions(
             features=tuple(
-                FeatureSpec(f["name"], f["fmin"], f["fmax"]) for f in meta["features"]
+                FeatureSpec(
+                    f["name"],
+                    f["fmin"],
+                    f["fmax"],
+                    f.get("kind", "numeric"),
+                    tuple(f.get("values", ())),
+                )
+                for f in meta["features"]
             ),
             num_labels=meta["num_labels"],
         )
@@ -227,16 +272,17 @@ class ChiFRBCSClassifier:
     num_buckets: int | None = None  # None = exact-global (invariant) mode
     merge_policy: str = "max"  # 'max' | 'avg' (O11 [IJCIS8])
     repartition: int | None = None  # None = session default parallelism
+    collect_rules: bool = True  # False = keep the rule base distributed
     _fuzz: DataFrame | None = field(default=None, repr=False)
 
-    def fit(self, df: DataFrame) -> ChiFRBCSModel:
+    def fit(self, df: DataFrame, _retain_fuzz: bool = False) -> ChiFRBCSModel:
+        self.release()  # drop any cache pinned by a previous fit
         spark = df.sparkSession
         n = self.repartition or spark.sparkContext.defaultParallelism
         # repartition the narrow input BEFORE fuzzification so the wide
         # membership arrays are computed in parallel, not shuffled
         fz = R.with_antecedent(R.fuzzify(df.repartition(n), self.parts), self.parts)
         fz = fz.persist()
-        self._fuzz = fz  # reusable for resubstitution scoring
 
         ants = [R.label_col(i) for i in range(len(self.parts.features))]
         if self.num_buckets is None:
@@ -257,18 +303,42 @@ class ChiFRBCSClassifier:
                 if self.merge_policy == "max"
                 else R.merge_avg(partials, ants)
             )
-        rows = [tuple(r) for r in rules.select(*ants, "cls", "weight").collect()]
+        rules = rules.select(*ants, "cls", "weight")
+        if self.collect_rules:
+            rows: list[tuple] | None = [tuple(r) for r in rules.collect()]
+            rdf: DataFrame | None = None
+        else:
+            # scale path: materialize the rule base as a persisted
+            # DataFrame (never on the driver); scoring broadcast-joins it
+            rows = None
+            rdf = rules.persist()
+            rdf.count()
         counts = R.class_counts(fz)
         row = counts.orderBy(F.col("n").desc(), F.col("label").asc()).first()
+        if _retain_fuzz:
+            self._fuzz = fz  # reusable for resubstitution scoring
+        else:
+            fz.unpersist()
         if row is None:
+            if rdf is not None:
+                rdf.unpersist()
             raise ValueError(
                 "ChiFRBCSClassifier.fit: empty training set (no rows after "
                 "validity filtering) — cannot derive costs or a default class"
             )
-        return ChiFRBCSModel(self.parts, rows, int(row["label"]), self.frm)
+        return ChiFRBCSModel(
+            self.parts, rows, int(row["label"]), self.frm, rules_dataframe=rdf
+        )
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         """Fit and score the same data (resubstitution), reusing the
         persisted fuzzified input for both passes."""
-        model = self.fit(df)
+        model = self.fit(df, _retain_fuzz=True)
         return model.transform_fuzzified(self._fuzz)
+
+    def release(self) -> None:
+        """Unpersist the fuzzified training cache retained by
+        fit_transform (safe any time: lineage recomputes if needed)."""
+        if self._fuzz is not None:
+            self._fuzz.unpersist()
+            self._fuzz = None

@@ -49,24 +49,58 @@ def membership_sql(xexpr: str, peak: float, h: float, j: int, num_labels: int) -
     return f"greatest(0.0, 1.0 - abs({xexpr} - {p}) / {hh})"
 
 
+def nominal_membership_col(x: Column, j: int) -> Column:
+    """Crisp membership of a dictionary-encoded nominal value in
+    category j (0-based): 1.0 iff x == j [FSS258 §4.2, SURVEY §1 D3]."""
+    return F.when(x == F.lit(j), F.lit(1.0)).otherwise(F.lit(0.0))
+
+
+def nominal_membership_sql(xexpr: str, j: int) -> str:
+    # explicit DOUBLE casts: bare 1.0 is DECIMAL(2,1) in DuckDB and
+    # would change the list element type vs Spark's array<double>.
+    return (
+        f"CASE WHEN {xexpr} = {j} THEN CAST(1.0 AS DOUBLE)"
+        f" ELSE CAST(0.0 AS DOUBLE) END"
+    )
+
+
+def feature_membership_col(
+    feature: FeatureSpec, parts: FuzzyPartitions, j: int
+) -> Column:
+    """Membership of column `feature.name` in label j, dispatching
+    triangular (numeric) vs crisp indicator (nominal)."""
+    if feature.kind == "nominal":
+        return nominal_membership_col(F.col(feature.name), j)
+    return membership_col(
+        F.col(feature.name), parts.peaks(feature)[j], parts.half_width(feature),
+        j, parts.num_labels,
+    )
+
+
+def feature_membership_sql(feature: FeatureSpec, parts: FuzzyPartitions, j: int) -> str:
+    if feature.kind == "nominal":
+        return nominal_membership_sql(feature.name, j)
+    return membership_sql(
+        feature.name, parts.peaks(feature)[j], parts.half_width(feature),
+        j, parts.num_labels,
+    )
+
+
 def memberships_array_col(feature: FeatureSpec, parts: FuzzyPartitions) -> Column:
-    """array<double> of the L memberships of column `feature.name`."""
-    h = parts.half_width(feature)
-    peaks = parts.peaks(feature)
+    """array<double> of the memberships of column `feature.name`
+    (L triangles for numeric, |vocab| crisp indicators for nominal)."""
     return F.array(
         *[
-            membership_col(F.col(feature.name), peaks[j], h, j, parts.num_labels)
-            for j in range(parts.num_labels)
+            feature_membership_col(feature, parts, j)
+            for j in range(parts.labels_for(feature))
         ]
     )
 
 
 def memberships_array_sql(feature: FeatureSpec, parts: FuzzyPartitions) -> str:
-    """DuckDB list literal of the L memberships, mirror of the above."""
-    h = parts.half_width(feature)
-    peaks = parts.peaks(feature)
+    """DuckDB list literal of the memberships, mirror of the above."""
     exprs = [
-        membership_sql(feature.name, peaks[j], h, j, parts.num_labels)
-        for j in range(parts.num_labels)
+        feature_membership_sql(feature, parts, j)
+        for j in range(parts.labels_for(feature))
     ]
     return "[" + ", ".join(exprs) + "]"

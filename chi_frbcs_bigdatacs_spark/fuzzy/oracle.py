@@ -10,7 +10,7 @@ The driver runs these on parquet views `lineitem` etc. at sf0.01.
 from __future__ import annotations
 
 from chi_frbcs_bigdatacs_spark.fuzzy.membership import (
-    membership_sql,
+    feature_membership_sql,
     memberships_array_sql,
 )
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
@@ -292,12 +292,9 @@ def stats_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs") -
 def fuzzify_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
     cols = []
     for f in parts.features:
-        h = parts.half_width(f)
-        peaks = parts.peaks(f)
-        for j in range(parts.num_labels):
+        for j in range(parts.labels_for(f)):
             cols.append(
-                f"{membership_sql(f.name, peaks[j], h, j, parts.num_labels)}"
-                f" AS mu_{f.name}_{j + 1}"
+                f"{feature_membership_sql(f, parts, j)} AS mu_{f.name}_{j + 1}"
             )
     return (
         f"SELECT id, label,\n       "
@@ -386,6 +383,65 @@ def confusion_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs
         scoring_ctes(fixture_sql, parts, cost_mode)
         + "\nSELECT label, prediction, count(*) AS cnt FROM wrpred GROUP BY label, prediction"
     )
+
+
+_MULTICLASS_CTES = """,
+mcper AS (
+  SELECT label, count(*) AS n_c,
+         sum(CASE WHEN prediction = label THEN 1 ELSE 0 END) AS tp_c
+  FROM wrpred GROUP BY label
+),
+mcbyp AS (
+  SELECT prediction, count(*) AS p_c FROM wrpred GROUP BY prediction
+),
+mctot AS (SELECT count(*) AS n FROM wrpred),
+mcpc AS (
+  SELECT p.label, p.n_c, p.tp_c, COALESCE(b.p_c, 0) AS p_c, t.n,
+         CAST(p.tp_c AS DOUBLE) / CAST(p.n_c AS DOUBLE) AS rec,
+         CAST(COALESCE(b.p_c, 0) - p.tp_c AS DOUBLE)
+           / CAST(t.n - p.n_c AS DOUBLE) AS fpr
+  FROM mcper p LEFT JOIN mcbyp b ON p.label = b.prediction CROSS JOIN mctot t
+)"""
+
+_MULTICLASS_METRICS_TAIL = """
+SELECT {fold_col}
+  round(CAST(sum(tp_c) AS DOUBLE) / CAST(max(n) AS DOUBLE), 6) AS acc,
+  round(CASE WHEN min(rec) = 0 THEN 0.0
+        ELSE exp(sum(ln(CASE WHEN rec > 0 THEN rec ELSE 1.0 END)) / count(*))
+        END, 6) AS gm,
+  round(avg((1.0 + rec - fpr) / 2.0), 6) AS auc
+FROM mcpc"""
+
+
+def metrics_multiclass_sql(
+    fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs"
+) -> str:
+    """Macro GM (geometric mean of per-class recalls) + one-vs-rest
+    macro AUC, mirroring fuzzy/metrics.py::metrics_multiclass."""
+    return (
+        scoring_ctes(fixture_sql, parts, cost_mode)
+        + _MULTICLASS_CTES
+        + _MULTICLASS_METRICS_TAIL.format(fold_col="")
+    )
+
+
+def crossval_multiclass_sql(
+    fixture_sql: str,
+    parts: FuzzyPartitions,
+    n_folds: int = 5,
+    cost_mode: str = "cs",
+) -> str:
+    """k-fold CV with multiclass macro metrics per fold."""
+    fold_queries = []
+    for k in range(n_folds):
+        train = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} <> {k}"
+        test = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} = {k}"
+        ctes = traintest_scoring_ctes(train, test, parts, cost_mode)
+        tail = _MULTICLASS_METRICS_TAIL.format(fold_col=f"{k} AS fold,")
+        fold_queries.append(
+            f"SELECT * FROM ({ctes}{_MULTICLASS_CTES}{tail}) f{k}"
+        )
+    return "\nUNION ALL\n".join(fold_queries)
 
 
 def metrics_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:

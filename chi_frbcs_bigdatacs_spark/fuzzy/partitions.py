@@ -21,21 +21,42 @@ from dataclasses import dataclass
 
 @dataclass(frozen=True)
 class FeatureSpec:
-    """One input attribute with its declared numeric range."""
+    """One input attribute: a declared numeric range (kind='numeric'),
+    or a declared category vocabulary (kind='nominal', SURVEY §1 D3).
+
+    Nominal attributes get CRISP membership — one indicator "label"
+    per category (μ = 1 iff the dictionary-encoded value equals the
+    category index) [FSS258 §4.2: KDD Cup 99 protocol_type/service/
+    flag are nominal; REF: DataBase.java nominal branch | conf=M].
+    The column feeding a nominal feature is its 0-based dictionary
+    encoding (sources/keel.py::encode_nominal order = declared vocab).
+    """
 
     name: str
-    fmin: float
-    fmax: float
+    fmin: float = 0.0
+    fmax: float = 1.0
+    kind: str = "numeric"  # 'numeric' | 'nominal'
+    values: tuple[str, ...] = ()  # declared vocab (nominal only)
+
+
+def nominal_feature(name: str, values: tuple[str, ...]) -> FeatureSpec:
+    return FeatureSpec(name, 0.0, float(len(values) - 1), "nominal", tuple(values))
 
 
 @dataclass(frozen=True)
 class FuzzyPartitions:
-    """The DataBase: triangular partitions for every input attribute."""
+    """The DataBase: triangular partitions for every numeric input
+    attribute, crisp category indicators for every nominal one."""
 
     features: tuple[FeatureSpec, ...]
     num_labels: int = 3
 
+    def labels_for(self, f: FeatureSpec) -> int:
+        """Membership-array length: L for numeric, |vocab| for nominal."""
+        return len(f.values) if f.kind == "nominal" else self.num_labels
+
     def half_width(self, f: FeatureSpec) -> float:
+        assert f.kind == "numeric", f"half_width on nominal feature {f.name}"
         return (f.fmax - f.fmin) / (self.num_labels - 1)
 
     def peaks(self, f: FeatureSpec) -> list[float]:
@@ -57,6 +78,20 @@ LINEITEM_CLF_PARTITIONS = FuzzyPartitions(
         FeatureSpec("f2", 900.0, 105000.0),
         FeatureSpec("f3", 0.0, 0.1),
         FeatureSpec("f4", 0.0, 0.08),
+    ),
+    num_labels=3,
+)
+
+# Mixed numeric + nominal fixture (orders_clf_nominal, SURVEY §1 D3):
+# declared price range covers every sf; vocabs are the declared
+# category sets (dictionary-encoded 0-based by sources/testdata.py).
+ORDERS_CLF_NOMINAL_PARTITIONS = FuzzyPartitions(
+    features=(
+        FeatureSpec("f1", 0.0, 510000.0),
+        nominal_feature("n1", ("F", "O", "P")),
+        nominal_feature(
+            "n2", ("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+        ),
     ),
     num_labels=3,
 )

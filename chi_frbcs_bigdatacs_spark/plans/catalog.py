@@ -240,6 +240,32 @@ def q_confusion_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.confusion(q_classify_wr_multiclass(spark, sf_dir))
 
 
+def q_metrics_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return M.metrics_multiclass(q_classify_wr_multiclass(spark, sf_dir))
+
+
+def q_crossval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold CV with macro GM / one-vs-rest AUC on the 10-class
+    embeddings fixture [FSS258 §4.3 generalized]."""
+    from functools import reduce as _reduce
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.sources.testdata import embeddings_clf
+
+    df = embeddings_clf(spark, sf_dir)
+    outs = []
+    for k in range(N_FOLDS):
+        train = df.filter(F.col("id") % N_FOLDS != k)
+        test = df.filter(F.col("id") % N_FOLDS == k)
+        model = ChiFRBCSClassifier(parts=EMBEDDINGS_CLF_PARTITIONS).fit(train)
+        outs.append(
+            M.metrics_multiclass(model.transform(test)).select(
+                F.lit(k).alias("fold"), "acc", "gm", "auc"
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
 register("fuzzify", q_fuzzify, oracle.fuzzify_sql(LINEITEM_CLF_SQL, P))
 register("rulegen_antecedent", q_rulegen, oracle.rulegen_sql(LINEITEM_CLF_SQL, P))
 register("agg_class_counts", q_class_counts, oracle.class_counts_sql(LINEITEM_CLF_SQL, P))
@@ -282,6 +308,18 @@ register(
     oracle.confusion_sql(EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS),
 )
 register(
+    "metrics_gm_auc_multiclass",
+    q_metrics_multiclass,
+    oracle.metrics_multiclass_sql(EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS),
+)
+register(
+    "crossval_multiclass",
+    q_crossval_multiclass,
+    oracle.crossval_multiclass_sql(
+        EMBEDDINGS_CLF_SQL, EMBEDDINGS_CLF_PARTITIONS, n_folds=N_FOLDS
+    ),
+)
+register(
     "ruleweight_pcfcs_costmatrix",
     q_ruleweight_costmatrix,
     oracle.ruleweight_sql(LINEITEM_CLF_SQL, P, cost_mode=COST_MATRIX),
@@ -309,6 +347,54 @@ register(
     "crossval_gm_auc",
     q_crossval,
     oracle.crossval_sql(LINEITEM_CLF_SQL, P, n_folds=N_FOLDS),
+)
+
+# --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
+# Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99
+# protocol_type/service/flag are nominal]; same build/score machinery,
+# membership dispatch in fuzzy/membership.py.
+from chi_frbcs_bigdatacs_spark.fuzzy.membership import feature_membership_col  # noqa: E402
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (  # noqa: E402
+    ORDERS_CLF_NOMINAL_PARTITIONS,
+)
+from chi_frbcs_bigdatacs_spark.sources.testdata import (  # noqa: E402
+    ORDERS_CLF_NOMINAL_SQL,
+    orders_clf_nominal,
+)
+
+PN = ORDERS_CLF_NOMINAL_PARTITIONS
+NOM_ANTS = [R.label_col(i) for i in range(len(PN.features))]
+
+
+def q_fuzzify_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = orders_clf_nominal(spark, sf_dir)
+    cols = []
+    for f in PN.features:
+        for j in range(PN.labels_for(f)):
+            cols.append(
+                feature_membership_col(f, PN, j).alias(f"mu_{f.name}_{j + 1}")
+            )
+    return df.select("id", "label", *cols)
+
+
+def q_rulegen_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fz = R.with_antecedent(R.fuzzify(orders_clf_nominal(spark, sf_dir), PN), PN)
+    return fz.select("id", "label", *NOM_ANTS)
+
+
+def q_classify_wr_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    est = ChiFRBCSClassifier(parts=PN, frm="wr")
+    return est.fit_transform(orders_clf_nominal(spark, sf_dir))
+
+
+register("fuzzify_nominal", q_fuzzify_nominal, oracle.fuzzify_sql(ORDERS_CLF_NOMINAL_SQL, PN))
+register("rulegen_nominal", q_rulegen_nominal, oracle.rulegen_sql(ORDERS_CLF_NOMINAL_SQL, PN))
+register(
+    "classify_wr_nominal",
+    q_classify_wr_nominal,
+    oracle.classify_wr_sql(ORDERS_CLF_NOMINAL_SQL, PN),
 )
 
 # Widen the surface: relational / text / dedup / similarity catalogs.

@@ -26,7 +26,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, StringType, StructField, StructType
 
-from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec, FuzzyPartitions
+from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+    FeatureSpec,
+    FuzzyPartitions,
+    nominal_feature,
+)
 
 _ATTR_RE = re.compile(
     r"@attribute\s+(\S+)\s+"
@@ -64,13 +68,19 @@ class KeelDataset:
         return StructType(fields)
 
     def fuzzy_partitions(self, num_labels: int = 3) -> FuzzyPartitions:
-        """DataBase from the DECLARED input ranges [FSS258 §2.1]."""
+        """DataBase from the DECLARED header [FSS258 §2.1]: triangular
+        partitions over declared ranges for numeric inputs, crisp
+        category indicators over the declared vocab for nominal inputs
+        (SURVEY §1 D3; KDD Cup 99 [FSS258 §4.2] has nominal attrs).
+        Nominal columns must be dictionary-encoded first
+        (`encode_nominal`, 0-based declared-vocab order)."""
         feats = []
         for name in self.inputs:
             a = self.attr(name)
             if a.kind == "nominal":
-                continue  # nominal features get crisp memberships (O6)
-            feats.append(FeatureSpec(name, float(a.fmin), float(a.fmax)))
+                feats.append(nominal_feature(name, tuple(a.values)))
+            else:
+                feats.append(FeatureSpec(name, float(a.fmin), float(a.fmax)))
         return FuzzyPartitions(features=tuple(feats), num_labels=num_labels)
 
 
@@ -114,12 +124,28 @@ def parse_header(text: str) -> KeelDataset:
     return KeelDataset(relation, attributes, inputs, outputs, data_line)
 
 
-def read_keel(spark: SparkSession, path: str) -> tuple[DataFrame, KeelDataset]:
-    """Parse the header (driver-side) and load @data distributed."""
-    # header is tiny: read the first chunk locally via the JVM-free path
+def read_keel(
+    spark: SparkSession, path: str, drop_missing: bool = True
+) -> tuple[DataFrame, KeelDataset]:
+    """Parse the header (driver-side) and load @data distributed.
+
+    Missing values: KEEL writes `?`. Policy (SURVEY §1, documented):
+    `?` -> null -> row dropped. Numeric columns get this for free
+    (unparsable double -> malformed row under DROPMALFORMED); nominal
+    columns parse `?` as a plain string, so it is nullified explicitly
+    and the row dropped via na.drop. drop_missing=False keeps the
+    nulls for callers with their own imputation.
+    """
+    # Header is a few KB at the top of a possibly-huge file: read
+    # line-by-line and stop at @data — never slurp the data section
+    # into driver memory.
+    header_lines: list[str] = []
     with open(path) as fh:
-        header_text = fh.read()
-    ds = parse_header(header_text)
+        for line in fh:
+            header_lines.append(line)
+            if line.strip().lower().startswith("@data"):
+                break
+    ds = parse_header("".join(header_lines))
     df = (
         spark.read.schema(ds.schema())
         .option("comment", "@")  # header lines all start with @
@@ -128,6 +154,16 @@ def read_keel(spark: SparkSession, path: str) -> tuple[DataFrame, KeelDataset]:
         .option("mode", "DROPMALFORMED")  # O4 [REF: data/DataConverter.java | conf=M]
         .csv(path)
     )
+    if drop_missing:
+        for a in ds.attributes:
+            if a.kind == "nominal":
+                df = df.withColumn(
+                    a.name,
+                    F.when(F.col(a.name) == "?", F.lit(None)).otherwise(
+                        F.col(a.name)
+                    ),
+                )
+        df = df.na.drop(subset=[a.name for a in ds.attributes])
     return df, ds
 
 

@@ -89,6 +89,57 @@ def lineitem_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- orders_clf_nominal: mixed numeric + nominal fixture (SURVEY §1 D3) ---
+# Exercises crisp nominal membership in the fuzzy core: f1 numeric
+# (declared [0, 510000] covers every sf), n1 = o_orderstatus (3
+# categories), n2 = o_orderpriority (5 categories), dictionary-encoded
+# 0-based in declared-vocab order exactly as sources/keel.py
+# encode_nominal does. label = o_orderkey % 7 < 2 (imbalanced ~2/7,
+# independent of the nominal features).
+
+ORDER_STATUS_VALUES = ("F", "O", "P")
+ORDER_PRIORITY_VALUES = (
+    "1-URGENT",
+    "2-HIGH",
+    "3-MEDIUM",
+    "4-NOT SPECIFIED",
+    "5-LOW",
+)
+
+
+def _case_sql(col: str, values: tuple[str, ...]) -> str:
+    whens = " ".join(f"WHEN '{v}' THEN {i}" for i, v in enumerate(values))
+    return f"CASE {col} {whens} END"
+
+
+ORDERS_CLF_NOMINAL_SQL = f"""
+SELECT o_orderkey AS id,
+       o_totalprice AS f1,
+       {_case_sql('o_orderstatus', ORDER_STATUS_VALUES)} AS n1,
+       {_case_sql('o_orderpriority', ORDER_PRIORITY_VALUES)} AS n2,
+       CASE WHEN o_orderkey % 7 < 2 THEN 1 ELSE 0 END AS label
+FROM orders
+"""
+
+
+def _encode(col: str, values: tuple[str, ...]):
+    expr = F.lit(None).cast("int")
+    for i, v in enumerate(values):
+        expr = F.when(F.col(col) == v, i).otherwise(expr)
+    return expr
+
+
+def orders_clf_nominal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("f1"),
+        _encode("o_orderstatus", ORDER_STATUS_VALUES).alias("n1"),
+        _encode("o_orderpriority", ORDER_PRIORITY_VALUES).alias("n2"),
+        F.when(F.col("o_orderkey") % 7 < 2, 1).otherwise(0).alias("label"),
+    )
+
+
 # --- embeddings_clf: multiclass fixture (FIXTURES.md §B2) ---
 
 EMBEDDINGS_CLF_SQL = """

@@ -39,8 +39,11 @@ def test_parse_and_load(spark, tmp_path):
     assert ds.attr("color").values == ["red", "green", "blue"]
 
     parts = ds.fuzzy_partitions(num_labels=3)
-    assert [f.name for f in parts.features] == ["f1", "f2"]
+    assert [f.name for f in parts.features] == ["f1", "f2", "color"]
     assert parts.half_width(parts.features[0]) == 5.0
+    color = parts.features[2]
+    assert color.kind == "nominal" and color.values == ("red", "green", "blue")
+    assert parts.labels_for(color) == 3  # one crisp label per category
 
     df, ds2 = read_keel(spark, str(p))
     rows = df.orderBy("f1").collect()

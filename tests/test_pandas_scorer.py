@@ -29,3 +29,17 @@ def test_pandas_scorer_multiclass(spark):
     a = model.transform(df).toPandas().sort_values("id", ignore_index=True)
     b = model.transform_pandas(df).toPandas().sort_values("id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_pandas_scorer_nominal(spark):
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+        ORDERS_CLF_NOMINAL_PARTITIONS,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import orders_clf_nominal
+
+    df = orders_clf_nominal(spark, SF_SMALL)
+    model = ChiFRBCSClassifier(parts=ORDERS_CLF_NOMINAL_PARTITIONS).fit(df)
+    a = model.transform(df).toPandas().sort_values("id", ignore_index=True)
+    b = model.transform_pandas(df).toPandas().sort_values("id", ignore_index=True)
+    assert a.equals(b)
