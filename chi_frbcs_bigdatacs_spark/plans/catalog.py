@@ -7,8 +7,6 @@ bottom so one import wires the whole surface).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -91,10 +89,11 @@ def q_merge_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- O12 model sink/source round-trip ---------------------------------------
 def q_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier, ChiFRBCSModel
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
     model = ChiFRBCSClassifier(parts=P).fit(lineitem_clf(spark, sf_dir))
-    path = tempfile.mkdtemp(prefix="chi_model_")
-    model.save(path)
+    path = staged_dir("model_rt", sf_dir, lambda d: None)
+    model.save(path)  # overwrite-mode: the staged dir is reused per sf
     loaded = ChiFRBCSModel.load(spark, path)
     return loaded.rules_df(spark).select(*ANTS, "cls", "weight")
 

@@ -12,14 +12,12 @@ format is what is actually checked.
 
 from __future__ import annotations
 
-import os
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
 NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 
@@ -27,8 +25,11 @@ NATION_SCHEMA = "n_nationkey int, n_name string, n_regionkey int"
 def q_scan_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """nation -> csv -> declared-schema distributed read -> agg."""
     n = load_table(spark, sf_dir, "nation")
-    path = tempfile.mkdtemp(prefix="chi_csv_") + "/nation_csv"
-    n.write.mode("overwrite").option("header", True).csv(path)
+    path = staged_dir(
+        "csv_nation",
+        sf_dir,
+        lambda d: n.write.mode("overwrite").option("header", True).csv(d),
+    )
     back = spark.read.schema(NATION_SCHEMA).option("header", True).csv(path)
     return back.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations"),
@@ -45,8 +46,9 @@ FROM nation GROUP BY n_regionkey
 def q_scan_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """supplier -> json-lines -> declared-schema read -> agg."""
     s = load_table(spark, sf_dir, "supplier")
-    path = tempfile.mkdtemp(prefix="chi_jsonl_") + "/supplier_json"
-    s.write.mode("overwrite").json(path)
+    path = staged_dir(
+        "jsonl_supplier", sf_dir, lambda d: s.write.mode("overwrite").json(d)
+    )
     back = spark.read.schema(
         "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
     ).json(path)
@@ -70,8 +72,11 @@ def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity", "l_returnflag"
     )
-    path = tempfile.mkdtemp(prefix="chi_part_") + "/li_by_flag"
-    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(path)
+    path = staged_dir(
+        "part_lineitem",
+        sf_dir,
+        lambda d: li.write.mode("overwrite").partitionBy("l_returnflag").parquet(d),
+    )
     back = spark.read.parquet(path).filter(F.col("l_returnflag") == "R")
     return back.agg(
         F.count(F.lit(1)).alias("n"),

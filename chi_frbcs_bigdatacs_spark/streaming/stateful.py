@@ -15,8 +15,6 @@ evicted by timeout.
 
 from __future__ import annotations
 
-import shutil
-import tempfile
 import uuid
 from collections.abc import Iterable, Iterator
 
@@ -27,16 +25,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
 N_SOURCE_FILES = 4
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage events as N parquet files -> N micro-batches."""
+    """Stage events as N parquet files -> N micro-batches (memoized
+    per sf_dir, removed at exit)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src = tempfile.mkdtemp(prefix="chi_stateful_src_")
-    batch.repartition(N_SOURCE_FILES).write.mode("overwrite").parquet(src)
+    src = staged_dir(
+        "events_multi",
+        sf_dir,
+        lambda d: batch.repartition(N_SOURCE_FILES)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
@@ -108,8 +113,13 @@ def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = __import__(
         "chi_frbcs_bigdatacs_spark.sources.testdata", fromlist=["lineitem_clf"]
     ).lineitem_clf(spark, sf_dir)
-    src = tempfile.mkdtemp(prefix="chi_rulestat_src_")
-    batch.repartition(N_SOURCE_FILES).write.mode("overwrite").parquet(src)
+    src = staged_dir(
+        "lineitem_clf_multi",
+        sf_dir,
+        lambda d: batch.repartition(N_SOURCE_FILES)
+        .write.mode("overwrite")
+        .parquet(d),
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")

@@ -20,23 +20,26 @@ partition-parallel state.
 from __future__ import annotations
 
 import shutil
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chi_frbcs_bigdatacs_spark.plans.registry import register
-from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream: stage the parquet into a source dir
-    and readStream it (ts arrives as raw nanos -> micros)."""
+    (memoized per sf_dir, removed at exit) and readStream it (ts
+    arrives as raw nanos -> micros)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src = tempfile.mkdtemp(prefix="chi_stream_src_")
-    shutil.copy(f"{sf_dir}/events.parquet", f"{src}/events.parquet")
+    src = staged_dir(
+        "events",
+        sf_dir,
+        lambda d: shutil.copy(f"{sf_dir}/events.parquet", f"{d}/events.parquet"),
+    )
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
@@ -97,12 +100,15 @@ GROUP BY 1, 2
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute gap) per user — Spark's built-in
-    session_window operator (the same operator Structured Streaming
-    uses for stateful sessionization), here over the bounded replay."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+    """Session windows (30-minute gap) per user, REALLY through
+    Structured Streaming: staged readStream -> watermark ->
+    session_window stateful merge -> memory sink (availableNow). The
+    complete replay puts no rows behind the watermark, so the merged
+    sessions equal the batch gaps-and-islands oracle."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
             "user_id",
@@ -110,6 +116,7 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+    return _run_to_memory(agg)
 
 
 # gaps-and-islands: a new session starts when the gap > 30 minutes
