@@ -73,11 +73,20 @@ MERSENNE_P = (1 << 61) - 1
 AFFINE = [(2 * k + 3, 7919 * (k + 1) + 1) for k in range(NUM_HASHES)]
 
 
+_MINHASH_CACHE: list[DataFrame] = []
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs with verified Jaccard >= threshold."""
     # docs feeds three branches (signatures + both sides of the
-    # Jaccard verify join): persist so shingling happens once
+    # Jaccard verify join): persist so shingling happens once. The
+    # cache must outlive this call (the result is lazy), so the
+    # previous call's cache is released here instead — at most one
+    # lingers, and repeated sweep/bench runs no longer accumulate.
+    while _MINHASH_CACHE:
+        _MINHASH_CACHE.pop().unpersist()
     docs = _docs(spark, sf_dir).persist()
+    _MINHASH_CACHE.append(docs)
     sh = docs.select("doc_id", F.explode("shingles").alias("s")).withColumn(
         "v", F.conv(F.substring(F.md5(F.col("s")), 1, 15), 16, 10).cast("long")
     )

@@ -535,6 +535,35 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) for dedup-cardinality stats at
+    scale. Sketch estimates are engine-specific, so the CHECKED output
+    is the exact distinct count plus a deterministic assertion that
+    the sketch landed within 5% of it (HLL is deterministic per input,
+    rsd=0.01 here, so this is stable, not flaky) — the oracle asserts
+    the same tolerance trivially against its exact count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_exact"),
+        F.approx_count_distinct("l_partkey", 0.01).alias("n_approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "n_exact",
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+
+
+AGG_APPROX_DISTINCT_SQL = """
+SELECT l_returnflag, count(DISTINCT l_partkey) AS n_exact, true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (R-7 linear interpolation in both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -770,6 +799,7 @@ def register_all() -> None:
     register("unpivot_measures", q_unpivot, UNPIVOT_SQL)
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
     register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)
+    register("agg_approx_distinct", q_agg_approx_distinct, AGG_APPROX_DISTINCT_SQL)
     register("join_outer", q_join_outer, JOIN_OUTER_SQL)
     register("join_cross", q_join_cross, JOIN_CROSS_SQL)
     register("setop_intersect", q_setop_intersect, SETOP_INTERSECT_SQL)

@@ -95,9 +95,11 @@ def q_simsearch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMSEARCH_TOPK_SQL = _cosine_sql("ORDER BY cosine DESC, vec_id ASC\nLIMIT 10")
 
 
-# --- embedding near-dup: top-20 closest PAIRS (exact, blocked join) --------
-# All-pairs cosine is the exact baseline; at scale the bucketed variant
-# below replaces it. Self-join keeps vec_a < vec_b to halve the work.
+# --- embedding near-dup: top-20 closest PAIRS (exact baseline) -------------
+# TEST-ONLY exact baseline: O(n^2) cartesian — kept as the oracle for
+# recall measurement at fixture scale. The DEFAULT near-dup path at
+# scale is `embed_neardup_lsh` below (in-bucket pairs only); this
+# cartesian plan must never run at 100 TB.
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
@@ -123,12 +125,103 @@ LIMIT 20
 """
 
 
+# --- embedding near-dup, banded sign-LSH (the 100 TB default path) ---------
+# Candidate pairs come ONLY from equal (band, band-signature) buckets:
+# B bands of 8 sign bits each (bits b*8..b*8+7 of the sign pattern).
+# Near-identical vectors agree on every sign, so they collide in all
+# bands; each extra band adds recall for borderline pairs. The join is
+# a shuffle-equi-join on the fixed-width (band, sig) key — never a
+# cartesian — and in-bucket pair counts are bounded by bucket size
+# (expected n/256 per band at uniform signs). Pairs are deduped across
+# bands with a distinct on (vec_a, vec_b) BEFORE the expensive cosine,
+# so each surviving pair is scored once.
+N_BANDS = 3
+N_SIGN_BITS = 8  # bits per band / per bucket (shared with the IVF path)
+
+
+def _band_sig_col(c: str, band: int) -> Column:
+    from functools import reduce as _r
+
+    bits = [
+        F.when(
+            F.element_at(c, band * N_SIGN_BITS + i + 1) > 0, F.lit(1 << i)
+        ).otherwise(F.lit(0))
+        for i in range(N_SIGN_BITS)
+    ]
+    return _r(lambda x, y: x + y, bits).cast("int")
+
+
+def _band_sig_sql(c: str, band: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN {c}[{band * N_SIGN_BITS + i + 1}] > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(N_SIGN_BITS)
+    )
+
+
+NEARDUP_COS_THRESHOLD = 0.6
+
+
+def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    banded = emb.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        _band_sig_col("embedding", b).alias("sig"),
+                    )
+                    for b in range(N_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("vec_id", "embedding", "bs.band", "bs.sig")
+    a = banded.select("band", "sig", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = banded.select("band", "sig", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cand = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "ea", "eb")
+        .distinct()  # dedupe multi-band collisions before scoring
+    )
+    cos = _dot_col("ea", "eb") / (F.sqrt(_norm2_col("ea")) * F.sqrt(_norm2_col("eb")))
+    return (
+        cand.withColumn("cosine", F.round(cos, 6))
+        .filter(F.col("cosine") >= NEARDUP_COS_THRESHOLD)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
+EMBED_NEARDUP_LSH_SQL = f"""
+WITH banded AS (
+  {' UNION ALL '.join(
+      f"SELECT vec_id, embedding, {b} AS band, {_band_sig_sql('embedding', b)} AS sig FROM embeddings"
+      for b in range(N_BANDS)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         a.embedding AS ea, b.embedding AS eb
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.sig = b.sig AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b,
+       round(({_dot_sql('ea', 'eb')})
+             / (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')})), 6) AS cosine
+FROM cand
+WHERE round(({_dot_sql('ea', 'eb')})
+            / (sqrt({_dot_sql('ea', 'ea')}) * sqrt({_dot_sql('eb', 'eb')})), 6)
+      >= {NEARDUP_COS_THRESHOLD}
+"""
+
+
 # --- LSH-bucketed approximate top-k (the 100 TB scale path) ----------------
 # Deterministic sign-LSH: bucket = sign bits of the first 8 components.
 # The query only scans its own bucket (expected n/256 of the data); the
 # same bucketing is a trivial SQL expression, so the approximate result
 # is still exactly oracle-checkable.
-N_SIGN_BITS = 8
 
 
 def _bucket_col(c: str) -> Column:
@@ -312,5 +405,6 @@ def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)
+    register("embed_neardup_lsh", q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL)
     register("simsearch_ivf", q_simsearch_ivf, SIMSEARCH_IVF_SQL)
     register("simsearch_ivf_kmeans", q_simsearch_ivf_kmeans, _ivf_kmeans_sql())

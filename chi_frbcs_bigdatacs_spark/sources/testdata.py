@@ -55,7 +55,14 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # per-example scoring groups); (l_orderkey, l_linenumber) is NOT
 # unique in the synthetic data, so the id packs the full natural key
 # (orderkey, linenumber, partkey, suppkey, quantity) — verified unique
-# at every sf, fits int64. label = 1 iff l_returnflag == 'R' (IR ~ 2).
+# at the SHIPPED fixtures (sf 0.001/0.01/0.1), and valid for any
+# sf < 0.5: the packing assumes l_partkey < 100000 (TPC-H partkey
+# reaches 200000*sf) and l_suppkey < 10000 (10000*sf), and the packed
+# value overflows int64 near sf ~ 1.5. For larger scales swap in a
+# collision-free surrogate (e.g. row-group offset + row index) — the
+# cross-engine oracle contract is what forbids a hash here (Spark
+# xxhash64 has no DuckDB equivalent). label = 1 iff
+# l_returnflag == 'R' (IR ~ 2).
 
 LINEITEM_CLF_SQL = """
 SELECT (((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000
