@@ -48,6 +48,18 @@ from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec, FuzzyPartitions
 
 
+# At most ONE fuzzified-training cache lives at a time, session-wide:
+# every fit() first releases caches retained by previous fits (of any
+# estimator instance — bench/sweep runs construct a fresh estimator
+# per query). Unpersisting is always safe: lineage recomputes.
+_RETAINED_FUZZ: list[DataFrame] = []
+
+
+def _release_retained() -> None:
+    while _RETAINED_FUZZ:
+        _RETAINED_FUZZ.pop().unpersist()
+
+
 def _rules_schema(d: int) -> StructType:
     return StructType(
         [StructField(f"l{i + 1}", IntegerType()) for i in range(d)]
@@ -277,6 +289,7 @@ class ChiFRBCSClassifier:
 
     def fit(self, df: DataFrame, _retain_fuzz: bool = False) -> ChiFRBCSModel:
         self.release()  # drop any cache pinned by a previous fit
+        _release_retained()  # ... including by OTHER estimator instances
         spark = df.sparkSession
         n = self.repartition or spark.sparkContext.defaultParallelism
         # repartition the narrow input BEFORE fuzzification so the wide
@@ -317,6 +330,7 @@ class ChiFRBCSClassifier:
         row = counts.orderBy(F.col("n").desc(), F.col("label").asc()).first()
         if _retain_fuzz:
             self._fuzz = fz  # reusable for resubstitution scoring
+            _RETAINED_FUZZ.append(fz)
         else:
             fz.unpersist()
         if row is None:

@@ -310,13 +310,21 @@ WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
 
 # --- range (theta) join: events within 1 minute per user -------------------
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e1 = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.col("event_id").alias("e1"), F.col("ts").alias("ts1")
-    )
-    e2 = load_table(spark, sf_dir, "events").select(
-        F.col("user_id"), F.col("event_id").alias("e2"), F.col("ts").alias("ts2")
-    )
-    pairs = e1.join(e2, "user_id").filter(
+    """Skew-safe range join: co-locate on (user, 1-minute time bucket)
+    instead of user alone. Any ts2 in (ts1, ts1+1min] falls in e1's
+    bucket or the next one, so e1 fans out to those two buckets and
+    the join is a plain equi-join on (user_id, bucket) — candidate
+    pairs are bounded per (user, minute), so a hot user no longer
+    produces a quadratic per-user blow-up; the exact interval filter
+    then keeps precisely the in-range pairs. Each qualifying pair
+    matches in exactly one e2 bucket, so no dedup is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("ts").cast("double") / 60).cast("long")
+    e1 = ev.select(
+        F.col("user_id"), F.col("ts").alias("ts1"), bucket.alias("b1")
+    ).withColumn("jb", F.explode(F.array(F.col("b1"), F.col("b1") + 1)))
+    e2 = ev.select(F.col("user_id"), F.col("ts").alias("ts2"), bucket.alias("jb"))
+    pairs = e1.join(e2, ["user_id", "jb"]).filter(
         (F.col("ts2") > F.col("ts1"))
         & (F.col("ts2") <= F.col("ts1") + F.expr("INTERVAL 1 MINUTE"))
     )
