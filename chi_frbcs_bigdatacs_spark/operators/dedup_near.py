@@ -196,6 +196,103 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- n-gram Jaccard dedup (blocking join, no sketch) ------------------------
+# Exact word-bigram Jaccard verified over BLOCKED candidate pairs:
+# docs only pair within equal (lang, source, length-bucket) blocks,
+# with each doc fanned out to its bucket and the next (the banding
+# idiom from embed_neardup_lsh applied to length blocking) so
+# boundary-straddling near-dups still collide. Never all-pairs: the
+# join is an equi-join on the block key, pair candidates are bounded
+# by block size, and the distinct() dedupes the two-bucket fan-out
+# BEFORE the n-gram set comparison. Recall bound (documented): pairs
+# whose distinct-bigram counts differ by >= 2 buckets are missed —
+# such pairs are far below the Jaccard threshold anyway.
+NGRAM = 2
+NGRAM_JACCARD_THRESHOLD = 0.4
+LEN_BUCKET = 16
+
+
+def _ngrams_col() -> Column:
+    toks = F.split(F.col("text"), " ")
+    mk = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (NGRAM - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, NGRAM)),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= NGRAM, mk).otherwise(F.array().cast("array<string>"))
+    )
+
+
+NGRAMS_SQL = f"""
+list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - {NGRAM - 2}),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + {NGRAM - 1}), ' ')))
+""".strip()
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", "lang", "source", _ngrams_col().alias("grams"))
+    blk = F.floor(F.size("grams") / LEN_BUCKET).cast("long")
+    expanded = docs.select(
+        "doc_id", "lang", "source", F.explode(F.array(blk, blk + 1)).alias("blk")
+    )
+    a = expanded.select("lang", "source", "blk", F.col("doc_id").alias("doc_a"))
+    b = expanded.select("lang", "source", "blk", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["lang", "source", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    jac = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.size(F.array_union("ga", "gb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, {NGRAMS_SQL} AS grams FROM documents
+),
+expanded AS (
+  SELECT doc_id, lang, source,
+         unnest([CAST(floor(len(grams) / {LEN_BUCKET}.0) AS BIGINT),
+                 CAST(floor(len(grams) / {LEN_BUCKET}.0) AS BIGINT) + 1]) AS blk
+  FROM docs
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM expanded a JOIN expanded b
+    ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+  WHERE a.doc_id < b.doc_id
+),
+jac AS (
+  SELECT c.doc_a, c.doc_b,
+         round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
+               / CAST(len(list_distinct(da.grams || db.grams)) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN docs da ON da.doc_id = c.doc_a
+  JOIN docs db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document."""
     d = load_table(spark, sf_dir, "documents").repartition(
@@ -257,3 +354,4 @@ FROM bits GROUP BY doc_id
 def register_all() -> None:
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
+    register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)

@@ -340,6 +340,67 @@ GROUP BY e1.user_id
 """
 
 
+# --- salted join: explicit skew mitigation ---------------------------------
+N_SALTS = 8
+
+
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The manual skew-mitigation pattern for when AQE's skew-join
+    split isn't available (e.g. a skewed build side feeding a
+    non-AQE-splittable stage): the probe side salts its key with a
+    deterministic `pk % N`, the build side replicates each row N
+    times, and the join runs on (key, salt) — a hot key's rows spread
+    over N reducers instead of one. Result provably equals the
+    unsalted join (the oracle computes it plainly)."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", (F.col("o_orderkey") % N_SALTS).cast("int")
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)).cast("array<int>"))
+    )
+    j = o.join(c, (o["o_custkey"] == c["c_custkey"]) & (o["salt"] == c["salt"]))
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("sum_price"),
+    )
+
+
+JOIN_SALTED_SQL = """
+SELECT c_mktsegment, count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (KLL-style sketch) for quantiles at scale.
+    Same checked-output pattern as agg_approx_distinct: the sketch
+    estimate is engine-specific, so the output is the exact p50 plus
+    a deterministic assertion the sketch landed within 2% of it
+    (accuracy=10000; the sketch is deterministic per input)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("p50_exact"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("p50_approx"),
+    )
+    return g.select(
+        "l_returnflag",
+        "p50_exact",
+        (
+            F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact")
+            <= 0.02
+        ).alias("approx_ok"),
+    )
+
+
+AGG_APPROX_PERCENTILE_SQL = """
+SELECT l_returnflag, round(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+       true AS approx_ok
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --- windows ---------------------------------------------------------------
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
@@ -808,6 +869,8 @@ def register_all() -> None:
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
     register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)
     register("agg_approx_distinct", q_agg_approx_distinct, AGG_APPROX_DISTINCT_SQL)
+    register("agg_approx_percentile", q_agg_approx_percentile, AGG_APPROX_PERCENTILE_SQL)
+    register("join_salted", q_join_salted, JOIN_SALTED_SQL)
     register("join_outer", q_join_outer, JOIN_OUTER_SQL)
     register("join_cross", q_join_cross, JOIN_CROSS_SQL)
     register("setop_intersect", q_setop_intersect, SETOP_INTERSECT_SQL)

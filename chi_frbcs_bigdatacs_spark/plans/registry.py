@@ -87,14 +87,14 @@ CHECK_PRIORITY: list[str] = [
     "crossval_multiclass",
     "embed_neardup_lsh",
     "agg_approx_distinct",
+    "agg_approx_percentile",
+    "dedup_ngram_jaccard",
+    "join_salted",
     # fuzzy-core re-checks (green in r01; re-verify within the cap)
     "fuzzify",
     "rulegen_antecedent",
     "ruleweight_pcfcs",
-    "rule_conflict_resolve",
     "classify_wr",
-    "metrics_gm_auc",
-    "rulemerge_max",
 ]
 
 
