@@ -36,3 +36,34 @@ def test_fuzzify_whole_stage_codegen(spark):
 def test_scoring_uses_broadcast(spark):
     p = _plan(spark, "classify_wr")
     assert "BroadcastHashJoin" in p, "rule base not broadcast for scoring"
+
+
+def test_neardup_lsh_is_equi_join(spark):
+    """The banded near-dup must plan as a hash/sort-merge EQUI-join on
+    (band, sig) — a CartesianProduct or broadcast nested loop here
+    means the scale path silently degraded to all-pairs."""
+    p = _plan(spark, "embed_neardup_lsh")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert ("SortMergeJoin" in p) or ("ShuffledHashJoin" in p) or (
+        "BroadcastHashJoin" in p
+    )
+
+
+def test_range_join_is_equi_join(spark):
+    """Time-bucketed range join: equi-join on (user_id, bucket), the
+    interval predicate only as a post-join filter — never a BNLJ."""
+    p = _plan(spark, "join_range")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_ngram_jaccard_is_equi_join(spark):
+    p = _plan(spark, "dedup_ngram_jaccard")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_nominal_scoring_uses_broadcast(spark):
+    p = _plan(spark, "classify_wr_nominal")
+    assert "BroadcastHashJoin" in p, "nominal rule base not broadcast"
