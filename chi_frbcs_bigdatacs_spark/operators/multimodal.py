@@ -102,6 +102,68 @@ FROM fr
 """
 
 
+RESIZE_TARGET = 64  # aspect-fit bounding box edge
+SAMPLE_BYTES = 256  # resize keeps ~this many sampled bytes
+
+
+def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 'resize': aspect-fit target dimensions (pure
+    column math) + strided byte subsampling of the media payload (the
+    pixel-decimation access pattern of a real thumbnailer, on the
+    stub codec's byte plane). Fully oracled — the digest over the
+    sampled bytes proves stride alignment on both engines. A real
+    image library would replace the byte plane with decoded pixels;
+    the Spark plumbing (schema, per-row stride, digest) is the same."""
+    m = media_fixture(spark, sf_dir)
+    scale = F.greatest(
+        F.greatest("width", "height").cast("double") / F.lit(float(RESIZE_TARGET)),
+        F.lit(1.0),
+    )
+    sized = m.select(
+        "doc_id",
+        "media",
+        F.floor(F.col("width") / scale).cast("int").alias("new_w"),
+        F.floor(F.col("height") / scale).cast("int").alias("new_h"),
+        F.ceil(F.length("media") / F.lit(float(SAMPLE_BYTES))).cast("int").alias("stride"),
+    )
+    sampled = F.expr(
+        "array_join(transform(sequence(1, length(cast(media as string)), stride),"
+        " i -> substring(cast(media as string), i, 1)), '')"
+    )
+    return sized.select(
+        "doc_id",
+        "new_w",
+        "new_h",
+        F.length(sampled).cast("long").alias("n_sampled"),
+        F.md5(sampled.cast("binary")).alias("sample_md5"),
+    )
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         CAST(n_chars % 640 + 16 AS INT) AS width,
+         CAST(n_chars % 480 + 16 AS INT) AS height,
+         CAST(ceil(strlen(text) / {SAMPLE_BYTES}.0) AS INT) AS stride
+  FROM documents
+),
+s AS (
+  SELECT doc_id, width, height, stride,
+         greatest(CAST(greatest(width, height) AS DOUBLE) / {RESIZE_TARGET}.0, 1.0) AS scale,
+         array_to_string(list_transform(
+             range(1, strlen(text) + 1, stride),
+             i -> substr(text, CAST(i AS INT), 1)), '') AS sampled
+  FROM m
+)
+SELECT doc_id,
+       CAST(floor(width / scale) AS INT) AS new_w,
+       CAST(floor(height / scale) AS INT) AS new_h,
+       length(sampled) AS n_sampled,
+       md5(sampled) AS sample_md5
+FROM s
+"""
+
+
 def _decode_bytes(raw: bytes, fmt: str) -> list[float]:
     """STUB codec. Deterministic byte-level features for the fake
     formats; real decoders (PIL/ffmpeg/...) are not available in this
@@ -141,4 +203,5 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
+    register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)
     register("media_decode", q_media_decode, None)  # python-side: rows-only

@@ -90,10 +90,10 @@ CHECK_PRIORITY: list[str] = [
     "agg_approx_percentile",
     "dedup_ngram_jaccard",
     "join_salted",
+    "media_resize",
     # fuzzy-core re-checks (green in r01; re-verify within the cap)
     "fuzzify",
     "rulegen_antecedent",
-    "ruleweight_pcfcs",
     "classify_wr",
 ]
 
