@@ -56,3 +56,21 @@ def test_argmax_is_nearest_peak(x):
     peaks = [FMIN + k * h for k in range(L)]
     dists = np.abs(np.array(peaks) - x)
     assert dists[j] <= dists.min() + 1e-12
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    v=st.integers(min_value=-2, max_value=12),
+    V=st.integers(min_value=2, max_value=10),
+)
+def test_nominal_crisp_membership_laws(v, V):
+    """Crisp nominal membership (SURVEY §1 D3): exactly one indicator
+    fires for an in-vocab encoded value, none for out-of-vocab, and
+    the fired index IS the encoded value (so rulegen's argmax label
+    equals the category, 1-based)."""
+    mus = np.array([1.0 if v == j else 0.0 for j in range(V)])
+    if 0 <= v < V:
+        assert mus.sum() == 1.0
+        assert int(np.argmax(mus)) == v
+    else:
+        assert mus.sum() == 0.0
