@@ -36,13 +36,30 @@ def round6(v: float) -> float:
     return float(Decimal(repr(v)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
 
 
+def _norm_spec(s) -> tuple:
+    """Feature spec forms: legacy (fmin, fmax) numeric 2-tuple, or
+    tagged ('num', fmin, fmax) / ('nom', V) for mixed datasets
+    (SURVEY §1 D3: nominal = crisp per-category membership)."""
+    if isinstance(s[0], str):
+        return s
+    return ("num", s[0], s[1])
+
+
+def memberships_spec(x: float, spec, L: int) -> np.ndarray:
+    spec = _norm_spec(spec)
+    if spec[0] == "nom":
+        V = spec[1]
+        return np.array([1.0 if int(x) == j else 0.0 for j in range(V)])
+    return memberships(x, spec[1], spec[2], L)
+
+
 def fit(X: np.ndarray, y: np.ndarray, specs: list[tuple[float, float]], L: int = 3):
     """Returns dict antecedent(tuple of 1-based labels) -> (cls, weight6)."""
     n, d = X.shape
     mus = [
-        np.stack([memberships(X[i, k], *specs[k], L) for k in range(d)])
+        [memberships_spec(X[i, k], specs[k], L) for k in range(d)]
         for i in range(n)
-    ]  # n x d x L
+    ]  # n x d x (per-feature label count)
 
     # costs: N_largest / N_c  [FSS258 §3.2]
     classes, counts = np.unique(y, return_counts=True)
@@ -94,7 +111,7 @@ def classify_wr(
     )
     preds = np.empty(n, dtype=int)
     for i in range(n):
-        mus = [memberships(X[i, k], *specs[k], L) for k in range(d)]
+        mus = [memberships_spec(X[i, k], specs[k], L) for k in range(d)]
         best = None  # (score, ant, cls)
         for a, c, w in pos_rules:
             mu = 1.0
