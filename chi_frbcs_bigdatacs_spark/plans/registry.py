@@ -91,9 +91,9 @@ CHECK_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",
     "join_salted",
     "media_resize",
+    "scan_orc",
     # fuzzy-core re-checks (green in r01; re-verify within the cap)
     "fuzzify",
-    "rulegen_antecedent",
     "classify_wr",
 ]
 

@@ -65,6 +65,30 @@ FROM supplier GROUP BY s_nationkey
 """
 
 
+def q_scan_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part -> ORC -> distributed read -> agg. ORC round-trip keeps
+    the declared schema (vectorized ORC reader, predicate pushdown at
+    scale); the oracle computes the aggregate from the base table."""
+    p = load_table(spark, sf_dir, "part")
+    path = staged_dir(
+        "orc_part", sf_dir, lambda d: p.write.mode("overwrite").orc(d)
+    )
+    back = spark.read.orc(path)
+    return back.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double").alias(
+            "sum_price"
+        ),
+    )
+
+
+SCAN_ORC_SQL = """
+SELECT p_brand, count(*) AS n_parts,
+       CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part GROUP BY p_brand
+"""
+
+
 def q_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> parquet partitioned by returnflag -> partition-pruned
     read-back. The read of ONE partition directory proves partition
@@ -135,6 +159,7 @@ def _sql_query(sql: str):
 def register_all() -> None:
     register("scan_csv", q_scan_csv, SCAN_CSV_SQL)
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
+    register("scan_orc", q_scan_orc, SCAN_ORC_SQL)
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
