@@ -32,3 +32,18 @@ def test_rows_only_keys_run(spark):
     for k, spec in get_registry().items():
         if spec.sql is None:
             assert spec.fn(spark, SF_SMALL).count() >= 0, k
+
+
+def test_check_priority_names_are_registered():
+    """Every CHECK_PRIORITY entry must name a real registry key — a
+    typo would silently waste one of the driver's 50 verified slots —
+    and the driver-visible first 50 keys must all be oracle-equipped
+    (only past-cap keys may be rows-only)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import CHECK_PRIORITY, get_registry
+
+    reg = get_registry()
+    missing = [k for k in CHECK_PRIORITY if k not in reg]
+    assert not missing, f"CHECK_PRIORITY names unknown keys: {missing}"
+    first50 = list(reg)[:50]
+    rows_only = [k for k in first50 if reg[k].sql is None and k != "media_decode"]
+    assert not rows_only, f"unexpected rows-only keys inside the cap: {rows_only}"
