@@ -6,21 +6,31 @@ build job (E1), transform() is the map-only classify job (E2) with
 the model broadcast to tasks (the Spark-native DistributedCache).
 
 Physical tuning vs the plain spec functions in rules.py:
-  - the fuzzified training set is repartitioned to the session's
-    default parallelism and persisted ONCE; every downstream branch
-    (class counts, candidate cells, matching stats, scoring) reuses
-    it instead of re-scanning + re-fuzzifying. On a cluster the
+  - only the NARROW repartitioned input is persisted; membership
+    arrays are recomputed per pass (pure codegen arithmetic — far
+    cheaper at 100 TB than caching d wide array columns). The
     repartition spreads a few large input splits across executors
-    before the 16-81x row expansion of the matching join.
+    before the <=2^d-per-row cell expansion.
+  - class counts are collected once (tiny: |classes| rows) and the
+    CS cost vector + default class are folded into the build plan as
+    literals — no broadcast-join exchange for costs.
   - the final rule base is collected to the driver (bounded by the
     data-touched subset of L^d cells; L=3,d=4 -> <= 81 rules; the
     reference's models are the same size) and re-emitted as a
-    LITERAL DataFrame, so transform() is a pure broadcast join with
-    no recomputation of the build lineage. For very high-d problems
-    construct the ESTIMATOR with collect_rules=False: fit() then
-    materializes the rule base as a persisted DataFrame (never on the
-    driver) and transform() broadcast-joins it unchanged.
-  - per-example argmax scoring uses max(struct(...)) hash
+    LITERAL DataFrame, so transform() is a pure broadcast equi-join
+    on the cell key with no recomputation of the build lineage (the
+    Spark-native shape of the reference's DistributedCache model
+    shipping; see the measured note in transform_fuzzified for why
+    plan-literal map-only variants lose to this join).
+  - for very high-d problems construct the ESTIMATOR with
+    collect_rules=False: fit() materializes the rule base as a
+    persisted DataFrame instead and transform() broadcast-joins it.
+    NOTE: "distributed" here bounds the DRIVER PYTHON process only —
+    Spark's broadcast still materializes the rule base in the JVM;
+    for rule bases too large to broadcast, swap the broadcast hint
+    for a plain shuffle hash join (rules side is still the small
+    side of the cell equi-join).
+  - the join-path per-example argmax uses max(struct(...)) hash
     aggregation (map-side combine, no sort shuffle) instead of a
     row_number window; the struct field order encodes exactly the
     oracle's ORDER BY score DESC, l1..ld ASC, cls ASC tie-break.
@@ -98,6 +108,15 @@ class ChiFRBCSModel:
         return self.transform_fuzzified(fuzz)
 
     def transform_fuzzified(self, fuzz: DataFrame) -> DataFrame:
+        # NOTE on physical strategy (measured at sf0.1, local[32]):
+        # plan-literal "map-only" scorers — dense slot-table lookup via
+        # higher-order functions, per-rule unrolled array_max, and
+        # greatest()+when-chain — were all benchmarked and LOSE to this
+        # broadcast equi-join (1.7s join vs 3.8-38s literal variants):
+        # HOF evaluation is interpreted, and per-rule expression
+        # unrolling duplicates subtrees past what codegen/CSE absorbs.
+        # The cell-explosion + broadcast hash join keeps everything in
+        # whole-stage codegen with a map-side-combined final argmax.
         spark = fuzz.sparkSession
         ants = [R.label_col(i) for i in range(len(self.parts.features))]
         rules = self.rules_df(spark).filter(F.col("weight") > 0).withColumnRenamed(
@@ -285,22 +304,53 @@ class ChiFRBCSClassifier:
     merge_policy: str = "max"  # 'max' | 'avg' (O11 [IJCIS8])
     repartition: int | None = None  # None = session default parallelism
     collect_rules: bool = True  # False = keep the rule base distributed
-    _fuzz: DataFrame | None = field(default=None, repr=False)
+    _base: DataFrame | None = field(default=None, repr=False)
 
     def fit(self, df: DataFrame, _retain_fuzz: bool = False) -> ChiFRBCSModel:
+        """Two Spark jobs total: (1) class counts (tiny agg, collected
+        — gives the CS cost vector AND the default class driver-side),
+        (2) the rule build (cells explosion -> one hash aggregation ->
+        tiny joins -> collect/persist). Only the NARROW repartitioned
+        input is cached; membership arrays are recomputed per pass —
+        they are pure codegen arithmetic, far cheaper at 100 TB than
+        caching d wide array columns."""
         self.release()  # drop any cache pinned by a previous fit
         _release_retained()  # ... including by OTHER estimator instances
         spark = df.sparkSession
         n = self.repartition or spark.sparkContext.defaultParallelism
         # repartition the narrow input BEFORE fuzzification so the wide
         # membership arrays are computed in parallel, not shuffled
-        fz = R.with_antecedent(R.fuzzify(df.repartition(n), self.parts), self.parts)
-        fz = fz.persist()
+        base = df.repartition(n).persist()
 
+        # job 1: class counts (per emulation bucket when requested) —
+        # bounded by |buckets| x |classes| rows, always driver-safe
+        if self.num_buckets is not None:
+            cdf = base.groupBy(
+                (F.col("id") % self.num_buckets).cast("int").alias("bucket"), "label"
+            ).agg(F.count(F.lit(1)).alias("n"))
+        else:
+            cdf = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+        crows = cdf.collect()
+        if not crows:
+            base.unpersist()
+            raise ValueError(
+                "ChiFRBCSClassifier.fit: empty training set (no rows after "
+                "validity filtering) — cannot derive costs or a default class"
+            )
+        # default class = most frequent overall; ties -> lowest class id
+        glob: dict[int, int] = {}
+        for r in crows:
+            glob[r["label"]] = glob.get(r["label"], 0) + r["n"]
+        default_cls = min(glob, key=lambda c: (-glob[c], c))
+        cost_col = R.cost_literal(
+            crows, self.cost_mode, bucketed=self.num_buckets is not None
+        )
+
+        fz = R.with_antecedent(R.fuzzify(base, self.parts), self.parts)
         ants = [R.label_col(i) for i in range(len(self.parts.features))]
         if self.num_buckets is None:
             rules = R.build_rules(
-                fz, self.parts, resolve=True, prefuzzified=True, cost_mode=self.cost_mode
+                fz, self.parts, resolve=True, prefuzzified=True, cost_col=cost_col
             )
         else:
             partials = R.build_rules(
@@ -309,7 +359,7 @@ class ChiFRBCSClassifier:
                 num_buckets=self.num_buckets,
                 resolve=True,
                 prefuzzified=True,
-                cost_mode=self.cost_mode,
+                cost_col=cost_col,
             )
             rules = (
                 R.merge_max(partials, ants)
@@ -322,37 +372,28 @@ class ChiFRBCSClassifier:
             rdf: DataFrame | None = None
         else:
             # scale path: materialize the rule base as a persisted
-            # DataFrame (never on the driver); scoring broadcast-joins it
+            # DataFrame (not collected); scoring broadcast-joins it
             rows = None
             rdf = rules.persist()
             rdf.count()
-        counts = R.class_counts(fz)
-        row = counts.orderBy(F.col("n").desc(), F.col("label").asc()).first()
         if _retain_fuzz:
-            self._fuzz = fz  # reusable for resubstitution scoring
-            _RETAINED_FUZZ.append(fz)
+            self._base = base  # reusable for resubstitution scoring
+            _RETAINED_FUZZ.append(base)
         else:
-            fz.unpersist()
-        if row is None:
-            if rdf is not None:
-                rdf.unpersist()
-            raise ValueError(
-                "ChiFRBCSClassifier.fit: empty training set (no rows after "
-                "validity filtering) — cannot derive costs or a default class"
-            )
+            base.unpersist()
         return ChiFRBCSModel(
-            self.parts, rows, int(row["label"]), self.frm, rules_dataframe=rdf
+            self.parts, rows, default_cls, self.frm, rules_dataframe=rdf
         )
 
     def fit_transform(self, df: DataFrame) -> DataFrame:
         """Fit and score the same data (resubstitution), reusing the
-        persisted fuzzified input for both passes."""
+        persisted narrow input for both passes."""
         model = self.fit(df, _retain_fuzz=True)
-        return model.transform_fuzzified(self._fuzz)
+        return model.transform(self._base)
 
     def release(self) -> None:
-        """Unpersist the fuzzified training cache retained by
+        """Unpersist the training-input cache retained by
         fit_transform (safe any time: lineage recomputes if needed)."""
-        if self._fuzz is not None:
-            self._fuzz.unpersist()
-            self._fuzz = None
+        if self._base is not None:
+            self._base.unpersist()
+            self._base = None

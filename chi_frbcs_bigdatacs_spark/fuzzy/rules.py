@@ -112,6 +112,43 @@ def with_costs(
     ).drop("maxn")
 
 
+def cost_literal(
+    count_rows,
+    cost_mode: str | dict = "cs",
+    bucketed: bool = False,
+):
+    """Driver-side cost vector as a literal column expression.
+
+    `count_rows` is the collected output of class_counts (tiny:
+    |classes| rows, or |buckets| x |classes| in emulation mode). The
+    CS cost C(c) = N_largest / N_c [FSS258 §3.2] is computed in plain
+    Python and folded into a when() chain keyed on `label` (and
+    `bucket`), replacing the broadcast join of with_costs with pure
+    codegen — one fewer exchange in the build job, same IEEE doubles
+    (both sides compute maxn/n in double precision).
+    """
+    if cost_mode == "none":
+        return F.lit(1.0)
+    if isinstance(cost_mode, dict):
+        expr = F.lit(1.0)
+        for c, v in sorted(cost_mode.items()):
+            expr = F.when(F.col("label") == c, F.lit(float(v))).otherwise(expr)
+        return expr
+    groups: dict[object, list] = {}
+    for r in count_rows:
+        groups.setdefault(r["bucket"] if bucketed else None, []).append(r)
+    expr = F.lit(None).cast("double")
+    for b, rows in groups.items():
+        maxn = max(r["n"] for r in rows)
+        for r in rows:
+            cost = float(maxn) / float(r["n"])
+            cond = F.col("label") == r["label"]
+            if bucketed:
+                cond = cond & (F.col("bucket") == b)
+            expr = F.when(cond, F.lit(cost)).otherwise(expr)
+    return expr
+
+
 def _match_degree(rules_prefix: str, parts: FuzzyPartitions):
     """Product t-norm matching degree of an example row against a
     rule's antecedent labels (columns `{prefix}l1..ld`)."""
@@ -169,6 +206,7 @@ def build_rules(
     resolve: bool = True,
     prefuzzified: bool = False,
     cost_mode: str = "cs",
+    cost_col=None,
 ) -> DataFrame:
     """O7-O9 (+O10 when num_buckets): full rule-base build.
 
@@ -188,9 +226,6 @@ def build_rules(
         fz = fz.withColumn("bucket", (F.col("id") % num_buckets).cast("int"))
         keys = ["bucket"]
 
-    counts = class_counts(fz, keys)
-    costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
-
     # candidate (antecedent, class) pairs actually generated by data
     cand = fz.select(*keys, *ants, F.col("label").alias("cls")).distinct()
 
@@ -199,7 +234,14 @@ def build_rules(
     # per-example explosion (<=2^d rows each), so this is a single
     # map-side-combining hash aggregation — no examples x rules join.
     cells = candidate_cells(fz, parts, keys)
-    ex = cells.join(F.broadcast(costs), keys + ["label"])
+    if cost_col is not None:
+        # caller supplied the cost vector as a literal expression
+        # (driver-side class counts) — no broadcast-join exchange
+        ex = cells.withColumn("cost", cost_col)
+    else:
+        counts = class_counts(fz, keys)
+        costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
+        ex = cells.join(F.broadcast(costs), keys + ["label"])
     stats = (
         ex.groupBy(*keys, *ants, "label")
         .agg(F.sum(F.col("mu") * F.col("cost")).alias("s"))

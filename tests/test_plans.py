@@ -34,7 +34,26 @@ def test_fuzzify_whole_stage_codegen(spark):
 
 
 def test_scoring_uses_broadcast(spark):
+    """The rule base must ride to tasks as a broadcast — never a
+    shuffle of the example side on rule keys, never a nested loop."""
     p = _plan(spark, "classify_wr")
+    assert "BroadcastHashJoin" in p, "rule base not broadcast for scoring"
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_distributed_rules_scoring_uses_broadcast(spark):
+    """collect_rules=False keeps the rule base as a DataFrame; its
+    scoring path must broadcast-hash-join it against the cell keys."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    est = ChiFRBCSClassifier(parts=P, collect_rules=False)
+    model = est.fit(df)
+    p = model.transform(df)._jdf.queryExecution().executedPlan().toString()
+    model.release()
     assert "BroadcastHashJoin" in p, "rule base not broadcast for scoring"
 
 
