@@ -124,10 +124,18 @@ def q_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media",
         F.floor(F.col("width") / scale).cast("int").alias("new_w"),
         F.floor(F.col("height") / scale).cast("int").alias("new_h"),
-        F.ceil(F.length("media") / F.lit(float(SAMPLE_BYTES))).cast("int").alias("stride"),
+        # clamp: empty media would give stride 0 and a zero-step sequence
+        F.greatest(
+            F.ceil(F.length("media") / F.lit(float(SAMPLE_BYTES))).cast("int"),
+            F.lit(1),
+        ).alias("stride"),
     )
+    # bound the sampling sequence by BYTE length (length() on binary),
+    # matching the oracle's strlen(); character indexing below is
+    # byte-exact because the fixture is ASCII (pinned by
+    # tests/test_edge_cases.py::test_media_fixture_is_ascii)
     sampled = F.expr(
-        "array_join(transform(sequence(1, length(cast(media as string)), stride),"
+        "array_join(transform(sequence(1, length(media), stride),"
         " i -> substring(cast(media as string), i, 1)), '')"
     )
     return sized.select(
@@ -144,7 +152,7 @@ WITH m AS (
   SELECT doc_id, text,
          CAST(n_chars % 640 + 16 AS INT) AS width,
          CAST(n_chars % 480 + 16 AS INT) AS height,
-         CAST(ceil(strlen(text) / {SAMPLE_BYTES}.0) AS INT) AS stride
+         greatest(CAST(ceil(strlen(text) / {SAMPLE_BYTES}.0) AS INT), 1) AS stride
   FROM documents
 ),
 s AS (
@@ -180,7 +188,11 @@ def _decode_bytes(raw: bytes, fmt: str) -> list[float]:
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode: binary -> feature columns.
-    Rows-only check (the decode is Python-side by design)."""
+    The decode runs Python-side by design (where a real codec would
+    live), but the STUB codec's features (byte count, mean byte, max
+    byte) are deterministic and so fully DuckDB-oracle-able: the
+    oracle recomputes them with ascii(substr(...)), byte-exact on the
+    ASCII fixture (pinned by test_media_fixture_is_ascii)."""
     m = media_fixture(spark, sf_dir)
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -200,8 +212,19 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_DECODE_SQL = """
+SELECT doc_id,
+       CAST(strlen(text) AS DOUBLE) AS n_bytes,
+       list_sum(list_transform(range(1, strlen(text) + 1),
+                i -> ascii(substr(text, CAST(i AS INT), 1)))) / strlen(text) AS mean_byte,
+       CAST(list_max(list_transform(range(1, strlen(text) + 1),
+                i -> ascii(substr(text, CAST(i AS INT), 1)))) AS DOUBLE) AS max_byte
+FROM documents
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
     register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)
-    register("media_decode", q_media_decode, None)  # python-side: rows-only
+    register("media_decode", q_media_decode, MEDIA_DECODE_SQL)

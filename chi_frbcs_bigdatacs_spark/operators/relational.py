@@ -373,6 +373,76 @@ GROUP BY c_mktsegment
 """
 
 
+def skewed_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-stress fixture: ~90% of lineitem rows map to ONE hot key
+    (skew_key=0), the rest spread over 1..99 — the natural testdata
+    has no hot key, so join_salted's salt never earned its keep until
+    this fixture."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    return li.withColumn(
+        "skew_key",
+        F.when(F.col("l_orderkey") % 10 < 9, F.lit(0))
+        .otherwise(F.col("l_orderkey") % 100)
+        .cast("int"),
+    )
+
+
+def skew_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """100-row dimension (key, factor); factor in 0.5 steps so the
+    decimal arithmetic is exact on both engines."""
+    return spark.range(100).select(
+        F.col("id").cast("int").alias("k"),
+        (F.lit(1.0) + (F.col("id") % 7).cast("double") * F.lit(0.5)).alias("factor"),
+    )
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join under REAL skew: the probe side salts with a
+    deterministic pmod of its fine-grained key, the dim side
+    replicates N_SALTS times, and the join runs on (skew_key, salt) —
+    the hot key's ~0.9|lineitem| rows spread over N_SALTS reducers
+    instead of hammering one. The oracle computes the plain unsalted
+    join, so the hash check asserts salt-invariance of the result;
+    tests/test_counters_bucketing.py asserts the skew reduction
+    itself (max group size drops ~N_SALTS-fold)."""
+    probe = skewed_probe(spark, sf_dir).withColumn(
+        "salt",
+        F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), N_SALTS).cast("int"),
+    )
+    dim = skew_dim(spark, sf_dir).withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_SALTS - 1)).cast("array<int>"))
+    )
+    j = probe.join(dim, (probe["skew_key"] == dim["k"]) & (probe["salt"] == dim["salt"]))
+    return j.groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_quantity") * F.col("factor").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("weighted_qty"),
+    )
+
+
+JOIN_SALTED_SKEW_SQL = """
+WITH probe AS (
+  SELECT CASE WHEN l_orderkey % 10 < 9 THEN 0
+              ELSE CAST(l_orderkey % 100 AS INT) END AS skew_key,
+         l_quantity
+  FROM lineitem
+),
+dim AS (
+  SELECT CAST(range AS INT) AS k,
+         1.0 + CAST(range % 7 AS DOUBLE) * 0.5 AS factor
+  FROM range(100)
+)
+SELECT k, count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                * CAST(factor AS DECIMAL(18,2))) AS DOUBLE) AS weighted_qty
+FROM probe JOIN dim ON skew_key = k
+GROUP BY k
+"""
+
+
 def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_percentile (KLL-style sketch) for quantiles at scale.
     Same checked-output pattern as agg_approx_distinct: the sketch
@@ -871,6 +941,7 @@ def register_all() -> None:
     register("agg_approx_distinct", q_agg_approx_distinct, AGG_APPROX_DISTINCT_SQL)
     register("agg_approx_percentile", q_agg_approx_percentile, AGG_APPROX_PERCENTILE_SQL)
     register("join_salted", q_join_salted, JOIN_SALTED_SQL)
+    register("join_salted_skew", q_join_salted_skew, JOIN_SALTED_SKEW_SQL)
     register("join_outer", q_join_outer, JOIN_OUTER_SQL)
     register("join_cross", q_join_cross, JOIN_CROSS_SQL)
     register("setop_intersect", q_setop_intersect, SETOP_INTERSECT_SQL)

@@ -115,6 +115,62 @@ FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+KEEL_VOCAB = ("F", "O", "P")  # declared nominal vocab, header order
+
+
+def q_scan_keel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEL text source end-to-end (O1/O2/O3/O4): stage orders as a
+    .dat file (header + @data CSV), parse the header driver-side,
+    read @data with the DECLARED schema through the distributed CSV
+    reader, dictionary-encode the nominal column from the declared
+    vocab, and drop `?`-missing / malformed rows. Two poison rows are
+    injected into the staged file (a `?` missing value and a
+    wrong-arity line) — the oracle reads the clean base table, so the
+    hash check proves both the round-trip AND the drop policy
+    [REF: data/DataLoader.java, data/DataConverter.java | conf=M]."""
+    from chi_frbcs_bigdatacs_spark.sources.keel import encode_nominal, read_keel
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_totalprice", "o_orderstatus"],
+        )
+        with open(f"{d}/orders.dat", "w") as fh:
+            fh.write("@relation orders\n")
+            fh.write("@attribute o_orderkey real [0.0, 1.0e9]\n")
+            fh.write("@attribute o_totalprice real [0.0, 1000000.0]\n")
+            fh.write("@attribute o_orderstatus {F, O, P}\n")
+            fh.write("@inputs o_orderkey, o_totalprice\n")
+            fh.write("@outputs o_orderstatus\n")
+            fh.write("@data\n")
+            fh.write("999999999,?,O\n")  # missing value -> dropped (O4)
+            fh.write("1,2\n")  # wrong arity -> DROPMALFORMED (O4)
+            for k, p, s in zip(
+                t["o_orderkey"].to_pylist(),
+                t["o_totalprice"].to_pylist(),
+                t["o_orderstatus"].to_pylist(),
+            ):
+                # repr() round-trips doubles exactly through the CSV read
+                fh.write(f"{k},{p!r},{s}\n")
+
+    path = staged_dir("keel_orders", sf_dir, build)
+    df, ds = read_keel(spark, f"{path}/orders.dat")
+    return encode_nominal(df, ds).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
+SCAN_KEEL_SQL = """
+SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
+       o_totalprice,
+       CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
+           AS o_orderstatus
+FROM orders
+"""
+
+
 # --- shared-text ANSI SQL: the SAME string runs in Spark SQL and DuckDB ----
 SQL_Q3 = """
 SELECT o_orderkey,
@@ -160,6 +216,7 @@ def register_all() -> None:
     register("scan_csv", q_scan_csv, SCAN_CSV_SQL)
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
     register("scan_orc", q_scan_orc, SCAN_ORC_SQL)
+    register("scan_keel", q_scan_keel, SCAN_KEEL_SQL)
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)

@@ -47,3 +47,33 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_lineitem_b")
+
+
+def test_salting_spreads_hot_key(spark):
+    """The skew fixture's hot key holds ~90% of rows; after salting,
+    the largest (key, salt) group must shrink ~N_SALTS-fold — the
+    actual mechanism by which the salted join avoids one straggler
+    reducer at scale."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.relational import (
+        N_SALTS,
+        skewed_probe,
+    )
+    from tests.conftest import SF_SMALL
+
+    probe = skewed_probe(spark, SF_SMALL).withColumn(
+        "salt",
+        F.pmod(F.col("l_orderkey") * 7 + F.col("l_linenumber"), N_SALTS).cast("int"),
+    )
+    unsalted_max = (
+        probe.groupBy("skew_key").count().agg(F.max("count")).first()[0]
+    )
+    salted_max = (
+        probe.groupBy("skew_key", "salt").count().agg(F.max("count")).first()[0]
+    )
+    total = probe.count()
+    assert unsalted_max >= 0.8 * total, "fixture lost its hot key"
+    assert salted_max <= unsalted_max / (N_SALTS / 2), (
+        f"salting did not spread the hot key: {salted_max} vs {unsalted_max}"
+    )

@@ -50,3 +50,21 @@ def test_score_out_of_range_values(spark):
     out = model.transform(wild).collect()
     assert len(out) == 2
     assert all(r["prediction"] in (0, 1) for r in out)
+
+
+def test_media_fixture_is_ascii(spark):
+    """The media oracles (media_decode byte features, media_resize
+    char-indexed sampling) are byte-exact only while documents.text is
+    pure ASCII and non-empty; this pins that fixture property so a
+    future testdata change fails loudly instead of hash-mismatching."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bad = d.filter(
+        (F.octet_length("text") != F.length("text"))
+        | F.col("text").isNull()
+        | (F.length("text") == 0)
+    ).count()
+    assert bad == 0, "documents.text must be non-empty ASCII for media oracles"

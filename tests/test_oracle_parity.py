@@ -45,5 +45,5 @@ def test_check_priority_names_are_registered():
     missing = [k for k in CHECK_PRIORITY if k not in reg]
     assert not missing, f"CHECK_PRIORITY names unknown keys: {missing}"
     first50 = list(reg)[:50]
-    rows_only = [k for k in first50 if reg[k].sql is None and k != "media_decode"]
+    rows_only = [k for k in first50 if reg[k].sql is None]
     assert not rows_only, f"unexpected rows-only keys inside the cap: {rows_only}"
