@@ -128,7 +128,9 @@ class ChiFRBCSModel:
         # carry the default class, so the unmatched-example fallback
         # folds into the same argmax aggregation — no join-back of
         # predictions onto examples (saves a wide sort-merge join).
-        cells = R.candidate_cells(fuzz, self.parts)
+        # pad_unmatched keeps null/out-of-vocab examples in the output
+        # (sentinel cell -> default class) instead of dropping them.
+        cells = R.candidate_cells(fuzz, self.parts, pad_unmatched=True)
         scored = cells.join(F.broadcast(rules), ants, "left")
         neg_inf = F.lit(float("-inf"))
         if self.frm == "wr":
@@ -175,7 +177,17 @@ class ChiFRBCSModel:
         d = len(parts.features)
         if self.rules_rows is None:
             # the numpy matmul path needs the rule arrays driver-side;
-            # materialize once from the distributed rule base
+            # materialize once from the distributed rule base. This
+            # intentionally defeats collect_rules=False's driver bound —
+            # say so instead of silently collecting.
+            import warnings
+
+            warnings.warn(
+                "transform_pandas on a distributed rule base collects it "
+                "to the driver; use transform() to keep the rule base "
+                "off the driver Python process",
+                stacklevel=2,
+            )
             self.rules_rows = [tuple(r) for r in self.rules_dataframe.collect()]
         rules = sorted((r for r in self.rules_rows if r[d + 1] > 0))
         if rules:

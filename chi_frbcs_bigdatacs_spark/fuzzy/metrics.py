@@ -44,9 +44,14 @@ def metrics_multiclass(pred: DataFrame) -> DataFrame:
         )
     )
     rec = F.col("tp_c").cast("double") / F.col("n_c").cast("double")
-    fpr = (F.col("p_c") - F.col("tp_c")).cast("double") / (
-        F.col("n") - F.col("n_c")
-    ).cast("double")
+    # one-class guard: when the scored set contains a single class
+    # (tiny CV fold), n - n_c = 0; Spark's non-ANSI division gives
+    # NULL while DuckDB gives inf — define FPR = 0 (no negatives to
+    # false-alarm on), mirrored in the oracle SQL
+    fpr = F.when(F.col("n") == F.col("n_c"), F.lit(0.0)).otherwise(
+        (F.col("p_c") - F.col("tp_c")).cast("double")
+        / (F.col("n") - F.col("n_c")).cast("double")
+    )
     j = j.withColumn("rec", rec).withColumn("fpr", fpr)
     return j.agg(
         F.round(
@@ -84,9 +89,11 @@ def metrics_binary(pred: DataFrame) -> DataFrame:
         F.sum(F.when((F.col("label") == 1) & (F.col("prediction") == 0), 1).otherwise(0)).alias("fn"),
     )
     tp, tn, fp, fn = (F.col(c).cast("double") for c in ("tp", "tn", "fp", "fn"))
-    tpr = tp / (tp + fn)
-    tnr = tn / (tn + fp)
-    fpr = fp / (fp + tn)
+    # degenerate-input guards (single-class scored sets): rates whose
+    # denominator is 0 are defined as 0, matching the oracle SQL
+    tpr = F.when(tp + fn == 0, F.lit(0.0)).otherwise(tp / (tp + fn))
+    tnr = F.when(tn + fp == 0, F.lit(0.0)).otherwise(tn / (tn + fp))
+    fpr = F.when(fp + tn == 0, F.lit(0.0)).otherwise(fp / (fp + tn))
     return cm.select(
         F.round((tp + tn) / (tp + tn + fp + fn), 6).alias("acc"),
         F.round(tpr, 6).alias("tpr"),

@@ -19,7 +19,15 @@ from __future__ import annotations
 
 from pyspark.ml import Estimator, Model
 from pyspark.ml.param import Param, Params, TypeConverters
-from pyspark.sql import DataFrame
+from pyspark.ml.util import (
+    DefaultParamsReader,
+    DefaultParamsWriter,
+    MLReadable,
+    MLReader,
+    MLWritable,
+    MLWriter,
+)
+from pyspark.sql import DataFrame, SparkSession
 
 from chi_frbcs_bigdatacs_spark.fuzzy.estimator import (
     ChiFRBCSClassifier as _EngineEstimator,
@@ -100,7 +108,30 @@ class ChiFRBCS(Estimator, _ChiParams):
         return model
 
 
-class ChiFRBCSModel(Model):
+class _ChiModelWriter(MLWriter):
+    """MLWriter so PipelineModel.save works: writes DefaultParams
+    metadata (class name + uid, what PipelineModelReader dispatches
+    on) alongside the engine model's rules parquet + params JSON."""
+
+    def __init__(self, instance: "ChiFRBCSModel"):
+        super().__init__()
+        self.instance = instance
+
+    def saveImpl(self, path: str) -> None:
+        DefaultParamsWriter.saveMetadata(self.instance, path, self.sc)
+        self.instance.engine.save(path)
+
+
+class _ChiModelReader(MLReader):
+    def load(self, path: str) -> "ChiFRBCSModel":
+        metadata = DefaultParamsReader.loadMetadata(path, self.sc)
+        spark = SparkSession.getActiveSession()
+        model = ChiFRBCSModel(_EngineModel.load(spark, path))
+        model._resetUid(metadata["uid"])
+        return model
+
+
+class ChiFRBCSModel(Model, MLWritable, MLReadable):
     """Pipeline-compatible fitted model (rules + default class)."""
 
     def __init__(self, engine_model: _EngineModel):
@@ -114,9 +145,23 @@ class ChiFRBCSModel(Model):
     def rules(self) -> list[tuple]:
         return self.engine.rules_rows
 
+    def write(self) -> MLWriter:
+        return _ChiModelWriter(self)
+
+    @classmethod
+    def read(cls) -> MLReader:
+        return _ChiModelReader()
+
     def save(self, path: str) -> None:
+        # direct engine-format save (no ml metadata); load() accepts
+        # both layouts since the metadata rides in a sibling subdir
         self.engine.save(path)
 
     @classmethod
-    def load(cls, spark, path: str) -> "ChiFRBCSModel":
-        return cls(_EngineModel.load(spark, path))
+    def load(cls, spark_or_path, path: str | None = None) -> "ChiFRBCSModel":
+        """Accepts load(spark, path) (engine style) or load(path)
+        (pyspark.ml MLReadable style)."""
+        if path is None:
+            p = spark_or_path
+            return cls.read().load(p)
+        return cls(_EngineModel.load(spark_or_path, path))

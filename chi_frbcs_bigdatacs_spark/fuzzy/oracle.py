@@ -178,15 +178,19 @@ acpred AS (
 )"""
 
 
-_METRICS_TAIL = """
-SELECT {fold_col}
+# rates with a zero denominator (single-class scored set) are defined
+# as 0 on BOTH engines — mirrors metrics.py's degenerate-input guards
+_TPR_SQL = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END"
+_TNR_SQL = "CASE WHEN tn + fp = 0 THEN 0.0 ELSE CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) END"
+_FPR_SQL = "CASE WHEN fp + tn = 0 THEN 0.0 ELSE CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE) END"
+
+_METRICS_TAIL = f"""
+SELECT {{fold_col}}
   round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS acc,
-  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS tpr,
-  round(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) AS tnr,
-  round(sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
-           * (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))), 6) AS gm,
-  round((1.0 + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
-             - CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)) / 2.0, 6) AS auc
+  round({_TPR_SQL}, 6) AS tpr,
+  round({_TNR_SQL}, 6) AS tnr,
+  round(sqrt(({_TPR_SQL}) * ({_TNR_SQL})), 6) AS gm,
+  round((1.0 + {_TPR_SQL} - {_FPR_SQL}) / 2.0, 6) AS auc
 FROM m"""
 
 
@@ -398,8 +402,9 @@ mctot AS (SELECT count(*) AS n FROM wrpred),
 mcpc AS (
   SELECT p.label, p.n_c, p.tp_c, COALESCE(b.p_c, 0) AS p_c, t.n,
          CAST(p.tp_c AS DOUBLE) / CAST(p.n_c AS DOUBLE) AS rec,
-         CAST(COALESCE(b.p_c, 0) - p.tp_c AS DOUBLE)
-           / CAST(t.n - p.n_c AS DOUBLE) AS fpr
+         CASE WHEN t.n = p.n_c THEN 0.0
+              ELSE CAST(COALESCE(b.p_c, 0) - p.tp_c AS DOUBLE)
+                     / CAST(t.n - p.n_c AS DOUBLE) END AS fpr
   FROM mcper p LEFT JOIN mcbyp b ON p.label = b.prediction CROSS JOIN mctot t
 )"""
 
@@ -447,7 +452,7 @@ def crossval_multiclass_sql(
 def metrics_sql(fixture_sql: str, parts: FuzzyPartitions) -> str:
     return (
         scoring_ctes(fixture_sql, parts)
-        + """,
+        + f""",
 m AS (
   SELECT
     sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
@@ -458,11 +463,9 @@ m AS (
 )
 SELECT
   round(CAST(tp + tn AS DOUBLE) / CAST(tp + tn + fp + fn AS DOUBLE), 6) AS acc,
-  round(CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE), 6) AS tpr,
-  round(CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE), 6) AS tnr,
-  round(sqrt((CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE))
-           * (CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE))), 6) AS gm,
-  round((1.0 + CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE)
-             - CAST(fp AS DOUBLE) / CAST(fp + tn AS DOUBLE)) / 2.0, 6) AS auc
+  round({_TPR_SQL}, 6) AS tpr,
+  round({_TNR_SQL}, 6) AS tnr,
+  round(sqrt(({_TPR_SQL}) * ({_TNR_SQL})), 6) AS gm,
+  round((1.0 + {_TPR_SQL} - {_FPR_SQL}) / 2.0, 6) AS auc
 FROM m"""
     )

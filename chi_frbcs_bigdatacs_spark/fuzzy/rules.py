@@ -160,7 +160,10 @@ def _match_degree(rules_prefix: str, parts: FuzzyPartitions):
 
 
 def candidate_cells(
-    fuzz: DataFrame, parts: FuzzyPartitions, keys: list[str] | None = None
+    fuzz: DataFrame,
+    parts: FuzzyPartitions,
+    keys: list[str] | None = None,
+    pad_unmatched: bool = False,
 ) -> DataFrame:
     """Explode each example into its matching antecedent cells.
 
@@ -173,7 +176,20 @@ def candidate_cells(
     aggregation and scoring is ONE broadcast equi-join on the cell
     key — both map-side combinable and skew-splittable by AQE.
 
-    Output: keys..., id, label, l1..ld (cell labels), mu (>0).
+    pad_unmatched (the SCORING path sets it): a null feature value or
+    out-of-vocab nominal code has an all-zero/null membership array,
+    so the per-feature candidate list is empty and a plain explode
+    would drop the example entirely. Padding emits a sentinel
+    (label 0, mu 0) instead — label 0 can never equi-join a rule
+    (rule labels are 1-based), so the example flows through to the
+    argmax as unmatched and takes the default class, exactly like the
+    oracle's LEFT JOIN. The BUILD path keeps pad_unmatched=False:
+    training inputs are null-free by contract (read_keel drops `?`
+    rows; engine policy na.drop, SURVEY §1), and a sentinel there
+    would fabricate rule statistics.
+
+    Output: keys..., id, label, l1..ld (cell labels), mu (>0; or the
+    padded mu=0 sentinel row).
     """
     keys = keys or []
     d = len(parts.features)
@@ -188,6 +204,11 @@ def candidate_cells(
             ),
             lambda s: s["m"] > 0,
         )
+        if pad_unmatched:
+            sentinel = F.array(
+                F.struct(F.lit(0).cast("int").alias("l"), F.lit(0.0).alias("m"))
+            )
+            cands = F.when(F.size(cands) > 0, cands).otherwise(sentinel)
         out = out.withColumn(f"_c{i}", F.explode(cands))
     mu = reduce(lambda a, b: a * b, [F.col(f"_c{i}.m") for i in range(d)])
     return out.select(

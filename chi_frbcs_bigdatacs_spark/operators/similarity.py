@@ -162,10 +162,16 @@ NEARDUP_COS_THRESHOLD = 0.6
 
 
 def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded sign-LSH near-dup, exchange-slim: the band/bucket join
+    and the multi-band-collision distinct carry ONLY (band, sig,
+    vec_id) — never the 64-float embedding — and the wide payload is
+    re-joined once per side AFTER pair dedup. At 100 TB the candidate
+    self-join and distinct are the big shuffles; keeping them to
+    ~12 bytes/row instead of ~520 cuts exchange volume ~40x, and the
+    two payload re-joins shuffle only |deduped pairs| rows."""
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     banded = emb.select(
         "vec_id",
-        "embedding",
         F.explode(
             F.array(
                 *[
@@ -177,15 +183,18 @@ def q_embed_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("bs"),
-    ).select("vec_id", "embedding", "bs.band", "bs.sig")
-    a = banded.select("band", "sig", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = banded.select("band", "sig", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cand = (
+    ).select("vec_id", "bs.band", "bs.sig")
+    a = banded.select("band", "sig", F.col("vec_id").alias("vec_a"))
+    b = banded.select("band", "sig", F.col("vec_id").alias("vec_b"))
+    pairs = (
         a.join(b, ["band", "sig"])
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", "ea", "eb")
-        .distinct()  # dedupe multi-band collisions before scoring
+        .select("vec_a", "vec_b")
+        .distinct()  # dedupe multi-band collisions on id pairs only
     )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cand = pairs.join(ea, "vec_a").join(eb, "vec_b")
     cos = _dot_col("ea", "eb") / (F.sqrt(_norm2_col("ea")) * F.sqrt(_norm2_col("eb")))
     return (
         cand.withColumn("cosine", F.round(cos, 6))

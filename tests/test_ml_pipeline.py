@@ -45,3 +45,45 @@ def test_ml_model_matches_engine_model(spark, tmp_path):
     a = ml_model.transform(df).toPandas().sort_values("id", ignore_index=True)
     b = loaded.transform(df).toPandas().sort_values("id", ignore_index=True)
     assert a.equals(b)
+
+
+def test_pipeline_model_persistence(spark, tmp_path):
+    """Full pyspark.ml PipelineModel.save -> PipelineModel.load round
+    trip (requires the model stage to be MLWritable/MLReadable), then
+    transform equality against the in-memory model."""
+    from pyspark.ml import PipelineModel
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.ml import ChiFRBCS
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    pipe = Pipeline(stages=[ChiFRBCS(parts=LINEITEM_CLF_PARTITIONS)])
+    model = pipe.fit(df)
+    p = str(tmp_path / "pipe_model")
+    model.write().overwrite().save(p)
+    loaded = PipelineModel.load(p)
+    a = model.transform(df).toPandas().sort_values("id", ignore_index=True)
+    b = loaded.transform(df).toPandas().sort_values("id", ignore_index=True)
+    assert a.equals(b)
+
+
+def test_scoring_null_features_get_default_class(spark):
+    """A null/out-of-vocab feature value gives an all-zero membership
+    array; scoring must emit the DEFAULT class for such rows (like the
+    oracle's LEFT JOIN), never silently drop them."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    model = ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+    nulled = spark.createDataFrame(
+        [(1, None, 100.0, 0.5, 10.0, 0), (2, 3.0, None, 0.5, 10.0, 1)],
+        "id long, f1 double, f2 double, f3 double, f4 double, label int",
+    )
+    out = {r["id"]: r["prediction"] for r in model.transform(nulled).collect()}
+    assert set(out) == {1, 2}, "null-feature rows must not be dropped"
+    assert all(p == model.default_cls for p in out.values())
