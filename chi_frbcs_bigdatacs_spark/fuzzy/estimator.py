@@ -319,13 +319,17 @@ class ChiFRBCSClassifier:
     _base: DataFrame | None = field(default=None, repr=False)
 
     def fit(self, df: DataFrame, _retain_fuzz: bool = False) -> ChiFRBCSModel:
-        """Two Spark jobs total: (1) class counts (tiny agg, collected
-        — gives the CS cost vector AND the default class driver-side),
-        (2) the rule build (cells explosion -> one hash aggregation ->
-        tiny joins -> collect/persist). Only the NARROW repartitioned
-        input is cached; membership arrays are recomputed per pass —
-        they are pure codegen arithmetic, far cheaper at 100 TB than
-        caching d wide array columns."""
+        """ONE heavy Spark job: the bounded cell explosion aggregated
+        into per-(cell, class) statistics (R.raw_rule_stats — map-side
+        combined, <= L^d x classes output rows). Class counts (= sum
+        of generated-cell flags), CS costs, the default class, PCF
+        weights, and conflict resolution all derive from that tiny
+        aggregate — computed on a collected-and-recreated LOCAL
+        DataFrame so the weight arithmetic/rounding exprs are the very
+        ones the distributed path and the DuckDB oracle use. Only the
+        NARROW repartitioned input is cached; membership arrays are
+        recomputed per pass — pure codegen arithmetic, far cheaper at
+        100 TB than caching d wide array columns."""
         self.release()  # drop any cache pinned by a previous fit
         _release_retained()  # ... including by OTHER estimator instances
         spark = df.sparkSession
@@ -334,60 +338,73 @@ class ChiFRBCSClassifier:
         # membership arrays are computed in parallel, not shuffled
         base = df.repartition(n).persist()
 
-        # job 1: class counts (per emulation bucket when requested) —
-        # bounded by |buckets| x |classes| rows, always driver-safe
+        keys: list[str] = []
+        fz = R.with_antecedent(R.fuzzify(base, self.parts), self.parts)
         if self.num_buckets is not None:
-            cdf = base.groupBy(
-                (F.col("id") % self.num_buckets).cast("int").alias("bucket"), "label"
-            ).agg(F.count(F.lit(1)).alias("n"))
-        else:
-            cdf = base.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
-        crows = cdf.collect()
-        if not crows:
+            fz = fz.withColumn(
+                "bucket", (F.col("id") % self.num_buckets).cast("int")
+            )
+            keys = ["bucket"]
+        ants = [R.label_col(i) for i in range(len(self.parts.features))]
+        raw = R.raw_rule_stats(fz, self.parts, keys)
+
+        def _empty() -> ValueError:
             base.unpersist()
-            raise ValueError(
+            return ValueError(
                 "ChiFRBCSClassifier.fit: empty training set (no rows after "
                 "validity filtering) — cannot derive costs or a default class"
             )
-        # default class = most frequent overall; ties -> lowest class id
+
+        def _post(raw_df: DataFrame, crows) -> DataFrame:
+            """O5 costs + O8/O9 (+O11 fusion) on the tiny aggregate."""
+            cost_col = R.cost_literal(crows, self.cost_mode, bucketed=bool(keys))
+            rules = R.weights_from_raw(
+                raw_df, self.parts, keys, resolve=True, cost_col=cost_col
+            )
+            if keys:
+                rules = (
+                    R.merge_max(rules, ants)
+                    if self.merge_policy == "max"
+                    else R.merge_avg(rules, ants)
+                )
+            return rules.select(*ants, "cls", "weight")
+
+        if self.collect_rules:
+            raw_rows = raw.collect()  # THE heavy job; tiny result
+            if not raw_rows:
+                raise _empty()
+            counts: dict[tuple, int] = {}
+            for r in raw_rows:
+                k = (r["bucket"] if keys else None, r["label"])
+                counts[k] = counts.get(k, 0) + r["n_gen"]
+            crows = [
+                {"bucket": b, "label": lab, "n": cnt}
+                for (b, lab), cnt in counts.items()
+            ]
+            local = spark.createDataFrame(raw_rows, schema=raw.schema)
+            rows: list[tuple] | None = [
+                tuple(r) for r in _post(local, crows).collect()
+            ]
+            rdf: DataFrame | None = None
+        else:
+            # scale path: the aggregate stays a persisted DataFrame
+            # (never on the driver); the rule base is materialized
+            # distributed and scoring broadcast-joins it
+            raw = raw.persist()
+            crows = raw.groupBy(*keys, "label").agg(
+                F.sum("n_gen").alias("n")
+            ).collect()  # tiny; materializes the raw cache
+            if not crows:
+                raw.unpersist()
+                raise _empty()
+            rows = None
+            rdf = _post(raw, crows).persist()
+            rdf.count()
+            raw.unpersist()
         glob: dict[int, int] = {}
         for r in crows:
             glob[r["label"]] = glob.get(r["label"], 0) + r["n"]
         default_cls = min(glob, key=lambda c: (-glob[c], c))
-        cost_col = R.cost_literal(
-            crows, self.cost_mode, bucketed=self.num_buckets is not None
-        )
-
-        fz = R.with_antecedent(R.fuzzify(base, self.parts), self.parts)
-        ants = [R.label_col(i) for i in range(len(self.parts.features))]
-        if self.num_buckets is None:
-            rules = R.build_rules(
-                fz, self.parts, resolve=True, prefuzzified=True, cost_col=cost_col
-            )
-        else:
-            partials = R.build_rules(
-                fz,
-                self.parts,
-                num_buckets=self.num_buckets,
-                resolve=True,
-                prefuzzified=True,
-                cost_col=cost_col,
-            )
-            rules = (
-                R.merge_max(partials, ants)
-                if self.merge_policy == "max"
-                else R.merge_avg(partials, ants)
-            )
-        rules = rules.select(*ants, "cls", "weight")
-        if self.collect_rules:
-            rows: list[tuple] | None = [tuple(r) for r in rules.collect()]
-            rdf: DataFrame | None = None
-        else:
-            # scale path: materialize the rule base as a persisted
-            # DataFrame (not collected); scoring broadcast-joins it
-            rows = None
-            rdf = rules.persist()
-            rdf.count()
         if _retain_fuzz:
             self._base = base  # reusable for resubstitution scoring
             _RETAINED_FUZZ.append(base)

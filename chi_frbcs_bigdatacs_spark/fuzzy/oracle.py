@@ -64,7 +64,6 @@ def chi_ctes(
     r_ant_list = ", ".join(f"l{i + 1} AS r_l{i + 1}" for i in range(len(ants)))
     mu_prod = _mu_product(parts)
     stats_keys = (("r.bucket, " if b else "") + ", ".join(f"r.r_{a}" for a in ants))
-    bucket_eq_cost = " AND f.bucket = c.bucket" if b else ""
     ants_join = (
         "JOIN ants r ON r.bucket = f.bucket" if b else "CROSS JOIN ants r"
     )
@@ -98,15 +97,16 @@ ants AS (
 ),
 stats AS (
   SELECT {stats_keys.replace('r.r_', 'r.r_')}, f.label AS cls,
-         sum({mu_prod} * c.cost) AS s
+         sum({mu_prod}) AS sraw
   FROM fz f
-  JOIN costs c ON f.label = c.label{bucket_eq_cost}
   {ants_join}
   WHERE {mu_prod} > 0
   GROUP BY {('r.bucket, ' if b else '') + ', '.join('r.r_' + a for a in ants)}, f.label
 ),
 statsr AS (
-  SELECT {('bucket, ' if b else '')}{', '.join(f'r_{a} AS {a}' for a in ants)}, cls, s FROM stats
+  SELECT {('st.bucket, ' if b else '')}{', '.join(f'st.r_{a} AS {a}' for a in ants)}, st.cls,
+         c.cost * st.sraw AS s
+  FROM stats st JOIN costs c ON st.cls = c.label{' AND st.bucket = c.bucket' if b else ''}
 ),
 tot AS (
   SELECT {bcol}{ant_list}, sum(s) AS stot FROM statsr GROUP BY {bcol}{ant_list}

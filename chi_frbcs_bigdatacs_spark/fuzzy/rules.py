@@ -164,6 +164,7 @@ def candidate_cells(
     parts: FuzzyPartitions,
     keys: list[str] | None = None,
     pad_unmatched: bool = False,
+    gen_flag: bool = False,
 ) -> DataFrame:
     """Explode each example into its matching antecedent cells.
 
@@ -188,8 +189,20 @@ def candidate_cells(
     rows; engine policy na.drop, SURVEY §1), and a sentinel there
     would fabricate rule statistics.
 
+    gen_flag (the BUILD path sets it): also emit `is_gen` — true on
+    exactly the one cell per example that equals the example's argmax
+    antecedent (the rule the example GENERATES, O7). Requires the
+    input to carry the argmax columns l1..ld (with_antecedent).
+    Aggregating sum(is_gen) per (cell, class) yields both the
+    candidate-rule set (n_gen > 0) and the per-class example counts
+    (sum of n_gen), so the whole O5+O7+O8 statistics need ONE pass
+    over the data. Every valid training row has membership > 0 at its
+    argmax cell (triangular shoulders cover the numeric domain;
+    in-vocab nominals are crisp 1), so the flag never vanishes for
+    contract-clean (null-free, in-vocab) inputs — SURVEY §1 policy.
+
     Output: keys..., id, label, l1..ld (cell labels), mu (>0; or the
-    padded mu=0 sentinel row).
+    padded mu=0 sentinel row)[, is_gen].
     """
     keys = keys or []
     d = len(parts.features)
@@ -211,13 +224,91 @@ def candidate_cells(
             cands = F.when(F.size(cands) > 0, cands).otherwise(sentinel)
         out = out.withColumn(f"_c{i}", F.explode(cands))
     mu = reduce(lambda a, b: a * b, [F.col(f"_c{i}.m") for i in range(d)])
+    extra = []
+    if gen_flag:
+        is_gen = reduce(
+            lambda a, b: a & b,
+            [F.col(f"_c{i}.l") == F.col(label_col(i)) for i in range(d)],
+        )
+        extra = [is_gen.alias("is_gen")]
     return out.select(
         *keys,
         "id",
         "label",
         *[F.col(f"_c{i}.l").alias(label_col(i)) for i in range(d)],
         mu.alias("mu"),
+        *extra,
     )
+
+
+def raw_rule_stats(
+    fz: DataFrame,
+    parts: FuzzyPartitions,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """The ONE heavy pass of the build: aggregate the bounded cell
+    explosion into per-(cell, class) statistics.
+
+    Output (tiny: <= data-touched L^d cells x classes rows):
+      keys..., l1..ld, label, sraw (= sum of matching degrees of
+      class-`label` examples on this cell), n_gen (= examples whose
+      argmax antecedent IS this cell, O7).
+
+    Everything else in the build (class counts = sum of n_gen, CS
+    costs, PCF weights, conflict resolution) derives from this output
+    without touching the examples again — costs scale per-CLASS sums,
+    so multiplying after the aggregation is algebraically identical
+    and saves the per-row cost multiply + the separate candidate-pair
+    distinct pass over the data.
+    """
+    keys = keys or []
+    ants = [label_col(i) for i in range(len(parts.features))]
+    cells = candidate_cells(fz, parts, keys, gen_flag=True)
+    return cells.groupBy(*keys, *ants, "label").agg(
+        F.sum("mu").alias("sraw"),
+        F.sum(F.col("is_gen").cast("long")).alias("n_gen"),
+    )
+
+
+def weights_from_raw(
+    raw: DataFrame,
+    parts: FuzzyPartitions,
+    keys: list[str] | None = None,
+    resolve: bool = True,
+    cost_mode: str | dict = "cs",
+    cost_col=None,
+) -> DataFrame:
+    """O8+O9 on the aggregated statistics (tiny input — distributed or
+    a collected-and-recreated local DataFrame; the same plan serves
+    both). PCF-CS: RW = (2 s_c - stot)/stot with s_c = cost(c) * sraw_c
+    [FSS258 §3.2]; candidate (antecedent, class) pairs are the groups
+    some example generated (n_gen > 0, O7)."""
+    keys = keys or []
+    ants = [label_col(i) for i in range(len(parts.features))]
+    if cost_col is None:
+        counts = raw.groupBy(*keys, "label").agg(F.sum("n_gen").alias("n"))
+        costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
+        sdf = raw.join(F.broadcast(costs), keys + ["label"])
+        sdf = sdf.withColumn("s", F.col("cost") * F.col("sraw"))
+    else:
+        sdf = raw.withColumn("s", cost_col * F.col("sraw"))
+    tot = sdf.groupBy(*keys, *ants).agg(F.sum("s").alias("stot"))
+    rw = (
+        sdf.filter(F.col("n_gen") > 0)
+        .join(tot, keys + ants)
+        .withColumn(
+            "weight",
+            F.round(
+                (F.lit(2.0) * F.col("s") - F.col("stot")) / F.col("stot"),
+                WEIGHT_DECIMALS,
+            ),
+        )
+        .withColumnRenamed("label", "cls")
+        .select(*keys, *ants, "cls", "weight")
+    )
+    if not resolve:
+        return rw
+    return resolve_conflicts(rw, ants, keys)
 
 
 def build_rules(
@@ -235,57 +326,25 @@ def build_rules(
     (antecedent, class) if resolve=False, else one row per antecedent
     (the max-weight rule, ties -> lowest class id).
 
+    Physical shape: ONE pass over the examples (raw_rule_stats: cell
+    explosion -> map-side-combined hash aggregation), then O8/O9 on
+    the tiny aggregate. No candidate-distinct pass, no per-row cost
+    multiply, no examples x rules join.
+
     Emulation mode uses a STABLE bucket `id % num_buckets` (never
     spark_partition_id, which is nondeterministic) so the reference's
     per-split statistics [FSS258 §4.1] are reproducible and
     oracle-checkable.
     """
-    ants = [label_col(i) for i in range(len(parts.features))]
     keys: list[str] = []
     fz = df if prefuzzified else with_antecedent(fuzzify(df, parts), parts)
     if num_buckets is not None:
         fz = fz.withColumn("bucket", (F.col("id") % num_buckets).cast("int"))
         keys = ["bucket"]
-
-    # candidate (antecedent, class) pairs actually generated by data
-    cand = fz.select(*keys, *ants, F.col("label").alias("cls")).distinct()
-
-    # matching-degree stats: sum over examples of mu_A(x) * cost(cls(x)),
-    # per (antecedent cell, example-class). Cells come from the bounded
-    # per-example explosion (<=2^d rows each), so this is a single
-    # map-side-combining hash aggregation — no examples x rules join.
-    cells = candidate_cells(fz, parts, keys)
-    if cost_col is not None:
-        # caller supplied the cost vector as a literal expression
-        # (driver-side class counts) — no broadcast-join exchange
-        ex = cells.withColumn("cost", cost_col)
-    else:
-        counts = class_counts(fz, keys)
-        costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
-        ex = cells.join(F.broadcast(costs), keys + ["label"])
-    stats = (
-        ex.groupBy(*keys, *ants, "label")
-        .agg(F.sum(F.col("mu") * F.col("cost")).alias("s"))
-        .withColumnRenamed("label", "cls")
+    raw = raw_rule_stats(fz, parts, keys)
+    return weights_from_raw(
+        raw, parts, keys, resolve=resolve, cost_mode=cost_mode, cost_col=cost_col
     )
-    tot = stats.groupBy(*keys, *ants).agg(F.sum("s").alias("stot"))
-
-    # PCF-CS: RW = (s_c - (stot - s_c)) / stot = (2 s_c - stot)/stot
-    rw = (
-        cand.join(stats, keys + ants + ["cls"])
-        .join(tot, keys + ants)
-        .withColumn(
-            "weight",
-            F.round(
-                (F.lit(2.0) * F.col("s") - F.col("stot")) / F.col("stot"),
-                WEIGHT_DECIMALS,
-            ),
-        )
-        .select(*keys, *ants, "cls", "weight")
-    )
-    if not resolve:
-        return rw
-    return resolve_conflicts(rw, ants, keys)
 
 
 def resolve_conflicts(

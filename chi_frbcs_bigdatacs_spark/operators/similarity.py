@@ -99,9 +99,17 @@ SIMSEARCH_TOPK_SQL = _cosine_sql("ORDER BY cosine DESC, vec_id ASC\nLIMIT 10")
 # TEST-ONLY exact baseline: O(n^2) cartesian — kept as the oracle for
 # recall measurement at fixture scale. The DEFAULT near-dup path at
 # scale is `embed_neardup_lsh` below (in-bucket pairs only); this
-# cartesian plan must never run at 100 TB.
+# cartesian plan must never run at 100 TB: the input is HARD-CAPPED to
+# the first NEARDUP_EXACT_CAP vec_ids on both engines, so the plan is
+# O(cap^2) at any sf the driver runs it at (cap covers all of sf0.01,
+# where the hash-check happens).
+NEARDUP_EXACT_CAP = 1000
+
+
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < NEARDUP_EXACT_CAP
+    )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
     pairs = a.crossJoin(b).filter(F.col("vec_a") < F.col("vec_b"))
@@ -120,6 +128,7 @@ SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
              / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
                 * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cosine
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id < {NEARDUP_EXACT_CAP} AND b.vec_id < {NEARDUP_EXACT_CAP}
 ORDER BY cosine DESC, vec_a ASC, vec_b ASC
 LIMIT 20
 """
