@@ -282,20 +282,39 @@ def weights_from_raw(
     a collected-and-recreated local DataFrame; the same plan serves
     both). PCF-CS: RW = (2 s_c - stot)/stot with s_c = cost(c) * sraw_c
     [FSS258 §3.2]; candidate (antecedent, class) pairs are the groups
-    some example generated (n_gen > 0, O7)."""
+    some example generated (n_gen > 0, O7).
+
+    Physical shape: class counts (sum of n_gen), CS costs (maxn/n),
+    and the per-antecedent total stot are WINDOW aggregates over the
+    single `raw` stream, not groupBy+self-join — a self-join would
+    reference the heavy upstream lineage several times, and Spark
+    re-executes unshared subtrees (no exchange reuse materializes
+    across the differing aggregations), tripling the one pass the
+    build is supposed to make. Windows keep the lineage
+    single-reference; they shuffle only the tiny aggregate."""
     keys = keys or []
     ants = [label_col(i) for i in range(len(parts.features))]
+    from pyspark.sql.window import Window
+
+    if cost_col is None and (isinstance(cost_mode, dict) or cost_mode == "none"):
+        cost_col = cost_literal([], cost_mode)
     if cost_col is None:
-        counts = raw.groupBy(*keys, "label").agg(F.sum("n_gen").alias("n"))
-        costs = with_costs(counts, keys, cost_mode).select(*keys, "label", "cost")
-        sdf = raw.join(F.broadcast(costs), keys + ["label"])
-        sdf = sdf.withColumn("s", F.col("cost") * F.col("sraw"))
+        # CS costs from the aggregate itself: n_c = sum of generated-
+        # cell flags (each example flags exactly one cell), maxn over
+        # the (bucket) scope; cost = maxn / n_c — same doubles as
+        # with_costs (CAST both operands, then divide).
+        sdf = raw.withColumn(
+            "n", F.sum("n_gen").over(Window.partitionBy(*keys, "label"))
+        ).withColumn("maxn", F.max("n").over(Window.partitionBy(*keys)))
+        cost = F.col("maxn").cast("double") / F.col("n").cast("double")
+        sdf = sdf.withColumn("s", cost * F.col("sraw"))
     else:
         sdf = raw.withColumn("s", cost_col * F.col("sraw"))
-    tot = sdf.groupBy(*keys, *ants).agg(F.sum("s").alias("stot"))
+    sdf = sdf.withColumn(
+        "stot", F.sum("s").over(Window.partitionBy(*keys, *ants))
+    )
     rw = (
         sdf.filter(F.col("n_gen") > 0)
-        .join(tot, keys + ants)
         .withColumn(
             "weight",
             F.round(
