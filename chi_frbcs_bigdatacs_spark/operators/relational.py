@@ -928,6 +928,130 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey 
 """
 
 
+# --- §2b aggregations: explicit GROUPING SETS ------------------------------
+# Shared-text ANSI SQL: the SAME string runs through Spark SQL and
+# DuckDB (both implement GROUPING SETS + grouping()); partial totals
+# per (returnflag, linestatus), per returnflag, and grand total, with
+# grouping flags distinguishing the NULL-label levels. Physically one
+# Expand + single hash aggregation in Spark — the same partial+final
+# shape as a plain groupBy, scaled by the number of sets.
+AGG_GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(grouping(l_returnflag) AS INT) AS g_rf,
+       CAST(grouping(l_linestatus) AS INT) AS g_ls,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def _grouping_sets_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(AGG_GROUPING_SETS_SQL)
+
+
+# --- §2b windows: batch sessionization (gaps-and-islands) ------------------
+# The batch counterpart of stream_session: a new session starts when
+# the gap to the previous event of the same user is >= 30 minutes;
+# sessions = running sum of session starts. One shuffle on user_id
+# serves both window passes (same partitioning), then the per-session
+# rollup re-aggregates the islands — the classic sessionization shape
+# for event logs at scale. Gap comparison is integer micros on both
+# engines (exact).
+def q_window_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_us = F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(
+        lag_us.isNull()
+        | (F.unix_micros(F.col("ts")) - lag_us >= 30 * 60 * 1_000_000),
+        1,
+    ).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = ev.withColumn("ns", new_session).withColumn("sid", F.sum("ns").over(run))
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.count(F.lit(1)).alias("n_events"),
+    ).select("user_id", "session_start", "n_events")
+
+
+WINDOW_SESSION_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(min(ts) AS TIMESTAMP_NS) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+# --- §2b joins: bucketed co-located fact-fact join -------------------------
+# The 100 TB lever for REPEATED fact-fact joins: both sides are
+# written once as bucketed tables (8 buckets, hash(l_orderkey)), so
+# every subsequent join on the bucket key plans with NO shuffle
+# exchange — each task reads matching bucket files from both sides
+# (sortBy makes the merge sort nearly free too). The staged tables
+# are external (temp dir, removed at exit) and memoized per sf.
+_BUCKETED_STAGED: set[str] = set()
+
+
+def _bucketed_name(sf_dir: str, table: str) -> str:
+    tag = "".join(ch if ch.isalnum() else "_" for ch in sf_dir)
+    return f"chi_bucketed_{table}_{tag}"
+
+
+def q_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    if sf_dir not in _BUCKETED_STAGED:
+        for table, key, cols in (
+            ("lineitem", "l_orderkey", ["l_orderkey", "l_quantity", "l_extendedprice"]),
+            ("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+        ):
+            name = _bucketed_name(sf_dir, table)
+            path = staged_dir(f"bucketed_{table}", sf_dir, lambda d: None)
+            (
+                load_table(spark, sf_dir, table)
+                .select(*cols)
+                .write.mode("overwrite")
+                .option("path", f"{path}/{table}")
+                .bucketBy(8, key)
+                .sortBy(key)
+                .saveAsTable(name)
+            )
+        _BUCKETED_STAGED.add(sf_dir)
+    li = spark.table(_bucketed_name(sf_dir, "lineitem"))
+    o = spark.table(_bucketed_name(sf_dir, "orders"))
+    j = li.hint("merge").join(o, li["l_orderkey"] == o["o_orderkey"])
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+
+
+JOIN_BUCKETED_SQL = """
+SELECT o_orderpriority, count(*) AS n,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def register_all() -> None:
     register("scalar_string_funcs", q_scalar_string, SCALAR_STRING_SQL)
     register("scalar_math_funcs", q_scalar_math, SCALAR_MATH_SQL)
@@ -935,6 +1059,9 @@ def register_all() -> None:
     register("window_distribution", q_window_distribution, WINDOW_DISTRIBUTION_SQL)
     register("agg_value_stats", q_agg_value_stats, AGG_VALUE_STATS_SQL)
     register("join_asof", q_join_asof, JOIN_ASOF_SQL)
+    register("agg_grouping_sets", _grouping_sets_query, AGG_GROUPING_SETS_SQL)
+    register("window_session", q_window_session, WINDOW_SESSION_SQL)
+    register("join_bucketed", q_join_bucketed, JOIN_BUCKETED_SQL)
     register("unpivot_measures", q_unpivot, UNPIVOT_SQL)
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
     register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)

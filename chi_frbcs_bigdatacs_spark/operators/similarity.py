@@ -419,9 +419,68 @@ LIMIT 10
 """
 
 
+# --- batched exact top-k: many queries against one scan --------------------
+# The production access pattern is a BATCH of query vectors, not one:
+# broadcast the (tiny) query set against a single candidate scan and
+# rank per query — one pass over the data for Q queries instead of Q
+# passes. Ranking happens on the 6dp-rounded cosine so both engines
+# order identical values; ties break on vec_id. At 100 TB the same
+# shape applies after an IVF/LSH candidate cut (simsearch_ivf*); this
+# is the exact batched baseline.
+N_BATCH_QUERIES = 8
+TOPK_PER_QUERY = 5
+
+
+def q_simsearch_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_BATCH_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    j = emb.select("vec_id", "embedding").crossJoin(F.broadcast(q)).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    cos = _dot_col("embedding", "qvec") / (
+        F.sqrt(_norm2_col("embedding")) * F.sqrt(_norm2_col("qvec"))
+    )
+    scored = j.select("qid", "vec_id", F.round(cos, 6).alias("cosine"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOPK_PER_QUERY)
+        .select("qid", "vec_id", "cosine", F.col("rn").cast("long").alias("rank"))
+    )
+
+
+SIMSEARCH_TOPK_BATCH_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id < {N_BATCH_QUERIES}
+),
+scored AS (
+  SELECT q.qid, e.vec_id,
+         round(({_dot_sql('e.embedding', 'q.qvec')})
+               / (sqrt({_dot_sql('e.embedding', 'e.embedding')})
+                  * sqrt({_dot_sql('q.qvec', 'q.qvec')})), 6) AS cosine
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM scored
+)
+SELECT qid, vec_id, cosine, CAST(rn AS BIGINT) AS rank
+FROM ranked WHERE rn <= {TOPK_PER_QUERY}
+"""
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
+    register("simsearch_topk_batch", q_simsearch_topk_batch, SIMSEARCH_TOPK_BATCH_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)
     register("embed_neardup_lsh", q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL)
     register("simsearch_ivf", q_simsearch_ivf, SIMSEARCH_IVF_SQL)

@@ -60,6 +60,13 @@ CHECK_PRIORITY: list[str] = [
     # new round-3 keys register themselves here as they land
     "scan_keel",
     "join_salted_skew",
+    "stream_dedup",
+    "stream_join_static",
+    "agg_grouping_sets",
+    "window_session",
+    "join_bucketed",
+    "simsearch_topk_batch",
+    "embed_neardup",
     "dedup_minhash",
     "embed_neardup_lsh",
     # longest-unchecked rotation: keys whose latest green check is r1

@@ -119,6 +119,73 @@ def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_to_memory(agg)
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming deduplication: drop duplicate (user, event_type,
+    10-minute bucket) observations as they arrive, keeping state only
+    within the watermark (dropDuplicatesWithinWatermark — the bounded-
+    state dedup; a plain dropDuplicates would grow state forever at
+    100 TB/day). Duplicate keys share a bucket, so their event times
+    are within 10 minutes of each other — inside the 1-hour watermark
+    — and the availableNow replay drops nothing late; the surviving
+    key set therefore equals the batch DISTINCT, which is the oracle.
+    Only the key columns are emitted: "first arrival wins" payloads
+    depend on arrival order and would not be deterministic."""
+    ev = _events_stream(spark, sf_dir)
+    keyed = (
+        ev.withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            "event_type",
+            F.window("ts", "10 minutes").start.alias("bucket"),
+            F.col("ts"),
+        )
+        .dropDuplicatesWithinWatermark(["user_id", "event_type", "bucket"])
+        .select("user_id", "event_type", "bucket")
+    )
+    return _run_to_memory(keyed, mode="append")
+
+
+STREAM_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type,
+       CAST(time_bucket(INTERVAL '10 minutes', ts) AS TIMESTAMP_NS) AS bucket
+FROM events
+"""
+
+
+def q_stream_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events stream joins the
+    customer dimension (broadcast — the static side is re-read per
+    micro-batch but never shuffled; the Spark-native shape of a
+    dimension lookup at 100 TB/day), then a watermarked tumbling
+    aggregation per (hour, market segment). Equals the batch
+    join+group oracle under availableNow replay."""
+    ev = _events_stream(spark, sf_dir)
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("hour"), "c_mktsegment", "n", "value_sum"
+        )
+    )
+    return _run_to_memory(agg)
+
+
+STREAM_JOIN_STATIC_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS hour,
+       c_mktsegment, count(*) AS n, round(sum(value), 6) AS value_sum
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY 1, 2
+"""
+
+
 # gaps-and-islands: a new session starts when the gap > 30 minutes
 STREAM_SESSION_SQL = """
 WITH marked AS (
@@ -144,3 +211,5 @@ def register_all() -> None:
     register("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_SQL)
     register("stream_sliding", q_stream_sliding, STREAM_SLIDING_SQL)
     register("stream_session", q_stream_session, STREAM_SESSION_SQL)
+    register("stream_dedup", q_stream_dedup, STREAM_DEDUP_SQL)
+    register("stream_join_static", q_stream_join_static, STREAM_JOIN_STATIC_SQL)

@@ -86,3 +86,37 @@ def test_ngram_jaccard_is_equi_join(spark):
 def test_nominal_scoring_uses_broadcast(spark):
     p = _plan(spark, "classify_wr_nominal")
     assert "BroadcastHashJoin" in p, "nominal rule base not broadcast"
+
+
+def test_bucketed_join_key_has_no_shuffle(spark):
+    """join_bucketed reads pre-bucketed tables: the fact-fact join must
+    plan with NO shuffle exchange before the join (bucket pruning of
+    the exchange is the entire point of the operator)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    df = get_registry()["join_bucketed"].fn(spark, SF_SMALL)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in p, "bucketed join did not plan as SMJ"
+    # plan text is top-down: anything after the SMJ node is its input
+    # subtree — an Exchange there means the bucket layout was ignored
+    below_join = p[p.find("SortMergeJoin"):]
+    assert "Exchange hashpartitioning" not in below_join, (
+        "bucketed join still shuffles its inputs"
+    )
+
+
+def test_build_is_single_pass(spark):
+    """The rule build must reference the heavy cell-explosion lineage
+    exactly ONCE per action: weights/costs/totals are windows over the
+    tiny aggregate, not self-joins that re-execute the pass (each
+    feature contributes one Generate; >d Generates in the final plan
+    means the pass is duplicated)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    df = get_registry()["rulemerge_max"].fn(spark, SF_SMALL)
+    df.write.format("noop").mode("overwrite").save()
+    p = df._jdf.queryExecution().executedPlan().toString()
+    final = p.split("== Initial Plan ==")[0]
+    assert final.count("Generate explode") == 4, (
+        "bucketed build executes the cell explosion more than once"
+    )
