@@ -18,6 +18,7 @@ ruleWeight (PCF-CS via costMode), frm in {wr, ac}, numBucketsEmulated.
 from __future__ import annotations
 
 from pyspark.ml import Estimator, Model
+from pyspark.ml.evaluation import Evaluator
 from pyspark.ml.param import Param, Params, TypeConverters
 from pyspark.ml.util import (
     DefaultParamsReader,
@@ -165,3 +166,30 @@ class ChiFRBCSModel(Model, MLWritable, MLReadable):
             p = spark_or_path
             return cls.read().load(p)
         return cls(_EngineModel.load(spark_or_path, path))
+
+
+class ChiFRBCSEvaluator(Evaluator):
+    """pyspark.ml Evaluator over (label, prediction) outputs — the
+    [FSS258 §4.3] imbalance metrics (acc/tpr/tnr/gm/auc; default GM,
+    the paper's headline). Makes the estimator usable inside
+    pyspark.ml.tuning.CrossValidator / TrainValidationSplit with
+    standard param grids."""
+
+    metricName = Param(
+        Params._dummy(), "metricName", "acc | tpr | tnr | gm | auc",
+        typeConverter=TypeConverters.toString,
+    )
+
+    def __init__(self, metricName: str = "gm"):
+        super().__init__()
+        self._setDefault(metricName="gm")
+        self._set(metricName=metricName)
+
+    def _evaluate(self, dataset: DataFrame) -> float:
+        from chi_frbcs_bigdatacs_spark.fuzzy.metrics import metrics_binary
+
+        row = metrics_binary(dataset.select("label", "prediction")).first()
+        return float(row[self.getOrDefault(self.metricName)])
+
+    def isLargerBetter(self) -> bool:
+        return True

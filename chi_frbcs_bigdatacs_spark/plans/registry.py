@@ -62,6 +62,7 @@ CHECK_PRIORITY: list[str] = [
     "join_salted_skew",
     "stream_dedup",
     "stream_join_static",
+    "stream_sink_files",
     "agg_grouping_sets",
     "window_session",
     "join_bucketed",

@@ -186,6 +186,43 @@ GROUP BY 1, 2
 """
 
 
+def q_stream_sink_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ETL to a partitioned parquet FILE sink (the only
+    durable sink the other streaming keys don't exercise): stream ->
+    stateless project/derive -> append-mode parquet partitioned by
+    event_type, with a checkpoint for exactly-once file commits. The
+    sink dir + checkpoint are memoized per sf, so a repeated call
+    resumes the checkpoint, finds no new input, and the committed
+    files are unchanged — idempotent by construction. The returned
+    aggregation reads the sink back; stateless append writes every
+    replayed row, so it equals the batch aggregation oracle."""
+    ev = _events_stream(spark, sf_dir)
+    out = staged_dir("events_file_sink", sf_dir, lambda d: None)
+    q = (
+        ev.withColumn("hour", F.date_trunc("hour", F.col("ts")))
+        .select("event_id", "user_id", "event_type", "value", "hour")
+        .writeStream.format("parquet")
+        .option("path", f"{out}/data")
+        .option("checkpointLocation", f"{out}/ckpt")
+        .partitionBy("event_type")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    back = spark.read.parquet(f"{out}/data")
+    return back.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+STREAM_SINK_FILES_SQL = """
+SELECT event_type, count(*) AS n, round(sum(value), 6) AS value_sum
+FROM events GROUP BY event_type
+"""
+
+
 # gaps-and-islands: a new session starts when the gap > 30 minutes
 STREAM_SESSION_SQL = """
 WITH marked AS (
@@ -213,3 +250,4 @@ def register_all() -> None:
     register("stream_session", q_stream_session, STREAM_SESSION_SQL)
     register("stream_dedup", q_stream_dedup, STREAM_DEDUP_SQL)
     register("stream_join_static", q_stream_join_static, STREAM_JOIN_STATIC_SQL)
+    register("stream_sink_files", q_stream_sink_files, STREAM_SINK_FILES_SQL)

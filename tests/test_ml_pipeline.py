@@ -68,6 +68,36 @@ def test_pipeline_model_persistence(spark, tmp_path):
     assert a.equals(b)
 
 
+def test_crossvalidator_integration(spark):
+    """The estimator + evaluator must plug into pyspark.ml.tuning
+    CrossValidator: grid over frm, 2 folds, GM evaluator — returns a
+    fitted best model whose output scores the full set."""
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.ml import ChiFRBCS, ChiFRBCSEvaluator
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    est = ChiFRBCS(parts=LINEITEM_CLF_PARTITIONS)
+    grid = ParamGridBuilder().addGrid(est.frm, ["wr", "ac"]).build()
+    ev = ChiFRBCSEvaluator(metricName="gm")
+    cv = CrossValidator(
+        estimator=est,
+        estimatorParamMaps=grid,
+        evaluator=ev,
+        numFolds=2,
+        parallelism=1,
+        seed=7,
+    )
+    cvm = cv.fit(df)
+    assert len(cvm.avgMetrics) == 2
+    assert all(0.0 <= m <= 1.0 for m in cvm.avgMetrics)
+    pred = cvm.bestModel.transform(df)
+    gm = ev.evaluate(pred)
+    assert 0.0 < gm <= 1.0
+
+
 def test_scoring_null_features_get_default_class(spark):
     """A null/out-of-vocab feature value gives an all-zero membership
     array; scoring must emit the DEFAULT class for such rows (like the
