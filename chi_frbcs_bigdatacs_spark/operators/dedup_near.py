@@ -196,6 +196,34 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
 """
 
 
+# --- corpus-level near-dup REMOVAL (what a pipeline consumes) --------------
+# The pair list is diagnostics; a training-data pipeline needs the
+# SURVIVING corpus. Greedy keep-lowest policy: a document is dropped
+# iff some verified near-duplicate with a smaller doc_id exists (it
+# appears as doc_b of a pair). Deterministic, one anti-join over the
+# (tiny) pair list — at 100 TB this is a broadcast anti-join against
+# the full corpus scan. (This is the standard greedy sweep, NOT
+# transitive-closure clustering — connected components would need an
+# iterative algorithm; for near-dup removal greedy-by-id is the
+# common policy and keeps exactly one doc per pairwise-verified
+# clique prefix.)
+def q_dedup_minhash_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_dedup_minhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source"
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id"))
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti")
+
+
+def _minhash_keep_sql() -> str:
+    return f"""
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM ({_minhash_sql()}) p)
+"""
+
+
 # --- n-gram Jaccard dedup (blocking join, no sketch) ------------------------
 # Exact word-bigram Jaccard verified over BLOCKED candidate pairs:
 # docs only pair within equal (lang, source, length-bucket) blocks,
@@ -353,5 +381,6 @@ FROM bits GROUP BY doc_id
 
 def register_all() -> None:
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
+    register("dedup_minhash_keep", q_dedup_minhash_keep, _minhash_keep_sql())
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)

@@ -59,6 +59,7 @@ CHECK_PRIORITY: list[str] = [
     "model_roundtrip",
     # new round-3 keys register themselves here as they land
     "scan_keel",
+    "sink_keel",
     "join_salted_skew",
     "stream_dedup",
     "stream_join_static",
@@ -69,6 +70,7 @@ CHECK_PRIORITY: list[str] = [
     "simsearch_topk_batch",
     "embed_neardup",
     "dedup_minhash",
+    "dedup_minhash_keep",
     "embed_neardup_lsh",
     # longest-unchecked rotation: keys whose latest green check is r1
     "scan_source",

@@ -118,17 +118,9 @@ FROM lineitem WHERE l_returnflag = 'R'
 KEEL_VOCAB = ("F", "O", "P")  # declared nominal vocab, header order
 
 
-def q_scan_keel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KEEL text source end-to-end (O1/O2/O3/O4): stage orders as a
-    .dat file (header + @data CSV), parse the header driver-side,
-    read @data with the DECLARED schema through the distributed CSV
-    reader, dictionary-encode the nominal column from the declared
-    vocab, and drop `?`-missing / malformed rows. Two poison rows are
-    injected into the staged file (a `?` missing value and a
-    wrong-arity line) — the oracle reads the clean base table, so the
-    hash check proves both the round-trip AND the drop policy
-    [REF: data/DataLoader.java, data/DataConverter.java | conf=M]."""
-    from chi_frbcs_bigdatacs_spark.sources.keel import encode_nominal, read_keel
+def _build_keel_orders(sf_dir: str):
+    """Builder for the staged orders .dat (header + @data CSV + two
+    poison rows exercising the O4 drop policy)."""
 
     def build(d: str) -> None:
         import pyarrow.parquet as pq
@@ -155,7 +147,22 @@ def q_scan_keel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # repr() round-trips doubles exactly through the CSV read
                 fh.write(f"{k},{p!r},{s}\n")
 
-    path = staged_dir("keel_orders", sf_dir, build)
+    return build
+
+
+def q_scan_keel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEL text source end-to-end (O1/O2/O3/O4): stage orders as a
+    .dat file (header + @data CSV), parse the header driver-side,
+    read @data with the DECLARED schema through the distributed CSV
+    reader, dictionary-encode the nominal column from the declared
+    vocab, and drop `?`-missing / malformed rows. Two poison rows are
+    injected into the staged file (a `?` missing value and a
+    wrong-arity line) — the oracle reads the clean base table, so the
+    hash check proves both the round-trip AND the drop policy
+    [REF: data/DataLoader.java, data/DataConverter.java | conf=M]."""
+    from chi_frbcs_bigdatacs_spark.sources.keel import encode_nominal, read_keel
+
+    path = staged_dir("keel_orders", sf_dir, _build_keel_orders(sf_dir))
     df, ds = read_keel(spark, f"{path}/orders.dat")
     return encode_nominal(df, ds).select(
         "o_orderkey", "o_totalprice", "o_orderstatus"
@@ -168,6 +175,49 @@ SELECT CAST(o_orderkey AS DOUBLE) AS o_orderkey,
        CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
            AS o_orderstatus
 FROM orders
+"""
+
+
+def q_sink_keel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEEL text SINK round-trip (the write half of O1/O12): read the
+    staged orders .dat, serialize it back out through the distributed
+    KEEL writer (header regenerated from the parsed descriptor, rows
+    via shortest-round-trip double repr), read the COPY, encode, and
+    aggregate. The oracle aggregates the clean base table, so the
+    hash check proves write->read reproduces the exact doubles and
+    vocab codes."""
+    from chi_frbcs_bigdatacs_spark.sources.keel import (
+        encode_nominal,
+        read_keel,
+        write_keel,
+    )
+
+    src = staged_dir("keel_orders", sf_dir, _build_keel_orders(sf_dir))
+    df, ds = read_keel(spark, f"{src}/orders.dat")
+
+    def build_copy(d: str) -> None:
+        write_keel(df, ds, f"{d}/orders_copy.dat")
+
+    copy = staged_dir("keel_orders_copy", sf_dir, build_copy)
+    back, ds2 = read_keel(spark, f"{copy}/orders_copy.dat")
+    enc = encode_nominal(back, ds2)
+    return enc.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.sum("o_orderkey"), 6).alias("sum_key"),
+    )
+
+
+SINK_KEEL_SQL = """
+SELECT CASE o_orderstatus WHEN 'F' THEN 0 WHEN 'O' THEN 1 WHEN 'P' THEN 2 END
+           AS o_orderstatus,
+       count(*) AS n,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(sum(CAST(o_orderkey AS DOUBLE)), 6) AS sum_key
+FROM orders
+GROUP BY 1
 """
 
 
@@ -217,6 +267,7 @@ def register_all() -> None:
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
     register("scan_orc", q_scan_orc, SCAN_ORC_SQL)
     register("scan_keel", q_scan_keel, SCAN_KEEL_SQL)
+    register("sink_keel", q_sink_keel, SINK_KEEL_SQL)
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)

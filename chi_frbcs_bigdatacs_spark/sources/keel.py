@@ -180,3 +180,68 @@ def encode_nominal(df: DataFrame, ds: KeelDataset) -> DataFrame:
             expr = F.when(F.col(a.name) == v, idx).otherwise(expr)
         out = out.withColumn(a.name, expr)
     return out
+
+
+def decode_nominal(df: DataFrame, ds: KeelDataset) -> DataFrame:
+    """Inverse of encode_nominal: 0-based codes back to the declared
+    vocab strings (unknown/out-of-range codes -> null -> `?` on
+    write)."""
+    out = df
+    for a in ds.attributes:
+        if a.kind != "nominal":
+            continue
+        expr = F.lit(None).cast("string")
+        for idx, v in enumerate(a.values):
+            expr = F.when(F.col(a.name) == idx, F.lit(v)).otherwise(expr)
+        out = out.withColumn(a.name, expr)
+    return out
+
+
+def format_header(ds: KeelDataset) -> str:
+    """Serialize the descriptor back to KEEL header text (the inverse
+    of parse_header; parse(format(ds)) == ds)."""
+    lines = [f"@relation {ds.relation}"]
+    for a in ds.attributes:
+        if a.kind == "nominal":
+            lines.append(f"@attribute {a.name} {{{', '.join(a.values)}}}")
+        else:
+            lines.append(
+                f"@attribute {a.name} {a.kind} [{a.fmin!r}, {a.fmax!r}]"
+            )
+    lines.append(f"@inputs {', '.join(ds.inputs)}")
+    lines.append(f"@outputs {', '.join(ds.outputs)}")
+    lines.append("@data")
+    return "\n".join(lines) + "\n"
+
+
+def write_keel(df: DataFrame, ds: KeelDataset, path: str) -> None:
+    """KEEL text sink (O12/O15 counterpart of read_keel): serialize
+    rows DISTRIBUTED (nominal strings pass through, nulls -> `?`,
+    doubles via the JVM's shortest round-trip repr, so
+    read_keel(write_keel(df)) reproduces the exact doubles), then
+    stream the part files into the single .dat behind the header —
+    KEEL's one-file convention. The driver never materializes rows,
+    only streams bytes; at real scale keep the parts and ship the
+    header separately (the reference's Hadoop jobs also pair a
+    descriptor file with data splits)."""
+    import glob
+    import shutil
+    import tempfile
+
+    cols = []
+    for a in ds.attributes:
+        c = F.col(a.name)
+        if a.kind != "nominal":
+            c = c.cast("string")
+        cols.append(F.coalesce(c, F.lit("?")))
+    lines = df.select(F.concat_ws(",", *cols).alias("value"))
+    tmp = tempfile.mkdtemp(prefix="chi_keel_out_")
+    try:
+        lines.write.mode("overwrite").text(f"{tmp}/parts")
+        with open(path, "w") as out:
+            out.write(format_header(ds))
+            for part in sorted(glob.glob(f"{tmp}/parts/part-*")):
+                with open(part) as fh:
+                    shutil.copyfileobj(fh, out)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -54,3 +54,34 @@ def test_parse_and_load(spark, tmp_path):
     assert enc[0]["color"] == 1  # green
     assert enc[0]["class"] == 1  # positive
     assert enc[2]["color"] == 2  # blue
+
+
+def test_write_keel_round_trip(spark, tmp_path):
+    """write_keel(read_keel(f)) -> read_keel reproduces the exact
+    rows: header via format_header (parse(format(ds)) == ds), doubles
+    via shortest round-trip repr, nulls as `?`, nominal decode."""
+    from chi_frbcs_bigdatacs_spark.sources.keel import (
+        decode_nominal,
+        encode_nominal,
+        format_header,
+        parse_header,
+        read_keel,
+        write_keel,
+    )
+
+    src = tmp_path / "demo.dat"
+    src.write_text(KEEL)
+    df, ds = read_keel(spark, str(src))
+
+    assert parse_header(format_header(ds)).attributes == ds.attributes
+
+    out = tmp_path / "copy.dat"
+    write_keel(df, ds, str(out))
+    back, ds2 = read_keel(spark, str(out))
+    a = df.orderBy("f1").collect()
+    b = back.orderBy("f1").collect()
+    assert a == b
+
+    # encode -> decode is the identity on in-vocab data
+    dec = decode_nominal(encode_nominal(df, ds), ds).orderBy("f1").collect()
+    assert dec == a
