@@ -1052,7 +1052,205 @@ GROUP BY o_orderpriority
 """
 
 
+# --- §2b windows: lag/lead + first/last navigation -------------------------
+# Navigation functions over the per-user event timeline. Same single
+# shuffle on user_id as window_running; all four functions share one
+# window ordering so Spark evaluates them in one Window physical node.
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return e.select(
+        "user_id",
+        "event_id",
+        F.lag("value", 1).over(w).alias("prev_value"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.first("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("first_type"),
+        F.last("event_type").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("last_type"),
+    )
+
+
+WINDOW_LAG_LEAD_SQL = """
+SELECT user_id, event_id,
+       lag(value, 1)  OVER w AS prev_value,
+       lead(value, 1) OVER w AS next_value,
+       first_value(event_type) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type,
+       last_value(event_type) OVER
+         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+"""
+
+
+# --- §2b windows: RANGE frame (value-bounded, not row-bounded) --------------
+# RANGE BETWEEN N PRECEDING over the integer event_id axis: the frame
+# is bounded by key DISTANCE, so per-user gaps in the global event_id
+# sequence make it genuinely different from a ROWS frame. Range frames
+# include peers deterministically, so no tie-break hazard exists.
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc())
+        .rangeBetween(-5000, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).cast("long").alias("n_in_range"),
+        F.round(F.sum("value").over(w), 6).alias("sum_in_range"),
+        F.max("value").over(w).alias("max_in_range"),
+    )
+
+
+WINDOW_RANGE_FRAME_SQL = """
+SELECT user_id, event_id,
+       count(*)             OVER w AS n_in_range,
+       round(sum(value) OVER w, 6) AS sum_in_range,
+       max(value)           OVER w AS max_in_range
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY event_id ASC
+             RANGE BETWEEN 5000 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- §2b joins: null-safe equality (<=>) ------------------------------------
+# Nullable bucket key (NULL = low-value events); eqNullSafe matches
+# NULL keys to NULL dim rows, which a plain equi-join silently drops.
+# Physically still a hash equi-join on the (null-safe) key — Spark
+# plans <=> as an equi-join condition, not a BNLJ.
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.when(F.col("value") >= 50, F.floor(F.col("value") / 50).cast("long"))
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "event_id", k.alias("k")
+    )
+    dim = (
+        e.filter(F.col("event_type") == "purchase")
+        .select(k.alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_purch"))
+    )
+    j = clicks.join(F.broadcast(dim), clicks["k"].eqNullSafe(dim["k"]), "left")
+    return j.select(clicks["event_id"], clicks["k"].alias("k"), dim["n_purch"])
+
+
+JOIN_NULLSAFE_SQL = """
+WITH clicks AS (
+  SELECT event_id,
+         CASE WHEN value >= 50 THEN CAST(floor(value / 50) AS BIGINT) END AS k
+  FROM events WHERE event_type = 'click'
+),
+dim AS (
+  SELECT CASE WHEN value >= 50 THEN CAST(floor(value / 50) AS BIGINT) END AS k,
+         count(*) AS n_purch
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+)
+SELECT clicks.event_id, clicks.k AS k, dim.n_purch
+FROM clicks LEFT JOIN dim ON clicks.k IS NOT DISTINCT FROM dim.k
+"""
+
+
+# --- §2b scalar fns: array battery ------------------------------------------
+# Higher-order array functions (slice/sort/position/join/transform+
+# aggregate) — all JVM-side codegen'd expressions, no UDFs. DuckDB's
+# list_* family mirrors each (list_position returns NULL when absent,
+# hence the coalesce to match Spark's 0).
+def q_scalar_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split(F.col("text"), " "), 1, 6)
+    srt = F.array_sort(toks)
+    sum_len = F.aggregate(
+        F.transform(toks, lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.element_at(srt, 1).alias("first_sorted"),
+        F.array_join(srt, "-").alias("joined_sorted"),
+        F.array_position(toks, "spark").alias("pos_spark"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        sum_len.alias("sum_tok_len"),
+    )
+
+
+SCALAR_ARRAY_SQL = """
+SELECT doc_id,
+       CAST(len(list_slice(string_split(text, ' '), 1, 6)) AS BIGINT) AS n_toks,
+       list_sort(list_slice(string_split(text, ' '), 1, 6))[1] AS first_sorted,
+       array_to_string(list_sort(list_slice(string_split(text, ' '), 1, 6)), '-')
+           AS joined_sorted,
+       CAST(coalesce(list_position(list_slice(string_split(text, ' '), 1, 6),
+                                   'spark'), 0) AS BIGINT) AS pos_spark,
+       list_contains(list_slice(string_split(text, ' '), 1, 6), 'spark') AS has_spark,
+       CAST(list_sum(list_transform(list_slice(string_split(text, ' '), 1, 6),
+                                    x -> length(x))) AS BIGINT) AS sum_tok_len
+FROM documents
+"""
+
+
+# --- §2b aggregations: exact median + deterministic mode --------------------
+# Median = exact interpolated percentile (sort-based; at 100 TB the
+# approx_percentile sketch is the scale path, checked separately).
+# Mode is computed deterministically (count desc, value asc) via a
+# two-level aggregation + window rank rather than the engine-native
+# mode() whose tie policy differs between engines.
+def q_agg_median_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("median_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 6).alias("median_price"),
+    )
+    cnts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.col("cnt").desc(), F.col("l_linestatus").asc()
+    )
+    mode = (
+        cnts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("l_returnflag", F.col("l_linestatus").alias("mode_linestatus"))
+    )
+    return med.join(F.broadcast(mode), "l_returnflag")
+
+
+AGG_MEDIAN_MODE_SQL = """
+WITH med AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_quantity, 0.5), 6) AS median_qty,
+         round(quantile_cont(l_extendedprice, 0.5), 6) AS median_price
+  FROM lineitem GROUP BY l_returnflag
+),
+cnts AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS cnt
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+),
+mode AS (
+  SELECT l_returnflag, l_linestatus AS mode_linestatus
+  FROM (SELECT l_returnflag, l_linestatus,
+               row_number() OVER (PARTITION BY l_returnflag
+                                  ORDER BY cnt DESC, l_linestatus ASC) AS rn
+        FROM cnts) t
+  WHERE rn = 1
+)
+SELECT med.l_returnflag, median_qty, median_price, mode_linestatus
+FROM med JOIN mode ON med.l_returnflag = mode.l_returnflag
+"""
+
+
 def register_all() -> None:
+    register("window_lag_lead", q_window_lag_lead, WINDOW_LAG_LEAD_SQL)
+    register("window_range_frame", q_window_range_frame, WINDOW_RANGE_FRAME_SQL)
+    register("join_nullsafe", q_join_nullsafe, JOIN_NULLSAFE_SQL)
+    register("scalar_array_funcs", q_scalar_array, SCALAR_ARRAY_SQL)
+    register("agg_median_mode", q_agg_median_mode, AGG_MEDIAN_MODE_SQL)
     register("scalar_string_funcs", q_scalar_string, SCALAR_STRING_SQL)
     register("scalar_math_funcs", q_scalar_math, SCALAR_MATH_SQL)
     register("scalar_date_funcs", q_scalar_date, SCALAR_DATE_SQL)

@@ -58,6 +58,12 @@ CHECK_PRIORITY: list[str] = [
     "crossval_multiclass",
     "model_roundtrip",
     # new round-3 keys register themselves here as they land
+    "window_lag_lead",
+    "window_range_frame",
+    "join_nullsafe",
+    "scalar_array_funcs",
+    "agg_median_mode",
+    "sql_q6",
     "scan_keel",
     "sink_keel",
     "join_salted_skew",

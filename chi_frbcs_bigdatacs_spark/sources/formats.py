@@ -252,6 +252,18 @@ ORDER BY revenue DESC, n_name ASC
 """
 
 
+SQL_Q6 = """
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND l_shipdate <  CAST('1997-01-01' AS TIMESTAMP)
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
 def _sql_query(sql: str):
     from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
 
@@ -271,3 +283,4 @@ def register_all() -> None:
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
+    register("sql_q6", _sql_query(SQL_Q6), SQL_Q6)
