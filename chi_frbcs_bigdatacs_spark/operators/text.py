@@ -266,7 +266,90 @@ FROM documents
 """
 
 
+# --- normalization: case-fold + strip punctuation + collapse whitespace -----
+# The canonical pre-dedup normalizer (fold case, drop non-alnum,
+# collapse runs of spaces, trim). Emitting md5(norm) instead of the
+# normalized text keeps any downstream dedup shuffle fixed-width.
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        F.substring(norm, 1, 40).alias("norm_head"),
+    )
+
+
+TEXT_NORMALIZE_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS norm_hash,
+       length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                  ' +', ' ', 'g'))) AS n_chars_norm,
+       substring(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                     ' +', ' ', 'g')), 1, 40) AS norm_head
+FROM documents
+"""
+
+
+# --- PII scrub: email/phone redaction ---------------------------------------
+# Every 7th document gets a deterministic synthetic email + phone
+# appended (the corpus has none), then both engines scrub with the
+# SAME regexes — the hash check proves detection counts AND the
+# redacted text agree. Java regex and RE2 agree on this pattern
+# class (character classes, bounded repetition, no backtracking).
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com call 555-123-4567"),
+        ),
+    ).otherwise(F.col("text"))
+    scrub = F.regexp_replace(
+        F.regexp_replace(aug, _PII_EMAIL, "<EMAIL>"), _PII_PHONE, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL))).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE))).cast("long").alias("n_phones"),
+        F.md5(scrub.cast("binary")).alias("scrub_hash"),
+    )
+
+
+TEXT_PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0
+              THEN concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                          '@example.com call 555-123-4567')
+              ELSE text END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g')) AS scrub_hash
+FROM aug
+"""
+
+
 def register_all() -> None:
+    register("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL)
+    register("text_pii_scrub", q_text_pii_scrub, TEXT_PII_SCRUB_SQL)
     register("text_lexical", q_text_lexical, _lexical_sql())
     register("pipeline_clean_corpus", q_pipeline_clean_corpus, PIPELINE_CLEAN_SQL)
     register("text_tokens", q_text_tokens, TEXT_TOKENS_SQL)

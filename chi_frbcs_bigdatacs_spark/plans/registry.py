@@ -64,6 +64,10 @@ CHECK_PRIORITY: list[str] = [
     "scalar_array_funcs",
     "agg_median_mode",
     "sql_q6",
+    "dedup_chunk",
+    "dedup_url",
+    "text_normalize",
+    "text_pii_scrub",
     "scan_keel",
     "sink_keel",
     "join_salted_skew",
