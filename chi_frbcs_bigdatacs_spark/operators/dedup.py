@@ -188,13 +188,16 @@ canon AS (
            lower(regexp_extract(url, '^https?://([^/]+)', 1)),
            regexp_replace(regexp_extract(url, '^https?://[^/]+([^?]*)', 1),
                           '/+$', '', 'g'),
-           CASE WHEN array_to_string(list_sort(list_filter(
+           -- coalesce: DuckDB's array_to_string(<empty list>, '&') is
+           -- NULL where Spark's array_join is '' — without it the CASE
+           -- falls to ELSE and emits a stray trailing '?'
+           CASE WHEN coalesce(array_to_string(list_sort(list_filter(
                     string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
-                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') = ''
+                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), '') = ''
                 THEN ''
-                ELSE concat('?', array_to_string(list_sort(list_filter(
+                ELSE concat('?', coalesce(array_to_string(list_sort(list_filter(
                     string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
-                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'))
+                    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&'), ''))
            END) AS canon_url
   FROM urls
 )

@@ -324,42 +324,68 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
+def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
+    from functools import reduce as _r
+
+    terms = [
+        (F.element_at(a, i).cast("double") - F.lit(float(vec[i - 1])))
+        * (F.element_at(a, i).cast("double") - F.lit(float(vec[i - 1])))
+        for i in range(1, DIM + 1)
+    ]
+    return _r(lambda x, y: x + y, terms)
+
+
 def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from functools import reduce as _r
 
     emb = load_table(spark, sf_dir, "embeddings")
-    seeds = (
-        emb.orderBy(F.col("vec_id").asc())
-        .limit(K_CLUSTERS)
-        .select(
-            F.row_number().over(Window.orderBy(F.col("vec_id").asc())).alias("k"),
-            F.col("embedding").alias("cvec"),
-        )
-    )
 
-    def assign(centroids: DataFrame) -> DataFrame:
-        pairs = emb.crossJoin(F.broadcast(centroids)).withColumn(
-            "dist", _sqdist_col("embedding", "cvec")
-        )
-        w = Window.partitionBy("vec_id").orderBy(F.col("dist").asc(), F.col("k").asc())
-        return (
-            pairs.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "embedding", "k")
-        )
+    def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
+        # The K centroids are a driver-side constant (K rows, bounded
+        # tiny), so assignment folds them into LITERAL expressions: a
+        # pure map-side projection — no join, no aggregation, no
+        # shuffle, fully whole-stage-codegen. (Earlier rounds ranked
+        # the n*K crossJoin with row_number over a Window — a sort
+        # shuffle of 4n rows; wrong shape at 100x.) Ties on dist break
+        # to the lowest k: candidates iterate in ascending k and the
+        # strict `<` struct compare keeps the incumbent on equality.
+        dists = [(k, _sqdist_lit_col("embedding", vec)) for k, vec in centroids]
+        m = F.least(*[d for _, d in dists]) if len(dists) > 1 else dists[0][1]
+        best = _r(
+            lambda acc, kd: acc.when(kd[1] == m, kd[0]),
+            dists[1:],
+            F.when(dists[0][1] == m, dists[0][0]),
+        ).otherwise(dists[-1][0])
+        return emb.select("vec_id", "embedding", best.alias("k"))
 
+    seeds = [
+        (i + 1, list(r.embedding))
+        for i, r in enumerate(
+            emb.orderBy(F.col("vec_id").asc()).limit(K_CLUSTERS).collect()
+        )
+    ]
     a1 = assign(seeds)
-    cent = a1.groupBy("k").agg(
-        *[
-            F.round(
-                F.sum(F.element_at("embedding", i).cast("double"))
-                / F.count(F.lit(1)),
-                6,
-            ).alias(f"c{i}")
-            for i in range(1, DIM + 1)
-        ]
+    # Lloyd step: per-cluster means — a K-group hash agg with map-side
+    # combine (the only shuffle in the build), collected as the next
+    # K-row driver constant. Means rounded to 6dp on both engines so
+    # re-assignment sees identical centroids despite sum-order drift.
+    cent_rows = (
+        a1.groupBy("k")
+        .agg(
+            *[
+                F.round(
+                    F.sum(F.element_at("embedding", i).cast("double"))
+                    / F.count(F.lit(1)),
+                    6,
+                ).alias(f"c{i}")
+                for i in range(1, DIM + 1)
+            ]
+        )
+        .collect()
     )
-    cent = cent.select("k", F.array(*[f"c{i}" for i in range(1, DIM + 1)]).alias("cvec"))
+    cent = sorted(
+        (r.k, [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in cent_rows
+    )
     a2 = assign(cent)
 
     q = (

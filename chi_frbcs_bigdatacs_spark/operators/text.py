@@ -323,8 +323,8 @@ def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL))).cast("long").alias("n_emails"),
-        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE))).cast("long").alias("n_phones"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_EMAIL), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(_PII_PHONE), 0)).cast("long").alias("n_phones"),
         F.md5(scrub.cast("binary")).alias("scrub_hash"),
     )
 

@@ -35,90 +35,70 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # every CI run — the rotation only affects which subset the external
 # driver re-hashes). Round-3 ordering: keys whose implementation or
 # oracle changed this round first, then new keys, then the
-# longest-unchecked rotation (keys last driver-checked in r1).
+# longest-unchecked rotation. Round-4 ordering: the 11 keys repaired
+# this round (failed r3 on the events loader / pii regex / url oracle
+# bugs), then every events-touching key whose last green check
+# predates the testdata regeneration (ts became timestamp[us]), then
+# the two perf-suspect keys touched this round, then keys last
+# driver-checked in r1.
 CHECK_PRIORITY: list[str] = [
-    # changed this round: new oracle (was rows-only), resize semantics
-    "media_decode",
-    "media_resize",
-    # changed this round: estimator fit/cost-literal rewrite
-    "classify_wr",
-    "classify_ac",
-    "classify_wr_plain",
-    "classify_wr_nominal",
-    "classify_wr_multiclass",
-    "classify_holdout",
-    "rulemerge_max",
-    "rulemerge_avg",
-    "rulebuild_partitioned",
-    "metrics_confusion",
-    "metrics_gm_auc",
-    "metrics_confusion_multiclass",
-    "metrics_gm_auc_multiclass",
-    "crossval_gm_auc",
-    "crossval_multiclass",
-    "model_roundtrip",
-    # new round-3 keys register themselves here as they land
+    # repaired this round (all failed in CORRECTNESS_r03)
     "window_lag_lead",
     "window_range_frame",
     "join_nullsafe",
-    "scalar_array_funcs",
-    "agg_median_mode",
     "sql_q6",
-    "dedup_chunk",
-    "dedup_url",
-    "text_normalize",
-    "text_pii_scrub",
-    "scan_keel",
-    "sink_keel",
-    "join_salted_skew",
+    "agg_grouping_sets",
+    "window_session",
     "stream_dedup",
     "stream_join_static",
     "stream_sink_files",
-    "agg_grouping_sets",
-    "window_session",
-    "join_bucketed",
-    "simsearch_topk_batch",
-    "embed_neardup",
-    "dedup_minhash",
-    "dedup_minhash_keep",
-    "embed_neardup_lsh",
-    # longest-unchecked rotation: keys whose latest green check is r1
-    "scan_source",
-    "project_encode",
-    "filter_valid",
-    "filter_pred",
-    "agg_class_counts",
-    "fuzzify",
-    "rulegen_antecedent",
-    "ruleweight_pcfcs",
-    "ruleweight_pcf_plain",
-    "ruleweight_pcfcs_costmatrix",
-    "rule_conflict_resolve",
-    "rule_conflict_resolve_l5",
-    "rule_conflict_resolve_d8",
-    "join_broadcast",
-    "join_sortmerge",
-    "join_semi",
-    "join_anti",
+    "text_pii_scrub",
+    "dedup_url",
+    # events keys last green in r1/r2 — before the ts dtype change
+    "json_extract",
+    "window_running",
     "join_range",
-    "join_outer",
-    "join_cross",
     "join_asof",
+    "sql_q3",
+    "sql_q5",
+    "agg_value_stats",
+    "stream_tumbling",
+    "stream_sliding",
+    "stream_session",
+    "stream_stateful_count",
+    "stream_rule_stats",
+    "date_bucket",
+    # new this round
+    "schema_fingerprint",
+    # touched this round (perf rework; oracle in lockstep)
+    "simsearch_ivf_kmeans",
+    "simsearch_topk",
+    # longest-unchecked rotation: keys whose latest green check is r1
     "agg_pricing_summary",
     "agg_rollup",
     "agg_cube",
     "agg_distinct",
     "agg_percentile",
-    "agg_value_stats",
-    "unpivot_measures",
-    "window_rank",
-    "window_distribution",
-    "setop_union",
-    "setop_except",
-    "setop_intersect",
+    "join_broadcast",
+    "join_sortmerge",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_cross",
+    "rule_conflict_resolve",
+    "rule_conflict_resolve_l5",
+    "rule_conflict_resolve_d8",
+    "ruleweight_pcf_plain",
+    "ruleweight_pcfcs_costmatrix",
     "scalar_math_funcs",
     "scalar_string_funcs",
     "scalar_date_funcs",
+    "setop_union",
+    "setop_except",
+    "setop_intersect",
+    "unpivot_measures",
+    "window_rank",
+    "window_distribution",
 ]
 
 

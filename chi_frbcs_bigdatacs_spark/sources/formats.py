@@ -264,6 +264,54 @@ WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
 """
 
 
+# --- schema fingerprint: self-documenting testdata observation -------------
+# One row per (table, column) with the type NORMALIZED to DuckDB
+# spelling, observed from the actual parquet files (schema inference
+# only — no data scan). Registered as a checked key so every
+# CORRECTNESS_r{N} artifact records which testdata GENERATION it ran
+# against: when the driver regenerates data with different physical
+# types (r3 post-mortem: events.ts NANOS -> us), this key's hash
+# changes in the artifact itself. Complements the local pin in
+# tests/test_testdata_contract.py.
+
+_SPARK_TO_DUCK_TYPE = {
+    "bigint": "BIGINT",
+    "int": "INTEGER",
+    "string": "VARCHAR",
+    "double": "DOUBLE",
+    "float": "FLOAT",
+    "timestamp": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "date": "DATE",
+    "boolean": "BOOLEAN",
+    "array<float>": "FLOAT[]",
+    "array<double>": "DOUBLE[]",
+    "array<string>": "VARCHAR[]",
+}
+
+
+def q_schema_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import TABLES
+
+    rows = []
+    for t in sorted(TABLES):
+        schema = spark.read.parquet(f"{sf_dir}/{t}.parquet").schema
+        for f in schema.fields:
+            s = f.dataType.simpleString()
+            rows.append((t, f.name, _SPARK_TO_DUCK_TYPE.get(s, s.upper())))
+    return spark.createDataFrame(rows, "tbl string, col string, dtype string")
+
+
+def _schema_fingerprint_sql() -> str:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import TABLES
+
+    return "\nUNION ALL\n".join(
+        f"SELECT '{t}' AS tbl, column_name AS col, column_type AS dtype\n"
+        f"FROM (DESCRIBE SELECT * FROM {t})"
+        for t in sorted(TABLES)
+    )
+
+
 def _sql_query(sql: str):
     from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
 
@@ -284,3 +332,4 @@ def register_all() -> None:
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
     register("sql_q6", _sql_query(SQL_Q6), SQL_Q6)
+    register("schema_fingerprint", q_schema_fingerprint, _schema_fingerprint_sql())

@@ -33,15 +33,41 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-        # reader rejects; read as raw nanos and truncate to micros with
-        # exact integer division (`div`), matching DuckDB's ns->us cast.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        from pyspark.sql import functions as F
-
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` normalized to a (tz-naive-semantics) timestamp.
+
+    The driver has generated events.ts as parquet TIMESTAMP(NANOS) in
+    some rounds and timestamp[us] in others, so the loader is
+    type-adaptive on the PHYSICAL type actually on disk:
+    - timestamp: pass through unchanged.
+    - timestamp_ntz: cast to TIMESTAMP. The session timezone is pinned
+      UTC (session.py), so this is a pure type retag — values are
+      identical, and downstream numeric casts (cast(ts as double)),
+      watermarks, and window() all accept TIMESTAMP where they reject
+      NTZ.
+    - int64 (only possible when nanosAsLong was set globally by an
+      older session): truncate nanos to micros with exact integer
+      division, matching DuckDB's ns->us cast.
+    """
+    try:
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        # TIMESTAMP(NANOS) files are rejected outright at schema
+        # inference unless read as raw longs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = df.schema["ts"].dataType.typeName()
+    if ts_type == "timestamp":
+        return df
+    if ts_type == "timestamp_ntz":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if ts_type in ("long", "bigint"):
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    raise TypeError(f"events.ts has unsupported physical type: {ts_type}")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

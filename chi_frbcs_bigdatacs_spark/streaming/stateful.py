@@ -33,7 +33,6 @@ N_SOURCE_FILES = 4
 def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage events as N parquet files -> N micro-batches (memoized
     per sf_dir, removed at exit)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = staged_dir(
         "events_multi",
@@ -109,7 +108,6 @@ def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
     from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = __import__(
         "chi_frbcs_bigdatacs_spark.sources.testdata", fromlist=["lineitem_clf"]
     ).lineitem_clf(spark, sf_dir)

@@ -31,9 +31,14 @@ from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
 def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as a bounded stream: stage the parquet into a source dir
-    (memoized per sf_dir, removed at exit) and readStream it (ts
-    arrives as raw nanos -> micros)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    (memoized per sf_dir, removed at exit) and readStream it.
+
+    `ts` is normalized exactly as the batch loader does (type-adaptive:
+    pass-through for timestamp[us], nanos->micros for legacy long),
+    then cast to TIMESTAMP — watermarks and window() reject
+    TIMESTAMP_NTZ. The session timezone is UTC so the cast is a pure
+    retag, value-identical to the batch/oracle reading.
+    """
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     src = staged_dir(
         "events",
@@ -45,7 +50,12 @@ def _events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
-    return stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    ts_type = batch.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def _run_to_memory(agg: DataFrame, mode: str = "complete") -> DataFrame:
