@@ -1,0 +1,363 @@
+"""Data-profiling and training-corpus curation operators (round 4).
+
+Widens SURVEY §2b with the ops a large-scale data pipeline runs
+between ingest and training: statistical profiling (moments,
+histograms, distribution windows), corpus curation (soft dedup,
+chunking, vocabulary), embedding hygiene (per-class centroids, range
+similarity), and an interval self-join over the event stream.
+
+Scale notes (100 TB lens): every op here is a single scan plus at
+most one hash-partitioned shuffle on its natural key — no windows
+without partition keys, no cartesian products, no driver loops.
+- moments/histogram/centroid: map-side-combined hash aggs.
+- soft dedup / vocabulary: hash agg on a derived key (the normalize /
+  tokenize step is pure codegen expressions, no UDF).
+- chunking: explode over a computed index range — output-proportional,
+  partition-local.
+- interval join: equi-join on user_id + range predicate, the AQE
+  skew-join-splittable shape (a hot user salts like any skewed key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table, register_views
+
+# --- statistical moments per group -----------------------------------------
+# stddev/corr/covar are order-sensitive accumulations; rounding is
+# sized per column magnitude so cross-engine accumulation-order drift
+# (~1e-12 relative) disappears: quantity stddev ~14 -> 6dp, price
+# stddev ~3e4 -> 4dp, covar ~1e5 -> 3dp, corr is normalized ~O(1) -> 6dp.
+
+
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("cov_qp"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+    )
+
+
+AGG_STATS_MOMENTS_SQL = """
+SELECT l_returnflag, count(*) AS n,
+       round(stddev_samp(l_quantity), 6) AS sd_qty,
+       round(stddev_samp(l_extendedprice), 4) AS sd_price,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS cov_qp,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --- fixed-width histogram --------------------------------------------------
+HIST_WIDTH = 50_000
+HIST_BUCKETS = 10
+
+
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("long")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+AGG_HISTOGRAM_SQL = f"""
+SELECT CAST(least(floor(o_totalprice / {HIST_WIDTH}), {HIST_BUCKETS - 1}) AS BIGINT) AS bucket,
+       count(*) AS n, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+FROM orders GROUP BY 1
+"""
+
+
+# --- ntile / first / last / nth_value windows ------------------------------
+# Total order inside each partition via the full natural key (NOTES
+# rule 6: (orderkey, linenumber) alone is NOT unique) so both engines
+# rank identically.
+_NTILE_ORDER = (
+    "l_extendedprice, l_orderkey, l_linenumber, l_partkey, l_suppkey, l_quantity"
+)
+
+
+def q_window_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    order = [
+        F.col(c.strip())
+        for c in _NTILE_ORDER.split(",")
+    ]
+    w = Window.partitionBy("l_returnflag").orderBy(*order)
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_returnflag",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.first("l_extendedprice").over(w).alias("part_min_price"),
+        F.last("l_extendedprice").over(wfull).alias("part_max_price"),
+        F.nth_value("l_extendedprice", 3).over(wfull).alias("part_third_price"),
+    )
+
+
+WINDOW_NTILE_SQL = f"""
+SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, l_returnflag,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       first_value(l_extendedprice) OVER w AS part_min_price,
+       last_value(l_extendedprice) OVER wf AS part_max_price,
+       nth_value(l_extendedprice, 3) OVER wf AS part_third_price
+FROM lineitem
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY {_NTILE_ORDER}),
+       wf AS (PARTITION BY l_returnflag ORDER BY {_NTILE_ORDER}
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- TPC-H Q13 shape: customer order-count distribution --------------------
+SQL_Q13 = """
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_sql_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(SQL_Q13)
+
+
+# --- interval self-join over the event stream ------------------------------
+# For every 'click', how many events the same user produced in the
+# following 5 minutes — the sessionized-funnel primitive. Equi-join on
+# user_id carries the parallelism; the range predicate prunes inside
+# each user partition.
+FOLLOW_WINDOW_MIN = 5
+
+
+def q_join_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    a = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    b = e.select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+    )
+    joined = a.join(
+        b,
+        (F.col("b_user") == F.col("a_user"))
+        & (F.col("b_ts") > F.col("a_ts"))
+        & (
+            F.col("b_ts")
+            <= F.col("a_ts") + F.expr(f"INTERVAL {FOLLOW_WINDOW_MIN} MINUTES")
+        ),
+        "left",
+    )
+    return joined.groupBy(F.col("a_id").alias("event_id")).agg(
+        F.count("b_id").alias("n_follow")
+    )
+
+
+JOIN_INTERVAL_SQL = f"""
+SELECT a.event_id AS event_id, count(b.event_id) AS n_follow
+FROM events a
+LEFT JOIN events b
+  ON b.user_id = a.user_id
+ AND b.ts > a.ts
+ AND b.ts <= a.ts + INTERVAL {FOLLOW_WINDOW_MIN} MINUTE
+WHERE a.event_type = 'click'
+GROUP BY a.event_id
+"""
+
+
+# --- soft (normalized-text) dedup ------------------------------------------
+# Exact dedup after aggressive normalization (casefold, strip
+# non-alphanumerics, collapse whitespace) — catches reformatted
+# copies that byte-exact dedup misses, at exact-dedup cost.
+
+
+def _norm_text_col():
+    return F.trim(F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "))
+
+
+def q_text_dedup_soft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.md5(_norm_text_col().cast("binary")).alias("soft_hash"))
+        .groupBy("soft_hash")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper"))
+    )
+
+
+TEXT_DEDUP_SOFT_SQL = """
+SELECT md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS soft_hash,
+       count(*) AS n_dups, min(doc_id) AS keeper
+FROM documents GROUP BY 1
+"""
+
+
+# --- document chunking ------------------------------------------------------
+# Fixed-size overlapping character chunks (window CHUNK_CHARS, stride
+# CHUNK_STRIDE) — the standard pre-tokenization step for long-context
+# training corpora. Explode over a computed index range: output is
+# proportional to total text volume, work stays partition-local.
+CHUNK_CHARS = 500
+CHUNK_STRIDE = 400
+
+
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_chunks_m1 = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0), n_chunks_m1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.expr(
+                f"substring(text, chunk_idx * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})"
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk").cast("long"))
+    )
+
+
+DOC_CHUNKING_SQL = f"""
+SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+       substr(text, CAST(i AS INT) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk,
+       CAST(length(substr(text, CAST(i AS INT) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS})) AS BIGINT) AS chunk_len
+FROM (
+  -- list-valued range() supports per-row bounds where the lateral
+  -- generate_series table function does not (DuckDB 1.0)
+  SELECT doc_id, text,
+         unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+  FROM documents
+) t
+"""
+
+
+# --- corpus vocabulary: global top-N tokens --------------------------------
+TOKEN_TOP_N = 50
+
+
+def q_token_freq_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    return (
+        d.select(tok)
+        .filter(F.length("token") >= 3)
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(TOKEN_TOP_N)
+    )
+
+
+TOKEN_FREQ_TOPN_SQL = f"""
+SELECT token, count(*) AS n
+FROM (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents
+) t
+WHERE length(token) >= 3
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT {TOKEN_TOP_N}
+"""
+
+
+# --- per-class embedding centroid ------------------------------------------
+# The class-prototype op used in curation (outlier scoring, label
+# noise detection). One map-side-combined hash agg over 64 dims x
+# n_labels groups; means rounded 6dp on both engines (NOTES rule 2/3).
+_EMB_DIM = 64
+
+
+def q_embed_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.round(F.avg(F.element_at("embedding", i).cast("double")), 6).alias(
+                f"c{i}"
+            )
+            for i in range(1, _EMB_DIM + 1)
+        ],
+    )
+
+
+def _embed_centroid_sql() -> str:
+    means = ",\n       ".join(
+        f"round(avg(CAST(embedding[{i}] AS DOUBLE)), 6) AS c{i}"
+        for i in range(1, _EMB_DIM + 1)
+    )
+    return f"""
+SELECT label, count(*) AS n,
+       {means}
+FROM embeddings GROUP BY label
+"""
+
+
+# --- range similarity query ------------------------------------------------
+# All vectors within a cosine radius of the query (dedup-by-radius /
+# recall-set construction), vs the top-k cut of simsearch_topk. Same
+# broadcast + single-scan shape; the filter replaces TakeOrdered.
+RANGE_COS_THRESHOLD = 0.15
+
+
+def q_simsearch_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        q_embed_cosine,
+    )
+
+    return q_embed_cosine(spark, sf_dir).filter(
+        F.col("cosine") >= RANGE_COS_THRESHOLD
+    )
+
+
+def _simsearch_range_sql() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.similarity import _cosine_sql
+
+    return f"""
+SELECT * FROM ({_cosine_sql()}) c WHERE cosine >= {RANGE_COS_THRESHOLD}
+"""
+
+
+def register_all() -> None:
+    register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
+    register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)
+    register("window_ntile", q_window_ntile, WINDOW_NTILE_SQL)
+    register("sql_q13", q_sql_q13, SQL_Q13)
+    register("join_interval", q_join_interval, JOIN_INTERVAL_SQL)
+    register("text_dedup_soft", q_text_dedup_soft, TEXT_DEDUP_SOFT_SQL)
+    register("doc_chunking", q_doc_chunking, DOC_CHUNKING_SQL)
+    register("token_freq_topn", q_token_freq_topn, TOKEN_FREQ_TOPN_SQL)
+    register(
+        "embed_centroid_by_label", q_embed_centroid_by_label, _embed_centroid_sql()
+    )
+    register("simsearch_range", q_simsearch_range, _simsearch_range_sql())

@@ -70,6 +70,16 @@ CHECK_PRIORITY: list[str] = [
     "date_bucket",
     # new this round
     "schema_fingerprint",
+    "agg_stats_moments",
+    "agg_histogram",
+    "window_ntile",
+    "sql_q13",
+    "join_interval",
+    "text_dedup_soft",
+    "doc_chunking",
+    "token_freq_topn",
+    "embed_centroid_by_label",
+    "simsearch_range",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",
