@@ -80,6 +80,12 @@ CHECK_PRIORITY: list[str] = [
     "token_freq_topn",
     "embed_centroid_by_label",
     "simsearch_range",
+    "sql_exists",
+    "sql_recursive_cte",
+    "agg_string_concat",
+    "scalar_bitwise_funcs",
+    "scalar_conditional_funcs",
+    "sample_systematic",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",

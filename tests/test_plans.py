@@ -120,3 +120,18 @@ def test_build_is_single_pass(spark):
     assert final.count("Generate explode") == 4, (
         "bucketed build executes the cell explosion more than once"
     )
+
+
+def test_ivf_kmeans_assign_is_map_only(spark):
+    """The k-means assign step folds the K driver-side centroids into
+    literal expressions: the ONLY exchanges in the whole query must be
+    the broadcast of the probe vector — no hash/range shuffle and no
+    sort anywhere except the final top-k (TakeOrdered, not Sort)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    df = get_registry()["simsearch_ivf_kmeans"].fn(spark, SF_SMALL)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" not in p, "assign stage shuffles"
+    assert "Exchange rangepartitioning" not in p, "assign stage sorts globally"
+    assert "+- Sort " not in p, "assign stage has a sort"
+    assert "TakeOrderedAndProject" in p, "top-k should be TakeOrdered"
