@@ -348,6 +348,125 @@ SELECT * FROM ({_cosine_sql()}) c WHERE cosine >= {RANGE_COS_THRESHOLD}
 """
 
 
+# --- document-frequency / IDF stats ----------------------------------------
+# Per-token document frequency and smoothed IDF over the corpus —
+# the weighting step of any tf-idf retrieval/quality pipeline. One
+# explode + distinct-per-doc + hash agg; ln() rounded 6dp both sides.
+IDF_TOP_N = 50
+
+
+def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar, folded as a literal (tiny scan)
+    tok = (
+        d.select(
+            "doc_id",
+            F.explode(F.array_distinct(F.split(F.lower(F.col("text")), "[^a-z]+"))).alias(
+                "token"
+            ),
+        )
+        .filter(F.length("token") >= 3)
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .select(
+            "token",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(IDF_TOP_N)
+    )
+
+
+def _token_doc_freq_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id, token
+  FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents
+  ) t
+  WHERE length(token) >= 3
+),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT token, count(*) AS df,
+       round(ln(n.n_docs / count(*)), 6) AS idf
+FROM tok, n
+GROUP BY token, n.n_docs
+ORDER BY df DESC, token ASC
+LIMIT {IDF_TOP_N}
+"""
+
+
+# --- latest-record-per-key dedup (CDC compaction) ---------------------------
+# The change-data-capture primitive: collapse an event log to each
+# key's most recent record. One window shuffle on the key; ties on ts
+# break on event_id so both engines pick the same row.
+
+
+def q_dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+DEDUP_LATEST_EVENT_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP_NS) AS ts, event_type, value
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) t
+WHERE rn = 1
+"""
+
+
+# --- int8 embedding quantization -------------------------------------------
+# Symmetric per-vector int8 quantization (x -> round(127*x/absmax)) —
+# the storage/serving compression step. Pure element-wise transform;
+# scale emitted so the check pins both the codes and the scale. Codes
+# serialize to a joined string (repo convention: checked outputs are
+# scalar — the driver hash and the comparator can't sort array cells).
+
+
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    codes = F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * 127.0 / absmax, 0).cast("int"),
+    )
+    return emb.select(
+        "vec_id",
+        F.round(absmax, 6).alias("scale"),
+        F.array_join(
+            F.transform(codes, lambda c: c.cast("string")), ","
+        ).alias("codes"),
+    )
+
+
+EMBED_QUANTIZE_SQL = """
+SELECT vec_id,
+       round(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 6) AS scale,
+       array_to_string(list_transform(embedding,
+         x -> CAST(round(CAST(x AS DOUBLE) * 127.0
+                         / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))), 0) AS INT)), ',') AS codes
+FROM embeddings
+"""
+
+
 def register_all() -> None:
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)
@@ -361,3 +480,6 @@ def register_all() -> None:
         "embed_centroid_by_label", q_embed_centroid_by_label, _embed_centroid_sql()
     )
     register("simsearch_range", q_simsearch_range, _simsearch_range_sql())
+    register("token_doc_freq", q_token_doc_freq, _token_doc_freq_sql())
+    register("dedup_latest_event", q_dedup_latest_event, DEDUP_LATEST_EVENT_SQL)
+    register("embed_quantize", q_embed_quantize, EMBED_QUANTIZE_SQL)

@@ -86,6 +86,10 @@ CHECK_PRIORITY: list[str] = [
     "scalar_bitwise_funcs",
     "scalar_conditional_funcs",
     "sample_systematic",
+    "dedup_components",
+    "token_doc_freq",
+    "dedup_latest_event",
+    "embed_quantize",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",
