@@ -244,8 +244,11 @@ WHERE d.doc_id NOT IN (SELECT doc_b FROM ({_minhash_sql()}) p)
 MAX_CC_ITERS = 20
 
 
-def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+def connected_components(edges: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected edge list
+    (columns `doc_a`, `doc_b`) -> one row per vertex with its
+    component id (= min vertex id in the component). Reusable over
+    any pair source (minhash, ngram, embedding near-dup)."""
     und = (
         edges.selectExpr("doc_a AS src", "doc_b AS dst")
         .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
@@ -294,6 +297,12 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     und.unpersist()
     return labels
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return connected_components(
+        q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    )
 
 
 def _components_sql() -> str:

@@ -68,3 +68,19 @@ def test_media_fixture_is_ascii(spark):
         | (F.length("text") == 0)
     ).count()
     assert bad == 0, "documents.text must be non-empty ASCII for media oracles"
+
+
+def test_connected_components_transitive_chain(spark):
+    """A-B, B-C, plus isolated pair D-E: transitivity must put A,B,C
+    in ONE component labeled by the min id, never the pairwise-only
+    grouping — and a long chain exercises multi-iteration
+    propagation (diameter 4 > 1 hop)."""
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        r.doc_id: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
