@@ -1,0 +1,60 @@
+"""Global anti-pattern plan audit: no registered batch key may plan a
+CartesianProduct, and BroadcastNestedLoopJoin is allowed ONLY where
+one side is bounded-tiny by construction (broadcast of a query
+vector / scalar-aggregate row / hard-capped baseline). Any new key
+that accidentally plans an unbounded cross join fails here before it
+ever reaches the driver or a cluster.
+
+Streaming keys are excluded: building their "plan" executes the
+stream to a memory sink (covered by their own parity + streaming
+tests).
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+# Keys whose BroadcastNestedLoopJoin is a documented broadcast-of-tiny:
+#   - embed_cosine / simsearch_topk / simsearch_topk_batch /
+#     simsearch_range: the broadcast side is 1-8 query vectors.
+#   - embed_neardup: test-only exact baseline, input hard-capped to
+#     vec_id < 1000 on BOTH engines (operators/similarity.py).
+#   - join_cross: the operator IS a cross join (region x nation, 5x25).
+#   - agg_class_counts / metrics_gm_auc_multiclass /
+#     crossval_multiclass: scalar one-row aggregate joined back.
+BNL_ALLOWED = {
+    "embed_cosine",
+    "simsearch_topk",
+    "simsearch_topk_batch",
+    "simsearch_range",
+    "embed_neardup",
+    "join_cross",
+    "agg_class_counts",
+    "metrics_gm_auc_multiclass",
+    "crossval_multiclass",
+}
+
+
+def test_no_unbounded_cross_joins(spark):
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    cartesian, stray_bnl = [], []
+    for key, spec in get_registry().items():
+        if key.startswith("stream_"):
+            continue
+        plan = (
+            spec.fn(spark, SF_SMALL)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        if "CartesianProduct" in plan:
+            cartesian.append(key)
+        if "BroadcastNestedLoopJoin" in plan and key not in BNL_ALLOWED:
+            stray_bnl.append(key)
+    assert not cartesian, f"CartesianProduct planned by: {cartesian}"
+    assert not stray_bnl, (
+        f"unallowlisted BroadcastNestedLoopJoin in: {stray_bnl} — either "
+        f"fix the plan (equi-join/broadcast the tiny side) or document "
+        f"why the non-equi side is bounded and add it to BNL_ALLOWED"
+    )
