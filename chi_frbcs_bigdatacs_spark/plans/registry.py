@@ -90,6 +90,7 @@ CHECK_PRIORITY: list[str] = [
     "token_doc_freq",
     "dedup_latest_event",
     "embed_quantize",
+    "stream_latest_event",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",

@@ -150,6 +150,87 @@ def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC compaction: maintain each user's LATEST event as
+    micro-batches arrive — the stateful streaming counterpart of the
+    batch `dedup_latest_event` key (same oracle). State per user is
+    the argmax row under (ts, event_id) lexicographic order; each
+    batch folds vectorized (pandas idxmax per group, no Python row
+    loop), so the final state equals the batch answer for ANY batch
+    split. Emissions are monotone in (ts, event_id), so the
+    update-mode sink reduces with max_by."""
+    ev = _staged_stream(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_type",
+        "value",
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        best = state.get if state.exists else None  # (event_id, ts_us, type, value)
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            i = pdf.sort_values(["ts_us", "event_id"]).index[-1]
+            row = (
+                int(pdf.at[i, "event_id"]),
+                int(pdf.at[i, "ts_us"]),
+                str(pdf.at[i, "event_type"]),
+                float(pdf.at[i, "value"]),
+            )
+            if best is None or (row[1], row[0]) > (best[1], best[0]):
+                best = row
+        state.update(best)
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "event_id": [best[0]],
+                "ts_us": [best[1]],
+                "event_type": [best[2]],
+                "value": [best[3]],
+            }
+        )
+
+    latest = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, event_id long, ts_us long, "
+        "event_type string, value double",
+        stateStructType="event_id long, ts_us long, event_type string, value double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_latest_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts_us", "event_type", "value"),
+                F.struct("ts_us", "event_id"),
+            ).alias("b")
+        )
+    )
+    return final.select(
+        "user_id",
+        F.col("b.event_id").alias("event_id"),
+        F.expr("timestamp_micros(b.ts_us)").alias("ts"),
+        F.col("b.event_type").alias("event_type"),
+        F.col("b.value").alias("value"),
+    )
+
+
 def _rule_stats_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.fuzzy import oracle
     from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
@@ -161,3 +242,6 @@ def _rule_stats_oracle() -> str:
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
+    from chi_frbcs_bigdatacs_spark.operators.curation import DEDUP_LATEST_EVENT_SQL
+
+    register("stream_latest_event", q_stream_latest_event, DEDUP_LATEST_EVENT_SQL)
