@@ -1,0 +1,114 @@
+"""Invariant tests for the round-4 curation operators — properties
+the DuckDB hash-parity check cannot express (it proves both engines
+agree, not that the shared semantics are right).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_doc_chunking_reconstructs_documents(spark):
+    """Dropping each chunk's overlap tail (keep the first STRIDE
+    chars; keep the final chunk whole) and concatenating in chunk_idx
+    order must reproduce every document exactly — proves chunks cover
+    all text with correct stride and no gaps."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        CHUNK_STRIDE,
+        q_doc_chunking,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    chunks = q_doc_chunking(spark, SF_SMALL)
+    n_chunks = chunks.groupBy("doc_id").agg(F.max("chunk_idx").alias("last_idx"))
+    rebuilt = (
+        chunks.join(n_chunks, "doc_id")
+        .withColumn(
+            "piece",
+            F.when(
+                F.col("chunk_idx") < F.col("last_idx"),
+                F.substring("chunk", 1, CHUNK_STRIDE),
+            ).otherwise(F.col("chunk")),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_idx", "piece"))
+                    ),
+                    lambda s: s["piece"],
+                ),
+                "",
+            ).alias("rebuilt")
+        )
+    )
+    docs = load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+    mismatches = (
+        docs.join(rebuilt, "doc_id")
+        .filter(F.col("text") != F.col("rebuilt"))
+        .count()
+    )
+    assert mismatches == 0
+    assert rebuilt.count() == docs.count()
+
+
+def test_embed_quantize_codes_bounded_and_scaled(spark):
+    """Every int8 code is in [-127, 127], and each vector's absmax
+    element quantizes to exactly +/-127 (symmetric scaling hits the
+    full range)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_embed_quantize
+
+    qz = q_embed_quantize(spark, SF_SMALL).withColumn(
+        "codes_arr",
+        F.transform(F.split("codes", ","), lambda s: s.cast("int")),
+    )
+    bad_range = qz.filter(
+        F.exists(F.col("codes_arr"), lambda c: (c > 127) | (c < -127))
+    ).count()
+    no_full_scale = qz.filter(
+        ~F.exists(F.col("codes_arr"), lambda c: F.abs(c) == 127)
+    ).count()
+    assert bad_range == 0
+    assert no_full_scale == 0
+
+
+def test_dedup_components_edges_agree(spark):
+    """Every verified near-dup pair must land in one component, and
+    every component label must be the minimum doc_id it contains."""
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        q_dedup_components,
+        q_dedup_minhash,
+    )
+
+    comp = q_dedup_components(spark, SF_SMALL)
+    pairs = q_dedup_minhash(spark, SF_SMALL).select("doc_a", "doc_b")
+    ca = comp.select(F.col("doc_id").alias("doc_a"), F.col("component").alias("comp_a"))
+    cb = comp.select(F.col("doc_id").alias("doc_b"), F.col("component").alias("comp_b"))
+    split_edges = (
+        pairs.join(ca, "doc_a").join(cb, "doc_b")
+        .filter(F.col("comp_a") != F.col("comp_b"))
+        .count()
+    )
+    assert split_edges == 0
+    bad_labels = (
+        comp.groupBy("component")
+        .agg(F.min("doc_id").alias("min_id"))
+        .filter(F.col("component") != F.col("min_id"))
+        .count()
+    )
+    assert bad_labels == 0
+
+
+def test_stream_latest_event_equals_batch(spark):
+    """The stateful streaming compaction must equal the batch
+    latest-per-key answer row for row (stream==batch property)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_dedup_latest_event
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_latest_event
+
+    batch = q_dedup_latest_event(spark, SF_SMALL)
+    stream = q_stream_latest_event(spark, SF_SMALL)
+    assert batch.exceptAll(stream).count() == 0
+    assert stream.exceptAll(batch).count() == 0
