@@ -335,7 +335,9 @@ def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
     return _r(lambda x, y: x + y, terms)
 
 
-def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _kmeans_index(spark: SparkSession, sf_dir: str):
+    """Shared 1-Lloyd-step IVF build: returns (assignments DataFrame
+    with (vec_id, embedding, k), centroid list [(k, vec)])."""
     from functools import reduce as _r
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -386,8 +388,11 @@ def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = sorted(
         (r.k, [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in cent_rows
     )
-    a2 = assign(cent)
+    return assign(cent), cent
 
+
+def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, _ = _kmeans_index(spark, sf_dir)
     q = (
         a2.orderBy(F.col("vec_id").asc())
         .limit(1)
@@ -404,13 +409,67 @@ def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_kmeans_sql() -> str:
+# --- multi-probe IVF: search the N_PROBE nearest clusters ------------------
+# The standard IVF recall knob: the query probes its N_PROBE closest
+# centroids instead of only its own cell, trading N_PROBE x candidate
+# volume for recall on queries near cell boundaries. Centroids are
+# driver-side constants, so probe selection is plain Python and the
+# candidate cut stays a codegen'd `k IN (...)` filter — still
+# map-only until the final TakeOrdered.
+N_PROBE = 2
+
+
+def q_simsearch_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, cent = _kmeans_index(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
+    )
+
+    def sqdist(vec):
+        return sum(
+            (float(vec[i]) - float(qvec[i])) ** 2 for i in range(len(qvec))
+        )
+
+    probes = [k for k, _ in sorted(cent, key=lambda kv: (sqdist(kv[1]), kv[0]))[:N_PROBE]]
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    cand = a2.filter(F.col("k").isin(probes)).crossJoin(F.broadcast(q))
+    cos = _dot_col("embedding", "qvec") / (
+        F.sqrt(_norm2_col("embedding")) * F.sqrt(_norm2_col("qvec"))
+    )
+    return (
+        cand.select("vec_id", "k", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+# --- ANN quality measurement: recall@10 of multi-probe IVF vs exact --------
+# The evaluation op any ANN deployment needs: overlap of the
+# approximate top-k with the exact top-k, as a one-row metric.
+
+
+def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_simsearch_topk(spark, sf_dir).select("vec_id")
+    approx = q_simsearch_ivf_probe2(spark, sf_dir).select("vec_id")
+    return exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.round(F.count(F.lit(1)) / 10.0, 6).alias("recall_at_10"),
+    )
+
+
+def _ivf_kmeans_ctes() -> str:
+    """Shared CTE body (seeds -> a1 -> cent -> a2) for the k-means
+    IVF oracles."""
     mean_list = ", ".join(
         f"round(sum(CAST(embedding[{i}] AS DOUBLE)) / count(*), 6)"
         for i in range(1, DIM + 1)
     )
-    return f"""
-WITH seeds AS (
+    return f"""seeds AS (
   SELECT row_number() OVER (ORDER BY vec_id ASC) AS k, embedding AS cvec
   FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {K_CLUSTERS}) s
 ),
@@ -432,7 +491,12 @@ a2 AS (
              ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.k ASC) AS rn
     FROM embeddings e CROSS JOIN cent c) t
   WHERE rn = 1
-),
+)"""
+
+
+def _ivf_kmeans_sql() -> str:
+    return f"""
+WITH {_ivf_kmeans_ctes()},
 q AS (
   SELECT embedding AS qvec, k AS qk FROM a2 ORDER BY vec_id ASC LIMIT 1
 )
@@ -442,6 +506,35 @@ SELECT vec_id, k,
 FROM a2 JOIN q ON a2.k = q.qk
 ORDER BY cosine DESC, vec_id ASC
 LIMIT 10
+"""
+
+
+def _ivf_probe2_sql() -> str:
+    return f"""
+WITH {_ivf_kmeans_ctes()},
+q AS (
+  SELECT embedding AS qvec FROM embeddings ORDER BY vec_id ASC LIMIT 1
+),
+qk AS (
+  SELECT c.k FROM cent c, q
+  ORDER BY {_sqdist_sql('q.qvec', 'c.cvec')} ASC, c.k ASC
+  LIMIT {N_PROBE}
+)
+SELECT a2.vec_id, a2.k,
+       round(({_dot_sql('a2.embedding', 'q.qvec')})
+             / (sqrt({_dot_sql('a2.embedding', 'a2.embedding')}) * sqrt({_dot_sql('q.qvec', 'q.qvec')})), 6) AS cosine
+FROM a2 JOIN qk ON a2.k = qk.k CROSS JOIN q
+ORDER BY cosine DESC, vec_id ASC
+LIMIT 10
+"""
+
+
+def _ivf_recall_sql() -> str:
+    return f"""
+WITH exact AS ({SIMSEARCH_TOPK_SQL}),
+approx AS ({_ivf_probe2_sql()})
+SELECT count(*) AS n_hits, round(count(*) / 10.0, 6) AS recall_at_10
+FROM exact JOIN approx ON exact.vec_id = approx.vec_id
 """
 
 
@@ -511,3 +604,5 @@ def register_all() -> None:
     register("embed_neardup_lsh", q_embed_neardup_lsh, EMBED_NEARDUP_LSH_SQL)
     register("simsearch_ivf", q_simsearch_ivf, SIMSEARCH_IVF_SQL)
     register("simsearch_ivf_kmeans", q_simsearch_ivf_kmeans, _ivf_kmeans_sql())
+    register("simsearch_ivf_probe2", q_simsearch_ivf_probe2, _ivf_probe2_sql())
+    register("simsearch_recall", q_simsearch_recall, _ivf_recall_sql())

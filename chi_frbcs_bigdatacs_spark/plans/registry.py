@@ -91,6 +91,8 @@ CHECK_PRIORITY: list[str] = [
     "dedup_latest_event",
     "embed_quantize",
     "stream_latest_event",
+    "simsearch_ivf_probe2",
+    "simsearch_recall",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",

@@ -27,6 +27,8 @@ BNL_ALLOWED = {
     "simsearch_topk",
     "simsearch_topk_batch",
     "simsearch_range",
+    "simsearch_ivf_probe2",
+    "simsearch_recall",
     "embed_neardup",
     "join_cross",
     "agg_class_counts",
