@@ -467,6 +467,90 @@ FROM embeddings
 """
 
 
+# --- ordered event funnel ----------------------------------------------------
+# Per user: earliest 'view', then earliest 'click' AFTER it, then
+# earliest 'purchase' after that — the classic ordered-funnel metric.
+# Three staged (filter -> per-user min -> equi-join) rounds, each a
+# map-side-combined agg + user_id hash join; no windows over the full
+# event stream and no per-user sorts.
+_FUNNEL_STAGES = ("view", "click", "purchase")
+
+
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    s1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    users = e.select("user_id").distinct()
+    stage = (
+        F.when(F.col("t_purchase").isNotNull(), 3)
+        .when(F.col("t_click").isNotNull(), 2)
+        .when(F.col("t_view").isNotNull(), 1)
+        .otherwise(0)
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            "user_id",
+            stage.cast("long").alias("funnel_stage"),
+            "t_view",
+            "t_click",
+            "t_purchase",
+        )
+    )
+
+
+WINDOW_FUNNEL_SQL = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+s1 AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+  GROUP BY e.user_id
+),
+s3 AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+  GROUP BY e.user_id
+)
+SELECT u.user_id,
+       CAST(CASE WHEN t_purchase IS NOT NULL THEN 3
+                 WHEN t_click IS NOT NULL THEN 2
+                 WHEN t_view IS NOT NULL THEN 1
+                 ELSE 0 END AS BIGINT) AS funnel_stage,
+       CAST(t_view AS TIMESTAMP_NS) AS t_view,
+       CAST(t_click AS TIMESTAMP_NS) AS t_click,
+       CAST(t_purchase AS TIMESTAMP_NS) AS t_purchase
+FROM u
+LEFT JOIN s1 ON u.user_id = s1.user_id
+LEFT JOIN s2 ON u.user_id = s2.user_id
+LEFT JOIN s3 ON u.user_id = s3.user_id
+"""
+
+
 def register_all() -> None:
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)
@@ -483,3 +567,4 @@ def register_all() -> None:
     register("token_doc_freq", q_token_doc_freq, _token_doc_freq_sql())
     register("dedup_latest_event", q_dedup_latest_event, DEDUP_LATEST_EVENT_SQL)
     register("embed_quantize", q_embed_quantize, EMBED_QUANTIZE_SQL)
+    register("window_funnel", q_window_funnel, WINDOW_FUNNEL_SQL)

@@ -480,9 +480,91 @@ FROM bits GROUP BY doc_id
 """
 
 
+# --- containment dedup: doc-inclusion detection -----------------------------
+# Containment C(A,B) = |A n B| / min(|A|, |B|) flags a document
+# EMBEDDED inside another (quotes, boilerplate wrapping, excerpt
+# pages) that symmetric Jaccard misses when sizes differ widely.
+# Same blocked candidate generation as the n-gram key (equi-join on
+# (lang, source, length-bucket) with two-bucket fan-out) — but note
+# the documented recall bound bites harder here: a contained doc much
+# shorter than its container lands in a distant length bucket, so
+# this key certifies same-scale containment (the common boilerplate
+# case); cross-scale containment needs the MinHash candidates.
+CONTAINMENT_THRESHOLD = 0.6
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    docs = d.select("doc_id", "lang", "source", _ngrams_col().alias("grams")).filter(
+        F.size("grams") >= 1
+    )
+    blk = F.floor(F.size("grams") / LEN_BUCKET).cast("long")
+    expanded = docs.select(
+        "doc_id", "lang", "source", F.explode(F.array(blk, blk + 1)).alias("blk")
+    )
+    a = expanded.select("lang", "source", "blk", F.col("doc_id").alias("doc_a"))
+    b = expanded.select("lang", "source", "blk", F.col("doc_id").alias("doc_b"))
+    cand = (
+        a.join(b, ["lang", "source", "blk"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ga = docs.select(F.col("doc_id").alias("doc_a"), F.col("grams").alias("ga"))
+    gb = docs.select(F.col("doc_id").alias("doc_b"), F.col("grams").alias("gb"))
+    cont = (
+        cand.join(ga, "doc_a")
+        .join(gb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("ga", "gb")).cast("double")
+                / F.least(F.size("ga"), F.size("gb")).cast("double"),
+                6,
+            ).alias("containment"),
+        )
+    )
+    return cont.filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+
+
+DEDUP_CONTAINMENT_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, {NGRAMS_SQL} AS grams FROM documents
+),
+docs_nz AS (
+  SELECT * FROM docs WHERE len(grams) >= 1
+),
+expanded AS (
+  SELECT doc_id, lang, source,
+         unnest([CAST(floor(len(grams) / {LEN_BUCKET}) AS BIGINT),
+                 CAST(floor(len(grams) / {LEN_BUCKET}) AS BIGINT) + 1]) AS blk
+  FROM docs_nz
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM expanded a
+  JOIN expanded b ON a.lang = b.lang AND a.source = b.source AND a.blk = b.blk
+  WHERE a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
+             / CAST(least(len(da.grams), len(db.grams)) AS DOUBLE), 6) AS containment
+FROM cand c
+JOIN docs_nz da ON da.doc_id = c.doc_a
+JOIN docs_nz db ON db.doc_id = c.doc_b
+WHERE round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
+            / CAST(least(len(da.grams), len(db.grams)) AS DOUBLE), 6)
+      >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 def register_all() -> None:
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
     register("dedup_minhash_keep", q_dedup_minhash_keep, _minhash_keep_sql())
     register("dedup_components", q_dedup_components, _components_sql())
+    register("dedup_containment", q_dedup_containment, DEDUP_CONTAINMENT_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)

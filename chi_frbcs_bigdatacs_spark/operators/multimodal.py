@@ -67,6 +67,38 @@ FROM documents
 """
 
 
+def q_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed media dedup: group by the payload digest (+
+    declared format — same bytes under a different container are NOT
+    merged), keep the lowest doc_id. The standard blob-store dedup:
+    one hash projection + one hash agg on a fixed-width key, scale-
+    safe at any corpus size."""
+    m = media_fixture(spark, sf_dir)
+    return (
+        m.select(
+            "doc_id",
+            "format",
+            F.md5("media").alias("content_hash"),
+            F.length("media").cast("long").alias("n_bytes"),
+        )
+        .groupBy("content_hash", "format")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("keeper"),
+            F.max("n_bytes").alias("n_bytes"),
+        )
+    )
+
+
+MEDIA_DEDUP_SQL = """
+SELECT md5(text) AS content_hash,
+       CASE WHEN lang = 'en' THEN 'png' ELSE 'jpeg' END AS format,
+       count(*) AS n_copies, min(doc_id) AS keeper,
+       max(strlen(text)) AS n_bytes
+FROM documents GROUP BY 1, 2
+"""
+
+
 def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample fixed-size frames: (doc_id, frame_idx, frame_len, digest).
     The digest is computed over the frame bytes; DuckDB mirrors it on
@@ -225,6 +257,7 @@ FROM documents
 
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
+    register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
     register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)
     register("media_decode", q_media_decode, MEDIA_DECODE_SQL)

@@ -93,6 +93,9 @@ CHECK_PRIORITY: list[str] = [
     "stream_latest_event",
     "simsearch_ivf_probe2",
     "simsearch_recall",
+    "media_dedup",
+    "dedup_containment",
+    "window_funnel",
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",
