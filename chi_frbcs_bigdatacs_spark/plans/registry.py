@@ -66,8 +66,6 @@ CHECK_PRIORITY: list[str] = [
     "stream_sliding",
     "stream_session",
     "stream_stateful_count",
-    "stream_rule_stats",
-    "date_bucket",
     # new this round
     "schema_fingerprint",
     "agg_stats_moments",
@@ -99,6 +97,13 @@ CHECK_PRIORITY: list[str] = [
     # touched this round (perf rework; oracle in lockstep)
     "simsearch_ivf_kmeans",
     "simsearch_topk",
+    # events keys displaced from the 50-window in favor of
+    # never-checked new keys: stream_rule_stats streams lineitem (the
+    # only change was removing a no-op conf set) and date_bucket's
+    # loader path is certified by the 20 other events keys in-window;
+    # both are locally parity-green. Re-front-load in r5.
+    "stream_rule_stats",
+    "date_bucket",
     # longest-unchecked rotation: keys whose latest green check is r1
     "agg_pricing_summary",
     "agg_rollup",
