@@ -100,12 +100,18 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, (a, b) in enumerate(AFFINE)
         ]
     )
-    band_rows = []
+    # One band row per (doc, band) via a SINGLE explode over the sig
+    # row — the previous 16-way unionByName re-executed the whole
+    # shingle-explode + 16-min aggregation once per band branch (18
+    # HashAggregates, zero exchange reuse in the r4 plan audit).
+    # sig is tiny (one row per doc, 16 longs) and feeds both sides of
+    # the banding self-join, so it persists into the same
+    # one-generation cache as docs.
+    band_structs = []
     for b in range(BANDS):
         cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
-        band_rows.append(
-            sig.select(
-                "doc_id",
+        band_structs.append(
+            F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
                     F.concat_ws("|", *[F.col(c).cast("string") for c in cols]).cast(
@@ -114,9 +120,11 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("bv"),
             )
         )
-    bands = band_rows[0]
-    for br in band_rows[1:]:
-        bands = bands.unionByName(br)
+    sig = sig.persist()
+    _MINHASH_CACHE.append(sig)
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
