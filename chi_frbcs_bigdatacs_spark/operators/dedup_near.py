@@ -257,9 +257,22 @@ def connected_components(edges: DataFrame) -> DataFrame:
     (columns `doc_a`, `doc_b`) -> one row per vertex with its
     component id (= min vertex id in the component). Reusable over
     any pair source (minhash, ngram, embedding near-dup)."""
+    # both orientations from ONE pass over the edge lineage (a union
+    # of two projections would execute the pair-generation twice)
     und = (
-        edges.selectExpr("doc_a AS src", "doc_b AS dst")
-        .union(edges.selectExpr("doc_b AS src", "doc_a AS dst"))
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
         .persist()
     )
     labels = (
