@@ -227,9 +227,14 @@ CHUNK_CHARS = 500
 CHUNK_STRIDE = 400
 
 
-def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    n_chunks_m1 = F.floor((F.length("text") - 1) / CHUNK_STRIDE).cast("int")
+def chunk_documents(d: DataFrame) -> DataFrame:
+    """Chunk any (doc_id, text) frame; see q_doc_chunking."""
+    # clamp: empty text would give floor(-1/stride) = -1 and Spark's
+    # sequence(0,-1) DESCENDS (two spurious rows) while DuckDB's
+    # range(0,0) is empty — both engines clamp to one empty chunk
+    n_chunks_m1 = F.greatest(
+        F.lit(0), F.floor((F.length("text") - 1) / CHUNK_STRIDE)
+    ).cast("int")
     return (
         d.select(
             "doc_id",
@@ -247,6 +252,10 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
 DOC_CHUNKING_SQL = f"""
 SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
        substr(text, CAST(i AS INT) * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk,
@@ -255,7 +264,7 @@ FROM (
   -- list-valued range() supports per-row bounds where the lateral
   -- generate_series table function does not (DuckDB 1.0)
   SELECT doc_id, text,
-         unnest(range(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT) + 1)) AS i
+         unnest(range(0, greatest(0, CAST(floor((length(text) - 1) / {CHUNK_STRIDE}) AS BIGINT)) + 1)) AS i
   FROM documents
 ) t
 """

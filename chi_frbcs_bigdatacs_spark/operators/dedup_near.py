@@ -275,48 +275,52 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .select("e.src", "e.dst")
         .persist()
     )
-    labels = (
-        und.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("component", F.col("doc_id"))
-        .localCheckpoint()
-    )
-    for _ in range(MAX_CC_ITERS):
-        nbmin = (
-            und.join(
-                labels.select(
-                    F.col("doc_id").alias("dst"), F.col("component").alias("dc")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dc").alias("nb_comp"))
-            .withColumnRenamed("src", "doc_id")
-        )
-        new = (
-            labels.join(nbmin, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("component"), F.coalesce("nb_comp", "component")
-                ).alias("component"),
-            )
+    try:
+        labels = (
+            und.select(F.col("src").alias("doc_id"))
+            .distinct()
+            .withColumn("component", F.col("doc_id"))
             .localCheckpoint()
         )
-        changed = (
-            new.select("doc_id", F.col("component").alias("nc"))
-            .join(labels, "doc_id")
-            .filter(F.col("nc") != F.col("component"))
-            .count()
-        )
-        labels = new
-        if changed == 0:
-            break
-    else:
-        raise RuntimeError(
-            f"connected components did not converge in {MAX_CC_ITERS} iterations"
-        )
-    und.unpersist()
+        for _ in range(MAX_CC_ITERS):
+            nbmin = (
+                und.join(
+                    labels.select(
+                        F.col("doc_id").alias("dst"), F.col("component").alias("dc")
+                    ),
+                    "dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dc").alias("nb_comp"))
+                .withColumnRenamed("src", "doc_id")
+            )
+            new = (
+                labels.join(nbmin, "doc_id", "left")
+                .select(
+                    "doc_id",
+                    F.least(
+                        F.col("component"), F.coalesce("nb_comp", "component")
+                    ).alias("component"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.select("doc_id", F.col("component").alias("nc"))
+                .join(labels, "doc_id")
+                .filter(F.col("nc") != F.col("component"))
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+        else:
+            raise RuntimeError(
+                f"connected components did not converge in {MAX_CC_ITERS} iterations"
+            )
+    finally:
+        # (labels is checkpointed, so unpersisting the edges here does
+        # not invalidate the returned lineage even on the error path)
+        und.unpersist()
     return labels
 
 

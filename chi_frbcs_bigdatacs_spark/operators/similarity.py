@@ -349,8 +349,10 @@ def _kmeans_index(spark: SparkSession, sf_dir: str):
         # shuffle, fully whole-stage-codegen. (Earlier rounds ranked
         # the n*K crossJoin with row_number over a Window — a sort
         # shuffle of 4n rows; wrong shape at 100x.) Ties on dist break
-        # to the lowest k: candidates iterate in ascending k and the
-        # strict `<` struct compare keeps the incumbent on equality.
+        # to the lowest k: `least` yields the min distance and the
+        # when-chain tests candidates in ascending k, so the first
+        # (lowest-k) equality wins — same order as the SQL oracle's
+        # ORDER BY dist ASC, k ASC.
         dists = [(k, _sqdist_lit_col("embedding", vec)) for k, vec in centroids]
         m = F.least(*[d for _, d in dists]) if len(dists) > 1 else dists[0][1]
         best = _r(

@@ -84,3 +84,35 @@ def test_connected_components_transitive_chain(spark):
         r.doc_id: r.component for r in connected_components(edges).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_chunking_empty_text_one_empty_chunk(spark, duck):
+    """Empty/short text emits exactly ONE chunk on both engines
+    (ADVICE r4: unclamped floor((0-1)/stride) = -1 made Spark's
+    sequence(0,-1) descend — two spurious rows — while DuckDB's
+    range(0,0) emitted none)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        CHUNK_STRIDE,
+        chunk_documents,
+    )
+
+    d = spark.createDataFrame(
+        [(1, ""), (2, "ab"), (3, "x" * (CHUNK_STRIDE + 1))],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in chunk_documents(d).collect()}
+    counts = {
+        r[0]: r[1]
+        for r in chunk_documents(d)
+        .groupBy("doc_id")
+        .count()
+        .collect()
+    }
+    assert counts == {1: 1, 2: 1, 3: 2}
+    assert rows[1].chunk == "" and rows[1].chunk_idx == 0
+    # the DuckDB oracle expression agrees on the empty-text clamp
+    n = duck.execute(
+        f"""SELECT count(*) FROM (SELECT unnest(range(0,
+            greatest(0, CAST(floor((length('') - 1) / {CHUNK_STRIDE}) AS BIGINT)) + 1)))"""
+    ).fetchone()[0]
+    assert n == 1
