@@ -1,0 +1,84 @@
+"""ROS/RUS resampling: rebalance quality, determinism, and the
+[FSS258 §5.4] equivalence — costs and resampling are interchangeable
+imbalance treatments, so the CS cost vector computed on a
+ROS/RUS-rebalanced fixture collapses to ~1."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _clf(spark):
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    return lineitem_clf(spark, SF_SMALL)
+
+
+def _cost_ratio(df):
+    """max CS cost (= N_largest / N_c) over classes of a labeled frame."""
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+
+    costs = R.with_costs(R.class_counts(df)).collect()
+    return max(r.cost for r in costs)
+
+
+def test_ros_rebalances_cost_vector_to_one(spark):
+    from chi_frbcs_bigdatacs_spark.operators.resample import resample_ros
+
+    df = _clf(spark)
+    before = _cost_ratio(df)
+    assert before > 1.5  # fixture is genuinely imbalanced (IR ~ 2)
+    after = _cost_ratio(resample_ros(df))
+    # Bernoulli-hash fractional copies: ratio ~1 within a few percent
+    assert after < 1.05, f"ROS cost ratio {after}"
+
+
+def test_rus_rebalances_cost_vector_to_one(spark):
+    from chi_frbcs_bigdatacs_spark.operators.resample import resample_rus
+
+    df = _clf(spark)
+    after = _cost_ratio(resample_rus(df))
+    assert after < 1.05, f"RUS cost ratio {after}"
+    # RUS only thins: per-class counts never exceed the originals
+    before = {r.label: r.n for r in df.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    got = {r.label: r.n for r in resample_rus(df).groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    assert set(got) == set(before)
+    assert all(got[c] <= before[c] for c in got)
+
+
+def test_resample_deterministic_and_partition_invariant(spark):
+    from chi_frbcs_bigdatacs_spark.operators.resample import (
+        resample_ros,
+        resample_rus,
+    )
+
+    df = _clf(spark)
+    a = sorted(tuple(r) for r in resample_ros(df).collect())
+    b = sorted(tuple(r) for r in resample_ros(df.repartition(13)).collect())
+    assert a == b
+    c = sorted(tuple(r) for r in resample_rus(df).collect())
+    d = sorted(tuple(r) for r in resample_rus(df.repartition(7)).collect())
+    assert c == d
+
+
+def test_ros_replication_is_per_row_bounded(spark):
+    """Every input row appears in the ROS output with copy indexes
+    1..k, k within 1 of the class's floor/ceil replication factor."""
+    from chi_frbcs_bigdatacs_spark.operators.resample import resample_ros
+
+    df = _clf(spark)
+    counts = {r.label: r.n for r in df.groupBy("label").count().withColumnRenamed("count", "n").collect()}
+    nmax = max(counts.values())
+    per_row = (
+        resample_ros(df)
+        .groupBy("id", "label")
+        .agg(F.count(F.lit(1)).alias("k"), F.max("copy").alias("mx"))
+        .collect()
+    )
+    assert len(per_row) == sum(counts.values())  # no input row dropped
+    for r in per_row:
+        base = nmax // counts[r.label]
+        assert r.k in (base, base + 1)
+        assert r.mx == r.k  # copy indexes are dense 1..k
