@@ -36,16 +36,20 @@ JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = 60    # 15 hex chars -> fits signed int64
 
 
-def _shingles_col() -> Column:
-    """Distinct 3-token shingles of `text` (empty if < 3 tokens)."""
+def _word_ngrams_col(n: int) -> Column:
+    """Distinct n-token word shingles of `text` (empty if < n tokens)."""
     toks = F.split(F.col("text"), " ")
     mk = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (SHINGLE - 1)),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, SHINGLE)),
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
     return F.array_distinct(
-        F.when(F.size(toks) >= SHINGLE, mk).otherwise(F.array().cast("array<string>"))
+        F.when(F.size(toks) >= n, mk).otherwise(F.array().cast("array<string>"))
     )
+
+
+def _shingles_col() -> Column:
+    return _word_ngrams_col(SHINGLE)
 
 
 SHINGLES_SQL = f"""
@@ -447,6 +451,76 @@ SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
 
+# --- train/test decontamination: cross-corpus n-gram overlap ----------------
+# The pre-training hygiene step every LLM pipeline runs: flag documents
+# in the TEST split that share any DECON_N-gram with the TRAIN split
+# (membership of eval data in the training corpus inflates benchmarks).
+# Splits here are deterministic halves (doc_id parity) standing in for
+# two corpora; the operator shape is corpus-agnostic.
+#
+# Scale shape (100 TB): per-side explode to (doc, gram-hash) rows —
+# grams are md5'd to fixed 32-char keys so the join never carries long
+# text — then ONE distinct on the train side and ONE equi-join on the
+# gram hash (blocked by construction: only equal grams meet; hot
+# boilerplate grams are AQE-splittable skew). Never all-pairs; the
+# final agg is a map-side-combinable count per test doc.
+DECON_N = 8
+
+
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    gh = d.select(
+        "doc_id", F.explode(_word_ngrams_col(DECON_N)).alias("gram")
+    ).select("doc_id", F.md5(F.col("gram")).alias("g"))
+    train_g = gh.filter(F.col("doc_id") % 2 == 0).select("g").distinct()
+    test_g = gh.filter(F.col("doc_id") % 2 == 1)
+    # grams are distinct per doc (array_distinct), so this counts the
+    # DISTINCT contaminated grams per test doc
+    shared = (
+        test_g.join(train_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    test_docs = d.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+    return test_docs.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+        (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def _word_ngrams_sql(n: int) -> str:
+    return f"""
+list_distinct(list_transform(
+    range(1, len(string_split(text, ' ')) - {n - 2}),
+    i -> array_to_string(list_slice(string_split(text, ' '), i, i + {n - 1}), ' ')))
+""".strip()
+
+
+DEDUP_DECONTAMINATE_SQL = f"""
+WITH ex AS (
+  SELECT doc_id, unnest({_word_ngrams_sql(DECON_N)}) AS gram
+  FROM documents
+),
+g AS (SELECT doc_id, md5(gram) AS g FROM ex),
+tr AS (SELECT DISTINCT g FROM g WHERE doc_id % 2 = 0),
+shared AS (
+  SELECT doc_id, count(*) AS n_shared
+  FROM g JOIN tr USING (g)
+  WHERE doc_id % 2 = 1
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(s.n_shared, 0) AS n_shared,
+       coalesce(s.n_shared, 0) > 0 AS contaminated
+FROM documents d
+LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id % 2 = 1
+"""
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash fingerprint per document."""
     d = load_table(spark, sf_dir, "documents").repartition(
@@ -591,5 +665,6 @@ def register_all() -> None:
     register("dedup_minhash_keep", q_dedup_minhash_keep, _minhash_keep_sql())
     register("dedup_components", q_dedup_components, _components_sql())
     register("dedup_containment", q_dedup_containment, DEDUP_CONTAINMENT_SQL)
+    register("dedup_decontaminate", q_dedup_decontaminate, DEDUP_DECONTAMINATE_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)

@@ -347,7 +347,134 @@ FROM aug
 """
 
 
+# --- BM25 ranked retrieval --------------------------------------------------
+# Keyword search scored with BM25 (Robertson/Spärck Jones; public
+# formula, k1/b at the standard 1.2/0.75) — the consumer of the IDF
+# statistics token_doc_freq computes. Tokenizer and idf = ln(N/df)
+# convention match token_doc_freq exactly.
+#
+# Scale shape (100 TB): one tokenize-explode scan -> ONE hash agg per
+# doc producing dl + per-term tfs (conditional aggregation — the
+# query's terms are literals, so no join against a term table), a
+# one-row global stats agg broadcast to the scorer, and a TakeOrdered
+# top-k. The per-term score sum is an explicitly ordered 3-term
+# left-associated expression (not a groupBy over term rows), so float
+# accumulation order is pinned on both engines — same parity idiom as
+# the 64-term dot product in similarity.py.
+BM25_TERMS = ("spark", "window", "vector")
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 10
+
+
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar folded as a literal (tiny scan)
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+    )
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum(F.when(F.col("token") == t, 1).otherwise(0)).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    scal = toks.agg(
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id"), 6
+        ).alias("avgdl"),
+        *[
+            F.countDistinct(F.when(F.col("token") == t, F.col("doc_id"))).alias(
+                f"df{i}"
+            )
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    j = per_doc.crossJoin(F.broadcast(scal))
+    terms = []
+    for i in range(len(BM25_TERMS)):
+        idf = F.round(F.log(F.lit(float(n_docs)) / F.col(f"df{i}")), 6)
+        tf = F.col(f"tf{i}").cast("double")
+        num = tf * F.lit(BM25_K1 + 1.0)
+        den = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B)
+            + F.lit(BM25_B) * F.col("dl").cast("double") / F.col("avgdl")
+        )
+        terms.append(idf * num / den)
+    score = terms[0]
+    for t in terms[1:]:
+        score = score + t
+    n_matched = sum(
+        (F.col(f"tf{i}") > 0).cast("long") for i in range(len(BM25_TERMS))
+    )
+    return (
+        j.filter(sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS))) > 0)
+        .select(
+            "doc_id",
+            n_matched.alias("n_terms"),
+            F.round(score, 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP)
+    )
+
+
+def _bm25_sql() -> str:
+    tf_cols = ",\n         ".join(
+        f"sum(CASE WHEN token = '{t}' THEN 1 ELSE 0 END) AS tf{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    df_cols = ",\n         ".join(
+        f"count(DISTINCT CASE WHEN token = '{t}' THEN doc_id END) AS df{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    nd = "(SELECT CAST(count(*) AS DOUBLE) FROM documents)"
+    terms = [
+        f"round(ln({nd} / df{i}), 6)"
+        f" * (CAST(tf{i} AS DOUBLE) * {BM25_K1 + 1.0!r})"
+        f" / (CAST(tf{i} AS DOUBLE) + {BM25_K1!r} * ({1.0 - BM25_B!r}"
+        f" + {BM25_B!r} * CAST(dl AS DOUBLE) / avgdl))"
+        for i in range(len(BM25_TERMS))
+    ]
+    score = " + ".join(terms)
+    n_matched = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(BM25_TERMS))
+    )
+    any_tf = " + ".join(f"tf{i}" for i in range(len(BM25_TERMS)))
+    return f"""
+WITH toks AS (
+  SELECT doc_id, token FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents) t
+  WHERE length(token) >= 3
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS dl,
+         {tf_cols}
+  FROM toks GROUP BY doc_id
+),
+scal AS (
+  SELECT round(CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id), 6) AS avgdl,
+         {df_cols}
+  FROM toks
+)
+SELECT doc_id,
+       CAST({n_matched} AS BIGINT) AS n_terms,
+       round({score}, 6) AS score
+FROM per_doc CROSS JOIN scal
+WHERE {any_tf} > 0
+ORDER BY score DESC, doc_id ASC
+LIMIT {BM25_TOP}
+"""
+
+
 def register_all() -> None:
+    register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
     register("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL)
     register("text_pii_scrub", q_text_pii_scrub, TEXT_PII_SCRUB_SQL)
     register("text_lexical", q_text_lexical, _lexical_sql())

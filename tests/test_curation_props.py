@@ -112,3 +112,22 @@ def test_stream_latest_event_equals_batch(spark):
     stream = q_stream_latest_event(spark, SF_SMALL)
     assert batch.exceptAll(stream).count() == 0
     assert stream.exceptAll(batch).count() == 0
+
+
+def test_simsearch_recall_is_nontrivial_and_monotone(spark):
+    """The ANN recall metric must be able to distinguish a good IVF
+    from a broken one: strictly inside (0,1) at probe=1, monotonically
+    non-decreasing in probes, and exactly 1.0 at probe=K (exhaustive
+    search of all K_CLUSTERS cells)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        K_CLUSTERS,
+        RECALL_PROBES,
+        q_simsearch_recall,
+    )
+
+    rows = {r.n_probe: r.recall_at_10 for r in q_simsearch_recall(spark, SF_SMALL).collect()}
+    assert set(rows) == set(RECALL_PROBES)
+    assert 0.0 < rows[1] < 1.0, f"probe=1 recall {rows[1]} proves nothing"
+    seq = [rows[p] for p in sorted(rows)]
+    assert seq == sorted(seq), f"recall not monotone in probes: {rows}"
+    assert rows[max(RECALL_PROBES)] == 1.0 or max(RECALL_PROBES) < K_CLUSTERS
