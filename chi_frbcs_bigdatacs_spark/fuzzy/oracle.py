@@ -46,6 +46,7 @@ def chi_ctes(
     parts: FuzzyPartitions,
     num_buckets: int | None = None,
     cost_mode: str = "cs",
+    cost_scope: str = "local",
 ) -> str:
     """WITH-chain through: clf, fz, counts, costs, cand, ants, stats,
     tot, rw, resolved[, rules, defclass, scored, wrpred, acpred]."""
@@ -67,7 +68,13 @@ def chi_ctes(
     ants_join = (
         "JOIN ants r ON r.bucket = f.bucket" if b else "CROSS JOIN ants r"
     )
-    win_part = "PARTITION BY bucket" if b else ""
+    # cost_scope='global' (bucketed only): counts/costs come from the
+    # WHOLE training set — no bucket column in the cost CTEs, and the
+    # statsr join applies the one global vector to every bucket.
+    gcost = b and cost_scope == "global"
+    cbcol = "" if gcost else bcol
+    win_part = "" if gcost else ("PARTITION BY bucket" if b else "")
+    costs_join_bucket = "" if gcost else (" AND st.bucket = c.bucket" if b else "")
 
     return f"""
 WITH clf AS (
@@ -84,10 +91,10 @@ fz AS (
   FROM fm
 ),
 counts AS (
-  SELECT {bcol}label, count(*) AS n FROM fz GROUP BY {bcol}label
+  SELECT {cbcol}label, count(*) AS n FROM fz GROUP BY {cbcol}label
 ),
 costs AS (
-  {_costs_cte(bcol, win_part, cost_mode)}
+  {_costs_cte(cbcol, win_part, cost_mode)}
 ),
 cand AS (
   SELECT DISTINCT {bcol}{ant_list}, label AS cls FROM fz
@@ -106,7 +113,7 @@ stats AS (
 statsr AS (
   SELECT {('st.bucket, ' if b else '')}{', '.join(f'st.r_{a} AS {a}' for a in ants)}, st.cls,
          c.cost * st.sraw AS s
-  FROM stats st JOIN costs c ON st.cls = c.label{' AND st.bucket = c.bucket' if b else ''}
+  FROM stats st JOIN costs c ON st.cls = c.label{costs_join_bucket}
 ),
 tot AS (
   SELECT {bcol}{ant_list}, sum(s) AS stot FROM statsr GROUP BY {bcol}{ant_list}
@@ -329,10 +336,12 @@ def resolved_sql(fixture_sql: str, parts: FuzzyPartitions, cost_mode: str = "cs"
     return chi_ctes(fixture_sql, parts, cost_mode=cost_mode) + f"\nSELECT {ants}, cls, weight FROM resolved"
 
 
-def partitioned_sql(fixture_sql: str, parts: FuzzyPartitions, n: int) -> str:
+def partitioned_sql(
+    fixture_sql: str, parts: FuzzyPartitions, n: int, cost_scope: str = "local"
+) -> str:
     ants = ", ".join(_ants(parts))
     return (
-        chi_ctes(fixture_sql, parts, num_buckets=n)
+        chi_ctes(fixture_sql, parts, num_buckets=n, cost_scope=cost_scope)
         + f"\nSELECT bucket, {ants}, cls, weight FROM resolved"
     )
 

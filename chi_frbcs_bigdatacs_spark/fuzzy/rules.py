@@ -277,6 +277,7 @@ def weights_from_raw(
     resolve: bool = True,
     cost_mode: str | dict = "cs",
     cost_col=None,
+    cost_scope: str = "local",
 ) -> DataFrame:
     """O8+O9 on the aggregated statistics (tiny input — distributed or
     a collected-and-recreated local DataFrame; the same plan serves
@@ -291,7 +292,18 @@ def weights_from_raw(
     re-executes unshared subtrees (no exchange reuse materializes
     across the differing aggregations), tripling the one pass the
     build is supposed to make. Windows keep the lineage
-    single-reference; they shuffle only the tiny aggregate."""
+    single-reference; they shuffle only the tiny aggregate.
+
+    cost_scope (only meaningful with bucket keys, the O10 emulation):
+    'local' computes the CS cost vector from each bucket's OWN class
+    distribution — each emulated mapper sees only its split, the
+    strict reading of [FSS258 §4.1]; 'global' computes ONE cost
+    vector from the whole training set's distribution and applies it
+    in every bucket — the other defensible reading (costs as a
+    property of the PROBLEM, not the split). Both are exposed because
+    the paper does not pin which statistics the mappers receive; at
+    uniform splits (id % n) the vectors nearly coincide, but skewed
+    splits diverge."""
     keys = keys or []
     ants = [label_col(i) for i in range(len(parts.features))]
     from pyspark.sql.window import Window
@@ -303,9 +315,10 @@ def weights_from_raw(
         # cell flags (each example flags exactly one cell), maxn over
         # the (bucket) scope; cost = maxn / n_c — same doubles as
         # with_costs (CAST both operands, then divide).
+        ckeys = [] if cost_scope == "global" else keys
         sdf = raw.withColumn(
-            "n", F.sum("n_gen").over(Window.partitionBy(*keys, "label"))
-        ).withColumn("maxn", F.max("n").over(Window.partitionBy(*keys)))
+            "n", F.sum("n_gen").over(Window.partitionBy(*ckeys, "label"))
+        ).withColumn("maxn", F.max("n").over(Window.partitionBy(*ckeys)))
         cost = F.col("maxn").cast("double") / F.col("n").cast("double")
         sdf = sdf.withColumn("s", cost * F.col("sraw"))
     else:
@@ -338,6 +351,7 @@ def build_rules(
     prefuzzified: bool = False,
     cost_mode: str = "cs",
     cost_col=None,
+    cost_scope: str = "local",
 ) -> DataFrame:
     """O7-O9 (+O10 when num_buckets): full rule-base build.
 
@@ -362,7 +376,13 @@ def build_rules(
         keys = ["bucket"]
     raw = raw_rule_stats(fz, parts, keys)
     return weights_from_raw(
-        raw, parts, keys, resolve=resolve, cost_mode=cost_mode, cost_col=cost_col
+        raw,
+        parts,
+        keys,
+        resolve=resolve,
+        cost_mode=cost_mode,
+        cost_col=cost_col,
+        cost_scope=cost_scope,
     )
 
 

@@ -75,6 +75,16 @@ def q_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.build_rules(_clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
 
 
+# O10 variant: bucketed build with the GLOBAL cost vector (the other
+# defensible reading of [FSS258 §4.1] — costs as a property of the
+# problem, computed once from the whole training distribution, not of
+# each mapper's split; see rules.weights_from_raw docstring).
+def q_partitioned_globalcost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return R.build_rules(
+        _clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS, cost_scope="global"
+    )
+
+
 # --- O11 fusion -------------------------------------------------------------
 def q_merge_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials = R.build_rules(_clf_par(spark, sf_dir), P, num_buckets=EMU_BUCKETS)
@@ -274,6 +284,11 @@ register(
     "rulebuild_partitioned",
     q_partitioned,
     oracle.partitioned_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS),
+)
+register(
+    "rulebuild_partitioned_globalcost",
+    q_partitioned_globalcost,
+    oracle.partitioned_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS, cost_scope="global"),
 )
 register("rulemerge_max", q_merge_max, oracle.merge_max_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS))
 register("rulemerge_avg", q_merge_avg, oracle.merge_avg_sql(LINEITEM_CLF_SQL, P, EMU_BUCKETS))

@@ -90,3 +90,43 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     a = model.transform(df).toPandas().sort_values("id", ignore_index=True)
     b = loaded.transform(df).toPandas().sort_values("id", ignore_index=True)
     assert a.equals(b)
+
+def test_cost_scope_local_vs_global_diverge_on_skewed_buckets(spark):
+    """weights_from_raw(cost_scope=): per-bucket ('local') costs react
+    to each split's own imbalance; 'global' costs come from the whole
+    distribution. On mirrored-skew buckets (8:2 vs 2:8) local costs
+    equalize the per-bucket s-values (weight 0) while global costs
+    keep the majority signal (weight 0.6) — pinning that the flag
+    changes semantics, not just plans."""
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+        FeatureSpec,
+        FuzzyPartitions,
+    )
+
+    parts = FuzzyPartitions(features=(FeatureSpec("f1", 0.0, 1.0),), num_labels=3)
+    raw = spark.createDataFrame(
+        [
+            (0, 1, 0, 8.0, 8),
+            (0, 1, 1, 2.0, 2),
+            (1, 1, 0, 2.0, 2),
+            (1, 1, 1, 8.0, 8),
+        ],
+        "bucket int, l1 int, label int, sraw double, n_gen long",
+    )
+    loc = {
+        (r.bucket, r.l1): (r.cls, r.weight)
+        for r in R.weights_from_raw(raw, parts, ["bucket"]).collect()
+    }
+    glo = {
+        (r.bucket, r.l1): (r.cls, r.weight)
+        for r in R.weights_from_raw(
+            raw, parts, ["bucket"], cost_scope="global"
+        ).collect()
+    }
+    # local: bucket-0 costs (1, 4) make s0 = s1 = 8 -> weight 0, tie -> cls 0
+    assert loc[(0, 1)] == (0, 0.0)
+    assert loc[(1, 1)] == (0, 0.0)
+    # global: balanced 10:10 -> costs (1, 1) -> majority class wins at 0.6
+    assert glo[(0, 1)] == (0, 0.6)
+    assert glo[(1, 1)] == (1, 0.6)
