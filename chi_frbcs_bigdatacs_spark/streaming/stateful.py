@@ -92,14 +92,20 @@ SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id
 """
 
 
-def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_rule_stats(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
     """Incremental fuzzy-rule statistics over a stream: the O8
     matching-degree sums per (antecedent cell, class), maintained by a
     stateful streaming aggregation as micro-batches of training
     examples arrive. This is the streaming path to model maintenance
     [SURVEY §4: 'incremental rule-stat maintenance']: the final state
     equals the batch statistics (the DuckDB oracle), because the sums
-    are associative and every batch is replayed.
+    are associative and every batch is replayed — for ANY split of
+    the input into micro-batches, not just the uniform default
+    (pinned by tests/test_streaming.py's skewed-split drift test via
+    `staged_src`, which points the stream at a caller-staged file
+    layout; one file = one micro-batch).
 
     cost_mode='none' (plain PCF) so the statistic needs no global
     class-count pre-pass. Sums are monotone (mu > 0), so the final
@@ -111,7 +117,7 @@ def q_stream_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = __import__(
         "chi_frbcs_bigdatacs_spark.sources.testdata", fromlist=["lineitem_clf"]
     ).lineitem_clf(spark, sf_dir)
-    src = staged_dir(
+    src = staged_src or staged_dir(
         "lineitem_clf_multi",
         sf_dir,
         lambda d: batch.repartition(N_SOURCE_FILES)

@@ -47,3 +47,50 @@ def test_sliding_stream_equals_batch(spark):
         .sort_values(["window_start", "event_type"], ignore_index=True)
     )
     assert got.equals(want)
+
+
+def test_stream_rule_stats_any_split_equals_batch(spark, tmp_path):
+    """Incremental O8 statistics must equal the batch build for ANY
+    micro-batch split of the training input — here four deliberately
+    SKEWED files (one per class slice, very uneven sizes), so batches
+    see wildly different class mixes and cell coverage. The final
+    streamed sums must still match one batch pass (associativity of
+    the mu-sum is the whole correctness argument for incremental rule
+    maintenance)."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+        LINEITEM_CLF_PARTITIONS as P,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_rule_stats
+    from tests.conftest import SF_SMALL
+
+    df = lineitem_clf(spark, SF_SMALL)
+    src = str(tmp_path / "skewed_src")
+    # four skewed appends: all of class 1 in one file, class 0 cut at
+    # arbitrary unequal id boundaries
+    parts = [
+        df.filter(F.col("label") == 1),
+        df.filter((F.col("label") == 0) & (F.col("id") % 100 < 7)),
+        df.filter((F.col("label") == 0) & (F.col("id") % 100).between(7, 60)),
+        df.filter((F.col("label") == 0) & (F.col("id") % 100 > 60)),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = q_stream_rule_stats(spark, SF_SMALL, staged_src=src)
+
+    ants = [R.label_col(i) for i in range(len(P.features))]
+    fz = R.with_antecedent(R.fuzzify(df, P), P)
+    touched = fz.select(*ants).distinct()
+    batch = (
+        R.candidate_cells(R.fuzzify(df, P), P)
+        .groupBy(*ants, F.col("label").alias("cls"))
+        .agg(F.round(F.sum("mu"), 6).alias("s"))
+        .join(F.broadcast(touched), ants, "left_semi")
+    )
+    a = sorted(tuple(r) for r in streamed.collect())
+    b = sorted(tuple(r) for r in batch.collect())
+    assert a == b
