@@ -76,7 +76,28 @@ def main() -> None:
         return t, errs
 
     timings, errs = run_pass()  # cold-ish: first planning/compile
-    warm, warm_errs = run_pass()  # steady state: plans compiled, JIT hot
+
+    # Steady state: N_WARM full passes (default 5) so the artifact
+    # carries per-query MEDIANS, not a single warm sample — this box
+    # shows ±2-3x host-noise spikes (NOTES r4), and single-shot warm
+    # numbers repeatedly mis-flagged regressions (VERDICT r4 item 1:
+    # "plausibly noise is not a number"). Median-of-5 is the record.
+    n_warm = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
+    warm_samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
+    warm_errs: dict[str, str] = {}
+    for _ in range(n_warm):
+        w, we = run_pass()
+        warm_errs.update(we)
+        for k, v in w.items():
+            warm_samples[k].append(v)
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    warm = {k: round(median(v), 3) for k, v in warm_samples.items() if v}
+    warm_best = {k: min(v) for k, v in warm_samples.items() if v}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,6 +109,8 @@ def main() -> None:
         "sf": float(sf) if sf else None,
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
+        "warm_protocol": f"median_of_{n_warm}",
+        "queries_warm_best": warm_best,
     }
     if errs or warm_errs:
         out["errors"] = {**warm_errs, **errs}

@@ -1,0 +1,149 @@
+"""TPC-H-shape query battery, batch 2 (round 5): Q10, Q14, Q18, Q19,
+Q22 adapted to the driver's TPC-H-ish schema (no phone/address/
+comment/partsupp/shipmode columns — predicates are re-targeted at the
+columns the generator ships; the JOIN/GROUP/subquery SHAPES are the
+point, they exercise the same plan machinery as the originals).
+
+Shared-text keys: the SAME ANSI string runs through Spark SQL and
+DuckDB (the sql_q3/q5/q6 convention in sources/formats.py) — no dual
+maintenance, and the oracle check covers the whole plan.
+
+Cross-engine float discipline (house rules):
+  - money sums go through DECIMAL(18,2) then CAST AS DOUBLE — exact,
+    order-free;
+  - Q14's promo ratio and Q22's average-balance threshold divide two
+    DECIMAL-exact doubles, so the quotient is bit-identical on both
+    engines (no float-sum order dependence can flip a comparison);
+  - quantities are integer-valued doubles, their sums are exact.
+
+Scale notes (100 TB lens):
+  - Q10: lineitem⨝orders shuffle on orderkey, customer joined on
+    custkey, nation broadcast; one hash agg, TakeOrdered(20).
+  - Q14: part is the small side — Catalyst broadcasts it under AQE;
+    single scalar agg, map-side combined.
+  - Q18: the HAVING subquery is one hash agg over lineitem reused as
+    a semi-join filter on orderkey — two shuffles on the same key
+    (co-partitioned), no data explosion.
+  - Q19: broadcast part join + disjunctive predicate evaluated in
+    whole-stage codegen; one scalar agg.
+  - Q22: the average is a one-row broadcast; NOT EXISTS plans as a
+    left-anti hash join on custkey; nation broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+
+_REVENUE = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+)
+
+# Q10 shape: returned-item reporting — which customers returned the
+# most revenue in a quarter. (TPC-H 2.13 §2.4.10; c_phone/c_address/
+# c_comment dropped — not generated.)
+SQL_Q10 = f"""
+SELECT c_custkey, c_name, {_REVENUE} AS revenue, c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o_orderdate <  CAST('1996-04-01' AS TIMESTAMP)
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# Q14 shape: promotion-revenue ratio for one shipping month. Both
+# operands of the division are DECIMAL-exact doubles, so the quotient
+# is bit-identical cross-engine; rounded to 6dp for the hash.
+SQL_Q14 = """
+SELECT round(
+         100.0
+         * CAST(sum(CASE WHEN p_type = 'PROMO'
+                         THEN CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+                         ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS promo_revenue,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= CAST('1996-09-01' AS TIMESTAMP)
+  AND l_shipdate <  CAST('1996-10-01' AS TIMESTAMP)
+"""
+
+# Q18 shape: large-volume customers — orders whose total quantity
+# clears a threshold, joined back for the order/customer detail.
+# l_quantity is integer-valued (1..50), so its double sum is exact.
+SQL_Q18 = """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       CAST(sum(l_quantity) AS DOUBLE) AS total_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING sum(l_quantity) > 150
+      )
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# Q19 shape: disjunctive brand/size/quantity predicate bands (the
+# container/shipmode legs are re-targeted at p_size, which IS
+# generated). One broadcast join + codegen'd OR-of-ANDs + scalar agg.
+SQL_Q19 = f"""
+SELECT {_REVENUE} AS revenue, count(*) AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 20 AND 50
+       AND l_quantity >= 20 AND l_quantity <= 40)
+"""
+
+# Q22 shape: dormant high-balance customers by nation (phone-prefix
+# grouping re-targeted at nation). The threshold subquery divides a
+# DECIMAL-exact sum by a count — deterministic cross-engine, so no
+# boundary row can flip membership between engines.
+SQL_Q22 = """
+SELECT n_name,
+       count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (
+        SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        FROM customer WHERE c_acctbal > 0.0
+      )
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+ORDER BY n_name ASC
+"""
+
+
+def _sql_query(sql: str):
+    from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+def register_all() -> None:
+    register("sql_q10", _sql_query(SQL_Q10), SQL_Q10)
+    register("sql_q14", _sql_query(SQL_Q14), SQL_Q14)
+    register("sql_q18", _sql_query(SQL_Q18), SQL_Q18)
+    register("sql_q19", _sql_query(SQL_Q19), SQL_Q19)
+    register("sql_q22", _sql_query(SQL_Q22), SQL_Q22)

@@ -422,6 +422,8 @@ from chi_frbcs_bigdatacs_spark.operators import curation as _curation  # noqa: E
 from chi_frbcs_bigdatacs_spark.operators import sqlplus as _sqlplus  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import multimodal as _multimodal  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import resample as _resample  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import tpch_plus as _tpch_plus  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import packing as _packing  # noqa: E402
 from chi_frbcs_bigdatacs_spark.sources import formats as _formats  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import stateful as _stream_stateful  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
@@ -435,6 +437,8 @@ _curation.register_all()
 _sqlplus.register_all()
 _multimodal.register_all()
 _resample.register_all()
+_tpch_plus.register_all()
+_packing.register_all()
 _stream_windows.register_all()
 _stream_stateful.register_all()
 _formats.register_all()

@@ -33,78 +33,52 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rely on their latest green CORRECTNESS_r{N} row plus the local
 # parity suite (tests/test_oracle_parity.py runs ALL oracled keys
 # every CI run — the rotation only affects which subset the external
-# driver re-hashes). Round-3 ordering: keys whose implementation or
-# oracle changed this round first, then new keys, then the
-# longest-unchecked rotation. Round-4 ordering: the 11 keys repaired
-# this round (failed r3 on the events loader / pii regex / url oracle
-# bugs), then every events-touching key whose last green check
-# predates the testdata regeneration (ts became timestamp[us]), then
-# the two perf-suspect keys touched this round, then keys last
-# driver-checked in r1.
+# driver re-hashes). Round-5 ordering:
+# (a) the 5 never-checked keys added this round (resampling,
+# decontamination, BM25, global-cost build), then (b) every key whose
+# plan or shared code changed this round (recall probe sweep, chunking
+# clamp, KEEL grammar, rule-build cost-scope thread-through,
+# stream_rule_stats staged_src param, shingle-helper refactor), then
+# (c) the r4-reworked minhash plans whose last driver check predates
+# the rework (VERDICT r4 item 1) plus the three keys displaced past
+# r4's cap (simsearch_topk, stream_rule_stats, date_bucket — NOTES
+# r4), then (d) the longest-unchecked rotation: all 25 keys last
+# driver-checked in r1, topped up with the oldest r2-checked keys to
+# fill the 50-window.
 CHECK_PRIORITY: list[str] = [
-    # repaired this round (all failed in CORRECTNESS_r03)
-    "window_lag_lead",
-    "window_range_frame",
-    "join_nullsafe",
-    "sql_q6",
-    "agg_grouping_sets",
-    "window_session",
-    "stream_dedup",
-    "stream_join_static",
-    "stream_sink_files",
-    "text_pii_scrub",
-    "dedup_url",
-    # events keys last green in r1/r2 — before the ts dtype change
-    "json_extract",
-    "window_running",
-    "join_range",
-    "join_asof",
-    "sql_q3",
-    "sql_q5",
-    "agg_value_stats",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful_count",
-    # new this round
-    "schema_fingerprint",
-    "agg_stats_moments",
-    "agg_histogram",
-    "window_ntile",
-    "sql_q13",
-    "join_interval",
-    "text_dedup_soft",
-    "doc_chunking",
-    "token_freq_topn",
-    "embed_centroid_by_label",
-    "simsearch_range",
-    "sql_exists",
-    "sql_recursive_cte",
-    "agg_string_concat",
-    "scalar_bitwise_funcs",
-    "scalar_conditional_funcs",
-    "sample_systematic",
-    "dedup_components",
-    "token_doc_freq",
-    "dedup_latest_event",
-    "embed_quantize",
-    "stream_latest_event",
-    "simsearch_ivf_probe2",
+    # (a) new this round -- never driver-checked
+    "resample_ros",
+    "resample_rus",
+    "dedup_decontaminate",
+    "text_bm25_topk",
+    "rulebuild_partitioned_globalcost",
+    "sql_q10",
+    "sql_q14",
+    "sql_q18",
+    "sql_q19",
+    "sql_q22",
+    "doc_pack_sequences",
+    "split_stratified",
+    "corpus_mix_sqrt",
+    "text_unigram_surprisal",
+    # (b) plan or shared code changed this round
     "simsearch_recall",
-    "media_dedup",
+    "doc_chunking",
     "dedup_containment",
-    "window_funnel",
-    # touched this round (perf rework; oracle in lockstep)
-    "simsearch_ivf_kmeans",
-    "simsearch_topk",
-    # events keys displaced from the 50-window in favor of
-    # never-checked new keys: stream_rule_stats streams lineitem (the
-    # only change was removing a no-op conf set) and date_bucket's
-    # loader path is certified by the 20 other events keys in-window;
-    # both are locally parity-green. Re-front-load in r5.
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "scan_keel",
+    "sink_keel",
+    "rulebuild_partitioned",
+    "ruleweight_pcfcs",
     "stream_rule_stats",
+    # (c) r4 reworks never driver-rechecked + r4-displaced keys
+    "dedup_minhash",
+    "dedup_minhash_keep",
+    "simsearch_topk",
     "date_bucket",
-    # longest-unchecked rotation: keys whose latest green check is r1
+    "dedup_simhash",
+    # (d) longest-unchecked: last green driver check is r1
     "agg_pricing_summary",
     "agg_rollup",
     "agg_cube",
@@ -125,11 +99,32 @@ CHECK_PRIORITY: list[str] = [
     "scalar_string_funcs",
     "scalar_date_funcs",
     "setop_union",
+    # -- window cap is 50; (a)-(d) above are exactly 50. Everything
+    # below documents the next-oldest rotation (the 4 remaining
+    # r1-checked keys, then the r2-checked group) so r6 starts here.
     "setop_except",
     "setop_intersect",
     "unpivot_measures",
     "window_rank",
     "window_distribution",
+    "fuzzify_nominal",
+    "rulegen_nominal",
+    "agg_pivot",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "join_salted",
+    "topk_global",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_hashkey",
+    "embed_cosine",
+    "simsearch_ivf",
+    "media_meta",
+    "media_frames",
+    "scan_csv",
+    "scan_jsonl",
+    "scan_orc",
+    "sink_partitioned",
 ]
 
 

@@ -21,8 +21,10 @@ from tests.conftest import SF_SMALL
 #     vec_id < 1000 on BOTH engines (operators/similarity.py).
 #   - join_cross: the operator IS a cross join (region x nation, 5x25).
 #   - agg_class_counts / metrics_gm_auc_multiclass /
-#     crossval_multiclass: scalar one-row aggregate joined back.
+#     crossval_multiclass / text_bm25_topk: scalar one-row aggregate
+#     (class totals / corpus avgdl+df constants) joined back.
 BNL_ALLOWED = {
+    "text_bm25_topk",
     "embed_cosine",
     "simsearch_topk",
     "simsearch_topk_batch",
