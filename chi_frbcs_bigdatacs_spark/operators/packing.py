@@ -68,10 +68,10 @@ _DOC_HASH_SQL = _RHASH_SQL.replace("id", "doc_id")
 # Whitespace token counts keep the arithmetic integer-exact.
 
 
-def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pack_documents(d: DataFrame) -> DataFrame:
+    """Pack any (doc_id, source, text) frame; see q_doc_pack_sequences."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(F.split(F.col("text"), " "))
     w = (
         Window.partitionBy("source")
@@ -85,6 +85,10 @@ def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq_id", F.floor(F.col("start_off") / F.lit(PACK_BUDGET)).cast("long")
         )
     )
+
+
+def q_doc_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_documents(load_table(spark, sf_dir, "documents"))
 
 
 DOC_PACK_SEQUENCES_SQL = f"""

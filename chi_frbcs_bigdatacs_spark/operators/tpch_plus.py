@@ -131,6 +131,88 @@ ORDER BY n_name ASC
 """
 
 
+# Q7 shape: nation-pair shipping volume by year — the two-alias
+# nation join with the symmetric OR pair predicate, then a (pair,
+# year) rollup. year() exists in both engines.
+SQL_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue,
+       count(*) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+         OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# Q11 shape: account-balance concentration (partsupp is not
+# generated; the important-stock HAVING-vs-global-scalar shape is
+# re-targeted at supplier balances by nation). Both sides of the
+# comparison are DECIMAL-exact sums cast to double, scaled by the
+# same literal — deterministic cross-engine.
+SQL_Q11 = """
+SELECT n_name,
+       CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS value
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+HAVING CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) > (
+         SELECT CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) * 0.05
+         FROM supplier
+       )
+ORDER BY value DESC, n_name ASC
+"""
+
+# Q15 shape: top supplier — an aggregated revenue view consumed twice
+# (once for the max scalar, once for the equality filter). The
+# DECIMAL-exact revenue makes the max-equality join safe.
+SQL_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= CAST('1996-01-01' AS TIMESTAMP)
+    AND l_shipdate <  CAST('1996-04-01' AS TIMESTAMP)
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier
+JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey ASC
+"""
+
+# Q17 shape: small-quantity-order revenue — the correlated scalar
+# AVG subquery per part (Catalyst decorrelates to an agg + join).
+# Quantities are integer-valued doubles: their sum is exact, so
+# avg = sum/count and the 0.2 scaling are bit-identical cross-engine.
+SQL_Q17 = """
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6)
+         AS avg_yearly,
+       count(*) AS n_lines
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#23'
+  AND l_quantity < (
+        SELECT 0.2 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+      )
+"""
+
+
 def _sql_query(sql: str):
     from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
 
@@ -147,3 +229,7 @@ def register_all() -> None:
     register("sql_q18", _sql_query(SQL_Q18), SQL_Q18)
     register("sql_q19", _sql_query(SQL_Q19), SQL_Q19)
     register("sql_q22", _sql_query(SQL_Q22), SQL_Q22)
+    register("sql_q7", _sql_query(SQL_Q7), SQL_Q7)
+    register("sql_q11", _sql_query(SQL_Q11), SQL_Q11)
+    register("sql_q15", _sql_query(SQL_Q15), SQL_Q15)
+    register("sql_q17", _sql_query(SQL_Q17), SQL_Q17)

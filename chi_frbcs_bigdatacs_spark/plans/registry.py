@@ -61,6 +61,11 @@ CHECK_PRIORITY: list[str] = [
     "split_stratified",
     "corpus_mix_sqrt",
     "text_unigram_surprisal",
+    "sql_q7",
+    "sql_q11",
+    "sql_q15",
+    "sql_q17",
+    "stream_stream_join",
     # (b) plan or shared code changed this round
     "simsearch_recall",
     "doc_chunking",
@@ -95,13 +100,13 @@ CHECK_PRIORITY: list[str] = [
     "rule_conflict_resolve_d8",
     "ruleweight_pcf_plain",
     "ruleweight_pcfcs_costmatrix",
+    # -- window cap is 50; (a)-(d) above are exactly 50. Everything
+    # below documents the next-oldest rotation (the 8 remaining
+    # r1-checked keys, then the r2-checked group) so r6 starts here.
     "scalar_math_funcs",
     "scalar_string_funcs",
     "scalar_date_funcs",
     "setop_union",
-    # -- window cap is 50; (a)-(d) above are exactly 50. Everything
-    # below documents the next-oldest rotation (the 4 remaining
-    # r1-checked keys, then the r2-checked group) so r6 starts here.
     "setop_except",
     "setop_intersect",
     "unpivot_measures",

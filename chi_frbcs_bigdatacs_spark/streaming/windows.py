@@ -254,7 +254,114 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+# --- stream-stream interval join (view -> click attribution) ---------------
+# The real two-sided streaming join: views and clicks arrive as TWO
+# independent watermarked streams; a click attributes to a view by the
+# same user within 30 minutes. Spark buffers both sides in the state
+# store and evicts by the watermark + interval bound.
+#
+# Replay-correctness: the staged source is TIME-RANGE partitioned
+# (events sorted by ts, split into N files whose mtimes force
+# in-order pickup), so replay is event-time-ordered, nothing is ever
+# late, and the final appended result equals the batch interval join —
+# which is the DuckDB oracle. At 100 TB/day the same plan runs on
+# Kafka with per-partition time-ordering and a real lateness budget.
+
+ATTRIB_WINDOW_MIN = 30
+N_TS_ORDER_FILES = 6
+
+
+def _events_tsorder_src(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        import pandas as pd
+
+        df = (
+            pd.read_parquet(f"{sf_dir}/events.parquet")
+            .sort_values("ts", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        step = -(-len(df) // N_TS_ORDER_FILES)
+        base = 1_700_000_000
+        for i in range(N_TS_ORDER_FILES):
+            p = f"{d}/part-{i:02d}.parquet"
+            df.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+            os.utime(p, (base + i * 60, base + i * 60))
+
+    return staged_dir("events_tsorder", sf_dir, build)
+
+
+def _events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = _events_tsorder_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ts_type = batch.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    views = (
+        _events_stream_ordered(spark, sf_dir)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("vts"),
+        )
+        .withWatermark("vts", "1 hour")
+    )
+    clicks = (
+        _events_stream_ordered(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("cts"),
+        )
+        .withWatermark("cts", "1 hour")
+    )
+    j = views.join(
+        clicks,
+        F.expr(
+            f"v_user = c_user AND cts >= vts "
+            f"AND cts < vts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTES"
+        ),
+    ).select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "click_id",
+        (F.unix_micros("cts") - F.unix_micros("vts")).alias("gap_us"),
+    )
+    return _run_to_memory(j, mode="append")
+
+
+STREAM_STREAM_JOIN_SQL = f"""
+WITH v AS (
+  SELECT event_id AS view_id, user_id, ts AS vts FROM events
+  WHERE event_type = 'view'
+),
+c AS (
+  SELECT event_id AS click_id, user_id, ts AS cts FROM events
+  WHERE event_type = 'click'
+)
+SELECT user_id, view_id, click_id,
+       epoch_us(cts) - epoch_us(vts) AS gap_us
+FROM v JOIN c USING (user_id)
+WHERE cts >= vts AND cts < vts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
+"""
+
+
 def register_all() -> None:
+    register("stream_stream_join", q_stream_stream_join, STREAM_STREAM_JOIN_SQL)
     register("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_SQL)
     register("stream_sliding", q_stream_sliding, STREAM_SLIDING_SQL)
     register("stream_session", q_stream_session, STREAM_SESSION_SQL)
