@@ -286,6 +286,39 @@ m AS (
     return "\nUNION ALL\n".join(fold_queries)
 
 
+def granularity_sweep_sql(
+    fixture_sql: str,
+    features,
+    labels: tuple[int, ...],
+    n_folds: int = 5,
+    cost_mode: str = "cs",
+) -> str:
+    """Model selection over linguistic granularity L [FSS258 §5.2
+    studies L=3 vs finer partitionings]: for each L, fit on the
+    id%k<>0 folds, score the held-out fold, emit one binary-metrics
+    row keyed by num_labels. Same holdout split for every candidate."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
+
+    train = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} <> 0"
+    test = f"SELECT * FROM ({fixture_sql}) b WHERE id % {n_folds} = 0"
+    per = []
+    for lab in labels:
+        parts = FuzzyPartitions(features=features, num_labels=lab)
+        ctes = traintest_scoring_ctes(train, test, parts, cost_mode)
+        m = """,
+m AS (
+  SELECT
+    sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS tn,
+    sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS fn
+  FROM wrpred
+)"""
+        tail = _METRICS_TAIL.format(fold_col=f"{lab} AS num_labels,")
+        per.append(f"SELECT * FROM ({ctes}{m}{tail}) l{lab}")
+    return "\nUNION ALL\n".join(per)
+
+
 # ---- per-query final SELECTs ----
 
 

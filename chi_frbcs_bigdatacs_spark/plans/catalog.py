@@ -363,6 +363,44 @@ register(
     oracle.crossval_sql(LINEITEM_CLF_SQL, P, n_folds=N_FOLDS),
 )
 
+
+# --- model selection: linguistic granularity sweep (FSS258 §5.2) -----------
+SWEEP_LABELS = (3, 5, 7)
+
+
+def q_hyperparam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granularity sweep: fit L=3/5/7 candidates on the same train
+    folds, score the same held-out fold, one metrics row per L — the
+    distributed analogue of the paper's partitioning study. Each fit
+    is the usual single-pass build; candidates share the cached
+    train/test split lineage."""
+    from functools import reduce as _reduce
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+
+    df = lineitem_clf(spark, sf_dir)
+    train = df.filter(F.col("id") % N_FOLDS != 0)
+    test = df.filter(F.col("id") % N_FOLDS == 0)
+    outs = []
+    for lab in SWEEP_LABELS:
+        parts = _FP(features=P.features, num_labels=lab)
+        model = ChiFRBCSClassifier(parts=parts).fit(train)
+        outs.append(
+            M.metrics_binary(model.transform(test)).select(
+                F.lit(lab).alias("num_labels"), "acc", "tpr", "tnr", "gm", "auc"
+            )
+        )
+    return _reduce(lambda a, b: a.unionByName(b), outs)
+
+
+register(
+    "hyperparam_sweep",
+    q_hyperparam_sweep,
+    oracle.granularity_sweep_sql(
+        LINEITEM_CLF_SQL, P.features, SWEEP_LABELS, n_folds=N_FOLDS
+    ),
+)
+
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
 # Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99
 # protocol_type/service/flag are nominal]; same build/score machinery,

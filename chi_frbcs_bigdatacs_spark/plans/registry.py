@@ -66,6 +66,15 @@ CHECK_PRIORITY: list[str] = [
     "sql_q15",
     "sql_q17",
     "stream_stream_join",
+    "hyperparam_sweep",
+    # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
+    # an int64 overflow; the fix changes every clf-derived hash in
+    # lockstep on both engines) — the three heaviest end-to-end paths
+    # re-enter the window; the 10 clf rule/resample keys above
+    # already cover the rest of the changed surface
+    "classify_wr",
+    "metrics_gm_auc",
+    "rulemerge_max",
     # (b) plan or shared code changed this round
     "simsearch_recall",
     "doc_chunking",
@@ -91,18 +100,20 @@ CHECK_PRIORITY: list[str] = [
     "agg_percentile",
     "join_broadcast",
     "join_sortmerge",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_cross",
     "rule_conflict_resolve",
     "rule_conflict_resolve_l5",
     "rule_conflict_resolve_d8",
     "ruleweight_pcf_plain",
     "ruleweight_pcfcs_costmatrix",
     # -- window cap is 50; (a)-(d) above are exactly 50. Everything
-    # below documents the next-oldest rotation (the 8 remaining
-    # r1-checked keys, then the r2-checked group) so r6 starts here.
+    # below documents the next-oldest rotation (the 12 remaining
+    # r1-checked keys — including the four join keys displaced by the
+    # clf-id-fix re-checks — then the r2-checked group) so r6 starts
+    # here.
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_cross",
     "scalar_math_funcs",
     "scalar_string_funcs",
     "scalar_date_funcs",

@@ -90,9 +90,24 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 # xxhash64 has no DuckDB equivalent). label = 1 iff
 # l_returnflag == 'R' (IR ~ 2).
 
-LINEITEM_CLF_SQL = """
-SELECT (((l_orderkey * 10 + l_linenumber) * 100000 + l_partkey) * 10000
-        + l_suppkey) * 100 + CAST(l_quantity AS INT) AS id,
+# id is CONTENT-ADDRESSED: the top 60 bits of md5 over the
+# generator's unique key (orderkey, linenumber, partkey, suppkey,
+# quantity — (okey, ln) alone repeats in this denormalized data).
+# The previous positional encoding (((okey*10+ln)*1e5+pkey)*1e4
+# +skey)*100+qty OVERFLOWED int64 once orderkey passed ~9e6 — the
+# round-5 8x scale-up experiment hit it (ArithmeticException under
+# ANSI mode), and the slot widths themselves break once partkey
+# outgrows 1e5 at bigger sfs. A fixed-width hash id has no magnitude
+# coupling to the data at any scale; 60 bits keeps birthday-collision
+# odds ~1e-6 at sf1 (fixture-scale fine; a production pipeline keys
+# on a real PK).
+_CLF_ID_SQL = (
+    "CAST('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber,"
+    " l_partkey, l_suppkey, CAST(l_quantity AS INT))), 1, 15) AS BIGINT)"
+)
+
+LINEITEM_CLF_SQL = f"""
+SELECT {_CLF_ID_SQL} AS id,
        l_quantity AS f1,
        l_extendedprice AS f2,
        l_discount AS f3,
@@ -104,14 +119,24 @@ FROM lineitem
 
 def lineitem_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    pk = (
-        (
-            (F.col("l_orderkey") * 10 + F.col("l_linenumber")) * 100000
-            + F.col("l_partkey")
-        )
-        * 10000
-        + F.col("l_suppkey")
-    ) * 100 + F.col("l_quantity").cast("int")
+    pk = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("l_orderkey"),
+                    F.col("l_linenumber"),
+                    F.col("l_partkey"),
+                    F.col("l_suppkey"),
+                    F.col("l_quantity").cast("int"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
     return li.select(
         pk.alias("id"),
         F.col("l_quantity").alias("f1"),
