@@ -310,16 +310,16 @@ K_CLUSTERS = 4
 
 
 def _sqdist_col(a: str, b: str) -> Column:
-    from functools import reduce as _r
-
-    terms = [
-        (
-            F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
-        )
-        * (F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double"))
-        for i in range(1, DIM + 1)
-    ]
-    return _r(lambda x, y: x + y, terms)
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            F.col(b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _sqdist_sql(a: str, b: str) -> str:
@@ -331,14 +331,19 @@ def _sqdist_sql(a: str, b: str) -> str:
 
 
 def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
-    from functools import reduce as _r
-
-    terms = [
-        (F.element_at(a, i).cast("double") - F.lit(float(vec[i - 1])))
-        * (F.element_at(a, i).cast("double") - F.lit(float(vec[i - 1])))
-        for i in range(1, DIM + 1)
-    ]
-    return _r(lambda x, y: x + y, terms)
+    # HOF fold over the data array zipped with the literal centroid
+    # array — same left-assoc accumulation as the oracle's unrolled
+    # sum (0.0 + t1 == t1 exactly), same rationale as _dot_col.
+    lits = F.array(*[F.lit(float(v)) for v in vec])
+    return F.aggregate(
+        F.zip_with(
+            F.col(a),
+            lits,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
 
 
 def _kmeans_index(spark: SparkSession, sf_dir: str):
