@@ -401,6 +401,50 @@ register(
     ),
 )
 
+
+# --- model introspection: per-rule training coverage -----------------------
+def q_rule_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolved rule base annotated with how much training data each
+    rule's cell generated: n_covered (examples whose argmax antecedent
+    IS that cell) and support (fraction of the corpus). The audit
+    table a practitioner reads before trusting/pruning a model.
+
+    Shape: the usual single-pass build + ONE extra tiny hash agg over
+    the already-computed argmax labels; the join is rulebase-sized."""
+    df = _clf_par(spark, sf_dir)
+    n_total = df.count()  # driver scalar folded as a literal
+    fz = R.with_antecedent(R.fuzzify(df, P), P)
+    rules = R.build_rules(fz, P, resolve=True, prefuzzified=True)
+    cov = fz.groupBy(*ANTS).agg(F.count(F.lit(1)).alias("n_covered"))
+    return rules.join(cov, ANTS).select(
+        *ANTS,
+        "cls",
+        "weight",
+        "n_covered",
+        F.round(
+            F.col("n_covered").cast("double") / F.lit(float(n_total)), 6
+        ).alias("support"),
+    )
+
+
+_RULE_COVERAGE_SQL = (
+    oracle.chi_ctes(LINEITEM_CLF_SQL, P)
+    + """,
+cov AS (
+  SELECT l1, l2, l3, l4, count(*) AS n_covered FROM fz
+  GROUP BY l1, l2, l3, l4
+),
+nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM clf)
+SELECT r.l1, r.l2, r.l3, r.l4, r.cls, r.weight, c.n_covered,
+       round(CAST(c.n_covered AS DOUBLE) / nt.n, 6) AS support
+FROM resolved r
+JOIN cov c USING (l1, l2, l3, l4)
+CROSS JOIN nt
+"""
+)
+
+register("rule_coverage", q_rule_coverage, _RULE_COVERAGE_SQL)
+
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
 # Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99
 # protocol_type/service/flag are nominal]; same build/score machinery,

@@ -67,6 +67,8 @@ CHECK_PRIORITY: list[str] = [
     "sql_q17",
     "stream_stream_join",
     "hyperparam_sweep",
+    "rule_coverage",
+    "scan_partition_pruned",
     # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
     # an int64 overflow; the fix changes every clf-derived hash in
     # lockstep on both engines) — the three heaviest end-to-end paths
@@ -95,21 +97,21 @@ CHECK_PRIORITY: list[str] = [
     # (d) longest-unchecked: last green driver check is r1
     "agg_pricing_summary",
     "agg_rollup",
-    "agg_cube",
     "agg_distinct",
     "agg_percentile",
     "join_broadcast",
     "join_sortmerge",
     "rule_conflict_resolve",
     "rule_conflict_resolve_l5",
-    "rule_conflict_resolve_d8",
     "ruleweight_pcf_plain",
     "ruleweight_pcfcs_costmatrix",
     # -- window cap is 50; (a)-(d) above are exactly 50. Everything
-    # below documents the next-oldest rotation (the 12 remaining
-    # r1-checked keys — including the four join keys displaced by the
-    # clf-id-fix re-checks — then the r2-checked group) so r6 starts
-    # here.
+    # below documents the next-oldest rotation (the 14 remaining
+    # r1-checked keys — including those displaced by the clf-id-fix
+    # and r5-addition re-checks — then the r2-checked group) so r6
+    # starts here.
+    "agg_cube",
+    "rule_conflict_resolve_d8",
     "join_semi",
     "join_anti",
     "join_outer",

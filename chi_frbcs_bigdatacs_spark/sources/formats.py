@@ -322,6 +322,46 @@ def _sql_query(sql: str):
     return run
 
 
+# --- partition-pruned scan (hive-layout directory source) ------------------
+# The 100 TB access-path primitive: lineitem written once as a
+# hive-partitioned directory tree (partitionBy l_returnflag), read
+# back with a partition-key predicate. The filter resolves at PLANNING
+# time against directory names — the scan lists and reads ONLY the
+# matching partition (tests/test_plans pin `PartitionFilters` in the
+# physical plan), so the same query on a date-partitioned 100 TB
+# table touches one day, not the table.
+
+
+def q_scan_partition_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    src = staged_dir(
+        "lineitem_byflag",
+        sf_dir,
+        lambda d: spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .write.partitionBy("l_returnflag")
+        .mode("overwrite")
+        .parquet(d),
+    )
+    return (
+        spark.read.parquet(src)
+        .filter(F.col("l_returnflag") == "R")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("sum_price"),
+        )
+    )
+
+
+SCAN_PARTITION_PRUNED_SQL = """
+SELECT count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM lineitem WHERE l_returnflag = 'R'
+"""
+
+
 def register_all() -> None:
     register("scan_csv", q_scan_csv, SCAN_CSV_SQL)
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
@@ -329,6 +369,9 @@ def register_all() -> None:
     register("scan_keel", q_scan_keel, SCAN_KEEL_SQL)
     register("sink_keel", q_sink_keel, SINK_KEEL_SQL)
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
+    register(
+        "scan_partition_pruned", q_scan_partition_pruned, SCAN_PARTITION_PRUNED_SQL
+    )
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
     register("sql_q6", _sql_query(SQL_Q6), SQL_Q6)

@@ -135,3 +135,17 @@ def test_ivf_kmeans_assign_is_map_only(spark):
     assert "Exchange rangepartitioning" not in p, "assign stage sorts globally"
     assert "+- Sort " not in p, "assign stage has a sort"
     assert "TakeOrderedAndProject" in p, "top-k should be TakeOrdered"
+
+
+def test_partition_pruned_scan(spark):
+    """The hive-layout scan must resolve the partition-key predicate
+    at planning time: PartitionFilters carries the literal and the
+    parquet row-group filter list stays empty (the key never reaches
+    the data files)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    df = get_registry()["scan_partition_pruned"].fn(spark, SF_SMALL)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(l_returnflag" in p and "= R)" in p.replace(
+        "(l_returnflag#", "("
+    ), p.split("FileScan")[-1][:400]
