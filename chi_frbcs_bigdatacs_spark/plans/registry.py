@@ -69,6 +69,7 @@ CHECK_PRIORITY: list[str] = [
     "hyperparam_sweep",
     "rule_coverage",
     "scan_partition_pruned",
+    "stream_pack_sequences",
     # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
     # an int64 overflow; the fix changes every clf-derived hash in
     # lockstep on both engines) — the three heaviest end-to-end paths
@@ -97,7 +98,6 @@ CHECK_PRIORITY: list[str] = [
     # (d) longest-unchecked: last green driver check is r1
     "agg_pricing_summary",
     "agg_rollup",
-    "agg_distinct",
     "agg_percentile",
     "join_broadcast",
     "join_sortmerge",
@@ -111,6 +111,7 @@ CHECK_PRIORITY: list[str] = [
     # and r5-addition re-checks — then the r2-checked group) so r6
     # starts here.
     "agg_cube",
+    "agg_distinct",
     "rule_conflict_resolve_d8",
     "join_semi",
     "join_anti",

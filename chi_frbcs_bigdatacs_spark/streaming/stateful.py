@@ -237,6 +237,100 @@ def q_stream_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- incremental sequence packing (streaming twin of doc_pack) -------------
+# State per source shard: the cumulative token offset so far. Docs
+# arrive doc_id-ordered (the staged source is RANGE-partitioned by
+# doc_id with mtimes forcing in-order pickup, and each pandas batch
+# re-sorts), so the stateful fold reproduces the batch window cumsum
+# exactly — final appended rows equal operators/packing.py's
+# DOC_PACK_SEQUENCES_SQL oracle. This is how a packing stage keeps up
+# with a streaming ingest at scale: per-shard state is one integer,
+# partition-parallel across shards.
+N_DOC_ORDER_FILES = 4
+
+
+def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.packing import PACK_BUDGET
+
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def build(d: str) -> None:
+        import os
+
+        df = (
+            pd.read_parquet(f"{sf_dir}/documents.parquet")
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        step = -(-len(df) // N_DOC_ORDER_FILES)
+        base = 1_700_000_000
+        for i in range(N_DOC_ORDER_FILES):
+            p = f"{d}/part-{i:02d}.parquet"
+            df.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+            os.utime(p, (base + i * 60, base + i * 60))
+
+    src = staged_dir("documents_idorder", sf_dir, build)
+    docs = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "doc_id",
+            "source",
+            F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+        )
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        off = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            pdf = pdf.sort_values("doc_id")
+            ntok = pdf["n_tokens"].astype("int64")
+            starts = ntok.cumsum().shift(fill_value=0).astype("int64") + off
+            off = int(starts.iloc[-1]) + int(ntok.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "source": source,
+                    "n_tokens": ntok,
+                    "start_off": starts,
+                    "seq_id": starts // PACK_BUDGET,
+                }
+            )
+        state.update((off,))
+
+    packed = docs.groupBy("source").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "doc_id long, source string, n_tokens long, start_off long, seq_id long"
+        ),
+        stateStructType="off long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_pack_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        packed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _pack_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.packing import DOC_PACK_SEQUENCES_SQL
+
+    return DOC_PACK_SEQUENCES_SQL
+
+
 def _rule_stats_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.fuzzy import oracle
     from chi_frbcs_bigdatacs_spark.fuzzy.partitions import LINEITEM_CLF_PARTITIONS as P
@@ -251,3 +345,4 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import DEDUP_LATEST_EVENT_SQL
 
     register("stream_latest_event", q_stream_latest_event, DEDUP_LATEST_EVENT_SQL)
+    register("stream_pack_sequences", q_stream_pack_sequences, _pack_oracle())

@@ -271,7 +271,9 @@ ATTRIB_WINDOW_MIN = 30
 N_TS_ORDER_FILES = 6
 
 
-def _events_tsorder_src(spark: SparkSession, sf_dir: str) -> str:
+def _events_tsorder_src(
+    spark: SparkSession, sf_dir: str, n_files: int = N_TS_ORDER_FILES
+) -> str:
     def build(d: str) -> None:
         import os
 
@@ -282,19 +284,21 @@ def _events_tsorder_src(spark: SparkSession, sf_dir: str) -> str:
             .sort_values("ts", kind="mergesort")
             .reset_index(drop=True)
         )
-        step = -(-len(df) // N_TS_ORDER_FILES)
+        step = -(-len(df) // n_files)
         base = 1_700_000_000
-        for i in range(N_TS_ORDER_FILES):
+        for i in range(n_files):
             p = f"{d}/part-{i:02d}.parquet"
             df.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
             os.utime(p, (base + i * 60, base + i * 60))
 
-    return staged_dir("events_tsorder", sf_dir, build)
+    return staged_dir(f"events_tsorder{n_files}", sf_dir, build)
 
 
-def _events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _events_stream_ordered(
+    spark: SparkSession, sf_dir: str, n_files: int = N_TS_ORDER_FILES
+) -> DataFrame:
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    src = _events_tsorder_src(spark, sf_dir)
+    src = _events_tsorder_src(spark, sf_dir, n_files)
     stream = (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
@@ -308,9 +312,11 @@ def _events_stream_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stream
 
 
-def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_stream_join(
+    spark: SparkSession, sf_dir: str, n_files: int = N_TS_ORDER_FILES
+) -> DataFrame:
     views = (
-        _events_stream_ordered(spark, sf_dir)
+        _events_stream_ordered(spark, sf_dir, n_files)
         .filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -320,7 +326,7 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withWatermark("vts", "1 hour")
     )
     clicks = (
-        _events_stream_ordered(spark, sf_dir)
+        _events_stream_ordered(spark, sf_dir, n_files)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),

@@ -94,3 +94,57 @@ def test_stream_rule_stats_any_split_equals_batch(spark, tmp_path):
     a = sorted(tuple(r) for r in streamed.collect())
     b = sorted(tuple(r) for r in batch.collect())
     assert a == b
+
+
+def test_stream_stream_join_split_invariant(spark):
+    """The stream-stream interval join's final appended result must
+    not depend on how the time-ordered replay is chopped into
+    micro-batches: 3-file and 6-file replays both equal the batch
+    interval join."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        ATTRIB_WINDOW_MIN,
+        q_stream_stream_join,
+    )
+    from tests.conftest import SF_SMALL
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, SF_SMALL)
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("vts"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.col("ts").alias("cts"),
+    )
+    batch = sorted(
+        map(
+            tuple,
+            v.join(c, "user_id")
+            .filter(
+                (F.col("cts") >= F.col("vts"))
+                & (
+                    F.col("cts")
+                    < F.col("vts") + F.expr(f"INTERVAL {ATTRIB_WINDOW_MIN} MINUTES")
+                )
+            )
+            .select(
+                "user_id",
+                "view_id",
+                "click_id",
+                (F.unix_micros("cts") - F.unix_micros("vts")).alias("gap_us"),
+            )
+            .collect(),
+        )
+    )
+    assert batch, "fixture must produce at least one attribution pair"
+    for n_files in (3, 6):
+        got = sorted(
+            map(tuple, q_stream_stream_join(spark, SF_SMALL, n_files).collect())
+        )
+        assert got == batch, f"n_files={n_files} diverged from batch join"
