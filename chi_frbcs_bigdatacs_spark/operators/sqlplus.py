@@ -182,7 +182,77 @@ FROM orders WHERE o_orderkey % {SAMPLE_MOD} = 0
 """
 
 
+# --- regexp battery (round 5) ----------------------------------------------
+# Row-preserving projection over documents so the oracle hash checks
+# every function on every row. Both engines use RE2-compatible
+# patterns (character classes + literals only — no engine-specific
+# syntax).
+
+
+def q_scalar_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[Tt]he")).cast("long").alias("n_the"),
+        F.length(F.regexp_replace("text", "[aeiou]", "")).cast("long").alias(
+            "novowel_len"
+        ),
+        F.array_join(
+            F.slice(F.regexp_extract_all("text", F.lit("([a-z]{6,})"), 1), 1, 3),
+            ",",
+        ).alias("first3_long"),
+        F.col("text").rlike("[0-9]").cast("int").alias("has_digit"),
+    )
+
+
+SCALAR_REGEXP_SQL = """
+SELECT doc_id,
+       CAST(length(regexp_extract_all(text, '[Tt]he')) AS BIGINT) AS n_the,
+       CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS novowel_len,
+       COALESCE(array_to_string(regexp_extract_all(text, '([a-z]{6,})', 1)[1:3], ','), '') AS first3_long,
+       CAST(regexp_matches(text, '[0-9]') AS INT) AS has_digit
+FROM documents
+"""
+
+
+# --- try_* battery: ANSI-mode-safe arithmetic/casts ------------------------
+# The engine runs ANSI mode (overflow/bad-cast THROW — the round-5
+# scale experiment's id overflow proved why that matters); the try_*
+# family is the sanctioned NULL-on-error escape hatch. DuckDB twins:
+# TRY_CAST is 1:1; try_divide/try_element_at are CASE-guarded.
+
+
+def q_scalar_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("rid"),
+        F.round(
+            F.expr("try_divide(l_extendedprice, l_discount)"), 6
+        ).alias("price_per_disc"),
+        F.expr("TRY_CAST(l_returnflag AS INT)").alias("flag_as_int"),
+        F.expr(
+            "TRY_CAST(CAST(CAST(l_quantity AS INT) AS STRING) AS INT)"
+        ).alias("qty_int"),
+        F.expr(
+            "try_element_at(split(l_returnflag || '-' || l_linestatus, '-'), 3)"
+        ).alias("third_piece"),
+    )
+
+
+SCALAR_TRY_SQL = """
+SELECT l_orderkey * 10 + l_linenumber AS rid,
+       round(CASE WHEN l_discount = 0 THEN NULL
+                  ELSE l_extendedprice / l_discount END, 6) AS price_per_disc,
+       TRY_CAST(l_returnflag AS INT) AS flag_as_int,
+       TRY_CAST(CAST(CAST(l_quantity AS INT) AS VARCHAR) AS INT) AS qty_int,
+       string_split(l_returnflag || '-' || l_linestatus, '-')[3] AS third_piece
+FROM lineitem
+"""
+
+
 def register_all() -> None:
+    register("scalar_regexp_funcs", q_scalar_regexp, SCALAR_REGEXP_SQL)
+    register("scalar_try_funcs", q_scalar_try, SCALAR_TRY_SQL)
     register("sql_exists", q_sql_exists, SQL_EXISTS)
     register("sql_recursive_cte", q_sql_recursive_cte, SQL_RECURSIVE_CTE)
     register("agg_string_concat", q_agg_string_concat, AGG_STRING_CONCAT_SQL)

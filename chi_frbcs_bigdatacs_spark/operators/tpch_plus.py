@@ -213,6 +213,80 @@ WHERE p_brand = 'Brand#23'
 """
 
 
+# Q4 shape: order-priority checking — EXISTS over lineitem per order
+# in a date quarter (the commitdate/receiptdate leg re-targeted at
+# l_quantity, which IS generated).
+SQL_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= CAST('1996-01-01' AS TIMESTAMP)
+  AND o_orderdate <  CAST('1996-04-01' AS TIMESTAMP)
+  AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority ASC
+"""
+
+# Q8 shape: national market share — one nation's slice of a region's
+# yearly import revenue for one part type. Numerator and denominator
+# are DECIMAL-exact sums cast to double; ratio rounded to 6dp.
+SQL_Q8 = """
+SELECT o_year,
+       round(CAST(sum(CASE WHEN nation = 'NATION_2' THEN volume
+                           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share,
+       count(*) AS n_lines
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,2))
+           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year ASC
+"""
+
+# Q21 shape: suppliers who were the ONLY late shipper on a
+# multi-supplier order — the double-correlated EXISTS + NOT EXISTS
+# self-join pattern ("late" re-targeted at shipdate lagging orderdate
+# by 90+ days; commitdate/receiptdate are not generated).
+SQL_Q21 = """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders    ON o_orderkey = l1.l_orderkey
+JOIN nation    ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (
+        SELECT 1 FROM lineitem l2
+        WHERE l2.l_orderkey = l1.l_orderkey
+          AND l2.l_suppkey <> l1.l_suppkey
+      )
+  AND NOT EXISTS (
+        SELECT 1 FROM lineitem l3
+        WHERE l3.l_orderkey = l1.l_orderkey
+          AND l3.l_suppkey <> l1.l_suppkey
+          AND l3.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 def _sql_query(sql: str):
     from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
 
@@ -233,3 +307,6 @@ def register_all() -> None:
     register("sql_q11", _sql_query(SQL_Q11), SQL_Q11)
     register("sql_q15", _sql_query(SQL_Q15), SQL_Q15)
     register("sql_q17", _sql_query(SQL_Q17), SQL_Q17)
+    register("sql_q4", _sql_query(SQL_Q4), SQL_Q4)
+    register("sql_q8", _sql_query(SQL_Q8), SQL_Q8)
+    register("sql_q21", _sql_query(SQL_Q21), SQL_Q21)

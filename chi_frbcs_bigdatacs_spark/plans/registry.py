@@ -34,17 +34,17 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # parity suite (tests/test_oracle_parity.py runs ALL oracled keys
 # every CI run — the rotation only affects which subset the external
 # driver re-hashes). Round-5 ordering:
-# (a) the 5 never-checked keys added this round (resampling,
-# decontamination, BM25, global-cost build), then (b) every key whose
-# plan or shared code changed this round (recall probe sweep, chunking
-# clamp, KEEL grammar, rule-build cost-scope thread-through,
-# stream_rule_stats staged_src param, shingle-helper refactor), then
-# (c) the r4-reworked minhash plans whose last driver check predates
-# the rework (VERDICT r4 item 1) plus the three keys displaced past
-# r4's cap (simsearch_topk, stream_rule_stats, date_bucket — NOTES
-# r4), then (d) the longest-unchecked rotation: all 25 keys last
-# driver-checked in r1, topped up with the oldest r2-checked keys to
-# fill the 50-window.
+# (a) the 28 never-checked keys added this round, then (a') the three
+# heaviest end-to-end paths whose hashes changed with the clf-id
+# overflow fix, then (b) every key whose plan or shared code changed
+# this round (recall probe sweep, chunking clamp, KEEL grammar,
+# cost-scope thread-through, stream_rule_stats staged_src param,
+# shingle-helper refactor), then (c) the r4-reworked minhash plans
+# whose last driver check predates the rework (VERDICT r4 item 1)
+# plus the keys displaced past r4's cap, then (d) what remains of the
+# longest-unchecked (r1) rotation — this round's 28 additions pushed
+# most r1-stale keys past the cap; they stay locally parity-green and
+# lead the r6 rotation.
 CHECK_PRIORITY: list[str] = [
     # (a) new this round -- never driver-checked
     "resample_ros",
@@ -70,6 +70,11 @@ CHECK_PRIORITY: list[str] = [
     "rule_coverage",
     "scan_partition_pruned",
     "stream_pack_sequences",
+    "sql_q4",
+    "sql_q8",
+    "sql_q21",
+    "scalar_regexp_funcs",
+    "scalar_try_funcs",
     # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
     # an int64 overflow; the fix changes every clf-derived hash in
     # lockstep on both engines) — the three heaviest end-to-end paths
@@ -96,11 +101,6 @@ CHECK_PRIORITY: list[str] = [
     "date_bucket",
     "dedup_simhash",
     # (d) longest-unchecked: last green driver check is r1
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_percentile",
-    "join_broadcast",
-    "join_sortmerge",
     "rule_conflict_resolve",
     "rule_conflict_resolve_l5",
     "ruleweight_pcf_plain",
@@ -110,6 +110,11 @@ CHECK_PRIORITY: list[str] = [
     # r1-checked keys — including those displaced by the clf-id-fix
     # and r5-addition re-checks — then the r2-checked group) so r6
     # starts here.
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_percentile",
+    "join_broadcast",
+    "join_sortmerge",
     "agg_cube",
     "agg_distinct",
     "rule_conflict_resolve_d8",
