@@ -560,7 +560,56 @@ LEFT JOIN s3 ON u.user_id = s3.user_id
 """
 
 
+# --- entity resolution: blocked fuzzy (edit-distance) self-match -----------
+# The record-linkage primitive: candidate pairs come ONLY from equal
+# blocking keys (mktsegment, nationkey) — in-block pair counts are
+# bounded by block size (n / |segments x nations| expected), never an
+# all-pairs cartesian — then the expensive Levenshtein verifies each
+# candidate once. The same shape links 100 TB of entities when the
+# blocking key is a phonetic code / sorted-token prefix; both engines
+# compute the identical unit-cost edit distance.
+FUZZY_MAX_DIST = 2
+
+
+def q_join_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("key_a"),
+        F.col("c_name").alias("name_a"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("key_b"),
+        F.col("c_name").alias("name_b"),
+        "c_mktsegment",
+        "c_nationkey",
+    )
+    return (
+        a.join(b, ["c_mktsegment", "c_nationkey"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .withColumn(
+            "dist", F.levenshtein("name_a", "name_b").cast("long")
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+        .select("key_a", "key_b", "c_mktsegment", "dist")
+    )
+
+
+JOIN_FUZZY_MATCH_SQL = f"""
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       a.c_mktsegment, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+FROM customer a
+JOIN customer b
+  ON a.c_mktsegment = b.c_mktsegment
+ AND a.c_nationkey = b.c_nationkey
+ AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
+"""
+
+
 def register_all() -> None:
+    register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)
     register("window_ntile", q_window_ntile, WINDOW_NTILE_SQL)
