@@ -608,7 +608,78 @@ WHERE levenshtein(a.c_name, b.c_name) <= {FUZZY_MAX_DIST}
 """
 
 
+# --- time-series gap fill + LOCF -------------------------------------------
+# The reporting primitive SQL engines are always asked for: a gap-free
+# (day x event_type) grid over the observed range, zero-filled counts,
+# and last-observation-carried-forward daily sums. The spine is a
+# generated date sequence (range-bounded, constant-sized — never a
+# data-sized recursion); the grid is spine x |event types| (tiny) and
+# the one data-sized input is the daily pre-aggregation. Scale: one
+# map-side-combined agg over events, then broadcast-sized joins.
+
+
+def q_timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 3).alias("sum_v"),
+    )
+    d0, d1 = daily.agg(F.min("day"), F.max("day")).first()
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(f"sequence(DATE'{d0}', DATE'{d1}', interval 1 day)")
+        ).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(daily, ["day", "event_type"], "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce(
+                F.last("sum_v", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("locf_sum"),
+        )
+    )
+
+
+TIMESERIES_GAPFILL_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type,
+         count(*) AS n, round(sum(value), 3) AS sum_v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT min(day) AS d0, max(day) AS d1 FROM daily),
+spine AS (
+  SELECT CAST(unnest(range(d0, d1 + INTERVAL 1 DAY, INTERVAL 1 DAY)) AS DATE) AS day
+  FROM b
+),
+types AS (SELECT DISTINCT event_type FROM events),
+grid AS (SELECT day, event_type FROM spine CROSS JOIN types)
+SELECT strftime(g.day, '%Y-%m-%d') AS day, g.event_type,
+       coalesce(d.n, 0) AS n,
+       coalesce(last_value(d.sum_v IGNORE NULLS) OVER (
+         PARTITION BY g.event_type ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS locf_sum
+FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
+"""
+
+
 def register_all() -> None:
+    register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)

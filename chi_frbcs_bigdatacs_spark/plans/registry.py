@@ -34,7 +34,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # parity suite (tests/test_oracle_parity.py runs ALL oracled keys
 # every CI run — the rotation only affects which subset the external
 # driver re-hashes). Round-5 ordering:
-# (a) the 29 never-checked keys added this round, then (a') the three
+# (a) the 30 never-checked keys added this round, then (a') the three
 # heaviest end-to-end paths whose hashes changed with the clf-id
 # overflow fix, then (b) every key whose plan or shared code changed
 # this round (recall probe sweep, chunking clamp, KEEL grammar,
@@ -42,7 +42,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # shingle-helper refactor), then (c) the r4-reworked minhash plans
 # whose last driver check predates the rework (VERDICT r4 item 1)
 # plus the keys displaced past r4's cap, then (d) what remains of the
-# longest-unchecked (r1) rotation — this round's 29 additions pushed
+# longest-unchecked (r1) rotation — this round's 30 additions pushed
 # most r1-stale keys past the cap; they stay locally parity-green and
 # lead the r6 rotation.
 CHECK_PRIORITY: list[str] = [
@@ -76,6 +76,7 @@ CHECK_PRIORITY: list[str] = [
     "scalar_regexp_funcs",
     "scalar_try_funcs",
     "join_fuzzy_match",
+    "timeseries_gapfill",
     # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
     # an int64 overflow; the fix changes every clf-derived hash in
     # lockstep on both engines) — the three heaviest end-to-end paths
@@ -104,12 +105,12 @@ CHECK_PRIORITY: list[str] = [
     # (d) longest-unchecked: last green driver check is r1
     "rule_conflict_resolve",
     "rule_conflict_resolve_l5",
-    "ruleweight_pcf_plain",
     # -- window cap is 50; (a)-(d) above are exactly 50. Everything
     # below documents the next-oldest rotation (the 14 remaining
     # r1-checked keys — including those displaced by the clf-id-fix
     # and r5-addition re-checks — then the r2-checked group) so r6
     # starts here.
+    "ruleweight_pcf_plain",
     "ruleweight_pcfcs_costmatrix",
     "agg_pricing_summary",
     "agg_rollup",

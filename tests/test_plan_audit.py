@@ -23,8 +23,11 @@ from tests.conftest import SF_SMALL
 #   - agg_class_counts / metrics_gm_auc_multiclass /
 #     crossval_multiclass / text_bm25_topk: scalar one-row aggregate
 #     (class totals / corpus avgdl+df constants) joined back.
+#   - timeseries_gapfill: constant date spine x the tiny broadcast
+#     event-type domain (the gap-fill reporting grid).
 BNL_ALLOWED = {
     "text_bm25_topk",
+    "timeseries_gapfill",
     "embed_cosine",
     "simsearch_topk",
     "simsearch_topk_batch",
