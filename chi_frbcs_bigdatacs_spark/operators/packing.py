@@ -114,8 +114,7 @@ FROM (
 # table.
 
 
-def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+def split_documents(d: DataFrame) -> DataFrame:
     b = (_doc_hash() % 10).alias("b")
     tr, va, _te = SPLIT_BUCKETS
     split = (
@@ -126,6 +125,10 @@ def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", b).select(
         "doc_id", "lang", "source", split.alias("split")
     )
+
+
+def q_split_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return split_documents(load_table(spark, sf_dir, "documents"))
 
 
 SPLIT_STRATIFIED_SQL = f"""
@@ -194,8 +197,11 @@ WHERE {_DOC_HASH_SQL} < kth
 # the mean surprisal -ln(cnt_tok / T) of its tokens under the
 # corpus's OWN unigram distribution (low = stereotyped text, high =
 # rare-token-heavy). Each token's surprisal is rounded to 6dp BEFORE
-# the per-doc mean so cross-engine ln/accumulation-order drift
-# (~1e-15 relative) cannot reach the 4dp-rounded result.
+# the per-doc mean, making cross-engine ln drift negligible; the
+# avg() itself still sums doubles in engine order, so a mean landing
+# within ~1 ulp of a 0.00005 boundary could in principle round
+# differently at 4dp — same residual-risk class as the repo's other
+# round(sum(double)) oracles, accepted as a noise gate (not a proof).
 
 
 def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:

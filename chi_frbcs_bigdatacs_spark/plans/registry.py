@@ -166,10 +166,14 @@ def get_registry() -> dict[str, QuerySpec]:
     hits CHECK_PRIORITY keys first."""
     import chi_frbcs_bigdatacs_spark.plans.catalog  # noqa: F401
 
+    unknown = [k for k in CHECK_PRIORITY if k not in _REGISTRY]
+    if unknown:
+        # A typo'd rotation entry would otherwise silently shrink the
+        # external driver's 50-key verification window.
+        raise KeyError(f"CHECK_PRIORITY keys not registered: {unknown}")
     ordered: dict[str, QuerySpec] = {}
     for k in CHECK_PRIORITY:
-        if k in _REGISTRY:
-            ordered[k] = _REGISTRY[k]
+        ordered[k] = _REGISTRY[k]
     for k, spec in _REGISTRY.items():
         if k not in ordered:
             ordered[k] = spec

@@ -78,18 +78,8 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 
 # --- lineitem_clf: primary imbalanced binary fixture (FIXTURES.md §B1) ---
 # id is a stable pk (used for deterministic partition emulation and
-# per-example scoring groups); (l_orderkey, l_linenumber) is NOT
-# unique in the synthetic data, so the id packs the full natural key
-# (orderkey, linenumber, partkey, suppkey, quantity) — verified unique
-# at the SHIPPED fixtures (sf 0.001/0.01/0.1), and valid for any
-# sf < 0.5: the packing assumes l_partkey < 100000 (TPC-H partkey
-# reaches 200000*sf) and l_suppkey < 10000 (10000*sf), and the packed
-# value overflows int64 near sf ~ 1.5. For larger scales swap in a
-# collision-free surrogate (e.g. row-group offset + row index) — the
-# cross-engine oracle contract is what forbids a hash here (Spark
-# xxhash64 has no DuckDB equivalent). label = 1 iff
-# l_returnflag == 'R' (IR ~ 2).
-
+# per-example scoring groups); label = 1 iff l_returnflag == 'R'
+# (IR ~ 2).
 # id is CONTENT-ADDRESSED: the top 60 bits of md5 over the
 # generator's unique key (orderkey, linenumber, partkey, suppkey,
 # quantity — (okey, ln) alone repeats in this denormalized data).

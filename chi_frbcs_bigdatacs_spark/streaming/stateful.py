@@ -286,10 +286,13 @@ def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) -> Iterator[pd.DataFrame]:
         (source,) = key
         off = state.get[0] if state.exists else 0
-        for pdf in pdfs:
-            if not len(pdf):
-                continue
-            pdf = pdf.sort_values("doc_id")
+        # Chunk boundaries within a micro-batch carry no ordering
+        # guarantee (a multi-split source file can interleave), so
+        # gather the whole group's micro-batch and sort ONCE by
+        # doc_id before computing cumulative offsets.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("doc_id")
             ntok = pdf["n_tokens"].astype("int64")
             starts = ntok.cumsum().shift(fill_value=0).astype("int64") + off
             off = int(starts.iloc[-1]) + int(ntok.iloc[-1])

@@ -22,7 +22,7 @@ def test_query_matches_oracle(spark, duck, key):
     spec = get_registry()[key]
     sdf = spec.fn(spark, SF_SMALL)
     ddf = duck.execute(spec.sql).df()
-    compare(sdf, ddf)
+    compare(sdf, ddf, label=key)
 
 
 def test_rows_only_keys_run(spark):

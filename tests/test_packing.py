@@ -68,14 +68,16 @@ def test_split_stratified_stable_and_proportional(spark):
     assert 0.7 <= frac["train"] / n <= 0.9
     assert 0.03 <= frac["valid"] / n <= 0.2
     assert 0.03 <= frac["test"] / n <= 0.2
-    # determinism + subset stability: recomputing on a filtered corpus
-    # assigns every surviving doc to the same split
+    # subset stability: RECOMPUTE the split over a filtered input
+    # corpus — if membership depended on corpus size/contents, the
+    # surviving docs would migrate between splits
+    from chi_frbcs_bigdatacs_spark.operators.packing import split_documents
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
     full = {r.doc_id: r.split for r in rows}
-    sub = (
-        q_split_stratified(spark, SF_SMALL)
-        .where("doc_id % 3 = 0")
-        .collect()
-    )
+    sub = split_documents(
+        load_table(spark, SF_SMALL, "documents").where("doc_id % 3 = 0")
+    ).collect()
     assert sub and all(full[r.doc_id] == r.split for r in sub)
 
 
