@@ -507,10 +507,12 @@ from chi_frbcs_bigdatacs_spark.operators import resample as _resample  # noqa: E
 from chi_frbcs_bigdatacs_spark.operators import tpch_plus as _tpch_plus  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import packing as _packing  # noqa: E402
 from chi_frbcs_bigdatacs_spark.sources import formats as _formats  # noqa: E402
+from chi_frbcs_bigdatacs_spark.fuzzy import keel_cv as _keel_cv  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import stateful as _stream_stateful  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
 
 _relational.register_all()
+_keel_cv.register_all()
 _text.register_all()
 _dedup.register_all()
 _similarity.register_all()

@@ -24,7 +24,13 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import DoubleType, StringType, StructField, StructType
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
     FeatureSpec,
@@ -72,7 +78,15 @@ class KeelDataset:
     def schema(self) -> StructType:
         fields = []
         for a in self.attributes:
-            t = StringType() if a.kind == "nominal" else DoubleType()
+            # `integer` binds to a 64-bit integer so int-valued keys
+            # (e.g. content-addressed 60-bit ids) round-trip EXACTLY —
+            # a double mantissa (53 bits) would silently corrupt them.
+            if a.kind == "nominal":
+                t: object = StringType()
+            elif a.kind == "integer":
+                t = LongType()
+            else:
+                t = DoubleType()
             fields.append(StructField(a.name, t))
         return StructType(fields)
 

@@ -193,3 +193,51 @@ def test_header_round_trip_property():
         assert rt.inputs == ds.inputs and rt.outputs == ds.outputs
 
     prop()
+
+
+def test_integer_attribute_binds_long(spark, tmp_path):
+    """Plain `integer` attributes load as exact 64-bit integers — a
+    60-bit content-addressed id must survive the text round-trip
+    bit-exactly (a double mantissa would corrupt it)."""
+    big = (1 << 60) - 3  # not representable as a double
+    txt = (
+        "@relation ids\n"
+        "@attribute id integer\n"
+        "@attribute f1 real [0.0, 1.0]\n"
+        "@inputs f1\n@outputs f1\n@data\n"
+        f"{big},0.5\n{big - 1},0.25\n"
+    )
+    p = tmp_path / "ids.dat"
+    p.write_text(txt)
+    from chi_frbcs_bigdatacs_spark.sources.keel import read_keel, write_keel
+
+    df, ds = read_keel(spark, str(p))
+    assert df.schema["id"].dataType.typeName() == "long"
+    assert sorted(r.id for r in df.collect()) == [big - 1, big]
+    out = tmp_path / "copy.dat"
+    write_keel(df, ds, str(out))
+    back, _ = read_keel(spark, str(out))
+    assert sorted(r.id for r in back.collect()) == [big - 1, big]
+
+
+def test_crossval_keel_folds_partition_the_fixture(spark):
+    """The staged 5-fold KEEL file pairs are a real partition: the
+    five test files are disjoint and their union is the fixture; each
+    train file is the complement of its paired test file."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.keel_cv import N_FOLDS, _fold_files
+    from chi_frbcs_bigdatacs_spark.sources.keel import read_keel
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+    from tests.conftest import SF_SMALL
+
+    d = _fold_files(spark, SF_SMALL)
+    all_ids = {r.id for r in lineitem_clf(spark, SF_SMALL).select("id").collect()}
+    seen: set[int] = set()
+    for k in range(N_FOLDS):
+        tst, _ = read_keel(spark, f"{d}/lineitem-5-{k + 1}tst.dat")
+        tra, _ = read_keel(spark, f"{d}/lineitem-5-{k + 1}tra.dat")
+        tst_ids = {r.id for r in tst.select("id").collect()}
+        tra_ids = {r.id for r in tra.select("id").collect()}
+        assert tst_ids and not (tst_ids & seen)
+        assert tra_ids == all_ids - tst_ids
+        seen |= tst_ids
+    assert seen == all_ids
