@@ -396,6 +396,14 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     j = per_doc.crossJoin(F.broadcast(scal))
+    return _bm25_rank(j, n_docs)
+
+
+def _bm25_rank(j: DataFrame, n_docs: int) -> DataFrame:
+    """Shared BM25 scorer: expects columns dl, avgdl, tf{i}, df{i};
+    the per-term sum is left-associated in declaration order so the
+    float accumulation is bit-identical wherever it runs (the one-
+    scan query and the from-index query must hash-match)."""
     terms = []
     for i in range(len(BM25_TERMS)):
         idf = F.round(F.log(F.lit(float(n_docs)) / F.col(f"df{i}")), 6)
@@ -473,8 +481,119 @@ LIMIT {BM25_TOP}
 """
 
 
+# --- materialized retrieval index ------------------------------------------
+# text_bm25_topk recomputes per-doc term stats and corpus scalars on
+# every query. At 100 TB a pipeline materializes the inverted stats
+# ONCE and serves many queries from it (the model_roundtrip pattern
+# applied to retrieval):
+#   postings/  (term, doc_id, tf)   repartitioned by term — the
+#              serving join key, so a query's term lookups are
+#              partition-local at scale
+#   docs/      (doc_id, dl)
+#   terms/     (term, df, sum_tf)   the full-vocab df sidecar
+#   stats/     one row (n_docs, avgdl)
+# text_index_build persists + reads back the vocab sidecar (so the
+# hash check covers the parquet round-trip); text_bm25_from_index
+# answers the BM25_TERMS query purely from the index — NEVER
+# rescanning documents — and must equal text_bm25_topk bit-for-bit.
+
+
+def _bm25_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        toks = docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("term"),
+        ).filter(F.length("term") >= 3)
+        postings = toks.groupBy("term", "doc_id").agg(
+            F.count(F.lit(1)).alias("tf")
+        )
+        postings.repartition("term").write.mode("overwrite").parquet(
+            f"{d}/postings"
+        )
+        postings = spark.read.parquet(f"{d}/postings")
+        dl = postings.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        dl.write.mode("overwrite").parquet(f"{d}/docs")
+        postings.groupBy("term").agg(
+            F.count(F.lit(1)).alias("df"), F.sum("tf").alias("sum_tf")
+        ).write.mode("overwrite").parquet(f"{d}/terms")
+        spark.read.parquet(f"{d}/docs").agg(
+            F.lit(n_docs).alias("n_docs"),
+            F.round(
+                F.sum("dl").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avgdl"),
+        ).write.mode("overwrite").parquet(f"{d}/stats")
+
+    return staged_dir("bm25_index", sf_dir, build)
+
+
+def q_text_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (memoized) + read back the inverted index's vocab
+    sidecar — the hash check proves the persisted (term, df, sum_tf)
+    table matches a from-scratch DuckDB derivation."""
+    d = _bm25_index_dir(spark, sf_dir)
+    return spark.read.parquet(f"{d}/terms")
+
+
+TEXT_INDEX_BUILD_SQL = """
+WITH toks AS (
+  SELECT doc_id, token AS term FROM (
+    SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents) t
+  WHERE length(token) >= 3
+),
+postings AS (SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY term, doc_id)
+SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS sum_tf
+FROM postings GROUP BY term
+"""
+
+
+def q_text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the BM25_TERMS query from the materialized index: a
+    3-term IN-filter on the term-partitioned postings, one pivot agg,
+    one doc-length join, and the shared scorer. The documents table
+    is never scanned. Must equal text_bm25_topk exactly."""
+    d = _bm25_index_dir(spark, sf_dir)
+    st = spark.read.parquet(f"{d}/stats").collect()[0]  # one-row index header
+    n_docs = int(st.n_docs)
+    hits = spark.read.parquet(f"{d}/postings").filter(
+        F.col("term").isin(*BM25_TERMS)
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("term") == t, F.col("tf"))), F.lit(0)
+            ).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ]
+    )
+    dfs = (
+        spark.read.parquet(f"{d}/terms")
+        .filter(F.col("term").isin(*BM25_TERMS))
+        .groupBy()
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.col("term") == t, F.col("df"))), F.lit(0)
+                ).alias(f"df{i}")
+                for i, t in enumerate(BM25_TERMS)
+            ]
+        )
+        .withColumn("avgdl", F.lit(float(st.avgdl)))
+    )
+    j = per_doc.join(
+        spark.read.parquet(f"{d}/docs"), "doc_id"
+    ).crossJoin(F.broadcast(dfs))
+    return _bm25_rank(j, n_docs)
+
+
 def register_all() -> None:
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
+    register("text_index_build", q_text_index_build, TEXT_INDEX_BUILD_SQL)
+    register("text_bm25_from_index", q_text_bm25_from_index, _bm25_sql())
     register("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL)
     register("text_pii_scrub", q_text_pii_scrub, TEXT_PII_SCRUB_SQL)
     register("text_lexical", q_text_lexical, _lexical_sql())

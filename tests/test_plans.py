@@ -149,3 +149,12 @@ def test_partition_pruned_scan(spark):
     assert "PartitionFilters: [isnotnull(l_returnflag" in p and "= R)" in p.replace(
         "(l_returnflag#", "("
     ), p.split("FileScan")[-1][:400]
+
+
+def test_bm25_from_index_never_scans_documents(spark):
+    """Serving from the materialized index must not touch the corpus:
+    no documents.parquet scan, and the 3-term query filter is pushed
+    down to the postings parquet."""
+    p = _plan(spark, "text_bm25_from_index")
+    assert "documents.parquet" not in p, "from-index query rescanned the corpus"
+    assert "In(term" in p, "term filter not pushed to the postings scan"
