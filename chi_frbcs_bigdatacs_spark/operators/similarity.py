@@ -346,9 +346,22 @@ def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
     )
 
 
-def _kmeans_index(spark: SparkSession, sf_dir: str):
-    """Shared 1-Lloyd-step IVF build: returns (assignments DataFrame
-    with (vec_id, embedding, k), centroid list [(k, vec)])."""
+N_LLOYD = 4  # Lloyd mean-update rounds (seeds + 4 refinements)
+
+
+def _kmeans_index(spark: SparkSession, sf_dir: str, n_iter: int = N_LLOYD):
+    """Shared multi-iteration Lloyd IVF build: returns (assignments
+    DataFrame with (vec_id, embedding, k), centroid list [(k, vec)],
+    per-round centroid drift list).
+
+    Each round is the same literal-centroid assign projection (map-
+    only, shuffle-free) followed by ONE K-group mean agg collected as
+    the next K-row driver constant — n_iter shuffles total, each a
+    map-side-combined K-row agg. Drift (sum of squared centroid
+    movement, driver-side math over K constants) is monotonically
+    useful for convergence checks; the round count is fixed rather
+    than drift-thresholded so the DuckDB oracle can mirror the exact
+    CTE chain."""
     from functools import reduce as _r
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -379,33 +392,45 @@ def _kmeans_index(spark: SparkSession, sf_dir: str):
             emb.orderBy(F.col("vec_id").asc()).limit(K_CLUSTERS).collect()
         )
     ]
-    a1 = assign(seeds)
-    # Lloyd step: per-cluster means — a K-group hash agg with map-side
-    # combine (the only shuffle in the build), collected as the next
-    # K-row driver constant. Means rounded to 6dp on both engines so
-    # re-assignment sees identical centroids despite sum-order drift.
-    cent_rows = (
-        a1.groupBy("k")
-        .agg(
-            *[
-                F.round(
-                    F.sum(F.element_at("embedding", i).cast("double"))
-                    / F.count(F.lit(1)),
-                    6,
-                ).alias(f"c{i}")
-                for i in range(1, DIM + 1)
-            ]
+    # Lloyd rounds: per-cluster means — a K-group hash agg with
+    # map-side combine (the only shuffle per round), collected as the
+    # next K-row driver constant. Means rounded to 6dp on both
+    # engines so re-assignment sees identical centroids despite
+    # sum-order drift.
+    cent = seeds
+    drifts: list[float] = []
+    for _round in range(n_iter):
+        cent_rows = (
+            assign(cent)
+            .groupBy("k")
+            .agg(
+                *[
+                    F.round(
+                        F.sum(F.element_at("embedding", i).cast("double"))
+                        / F.count(F.lit(1)),
+                        6,
+                    ).alias(f"c{i}")
+                    for i in range(1, DIM + 1)
+                ]
+            )
+            .collect()
         )
-        .collect()
-    )
-    cent = sorted(
-        (r.k, [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in cent_rows
-    )
-    return assign(cent), cent
+        prev = dict(cent)
+        cent = sorted(
+            (r.k, [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in cent_rows
+        )
+        drifts.append(
+            sum(
+                sum((a - b) ** 2 for a, b in zip(vec, prev[k]))
+                for k, vec in cent
+                if k in prev
+            )
+        )
+    return assign(cent), cent, drifts
 
 
 def q_simsearch_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a2, _ = _kmeans_index(spark, sf_dir)
+    a2, _, _ = _kmeans_index(spark, sf_dir)
     q = (
         a2.orderBy(F.col("vec_id").asc())
         .limit(1)
@@ -433,7 +458,7 @@ N_PROBE = 2
 
 
 def q_simsearch_ivf_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    a2, cent = _kmeans_index(spark, sf_dir)
+    a2, cent, _ = _kmeans_index(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qvec = list(
         emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
@@ -483,10 +508,12 @@ RECALL_PROBES = (1, 2, 4)
 RECALL_K = 10
 
 
-def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_simsearch_recall(
+    spark: SparkSession, sf_dir: str, n_iter: int = N_LLOYD
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    a2, cent = _kmeans_index(spark, sf_dir)
+    a2, cent, _ = _kmeans_index(spark, sf_dir, n_iter=n_iter)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < N_RECALL_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
@@ -554,35 +581,42 @@ def q_simsearch_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_ctes() -> str:
-    """Shared CTE body (seeds -> a1 -> cent -> a2) for the k-means
-    IVF oracles."""
+    """Shared CTE body for the k-means IVF oracles, mirroring the
+    engine's N_LLOYD-round build exactly: seeds -> (assign -> means)
+    x N_LLOYD -> final assignment. The last mean CTE is aliased
+    `cent` and the final assignment `a2`, so downstream query SQL is
+    independent of the round count."""
     mean_list = ", ".join(
         f"round(sum(CAST(embedding[{i}] AS DOUBLE)) / count(*), 6)"
         for i in range(1, DIM + 1)
     )
-    return f"""seeds AS (
-  SELECT row_number() OVER (ORDER BY vec_id ASC) AS k, embedding AS cvec
-  FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {K_CLUSTERS}) s
-),
-a1 AS (
-  SELECT vec_id, embedding, k FROM (
-    SELECT e.vec_id, e.embedding, s.k,
-           row_number() OVER (PARTITION BY e.vec_id
-             ORDER BY {_sqdist_sql('e.embedding', 's.cvec')} ASC, s.k ASC) AS rn
-    FROM embeddings e CROSS JOIN seeds s) t
-  WHERE rn = 1
-),
-cent AS (
-  SELECT k, [{mean_list}] AS cvec FROM a1 GROUP BY k
-),
-a2 AS (
+
+    def assign_cte(name: str, cents: str) -> str:
+        return f"""{name} AS (
   SELECT vec_id, embedding, k FROM (
     SELECT e.vec_id, e.embedding, c.k,
            row_number() OVER (PARTITION BY e.vec_id
              ORDER BY {_sqdist_sql('e.embedding', 'c.cvec')} ASC, c.k ASC) AS rn
-    FROM embeddings e CROSS JOIN cent c) t
+    FROM embeddings e CROSS JOIN {cents} c) t
   WHERE rn = 1
 )"""
+
+    ctes = [
+        f"""seeds AS (
+  SELECT row_number() OVER (ORDER BY vec_id ASC) AS k, embedding AS cvec
+  FROM (SELECT * FROM embeddings ORDER BY vec_id ASC LIMIT {K_CLUSTERS}) s
+)"""
+    ]
+    prev = "seeds"
+    for r in range(1, N_LLOYD + 1):
+        ctes.append(assign_cte(f"a_l{r}", prev))
+        ctes.append(
+            f"c_l{r} AS (\n  SELECT k, [{mean_list}] AS cvec FROM a_l{r} GROUP BY k\n)"
+        )
+        prev = f"c_l{r}"
+    ctes.append(f"cent AS (\n  SELECT * FROM {prev}\n)")
+    ctes.append(assign_cte("a2", "cent"))
+    return ",\n".join(ctes)
 
 
 def _ivf_kmeans_sql() -> str:
