@@ -508,6 +508,7 @@ from chi_frbcs_bigdatacs_spark.operators import tpch_plus as _tpch_plus  # noqa:
 from chi_frbcs_bigdatacs_spark.operators import packing as _packing  # noqa: E402
 from chi_frbcs_bigdatacs_spark.sources import formats as _formats  # noqa: E402
 from chi_frbcs_bigdatacs_spark.fuzzy import keel_cv as _keel_cv  # noqa: E402
+from chi_frbcs_bigdatacs_spark.streaming import neardup as _stream_neardup  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import stateful as _stream_stateful  # noqa: E402
 from chi_frbcs_bigdatacs_spark.streaming import windows as _stream_windows  # noqa: E402
 
@@ -525,4 +526,5 @@ _tpch_plus.register_all()
 _packing.register_all()
 _stream_windows.register_all()
 _stream_stateful.register_all()
+_stream_neardup.register_all()
 _formats.register_all()

@@ -1,0 +1,171 @@
+"""M5 — incremental MinHash near-dup over a document stream.
+
+The last brief category without a streaming twin (VERDICT r5 item 5):
+maintain LSH band-bucket membership as state and emit newly-colliding
+candidate pairs per micro-batch.
+
+Per-row signature derivation: the batch path explodes shingles and
+takes 16 min() aggregates; a stream cannot afford a stateful
+aggregation per doc, and does not need one — each document's text
+arrives whole, so the signature is a PURE ROW EXPRESSION:
+array_min(transform(shingles, affine(md5 . )))) per hash, exactly the
+same md5/affine integer math (min over the same multiset => the same
+value, bit-for-bit). Banding md5s are the same concat as the batch
+path. The ONLY state is per-bucket membership: key (band, bv), value
+the doc_ids seen so far; a micro-batch's new docs pair with every
+known member and with each other exactly once, so across any split
+of the input into micro-batches the emitted candidate multiset
+equals the batch bucket self-join.
+
+Verification stays candidate-only: the emitted pairs are deduped
+across bands and Jaccard-verified against the corpus's shingle sets
+— the identical tail of the batch operator, so the DuckDB oracle is
+the batch `_minhash_sql()` (a strict batch-equivalence check, not a
+rows-only one).
+
+Scale shape: state per bucket is a doc_id list bounded by bucket
+size (the LSH design premise — expected n/2^bits per band);
+collision emission is quadratic only within a bucket, the same cost
+the batch self-join pays. applyInPandasWithState partitions by
+bucket key, so state is partition-parallel and never driver-side.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+    AFFINE,
+    BANDS,
+    JACCARD_THRESHOLD,
+    MERSENNE_P,
+    ROWS_PER_BAND,
+    _minhash_sql,
+    _shingles_col,
+)
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.streaming.stateful import _documents_idorder_stream
+
+
+def _rowwise_band_cols() -> list[Column]:
+    """h0..h{K-1} as per-row HOF folds over the shingle array —
+    value-identical to the batch explode+groupBy+min derivation."""
+    hv = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long"),
+    )
+
+    def affine_min(a: int, b: int) -> Column:
+        return F.array_min(
+            F.transform(
+                hv,
+                lambda v: (
+                    (v.cast("decimal(38,0)") * F.lit(a) + F.lit(b))
+                    % F.lit(MERSENNE_P)
+                ).cast("long"),
+            )
+        )
+
+    sigs = [affine_min(a, b).alias(f"h{k}") for k, (a, b) in enumerate(AFFINE)]
+    return sigs
+
+
+def _band_structs() -> Column:
+    structs = []
+    for b in range(BANDS):
+        cols = [f"h{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)]
+        structs.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        "|", *[F.col(c).cast("string") for c in cols]
+                    ).cast("binary")
+                ).alias("bv"),
+            )
+        )
+    return F.array(*structs)
+
+
+def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = (
+        _documents_idorder_stream(spark, sf_dir)
+        .select("doc_id", _shingles_col().alias("shingles"))
+        .filter(F.size("shingles") > 0)
+    )
+    bands = (
+        docs.select("doc_id", *_rowwise_band_cols())
+        .select("doc_id", F.explode(_band_structs()).alias("bb"))
+        .select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        known: list[int] = list(state.get[0]) if state.exists else []
+        incoming: set[int] = set()
+        for pdf in pdfs:
+            incoming.update(int(x) for x in pdf["doc_id"])
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for nd in sorted(incoming - set(known)):
+            for od in known:
+                lo, hi = (od, nd) if od < nd else (nd, od)
+                out_a.append(lo)
+                out_b.append(hi)
+            known.append(nd)
+        state.update((known,))
+        if out_a:
+            yield pd.DataFrame({"doc_a": out_a, "doc_b": out_b})
+
+    cand = bands.groupBy("band", "bv").applyInPandasWithState(
+        update,
+        outputStructType="doc_a long, doc_b long",
+        stateStructType="docs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_neardup_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        cand.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # candidate pairs collide once per shared band -> dedup, then the
+    # stateless Jaccard verify against the corpus shingle sets — the
+    # identical tail of the batch operator (in production this is a
+    # stream-static join against the document store).
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import _docs
+
+    pairs = spark.table(name).distinct()
+    bdocs = _docs(spark, sf_dir)
+    da = bdocs.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sha"))
+    db = bdocs.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shb"))
+    jac = (
+        pairs.join(da, "doc_a")
+        .join(db, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("sha", "shb")).cast("double")
+                / F.size(F.array_union("sha", "shb")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def register_all() -> None:
+    register("stream_dedup_minhash", q_stream_dedup_minhash, _minhash_sql())

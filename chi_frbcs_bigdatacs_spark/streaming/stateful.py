@@ -249,9 +249,10 @@ def q_stream_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_DOC_ORDER_FILES = 4
 
 
-def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.operators.packing import PACK_BUDGET
-
+def _documents_idorder_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents as a doc_id-ordered file-per-micro-batch stream:
+    RANGE-partitioned by doc_id into N_DOC_ORDER_FILES parquet files
+    whose mtimes force in-order pickup (maxFilesPerTrigger=1)."""
     batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     def build(d: str) -> None:
@@ -270,10 +271,18 @@ def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.utime(p, (base + i * 60, base + i * 60))
 
     src = staged_dir("documents_idorder", sf_dir, build)
-    docs = (
+    return (
         spark.readStream.schema(batch.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
+    )
+
+
+def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.packing import PACK_BUDGET
+
+    docs = (
+        _documents_idorder_stream(spark, sf_dir)
         .select(
             "doc_id",
             "source",
