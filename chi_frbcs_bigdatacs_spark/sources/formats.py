@@ -362,6 +362,51 @@ FROM lineitem WHERE l_returnflag = 'R'
 """
 
 
+# --- DYNAMIC partition pruning (runtime-filter star join) -------------------
+# scan_partition_pruned proves planning-time pruning (the predicate
+# names the partition key literally). The complement every warehouse
+# query needs: the partition predicate arrives through a JOIN — fact
+# hive-partitioned by the join key, dim filtered on an attribute —
+# and Catalyst injects a DynamicPruningExpression into the fact
+# scan's PartitionFilters, reusing the broadcast dim to enumerate the
+# surviving partitions at RUNTIME. On a date-partitioned 100 TB fact
+# this is what turns "join against this month's dim rows" into a
+# 30-directory read instead of a full scan
+# (tests/test_plans.py pins dynamicpruning in the scan).
+
+
+def q_join_dpp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", "c_nationkey"
+    )
+    src = staged_dir(
+        "customer_bynation",
+        sf_dir,
+        lambda d: cust.write.partitionBy("c_nationkey").mode("overwrite").parquet(d),
+    )
+    fact = spark.read.parquet(src)
+    dim = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 1)
+    return (
+        fact.join(F.broadcast(dim), fact["c_nationkey"] == dim["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_bal"),
+        )
+    )
+
+
+JOIN_DPP_SQL = """
+SELECT n_name, count(*) AS n_cust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_regionkey = 1
+GROUP BY n_name
+"""
+
+
 def register_all() -> None:
     register("scan_csv", q_scan_csv, SCAN_CSV_SQL)
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
@@ -372,6 +417,7 @@ def register_all() -> None:
     register(
         "scan_partition_pruned", q_scan_partition_pruned, SCAN_PARTITION_PRUNED_SQL
     )
+    register("join_dpp", q_join_dpp, JOIN_DPP_SQL)
     register("sql_q3", _sql_query(SQL_Q3), SQL_Q3)
     register("sql_q5", _sql_query(SQL_Q5), SQL_Q5)
     register("sql_q6", _sql_query(SQL_Q6), SQL_Q6)

@@ -158,3 +158,12 @@ def test_bm25_from_index_never_scans_documents(spark):
     p = _plan(spark, "text_bm25_from_index")
     assert "documents.parquet" not in p, "from-index query rescanned the corpus"
     assert "In(term" in p, "term filter not pushed to the postings scan"
+
+
+def test_join_dpp_injects_runtime_partition_filter(spark):
+    """The star join against a runtime-filtered dim must prune the
+    hive-partitioned fact scan via DynamicPruningExpression — the
+    predicate is not knowable at planning time."""
+    p = _plan(spark, "join_dpp")
+    assert "dynamicpruningexpression" in p.lower(), "no runtime partition filter"
+    assert "PartitionFilters" in p
