@@ -287,6 +287,111 @@ LIMIT 100
 """
 
 
+# --- batch 3 (round 6): Q2, Q9, Q12, Q16, Q20 — completes the full
+# 22-query TPC-H shape battery. The generator ships no partsupp
+# table, so Q2/Q16/Q20's part-supplier relationships are bridged
+# through lineitem's (l_partkey, l_suppkey) pairs, and Q9's profit
+# (which needs ps_supplycost) degrades to revenue — the correlated
+# scalar subquery, NOT IN anti-join, double-nested IN semi-join,
+# count-distinct, and 5-way join SHAPES are what the battery pins.
+
+# Q2 shape: minimum-cost supplier per part in a region — correlated
+# scalar MIN subquery re-entered per outer row ("cost" re-targeted
+# at s_acctbal; doubles compared by exact equality, no arithmetic).
+SQL_Q2 = """
+SELECT DISTINCT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN lineitem ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 30 AND r_name = 'EUROPE'
+  AND s_acctbal = (
+        SELECT min(s2.s_acctbal)
+        FROM lineitem l2
+        JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+        JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+        JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+        WHERE l2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+      )
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC, p_brand ASC
+LIMIT 100
+"""
+
+# Q9 shape: product-line profit by nation and year (profit ->
+# revenue; no ps_supplycost). Positional GROUP BY keeps the
+# EXTRACT expression and its output column textually identical.
+SQL_Q9 = f"""
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       {_REVENUE} AS sum_profit
+FROM lineitem
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+ORDER BY nation ASC, o_year DESC
+"""
+
+# Q12 shape: shipping-priority counts by category (l_shipmode is not
+# generated; l_linestatus takes its place, "late receipt" re-targeted
+# at shipdate lagging orderdate by 60+ days).
+SQL_Q12 = """
+SELECT l_linestatus,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+  AND l_shipdate <  CAST('1998-01-01' AS TIMESTAMP)
+GROUP BY l_linestatus
+ORDER BY l_linestatus ASC
+"""
+
+# Q16 shape: supplier count by part attributes, excluding a
+# NOT IN-subquery supplier set ("complaints" re-targeted at negative
+# account balance).
+SQL_Q16 = """
+SELECT p_brand, p_type, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 9, 14, 19, 23, 36, 45, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+# Q20 shape: suppliers holding excess stock of a part family — the
+# double-nested IN semi-join chain with a DECIMAL-exact HAVING
+# threshold ("availqty vs half the year's demand" re-targeted at
+# shipped quantity of 'small%' parts in 1997).
+SQL_Q20 = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'small%'
+              )
+          AND l_shipdate >= CAST('1997-01-01' AS TIMESTAMP)
+          AND l_shipdate <  CAST('1998-01-01' AS TIMESTAMP)
+        GROUP BY l_suppkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > CAST(50 AS DECIMAL(18,2))
+      )
+  AND n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+ORDER BY s_name ASC
+"""
+
+
 def _sql_query(sql: str):
     from chi_frbcs_bigdatacs_spark.sources.testdata import register_views
 
@@ -310,3 +415,8 @@ def register_all() -> None:
     register("sql_q4", _sql_query(SQL_Q4), SQL_Q4)
     register("sql_q8", _sql_query(SQL_Q8), SQL_Q8)
     register("sql_q21", _sql_query(SQL_Q21), SQL_Q21)
+    register("sql_q2", _sql_query(SQL_Q2), SQL_Q2)
+    register("sql_q9", _sql_query(SQL_Q9), SQL_Q9)
+    register("sql_q12", _sql_query(SQL_Q12), SQL_Q12)
+    register("sql_q16", _sql_query(SQL_Q16), SQL_Q16)
+    register("sql_q20", _sql_query(SQL_Q20), SQL_Q20)
