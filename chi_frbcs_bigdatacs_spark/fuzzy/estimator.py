@@ -170,7 +170,22 @@ class ChiFRBCSModel:
         tie-break as the expression path (rules pre-sorted by
         antecedent labels then class; np.argmax takes the first max).
         Bit-identical to transform() — numpy evaluates the identical
-        IEEE expression chain (pinned by tests)."""
+        IEEE expression chain (pinned by tests).
+
+        WHEN TO USE WHICH (measured r6, local[32], d=8/128k examples,
+        256x-replicated sf0.1 embeddings): transform()'s candidate
+        explosion is 2^d rows per example, so its cost scales with
+        2^d * n while this scorer's scales with n * R (R = rule
+        count). At d=4 (the lineitem fixture) the expression path
+        wins every A/B on record (~1.7s vs slower pandas variants, r2
+        NOTES); at d=8 it inverts hard: expression ~22-29s median vs
+        ~0.4s warm here (the 33M-row explode+argmax dominates; caveat
+        — the fixture's d=8 rule base is degenerate-small, so the
+        pandas side is at its best case). Guidance: keep transform()
+        through d<=6 (<=64 cells/example); at d>=8 flip to
+        transform_pandas — and pair it with collect_rules=True,
+        because this path materializes the rule arrays driver-side
+        anyway (it warns on a distributed rule base)."""
         import numpy as np
 
         parts = self.parts

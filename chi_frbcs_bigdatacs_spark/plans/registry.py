@@ -33,83 +33,36 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rely on their latest green CORRECTNESS_r{N} row plus the local
 # parity suite (tests/test_oracle_parity.py runs ALL oracled keys
 # every CI run — the rotation only affects which subset the external
-# driver re-hashes). Round-5 ordering:
-# (a) the 30 never-checked keys added this round, then (a') the three
-# heaviest end-to-end paths whose hashes changed with the clf-id
-# overflow fix, then (b) every key whose plan or shared code changed
-# this round (recall probe sweep, chunking clamp, KEEL grammar,
-# cost-scope thread-through, stream_rule_stats staged_src param,
-# shingle-helper refactor), then (c) the r4-reworked minhash plans
-# whose last driver check predates the rework (VERDICT r4 item 1)
-# plus the keys displaced past r4's cap, then (d) what remains of the
-# longest-unchecked (r1) rotation — this round's 30 additions pushed
-# most r1-stale keys past the cap; they stay locally parity-green and
-# lead the r6 rotation.
+# driver re-hashes). Round-6 ordering (VERDICT r5 item 1 — retire the
+# staleness backlog):
+# (a) the 10 keys added this round, (b) the keys whose plans or
+# shared code changed this round (N_LLOYD multi-iteration k-means
+# changed the three IVF hashes; the BM25 scorer refactor and the
+# stream-packing chunk fix are behavior-preserving but re-verified),
+# then (c) THE STALENESS ROTATION: all 35 longest-unchecked keys
+# whose last driver check is r1/r2 (displaced by the r5 additions).
+# Still past-cap after this round (r2-green, locally parity-green
+# every CI; front-load in r7): media_meta, media_frames, scan_csv,
+# scan_jsonl, scan_orc, sink_partitioned, plus the r5-green keys.
 CHECK_PRIORITY: list[str] = [
     # (a) new this round -- never driver-checked
-    "resample_ros",
-    "resample_rus",
-    "dedup_decontaminate",
-    "text_bm25_topk",
-    "rulebuild_partitioned_globalcost",
-    "sql_q10",
-    "sql_q14",
-    "sql_q18",
-    "sql_q19",
-    "sql_q22",
-    "doc_pack_sequences",
-    "split_stratified",
-    "corpus_mix_sqrt",
-    "text_unigram_surprisal",
-    "sql_q7",
-    "sql_q11",
-    "sql_q15",
-    "sql_q17",
-    "stream_stream_join",
-    "hyperparam_sweep",
-    "rule_coverage",
-    "scan_partition_pruned",
-    "stream_pack_sequences",
-    "sql_q4",
-    "sql_q8",
-    "sql_q21",
-    "scalar_regexp_funcs",
-    "scalar_try_funcs",
-    "join_fuzzy_match",
-    "timeseries_gapfill",
-    # (a') lineitem_clf id-derivation fix (round-5 8x experiment found
-    # an int64 overflow; the fix changes every clf-derived hash in
-    # lockstep on both engines) — the three heaviest end-to-end paths
-    # re-enter the window; the 10 clf rule/resample keys above
-    # already cover the rest of the changed surface
-    "classify_wr",
-    "metrics_gm_auc",
-    "rulemerge_max",
+    "crossval_keel",
+    "text_index_build",
+    "text_bm25_from_index",
+    "stream_dedup_minhash",
+    "join_dpp",
+    "sql_q2",
+    "sql_q9",
+    "sql_q12",
+    "sql_q16",
+    "sql_q20",
     # (b) plan or shared code changed this round
+    "simsearch_ivf_kmeans",
+    "simsearch_ivf_probe2",
     "simsearch_recall",
-    "doc_chunking",
-    "dedup_containment",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "scan_keel",
-    "sink_keel",
-    "rulebuild_partitioned",
-    "ruleweight_pcfcs",
-    "stream_rule_stats",
-    # (c) r4 reworks never driver-rechecked + r4-displaced keys
-    "dedup_minhash",
-    "dedup_minhash_keep",
-    "simsearch_topk",
-    "date_bucket",
-    "dedup_simhash",
-    # (d) longest-unchecked: last green driver check is r1
-    "rule_conflict_resolve",
-    "rule_conflict_resolve_l5",
-    # -- window cap is 50; (a)-(d) above are exactly 50. Everything
-    # below documents the next-oldest rotation (the 14 remaining
-    # r1-checked keys — including those displaced by the clf-id-fix
-    # and r5-addition re-checks — then the r2-checked group) so r6
-    # starts here.
+    "text_bm25_topk",
+    "stream_pack_sequences",
+    # (c) staleness rotation: last green driver check is r1/r2
     "ruleweight_pcf_plain",
     "ruleweight_pcfcs_costmatrix",
     "agg_pricing_summary",
@@ -145,6 +98,8 @@ CHECK_PRIORITY: list[str] = [
     "dedup_hashkey",
     "embed_cosine",
     "simsearch_ivf",
+    # -- window cap is 50; (a)-(c) above are exactly 50. The next-
+    # oldest rotation for r7 starts here.
     "media_meta",
     "media_frames",
     "scan_csv",

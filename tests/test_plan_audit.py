@@ -21,12 +21,15 @@ from tests.conftest import SF_SMALL
 #     vec_id < 1000 on BOTH engines (operators/similarity.py).
 #   - join_cross: the operator IS a cross join (region x nation, 5x25).
 #   - agg_class_counts / metrics_gm_auc_multiclass /
-#     crossval_multiclass / text_bm25_topk: scalar one-row aggregate
-#     (class totals / corpus avgdl+df constants) joined back.
+#     crossval_multiclass / text_bm25_topk / text_bm25_from_index:
+#     scalar one-row aggregate (class totals / corpus avgdl+df
+#     constants — for from_index, the pivoted 3-term df row read
+#     from the index's terms sidecar) joined back.
 #   - timeseries_gapfill: constant date spine x the tiny broadcast
 #     event-type domain (the gap-fill reporting grid).
 BNL_ALLOWED = {
     "text_bm25_topk",
+    "text_bm25_from_index",
     "timeseries_gapfill",
     "embed_cosine",
     "simsearch_topk",
