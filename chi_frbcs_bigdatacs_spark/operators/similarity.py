@@ -763,6 +763,102 @@ FROM ranked WHERE rn <= {TOPK_PER_QUERY}
 """
 
 
+# --- materialized IVF index ------------------------------------------------
+# The IVF twin of the materialized BM25 index (operators/text.py):
+# every `simsearch_ivf_kmeans` call re-runs the whole N_LLOYD build;
+# a serving system builds ONCE and answers many queries from the
+# persisted layout. True IVF storage shape: the vectors are
+# re-clustered on disk, hive-partitioned by cell id (cells/k=<i>/),
+# plus a K-row centroid sidecar. A query then (1) picks its cell
+# driver-side against the K centroid constants and (2) reads ONE
+# partition directory — a planning-time-pruned scan of ~n/K vectors
+# instead of a full build — which is exactly what turns ANN serving
+# at 100 TB into a bounded read.
+
+
+def _ivf_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build(d: str) -> None:
+        a, cent, _ = _kmeans_index(spark, sf_dir)
+        a.write.partitionBy("k").mode("overwrite").parquet(f"{d}/cells")
+        spark.createDataFrame(
+            [(int(k), [float(x) for x in v]) for k, v in cent],
+            "k int, cvec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{d}/centroids")
+
+    return staged_dir("ivf_index", sf_dir, build)
+
+
+def q_simsearch_ivf_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (memoized) + read back the persisted index: per-cell
+    population joined with the centroid sidecar's first component —
+    the hash check proves the parquet layout matches a from-scratch
+    DuckDB derivation of the same N_LLOYD build."""
+    d = _ivf_index_dir(spark, sf_dir)
+    cells = spark.read.parquet(f"{d}/cells")
+    cents = spark.read.parquet(f"{d}/centroids")
+    pop = cells.groupBy("k").agg(F.count(F.lit(1)).alias("n_vecs"))
+    return pop.join(cents, "k").select(
+        "k", "n_vecs", F.element_at("cvec", 1).alias("c1")
+    )
+
+
+def _ivf_build_sql() -> str:
+    return f"""
+WITH {_ivf_kmeans_ctes()},
+n AS (SELECT k, count(*) AS n_vecs FROM a2 GROUP BY k)
+SELECT c.k, n.n_vecs, c.cvec[1] AS c1
+FROM cent c JOIN n ON c.k = n.k
+"""
+
+
+def q_simsearch_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the standing query from the persisted index: nearest
+    cell chosen driver-side over the K-row centroid sidecar (same
+    left-associated sqdist + lowest-k tie-break as the oracle), then
+    a partition-pruned scan of that one cell directory and an
+    in-cell cosine top-k. Must equal `simsearch_ivf_kmeans` exactly;
+    the full embeddings table is only touched to fetch the query
+    vector itself."""
+    d = _ivf_index_dir(spark, sf_dir)
+    cent = sorted(
+        (int(r.k), [float(x) for x in r.cvec])
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
+    ]
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        s = (a[0] - b[0]) * (a[0] - b[0])
+        for i in range(1, len(a)):
+            s = s + (a[i] - b[i]) * (a[i] - b[i])
+        return s
+
+    qk = min(cent, key=lambda kv: (sqdist(qvec, kv[1]), kv[0]))[0]
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(F.col("embedding").alias("qvec"))
+    )
+    cand = (
+        spark.read.parquet(f"{d}/cells")
+        .filter(F.col("k") == qk)
+        .crossJoin(F.broadcast(q))
+    )
+    cos = _dot_col("embedding", "qvec") / (
+        F.sqrt(_norm2_col("embedding")) * F.sqrt(_norm2_col("qvec"))
+    )
+    return (
+        cand.select("vec_id", "k", F.round(cos, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
@@ -773,3 +869,5 @@ def register_all() -> None:
     register("simsearch_ivf_kmeans", q_simsearch_ivf_kmeans, _ivf_kmeans_sql())
     register("simsearch_ivf_probe2", q_simsearch_ivf_probe2, _ivf_probe2_sql())
     register("simsearch_recall", q_simsearch_recall, _ivf_recall_sql())
+    register("simsearch_ivf_build", q_simsearch_ivf_build, _ivf_build_sql())
+    register("simsearch_ivf_from_index", q_simsearch_ivf_from_index, _ivf_kmeans_sql())

@@ -590,8 +590,147 @@ def q_text_bm25_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bm25_rank(j, n_docs)
 
 
+# --- repetition scoring (Gopher-style duplicate-bigram fraction) -----------
+# The repetition quality rule LM cleaning pipelines apply: a doc
+# whose bigrams are mostly repeats is boilerplate/spam. Pure row
+# expression (no explode, no shuffle): rep_frac = 1 - distinct/total
+# over the doc's word bigrams. Integer-ratio division is exact on
+# both engines; 6dp round is a formality.
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    total = F.size(grams).cast("long")
+    distinct = F.size(F.array_distinct(grams)).cast("long")
+    frac = F.when(
+        total > 0,
+        F.round(
+            F.lit(1.0) - distinct.cast("double") / total.cast("double"), 6
+        ),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        total.alias("n_bigrams"),
+        distinct.alias("n_distinct"),
+        frac.alias("rep_frac"),
+    )
+
+
+TEXT_REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         CASE WHEN len(string_split(text, ' ')) >= 2
+              THEN list_transform(
+                     range(1, len(string_split(text, ' '))),
+                     i -> array_to_string(
+                            list_slice(string_split(text, ' '), i, i + 1), ' '))
+              ELSE [] END AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_bigrams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / CAST(len(grams) AS DOUBLE), 6)
+            ELSE 0.0 END AS rep_frac
+FROM g
+"""
+
+
+# --- corpus report card ----------------------------------------------------
+# The per-source health summary a curation run ends with: doc count,
+# language spread, token volume, mean length, and exact-dup count —
+# one groupBy over one scan (all sums exact integers; the mean is one
+# exact integer ratio).
+
+
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    nt = F.size(F.split(F.col("text"), " ")).cast("long")
+    return (
+        d.select("source", "lang", nt.alias("n_tokens"), F.md5("text").alias("h"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_tokens").cast("double") / F.count(F.lit(1)), 6
+            ).alias("mean_tokens"),
+            (F.count(F.lit(1)) - F.countDistinct("h")).alias("n_exact_dups"),
+        )
+    )
+
+
+CORPUS_REPORT_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT lang) AS n_langs,
+       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+       round(CAST(sum(len(string_split(text, ' '))) AS DOUBLE) / count(*), 6)
+           AS mean_tokens,
+       count(*) - count(DISTINCT md5(text)) AS n_exact_dups
+FROM documents
+GROUP BY source
+"""
+
+
+# --- percentile length-band filter -----------------------------------------
+# The standard outlier gate: drop the shortest/longest tails by
+# corpus percentile rather than fixed constants. Thresholds are a
+# one-row exact-percentile agg broadcast back over the scan (the
+# BM25-scalar idiom); R-7 interpolation matches across engines.
+
+
+def q_filter_length_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    th = d.agg(
+        F.round(F.expr("percentile(n_tokens, 0.05)"), 6).alias("lo"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("hi"),
+    )
+    return (
+        d.crossJoin(F.broadcast(th))
+        .filter((F.col("n_tokens") >= F.col("lo")) & (F.col("n_tokens") <= F.col("hi")))
+        .select("doc_id", "lang", "source", "n_tokens")
+    )
+
+
+FILTER_LENGTH_BAND_SQL = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM documents
+),
+th AS (
+  SELECT round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.05), 6) AS lo,
+         round(quantile_cont(CAST(n_tokens AS DOUBLE), 0.95), 6) AS hi
+  FROM d
+)
+SELECT doc_id, lang, source, n_tokens
+FROM d CROSS JOIN th
+WHERE n_tokens >= lo AND n_tokens <= hi
+"""
+
+
 def register_all() -> None:
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
+    register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
+    register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
+    register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)
     register("text_index_build", q_text_index_build, TEXT_INDEX_BUILD_SQL)
     register("text_bm25_from_index", q_text_bm25_from_index, _bm25_sql())
     register("text_normalize", q_text_normalize, TEXT_NORMALIZE_SQL)

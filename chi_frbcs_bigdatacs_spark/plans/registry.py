@@ -103,12 +103,21 @@ CHECK_PRIORITY: list[str] = [
     "media_meta",
     "media_frames",
     # -- window cap is 50; (a)-(c) above are exactly 50 (37 of the 41
-    # stale keys re-checked). The next-oldest rotation for r7 starts
-    # here.
+    # stale keys re-checked). The r7 rotation starts here: the 4
+    # remaining r2-stale format keys, then the LATE-R6 ADDITIONS that
+    # post-date this round's window (never driver-checked, locally
+    # parity-green): simsearch_ivf_build, simsearch_ivf_from_index,
+    # text_repetition, corpus_report, filter_length_band — plus any
+    # keys added after them.
     "scan_csv",
     "scan_jsonl",
     "scan_orc",
     "sink_partitioned",
+    "simsearch_ivf_build",
+    "simsearch_ivf_from_index",
+    "text_repetition",
+    "corpus_report",
+    "filter_length_band",
 ]
 
 

@@ -30,12 +30,14 @@ from tests.conftest import SF_SMALL
 BNL_ALLOWED = {
     "text_bm25_topk",
     "text_bm25_from_index",
+    "filter_length_band",  # one-row percentile-threshold agg broadcast
     "timeseries_gapfill",
     "embed_cosine",
     "simsearch_topk",
     "simsearch_topk_batch",
     "simsearch_range",
     "simsearch_ivf_probe2",
+    "simsearch_ivf_from_index",  # single query vector broadcast over one cell
     "simsearch_recall",
     "embed_neardup",
     "join_cross",

@@ -167,3 +167,18 @@ def test_join_dpp_injects_runtime_partition_filter(spark):
     p = _plan(spark, "join_dpp")
     assert "dynamicpruningexpression" in p.lower(), "no runtime partition filter"
     assert "PartitionFilters" in p
+
+
+def test_ivf_from_index_prunes_to_one_cell(spark):
+    """Serving from the persisted IVF layout must read one cell
+    directory: the k=<cell> predicate resolves against partition
+    directories at planning time."""
+    import re
+
+    p = _plan(spark, "simsearch_ivf_from_index")
+    # several scans appear (the query-vector fetch has empty
+    # PartitionFilters); the cells scan must carry the k = <cell>
+    # literal in ITS PartitionFilters
+    assert re.search(r"PartitionFilters: \[[^\]]*\(k#\d+ = \d+\)", p), (
+        "no pruned cells scan in plan"
+    )
