@@ -678,8 +678,62 @@ FROM grid g LEFT JOIN daily d ON g.day = d.day AND g.event_type = d.event_type
 """
 
 
+# --- distribution drift: per-category PSI ----------------------------------
+# The monitoring op every production scoring pipeline runs: how far
+# has the event-type mix moved between two windows (population
+# stability index; PSI > 0.25 per industry rule of thumb = retrain).
+# Per-category contributions (p-q)*ln(p/q) are emitted as ROWS, not
+# summed — no cross-row float accumulation, so the only float op is
+# one ln over exact integer ratios (6dp-rounded both engines).
+DRIFT_SPLIT_TS = "2024-01-16 00:00:00"
+
+
+def q_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    period = F.when(
+        F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp"), "a"
+    ).otherwise("b")
+    counts = ev.groupBy("event_type").agg(
+        F.sum(F.when(period == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(period == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    p = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    q = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi"),
+    )
+
+
+DRIFT_PSI_SQL = f"""
+WITH counts AS (
+  SELECT event_type,
+         sum(CASE WHEN ts < CAST('{DRIFT_SPLIT_TS}' AS TIMESTAMP)
+                  THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN ts < CAST('{DRIFT_SPLIT_TS}' AS TIMESTAMP)
+                  THEN 0 ELSE 1 END) AS n_b
+  FROM events GROUP BY event_type
+),
+tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM counts)
+SELECT event_type,
+       CAST(n_a AS BIGINT) AS n_a,
+       CAST(n_b AS BIGINT) AS n_b,
+       round((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE)
+              - CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))
+             * ln((CAST(n_a AS DOUBLE) / CAST(t_a AS DOUBLE))
+                  / (CAST(n_b AS DOUBLE) / CAST(t_b AS DOUBLE))), 6) AS psi
+FROM counts CROSS JOIN tot
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
+    register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)

@@ -726,8 +726,126 @@ WHERE n_tokens >= lo AND n_tokens <= hi
 """
 
 
+# --- hybrid retrieval: BM25 + dense cosine, reciprocal-rank fusion ---------
+# The RAG-serving staple: lexical and dense top-k lists fused with
+# RRF (score = sum 1/(60 + rank)). doc_id and vec_id share one id
+# space in the fixtures, so the dense list keys directly onto docs.
+# Both lists are 10 rows — the fusion is a full outer join of two
+# tiny frames; all heavy lifting is the two underlying top-k plans.
+# Parity: ranks are exact ints, 1.0/(60+r) is one exact division,
+# and the two-term sum is written in the same order on both engines.
+RRF_K = 60
+
+
+def q_retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        q_simsearch_topk,
+    )
+
+    bm = q_text_bm25_topk(spark, sf_dir).select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank_bm25"),
+    )
+    cs = q_simsearch_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number()
+        .over(Window.orderBy(F.col("cosine").desc(), F.col("vec_id").asc()))
+        .cast("long")
+        .alias("rank_cos"),
+    )
+    j = bm.join(cs, "doc_id", "full_outer")
+    rrf = F.round(
+        F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_bm25")), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.lit(float(RRF_K)) + F.col("rank_cos")), F.lit(0.0)),
+        6,
+    )
+    return j.select(
+        "doc_id",
+        F.coalesce("rank_bm25", F.lit(0)).alias("rank_bm25"),
+        F.coalesce("rank_cos", F.lit(0)).alias("rank_cos"),
+        rrf.alias("rrf"),
+    )
+
+
+def _hybrid_rrf_sql() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.similarity import SIMSEARCH_TOPK_SQL
+
+    return f"""
+WITH bm25 AS ({_bm25_sql()}),
+br AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank_bm25
+  FROM bm25
+),
+cosl AS ({SIMSEARCH_TOPK_SQL}),
+cr AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY cosine DESC, vec_id ASC) AS rank_cos
+  FROM cosl
+)
+SELECT COALESCE(br.doc_id, cr.doc_id) AS doc_id,
+       CAST(COALESCE(rank_bm25, 0) AS BIGINT) AS rank_bm25,
+       CAST(COALESCE(rank_cos, 0) AS BIGINT) AS rank_cos,
+       round(COALESCE(1.0 / ({RRF_K}.0 + rank_bm25), 0.0)
+             + COALESCE(1.0 / ({RRF_K}.0 + rank_cos), 0.0), 6) AS rrf
+FROM br FULL OUTER JOIN cr ON br.doc_id = cr.doc_id
+"""
+
+
+# --- one BPE merge step: most frequent adjacent token pairs ----------------
+# The inner loop of byte-pair-encoding tokenizer training: count
+# every adjacent token pair across the corpus and surface the top
+# merge candidates. One explode + one hash agg + TakeOrdered — the
+# same shape at 100 TB (pair cardinality is vocab^2-bounded and the
+# agg map-side combines).
+BPE_TOP = 20
+
+
+def q_bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("pair").asc())
+        .limit(BPE_TOP)
+    )
+
+
+BPE_TOP_MERGES_SQL = f"""
+SELECT pair, count(*) AS n
+FROM (
+  SELECT unnest(CASE WHEN len(string_split(text, ' ')) >= 2
+                     THEN list_transform(
+                            range(1, len(string_split(text, ' '))),
+                            i -> array_to_string(
+                                   list_slice(string_split(text, ' '), i, i + 1), ' '))
+                     ELSE [] END) AS pair
+  FROM documents
+) t
+GROUP BY pair
+ORDER BY n DESC, pair ASC
+LIMIT {BPE_TOP}
+"""
+
+
 def register_all() -> None:
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
+    register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf, _hybrid_rrf_sql())
+    register("bpe_top_merges", q_bpe_top_merges, BPE_TOP_MERGES_SQL)
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)

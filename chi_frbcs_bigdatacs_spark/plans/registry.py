@@ -118,6 +118,9 @@ CHECK_PRIORITY: list[str] = [
     "text_repetition",
     "corpus_report",
     "filter_length_band",
+    "retrieval_hybrid_rrf",
+    "bpe_top_merges",
+    "drift_psi",
 ]
 
 
