@@ -121,6 +121,7 @@ CHECK_PRIORITY: list[str] = [
     "retrieval_hybrid_rrf",
     "bpe_top_merges",
     "drift_psi",
+    "stream_index_maintain",
 ]
 
 

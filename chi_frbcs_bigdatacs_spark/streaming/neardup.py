@@ -105,12 +105,26 @@ def _band_structs() -> Column:
 # identical; only the group granularity moves.
 
 
-def q_stream_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = (
-        _documents_idorder_stream(spark, sf_dir)
-        .select("doc_id", _shingles_col().alias("shingles"))
-        .filter(F.size("shingles") > 0)
-    )
+def q_stream_dedup_minhash(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    """`staged_src` points the stream at a caller-staged file layout
+    (one file = one micro-batch) so tests can prove the emitted pair
+    set is invariant under ANY skewed split of the corpus — bucket
+    membership accumulates commutatively, so arrival order can't
+    change which pairs exist."""
+    if staged_src is not None:
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src_stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged_src)
+        )
+    else:
+        src_stream = _documents_idorder_stream(spark, sf_dir)
+    docs = src_stream.select(
+        "doc_id", _shingles_col().alias("shingles")
+    ).filter(F.size("shingles") > 0)
     bands = (
         docs.select("doc_id", *_rowwise_band_cols())
         .select("doc_id", F.explode(_band_structs()).alias("bb"))

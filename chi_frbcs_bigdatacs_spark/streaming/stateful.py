@@ -337,6 +337,99 @@ def q_stream_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+# --- incremental inverted-index maintenance --------------------------------
+# The streaming completion of the materialized-BM25 story
+# (operators/text.py): text_index_build materializes (term, df,
+# sum_tf) once; this op MAINTAINS it as documents stream in. Both
+# stats are additive per (term, doc) pair and a document arrives
+# whole in one micro-batch, so the state is two counters per term —
+# no doc sets, bounded by vocabulary size. State is sharded by the
+# term's first character (constant ~26 partition-parallel groups,
+# the stream_dedup_minhash sharding lesson); update-mode emissions
+# are monotone, so final = max per term, and the oracle is the BATCH
+# index-build SQL — a strict equivalence check.
+
+
+def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _documents_idorder_stream(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.explode(
+                F.split(F.lower(F.col("text")), "[^a-z]+")
+            ).alias("term"),
+        )
+        .filter(F.length("term") >= 3)
+        .withColumn("shard", F.substring("term", 1, 1))
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        stats: dict[str, list[int]] = {}
+        if state.exists:
+            terms, dfs, tfs = state.get
+            for t, d, s in zip(terms, dfs, tfs):
+                stats[t] = [int(d), int(s)]
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        touched: list[str] = []
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            per_pair = batch.groupby(["term", "doc_id"]).size()
+            per_term = per_pair.groupby(level="term")
+            for term, (d_delta, s_delta) in zip(
+                per_term.count().index,
+                zip(per_term.count(), per_term.sum()),
+            ):
+                cur = stats.setdefault(term, [0, 0])
+                cur[0] += int(d_delta)
+                cur[1] += int(s_delta)
+                touched.append(term)
+        state.update(
+            (
+                list(stats.keys()),
+                [v[0] for v in stats.values()],
+                [v[1] for v in stats.values()],
+            )
+        )
+        if touched:
+            yield pd.DataFrame(
+                {
+                    "term": touched,
+                    "df": [stats[t][0] for t in touched],
+                    "sum_tf": [stats[t][1] for t in touched],
+                }
+            )
+
+    maintained = toks.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="term string, df long, sum_tf long",
+        stateStructType="terms array<string>, dfs array<long>, tfs array<long>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_idx_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        maintained.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("term")
+        .agg(F.max("df").alias("df"), F.max("sum_tf").alias("sum_tf"))
+    )
+
+
+def _index_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.text import TEXT_INDEX_BUILD_SQL
+
+    return TEXT_INDEX_BUILD_SQL
+
+
 def _pack_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.operators.packing import DOC_PACK_SEQUENCES_SQL
 
@@ -358,3 +451,4 @@ def register_all() -> None:
 
     register("stream_latest_event", q_stream_latest_event, DEDUP_LATEST_EVENT_SQL)
     register("stream_pack_sequences", q_stream_pack_sequences, _pack_oracle())
+    register("stream_index_maintain", q_stream_index_maintain, _index_oracle())

@@ -148,3 +148,31 @@ def test_stream_stream_join_split_invariant(spark):
             map(tuple, q_stream_stream_join(spark, SF_SMALL, n_files).collect())
         )
         assert got == batch, f"n_files={n_files} diverged from batch join"
+
+
+def test_stream_minhash_pairs_invariant_under_skewed_split(spark, tmp_path):
+    """The emitted verified pair set must not depend on how the
+    corpus is split into micro-batches: stage a deliberately skewed
+    3-file layout (one file carries over half the corpus) and compare
+    against the batch MinHash operator."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import q_dedup_minhash
+    from chi_frbcs_bigdatacs_spark.streaming.neardup import q_stream_dedup_minhash
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "skewed_docs")
+    parts = [
+        docs.filter(F.col("doc_id") % 100 < 55),
+        docs.filter((F.col("doc_id") % 100).between(55, 61)),
+        docs.filter(F.col("doc_id") % 100 > 61),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(tuple, q_stream_dedup_minhash(spark, SF_SMALL, staged_src=src).collect())
+    )
+    batch = sorted(map(tuple, q_dedup_minhash(spark, SF_SMALL).collect()))
+    assert streamed == batch and streamed
