@@ -1,0 +1,274 @@
+"""Data-quality / data-layout operators (round 6, batch 3).
+
+The ops a production lakehouse runs BEFORE modeling or training-data
+assembly: per-column profiling, referential-integrity audits,
+space-filling-curve layout keys, deterministic per-group sampling,
+and equal-frequency feature discretization (the equal-frequency
+counterpart of the engine's equal-width fuzzification grid,
+[FSS258 §3.1] uses equal-width; discretization literature offers
+both).
+
+Parity design follows the house rules (NOTES.md): oracle SQL is
+generated from the same Python constants/loops as the Spark plan
+wherever an expression is unrolled (the z-order interleave), money
+sums go through DECIMAL(18,2), DuckDB integer sums are CAST to
+BIGINT, and every ordering has a deterministic tie-break or is
+tie-insensitive by construction (see discretize_quantile).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+# --- per-column profile ------------------------------------------------------
+# The `describe`/profiling pass every ingestion pipeline runs: one row
+# per column with null count, exact distinct count, min and max.
+# Shape: ONE unpivot projection (4x row multiply, map-only) then ONE
+# hash agg keyed by the 4-value column name — a single shuffle of
+# (column, value) pairs with map-side combine. This deliberately
+# avoids `count(distinct a), count(distinct b), ...` in one agg, which
+# plans an Expand over every distinct column pair; unpivot-then-group
+# keeps one distinct per group at any column count.
+_PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_profile_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unpivoted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"), F.col(c).alias("value")
+                    )
+                    for c in _PROFILE_COLS
+                ]
+            )
+        ).alias("cv")
+    ).select("cv.column", "cv.value")
+    return unpivoted.groupBy("column").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("value")).alias("n_null"),
+        F.count_distinct("value").alias("n_distinct"),
+        F.min("value").alias("min_v"),
+        F.max("value").alias("max_v"),
+    )
+
+
+_PROFILE_UNION = " UNION ALL ".join(
+    f"SELECT '{c}' AS \"column\", {c} AS value FROM lineitem"
+    for c in _PROFILE_COLS
+)
+
+PROFILE_COLUMNS_SQL = f"""
+WITH unpivoted AS (
+  {_PROFILE_UNION}
+)
+SELECT "column",
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) - count(value) AS BIGINT) AS n_null,
+       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+       min(value) AS min_v,
+       max(value) AS max_v
+FROM unpivoted
+GROUP BY "column"
+"""
+
+
+# --- referential-integrity audit --------------------------------------------
+# Orphan counts for every FK edge of the star schema in one result
+# table. Each edge is a LEFT join child->parent on the key followed by
+# a conditional count — Catalyst picks broadcast for the small parents
+# (nation/customer/part) and a shuffled hash join for orders at scale;
+# AQE re-plans per-edge at runtime. No collect, no loop over rows:
+# the audit is a UNION of five 1-row aggregates.
+_FK_EDGES = (
+    ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+    ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+)
+
+
+def q_audit_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for rel, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk"))
+        p = load_table(spark, sf_dir, parent).select(F.col(pk).alias("pk")).distinct()
+        j = c.join(p, c["fk"] == p["pk"], "left_outer")
+        parts.append(
+            j.agg(
+                F.lit(rel).alias("relation"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("pk").isNull(), 1).otherwise(0)).alias(
+                    "n_orphans"
+                ),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+AUDIT_FK_ORPHANS_SQL = " UNION ALL ".join(
+    f"""SELECT '{rel}' AS relation,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN p.{pk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans
+FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+  ON c.{fk} = p.{pk}"""
+    for rel, child, fk, parent, pk in _FK_EDGES
+)
+
+
+# --- z-order (Morton) layout key --------------------------------------------
+# The space-filling-curve key behind multi-dimensional data layout
+# (Delta/Iceberg Z-ORDER): interleave the low Z_BITS bits of two join/
+# filter dimensions so rows close in (partkey, suppkey) space land in
+# the same file after a write-time `sortWithinPartitions(zkey)` —
+# min/max row-group stats then prune BOTH dimensions from one layout.
+# The key itself is a pure bitwise map (no shuffle); both engine
+# expressions are generated from the same Python loop so the 32-term
+# unrolling cannot drift.
+Z_BITS = 16
+
+
+def _zorder_col(a: str, b: str) -> F.Column:
+    # bit i of `a` -> bit 2i, bit i of `b` -> bit 2i+1
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(
+            F.shiftright(F.col(a), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
+        )
+        terms.append(
+            F.shiftright(F.col(b), i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        )
+    return reduce(lambda x, y: x + y, terms).cast("long")
+
+
+def _zorder_sql(a: str, b: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"(({a} >> {i}) & 1) * {1 << (2 * i)}")
+        terms.append(f"(({b} >> {i}) & 1) * {1 << (2 * i + 1)}")
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def q_scalar_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_linenumber").cast("long").alias("l_linenumber"),
+        "l_partkey",
+        "l_suppkey",
+        _zorder_col("l_partkey", "l_suppkey").alias("zkey"),
+    )
+
+
+SCALAR_ZORDER_KEY_SQL = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey,
+       {_zorder_sql('l_partkey', 'l_suppkey')} AS zkey
+FROM lineitem
+"""
+
+
+# --- deterministic per-group sample ------------------------------------------
+# Fixed-k-per-group sampling that is reproducible on any engine: rank
+# rows inside each group by a content hash (md5 of the key) and keep
+# the first GROUP_SAMPLE_K — a pseudo-random but deterministic draw,
+# unlike engine-native RNG sampling (cross-engine unstable) or
+# LIMIT-per-group (arrival-order dependent). Shape: one window over
+# the group key — a single hash-partitioned sort where each partition
+# holds only its groups' rows; no global order anywhere.
+GROUP_SAMPLE_K = 5
+
+
+def q_sample_group_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_K)
+        .select("lang", "doc_id", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SAMPLE_GROUP_TOPN_SQL = f"""
+SELECT lang, doc_id, CAST(rk AS BIGINT) AS rk
+FROM (
+  SELECT lang, doc_id,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS rk
+  FROM documents) t
+WHERE rk <= {GROUP_SAMPLE_K}
+"""
+
+
+# --- equal-frequency discretization -------------------------------------
+# Decile binning of a continuous feature by rank (equal-POPULATION
+# bins), the usual alternative to the equal-WIDTH grid the Chi
+# fuzzifier uses ([FSS258 §3.1] fixes equal-width; equal-frequency is
+# the standard robust-to-skew variant). Output is the per-bin summary
+# (n, min/max, DECIMAL-exact sum).
+#
+# Determinism under ties: rows are ntile'd ordered by value alone, so
+# equal values straddling a bin boundary may swap bins between engines
+# — but every aggregate here is tie-insensitive: bin populations are
+# fixed by ntile arithmetic, and swapped rows carry EQUAL values, so
+# min/max/sum per bin are unchanged under any tie order.
+#
+# Scale note: ntile over an unpartitioned window is a single global
+# sort — fine for model-sized dims, wrong for 100 TB fact tables. At
+# scale, compute approximate decile EDGES first (one pass,
+# agg_approx_percentile is the existing key) and bin with a static
+# CASE expression (map-only) — the exact-rank variant here is the
+# correctness reference for that path.
+N_QBINS = 10
+
+
+def q_discretize_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.orderBy(F.col("l_extendedprice").asc())
+    binned = li.select(
+        F.col("l_extendedprice").alias("price"),
+        F.ntile(N_QBINS).over(w).cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+DISCRETIZE_QUANTILE_SQL = f"""
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       min(price) AS min_price, max(price) AS max_price,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT l_extendedprice AS price,
+         CAST(ntile({N_QBINS}) OVER (ORDER BY l_extendedprice ASC) AS BIGINT) AS bin
+  FROM lineitem) t
+GROUP BY bin
+"""
+
+
+def register_all() -> None:
+    register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
+    register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
+    register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)
+    register("sample_group_topn", q_sample_group_topn, SAMPLE_GROUP_TOPN_SQL)
+    register("discretize_quantile", q_discretize_quantile, DISCRETIZE_QUANTILE_SQL)

@@ -859,6 +859,61 @@ def q_simsearch_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- semantic dedup (SemDeDup-style, k-means-cell blocked) ------------------
+# Embedding-space near-duplicate REMOVAL, the "SemDeDup" recipe
+# (Abbas et al. 2023, arXiv:2303.09540): cluster embeddings, compare
+# pairs ONLY inside each cluster cell, and mark every vector that has
+# a lower-id in-cell neighbor above the cosine threshold as a dup of
+# the lowest such neighbor. Blocking by cell keeps the candidate set
+# at ~n^2/K per cell instead of all-pairs — the same never-cartesian
+# discipline as the LSH near-dup paths, and at 100 TB the cell count
+# scales with the corpus so in-cell populations stay bounded.
+# Shape: the N_LLOYD literal-centroid assign (map-only) -> self
+# equi-join on the cell id carrying only (k, vec_id, embedding) ->
+# per-pair HOF cosine -> one groupBy(vec_id) agg. Cosine is rounded
+# to 6dp BEFORE the threshold filter and the max agg (parity rule).
+# The fixture embeddings are near-orthogonal random vectors (max
+# pairwise cosine ~0.5), so the threshold is tuned to the fixture;
+# a real corpus runs this at ~0.95+.
+SEMANTIC_DUP_THRESHOLD = 0.35
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, _, _ = _kmeans_index(spark, sf_dir)
+    a = a2.select("k", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
+    b = a2.select("k", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
+    cos = _dot_col("ea", "eb") / (F.sqrt(_norm2_col("ea")) * F.sqrt(_norm2_col("eb")))
+    pairs = (
+        a.join(b, "k")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
+    )
+    return pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
+        F.min("vec_a").alias("dup_of"),
+        F.count(F.lit(1)).alias("n_similar"),
+        F.max("cosine").alias("max_cosine"),
+    )
+
+
+def _dedup_semantic_sql() -> str:
+    return f"""
+WITH {_ivf_kmeans_ctes()},
+pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         round(({_dot_sql('a.embedding', 'b.embedding')})
+               / (sqrt({_dot_sql('a.embedding', 'a.embedding')})
+                  * sqrt({_dot_sql('b.embedding', 'b.embedding')})), 6) AS cosine
+  FROM a2 a JOIN a2 b ON a.k = b.k AND a.vec_id < b.vec_id
+)
+SELECT vec_b AS vec_id, min(vec_a) AS dup_of,
+       CAST(count(*) AS BIGINT) AS n_similar, max(cosine) AS max_cosine
+FROM pairs
+WHERE cosine >= {SEMANTIC_DUP_THRESHOLD}
+GROUP BY vec_b
+"""
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
@@ -871,3 +926,4 @@ def register_all() -> None:
     register("simsearch_recall", q_simsearch_recall, _ivf_recall_sql())
     register("simsearch_ivf_build", q_simsearch_ivf_build, _ivf_build_sql())
     register("simsearch_ivf_from_index", q_simsearch_ivf_from_index, _ivf_kmeans_sql())
+    register("dedup_semantic", q_dedup_semantic, _dedup_semantic_sql())

@@ -122,6 +122,13 @@ CHECK_PRIORITY: list[str] = [
     "bpe_top_merges",
     "drift_psi",
     "stream_index_maintain",
+    "dedup_semantic",
+    "profile_columns",
+    "audit_fk_orphans",
+    "scalar_zorder_key",
+    "sample_group_topn",
+    "discretize_quantile",
+    "stream_drift_psi",
 ]
 
 

