@@ -731,9 +731,82 @@ FROM counts CROSS JOIN tot
 """
 
 
+# --- numeric drift: per-type Kolmogorov–Smirnov statistic -------------------
+# The continuous-column companion to drift_psi: max |ECDF_a - ECDF_b|
+# of `value` between the same two event windows, per event_type.
+# Values are binned with floor() FIRST (integer bins — floor has no
+# rounding-mode ambiguity across engines, unlike round-half cases),
+# so the domain is bounded (~500 bins here; at 100 TB binning is what
+# makes the ECDF window a per-type sort of bin counts, not of raw
+# rows). Every per-row ECDF diff is one subtraction of two exact
+# integer ratios — bit-identical across engines — so max() picks the
+# same row; the result is rounded only for display.
+
+
+def q_drift_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = F.col("ts") < F.lit(DRIFT_SPLIT_TS).cast("timestamp")
+    binned = ev.groupBy(
+        "event_type", F.floor("value").cast("long").alias("bin")
+    ).agg(
+        F.sum(F.when(in_a, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(in_a, 0).otherwise(1)).alias("n_b"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("event_type")
+    diff = F.abs(
+        F.sum("n_a").over(w).cast("double") / F.sum("n_a").over(wt).cast("double")
+        - F.sum("n_b").over(w).cast("double") / F.sum("n_b").over(wt).cast("double")
+    )
+    return (
+        binned.select("event_type", "n_a", "n_b", diff.alias("diff"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_a").cast("long").alias("n_a"),
+            F.sum("n_b").cast("long").alias("n_b"),
+            F.round(F.max("diff"), 6).alias("ks"),
+        )
+    )
+
+
+DRIFT_KS_SQL = f"""
+WITH binned AS (
+  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin,
+         sum(CASE WHEN ts < CAST('{DRIFT_SPLIT_TS}' AS TIMESTAMP)
+                  THEN 1 ELSE 0 END) AS n_a,
+         sum(CASE WHEN ts < CAST('{DRIFT_SPLIT_TS}' AS TIMESTAMP)
+                  THEN 0 ELSE 1 END) AS n_b
+  FROM events GROUP BY 1, 2
+),
+cdf AS (
+  SELECT event_type, n_a, n_b,
+         abs(CAST(sum(n_a) OVER (PARTITION BY event_type ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(sum(n_a) OVER (PARTITION BY event_type) AS DOUBLE)
+             - CAST(sum(n_b) OVER (PARTITION BY event_type ORDER BY bin
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+               / CAST(sum(n_b) OVER (PARTITION BY event_type) AS DOUBLE)) AS diff
+  FROM binned
+)
+SELECT event_type,
+       CAST(sum(n_a) AS BIGINT) AS n_a,
+       CAST(sum(n_b) AS BIGINT) AS n_b,
+       round(max(diff), 6) AS ks
+FROM cdf
+GROUP BY event_type
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
+    register("drift_ks", q_drift_ks, DRIFT_KS_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)
     register("agg_stats_moments", q_agg_stats_moments, AGG_STATS_MOMENTS_SQL)
     register("agg_histogram", q_agg_histogram, AGG_HISTOGRAM_SQL)

@@ -349,6 +349,24 @@ def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
 N_LLOYD = 4  # Lloyd mean-update rounds (seeds + 4 refinements)
 
 
+def assign_cells_col(centroids: list[tuple[int, list[float]]]) -> Column:
+    """Nearest-centroid cell id as a pure literal-folded expression:
+    the K centroids are driver-side constants, so assignment is a
+    map-only projection — no join, no shuffle, codegen'd. Ties on
+    distance break to the lowest k (`least` + ascending-k when
+    chain), matching the oracle's ORDER BY dist ASC, k ASC. Shared
+    by the batch Lloyd build and the streaming ingest assigner."""
+    from functools import reduce as _r
+
+    dists = [(k, _sqdist_lit_col("embedding", vec)) for k, vec in centroids]
+    m = F.least(*[d for _, d in dists]) if len(dists) > 1 else dists[0][1]
+    return _r(
+        lambda acc, kd: acc.when(kd[1] == m, kd[0]),
+        dists[1:],
+        F.when(dists[0][1] == m, dists[0][0]),
+    ).otherwise(dists[-1][0])
+
+
 def _kmeans_index(spark: SparkSession, sf_dir: str, n_iter: int = N_LLOYD):
     """Shared multi-iteration Lloyd IVF build: returns (assignments
     DataFrame with (vec_id, embedding, k), centroid list [(k, vec)],
@@ -362,29 +380,16 @@ def _kmeans_index(spark: SparkSession, sf_dir: str, n_iter: int = N_LLOYD):
     useful for convergence checks; the round count is fixed rather
     than drift-thresholded so the DuckDB oracle can mirror the exact
     CTE chain."""
-    from functools import reduce as _r
-
     emb = load_table(spark, sf_dir, "embeddings")
 
     def assign(centroids: list[tuple[int, list[float]]]) -> DataFrame:
-        # The K centroids are a driver-side constant (K rows, bounded
-        # tiny), so assignment folds them into LITERAL expressions: a
-        # pure map-side projection — no join, no aggregation, no
-        # shuffle, fully whole-stage-codegen. (Earlier rounds ranked
-        # the n*K crossJoin with row_number over a Window — a sort
-        # shuffle of 4n rows; wrong shape at 100x.) Ties on dist break
-        # to the lowest k: `least` yields the min distance and the
-        # when-chain tests candidates in ascending k, so the first
-        # (lowest-k) equality wins — same order as the SQL oracle's
-        # ORDER BY dist ASC, k ASC.
-        dists = [(k, _sqdist_lit_col("embedding", vec)) for k, vec in centroids]
-        m = F.least(*[d for _, d in dists]) if len(dists) > 1 else dists[0][1]
-        best = _r(
-            lambda acc, kd: acc.when(kd[1] == m, kd[0]),
-            dists[1:],
-            F.when(dists[0][1] == m, dists[0][0]),
-        ).otherwise(dists[-1][0])
-        return emb.select("vec_id", "embedding", best.alias("k"))
+        # Literal-folded map-only assignment — see assign_cells_col.
+        # (Earlier rounds ranked the n*K crossJoin with row_number
+        # over a Window — a sort shuffle of 4n rows; wrong shape at
+        # 100x.)
+        return emb.select(
+            "vec_id", "embedding", assign_cells_col(centroids).alias("k")
+        )
 
     seeds = [
         (i + 1, list(r.embedding))
@@ -868,29 +873,73 @@ def q_simsearch_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at ~n^2/K per cell instead of all-pairs — the same never-cartesian
 # discipline as the LSH near-dup paths, and at 100 TB the cell count
 # scales with the corpus so in-cell populations stay bounded.
-# Shape: the N_LLOYD literal-centroid assign (map-only) -> self
-# equi-join on the cell id carrying only (k, vec_id, embedding) ->
-# per-pair HOF cosine -> one groupBy(vec_id) agg. Cosine is rounded
-# to 6dp BEFORE the threshold filter and the max agg (parity rule).
+#
+# SKEW LESSON (round 6, measured): a naive self-equi-join on the cell
+# id has only K distinct join keys, so max parallelism is K — the 8x
+# scale run pinned ONE core evaluating ~32M interpreted HOF cosines
+# (>15 min before it was killed). Two fixes, together ~SEM_BLOCKS^2/2
+# x more parallel and ~3x less work per pair:
+#   1. BLOCK-SQUARE DECOMPOSITION: each vector gets a deterministic
+#      sub-block b = vec_id % SEM_BLOCKS; the in-cell pair set is
+#      the union over block pairs (i <= j), produced by exploding the
+#      left row to (bi, j=bi..B-1) and the right row to (i=0..bj, bj)
+#      and equi-joining on (k, i, j). Every unordered pair appears
+#      exactly once for i < j and twice (both orders) for i == j —
+#      the (bi < bj) | (vec_a < vec_b) filter keeps exactly one.
+#      Join-key cardinality is K*B*(B+1)/2 instead of K.
+#   2. Norms are precomputed per ROW before the join (n/K rows), so
+#      the per-PAIR work is one dot fold, not dot + two norms.
+# Pair orientation does not affect the float bits: x*y == y*x and
+# sqrt(na)*sqrt(nb) == sqrt(nb)*sqrt(na) bit-exactly in IEEE, so the
+# canonical (least, greatest) relabel matches the oracle's a<b join.
+# Cosine is rounded to 6dp BEFORE the threshold filter and the max
+# agg (parity rule).
+#
 # The fixture embeddings are near-orthogonal random vectors (max
 # pairwise cosine ~0.5), so the threshold is tuned to the fixture;
 # a real corpus runs this at ~0.95+.
 SEMANTIC_DUP_THRESHOLD = 0.35
+SEM_BLOCKS = 8
 
 
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2, _, _ = _kmeans_index(spark, sf_dir)
-    a = a2.select("k", F.col("vec_id").alias("vec_a"), F.col("embedding").alias("ea"))
-    b = a2.select("k", F.col("vec_id").alias("vec_b"), F.col("embedding").alias("eb"))
-    cos = _dot_col("ea", "eb") / (F.sqrt(_norm2_col("ea")) * F.sqrt(_norm2_col("eb")))
+    base = a2.select(
+        "k",
+        "vec_id",
+        "embedding",
+        _norm2_col("embedding").alias("n2"),
+        (F.col("vec_id") % SEM_BLOCKS).cast("int").alias("blk"),
+    )
+    left = base.select(
+        "k",
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("n2").alias("na"),
+        F.col("blk").alias("bi"),
+        F.explode(F.sequence(F.col("blk"), F.lit(SEM_BLOCKS - 1))).alias("bj"),
+    )
+    right = base.select(
+        "k",
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("n2").alias("nb"),
+        F.explode(F.sequence(F.lit(0), F.col("blk"))).alias("bi"),
+        F.col("blk").alias("bj"),
+    )
+    cos = _dot_col("ea", "eb") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
     pairs = (
-        a.join(b, "k")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cosine"))
+        left.join(right, ["k", "bi", "bj"])
+        .filter((F.col("bi") < F.col("bj")) | (F.col("vec_a") < F.col("vec_b")))
+        .select(
+            F.least("vec_a", "vec_b").alias("lo"),
+            F.greatest("vec_a", "vec_b").alias("hi"),
+            F.round(cos, 6).alias("cosine"),
+        )
         .filter(F.col("cosine") >= SEMANTIC_DUP_THRESHOLD)
     )
-    return pairs.groupBy(F.col("vec_b").alias("vec_id")).agg(
-        F.min("vec_a").alias("dup_of"),
+    return pairs.groupBy(F.col("hi").alias("vec_id")).agg(
+        F.min("lo").alias("dup_of"),
         F.count(F.lit(1)).alias("n_similar"),
         F.max("cosine").alias("max_cosine"),
     )
@@ -914,6 +963,24 @@ GROUP BY vec_b
 """
 
 
+def q_dedup_semantic_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivor corpus after semantic dedup — the `dedup_minhash_keep`
+    twin: drop every vector marked a dup of a lower id, keep the rest.
+    The dup id set is bounded by the dup rate, so the anti-join
+    broadcasts it."""
+    dups = q_dedup_semantic(spark, sf_dir).select("vec_id")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return emb.join(F.broadcast(dups), "vec_id", "left_anti")
+
+
+def _dedup_semantic_keep_sql() -> str:
+    return f"""
+SELECT e.vec_id, e.label
+FROM embeddings e
+WHERE e.vec_id NOT IN (SELECT vec_id FROM ({_dedup_semantic_sql()}) d)
+"""
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
@@ -927,3 +994,4 @@ def register_all() -> None:
     register("simsearch_ivf_build", q_simsearch_ivf_build, _ivf_build_sql())
     register("simsearch_ivf_from_index", q_simsearch_ivf_from_index, _ivf_kmeans_sql())
     register("dedup_semantic", q_dedup_semantic, _dedup_semantic_sql())
+    register("dedup_semantic_keep", q_dedup_semantic_keep, _dedup_semantic_keep_sql())

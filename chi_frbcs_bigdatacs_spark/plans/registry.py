@@ -129,6 +129,9 @@ CHECK_PRIORITY: list[str] = [
     "sample_group_topn",
     "discretize_quantile",
     "stream_drift_psi",
+    "dedup_semantic_keep",
+    "drift_ks",
+    "stream_ivf_assign",
 ]
 
 

@@ -496,6 +496,69 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest into a served ANN index: new vectors arrive
+    over several micro-batches and are assigned to the PERSISTED IVF
+    index's cells (centroid sidecar from `simsearch_ivf_build`,
+    operators/similarity.py) — the write path of an online vector
+    store, where serving reads stay pruned to one cell directory
+    while ingest appends per-cell.
+
+    Scale shape: assignment reuses `assign_cells_col` — the K
+    centroids are driver-side literals, so the streaming projection
+    is map-only (no stream-side join, no state); the only stateful
+    piece is the per-cell running count, a K-row streaming agg in
+    complete mode. Oracle: the batch index build's per-cell
+    populations (strict equivalence — the stream must land every
+    vector in the same cell as the batch build)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        _ivf_index_dir,
+        assign_cells_col,
+    )
+
+    d = _ivf_index_dir(spark, sf_dir)
+    cent = sorted(
+        (int(r.k), [float(x) for x in r.cvec])
+        for r in spark.read.parquet(f"{d}/centroids").collect()
+    )
+    batch = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    src = staged_dir(
+        "embeddings_multi",
+        sf_dir,
+        lambda dd: batch.repartition(N_SOURCE_FILES)
+        .write.mode("overwrite")
+        .parquet(dd),
+    )
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    assigned = stream.select(assign_cells_col(cent).alias("k"))
+    counts = assigned.groupBy("k").agg(F.count(F.lit(1)).alias("n_vecs"))
+    name = f"chi_ivf_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cents = spark.read.parquet(f"{d}/centroids")
+    return (
+        spark.table(name)
+        .join(cents, "k")
+        .select("k", "n_vecs", F.element_at("cvec", 1).alias("c1"))
+    )
+
+
+def _ivf_assign_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.similarity import _ivf_build_sql
+
+    return _ivf_build_sql()
+
+
 def _index_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.operators.text import TEXT_INDEX_BUILD_SQL
 
@@ -527,3 +590,4 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import DRIFT_PSI_SQL
 
     register("stream_drift_psi", q_stream_drift_psi, DRIFT_PSI_SQL)
+    register("stream_ivf_assign", q_stream_ivf_assign, _ivf_assign_oracle())

@@ -96,6 +96,53 @@ def test_discretize_quantile_bins_are_equal_population(spark):
         assert lo.max_price <= hi.min_price
 
 
+def test_dedup_semantic_keep_partitions_the_corpus(spark):
+    """Dups and survivors are disjoint and together cover every
+    vector exactly once."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        q_dedup_semantic,
+        q_dedup_semantic_keep,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    dups = {r.vec_id for r in q_dedup_semantic(spark, SF_SMALL).collect()}
+    kept = {r.vec_id for r in q_dedup_semantic_keep(spark, SF_SMALL).collect()}
+    allv = {
+        r.vec_id
+        for r in load_table(spark, SF_SMALL, "embeddings").select("vec_id").collect()
+    }
+    assert dups and kept
+    assert dups & kept == set()
+    assert dups | kept == allv
+
+
+def test_drift_ks_matches_numpy_ecdf(spark):
+    """KS per event_type equals a direct numpy ECDF computation over
+    floor-binned values, and lands in [0, 1]."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        DRIFT_SPLIT_TS,
+        q_drift_ks,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    pdf = load_table(spark, SF_SMALL, "events").toPandas()
+    split = np.datetime64(DRIFT_SPLIT_TS.replace(" ", "T"))
+    got = {r.event_type: r for r in q_drift_ks(spark, SF_SMALL).collect()}
+    for et, g in pdf.groupby("event_type"):
+        a = np.floor(g[g.ts.values < split].value.values)
+        b = np.floor(g[g.ts.values >= split].value.values)
+        bins = np.unique(np.concatenate([a, b]))
+        ca = np.searchsorted(np.sort(a), bins, side="right") / len(a)
+        cb = np.searchsorted(np.sort(b), bins, side="right") / len(b)
+        ks = float(np.max(np.abs(ca - cb)))
+        r = got[et]
+        assert r.n_a == len(a) and r.n_b == len(b)
+        assert 0.0 <= r.ks <= 1.0
+        assert abs(r.ks - ks) < 1e-6, (et, r.ks, ks)
+
+
 def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
     """Every reported dup has dup_of < vec_id, the pair lives in the
     same k-means cell, and its cosine clears the threshold against a
