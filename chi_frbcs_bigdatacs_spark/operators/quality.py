@@ -125,6 +125,57 @@ FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
 )
 
 
+# --- duplicate-key audit -----------------------------------------------------
+# The PK-uniqueness half of the integrity audit: per declared key,
+# row count, distinct key count, number of key values that repeat,
+# and the worst multiplicity. Shape per table: one groupBy(pk) count
+# (map-side combined) + one 4-value agg over the counts; the result
+# is a bounded UNION of one-row aggregates. The lineitem entry audits
+# the COMPOSITE (l_orderkey, l_linenumber) — known NOT unique in this
+# synthetic data (NOTES parity rule 6), so the audit demonstrably
+# catches a real defect rather than printing a page of zeros.
+_PK_AUDITS = (
+    ("orders(o_orderkey)", "orders", ("o_orderkey",)),
+    ("customer(c_custkey)", "customer", ("c_custkey",)),
+    ("part(p_partkey)", "part", ("p_partkey",)),
+    ("supplier(s_suppkey)", "supplier", ("s_suppkey",)),
+    ("documents(doc_id)", "documents", ("doc_id",)),
+    ("embeddings(vec_id)", "embeddings", ("vec_id",)),
+    ("lineitem(l_orderkey,l_linenumber)", "lineitem", ("l_orderkey", "l_linenumber")),
+)
+
+
+def q_audit_duplicate_pk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for label, table, keys in _PK_AUDITS:
+        t = load_table(spark, sf_dir, table)
+        per_key = t.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            per_key.agg(
+                F.lit(label).alias("pk"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.sum(F.when(F.col("cnt") > 1, 1).otherwise(0)).alias(
+                    "n_dup_keys"
+                ),
+                F.max("cnt").alias("max_multiplicity"),
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+AUDIT_DUPLICATE_PK_SQL = " UNION ALL ".join(
+    f"""SELECT '{label}' AS pk,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_keys,
+       CAST(max(cnt) AS BIGINT) AS max_multiplicity
+FROM (SELECT {", ".join(keys)}, count(*) AS cnt
+      FROM {table} GROUP BY {", ".join(keys)}) t"""
+    for label, table, keys in _PK_AUDITS
+)
+
+
 # --- z-order (Morton) layout key --------------------------------------------
 # The space-filling-curve key behind multi-dimensional data layout
 # (Delta/Iceberg Z-ORDER): interleave the low Z_BITS bits of two join/
@@ -269,6 +320,7 @@ GROUP BY bin
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
+    register("audit_duplicate_pk", q_audit_duplicate_pk, AUDIT_DUPLICATE_PK_SQL)
     register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)
     register("sample_group_topn", q_sample_group_topn, SAMPLE_GROUP_TOPN_SQL)
     register("discretize_quantile", q_discretize_quantile, DISCRETIZE_QUANTILE_SQL)

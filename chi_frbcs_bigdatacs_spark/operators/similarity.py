@@ -889,6 +889,14 @@ def q_simsearch_ivf_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      Join-key cardinality is K*B*(B+1)/2 instead of K.
 #   2. Norms are precomputed per ROW before the join (n/K rows), so
 #      the per-PAIR work is one dot fold, not dot + two norms.
+#   3. AQE EXPLOSIVE-JOIN TRAP (also measured): AQE coalesces shuffle
+#      partitions by INPUT bytes — the pre-join sides are tiny
+#      (~35 MB at 8x), so it coalesced the join to ONE partition
+#      while the join OUTPUT was 32M rows, re-serializing the work.
+#      Both sides are therefore repartitioned on the join key with an
+#      EXPLICIT count (2x defaultParallelism — user-specified counts
+#      are exempt from AQE coalescing), which the join reuses with no
+#      further exchange.
 # Pair orientation does not affect the float bits: x*y == y*x and
 # sqrt(na)*sqrt(nb) == sqrt(nb)*sqrt(na) bit-exactly in IEEE, so the
 # canonical (least, greatest) relabel matches the oracle's a<b join.
@@ -928,6 +936,9 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("blk").alias("bj"),
     )
     cos = _dot_col("ea", "eb") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb")))
+    n_part = spark.sparkContext.defaultParallelism * 2
+    left = left.repartition(n_part, "k", "bi", "bj")
+    right = right.repartition(n_part, "k", "bi", "bj")
     pairs = (
         left.join(right, ["k", "bi", "bj"])
         .filter((F.col("bi") < F.col("bj")) | (F.col("vec_a") < F.col("vec_b")))

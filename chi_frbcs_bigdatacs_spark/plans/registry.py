@@ -132,6 +132,7 @@ CHECK_PRIORITY: list[str] = [
     "dedup_semantic_keep",
     "drift_ks",
     "stream_ivf_assign",
+    "audit_duplicate_pk",
 ]
 
 
