@@ -1,0 +1,112 @@
+"""Iterative graph analytics (round 6): PageRank over the bipartite
+part <-> supplier co-occurrence graph.
+
+The engine's second iterative algorithm (after dedup_components'
+connected components): N_PR_ITERS fixed rounds of damped rank
+propagation. Spark side is the standard iterative-join shape — the
+static (edge, out-degree) table is computed once and persisted, each
+round is one hash-partitioned join + one map-side-combined agg,
+lineage stays bounded by the fixed round count.
+
+PARITY DESIGN — order-free fixed-point arithmetic: float PageRank
+sums contributions in engine-dependent order, so ranks near a
+rounding boundary could flip between engines. Ranks are therefore
+held as integer MICRO-units (rank0 = 1_000_000): each contribution
+is `rank div outdeg` (exact integer floor), the damped update is
+`150_000 + (17 * s) div 20` (0.85 damping as an exact integer
+ratio), and every intermediate is a BIGINT — no float ever exists,
+so iteration order cannot matter (same integer-exactness discipline
+as corpus_mix_sqrt). The mass lost to floor division is bounded by
+outdeg per node per round and is identical on both engines.
+
+Scale shape: at 100 TB the edge table shuffles once to co-locate by
+src; each round reuses that partitioning for the join and shuffles
+only (dst, contribution) pairs into the agg. Dangling mass is not
+redistributed (documented simplification — the bidirectional edge
+set has no dangling nodes here anyway).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+N_PR_ITERS = 4
+PR_R0 = 1_000_000  # fixed-point micro-rank of every node at t=0
+PR_BASE = 150_000  # (1 - d) * 1e6 with d = 0.85
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional distinct part<->supplier edges; node ids are
+    'p<partkey>' / 's<suppkey>' strings (the raw key spaces
+    overlap)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+    )
+    fwd = li.select(F.col("p").alias("src"), F.col("s").alias("dst"))
+    rev = li.select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src").persist()
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        ranks = nodes.withColumn("rank", F.lit(PR_R0).cast("long"))
+        for _ in range(N_PR_ITERS):
+            contrib = (
+                ranks.join(ed, ranks["node"] == ed["src"])
+                .select("dst", F.expr("rank div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = nodes.join(
+                contrib, nodes["node"] == contrib["dst"], "left_outer"
+            ).select(
+                "node",
+                (
+                    F.lit(PR_BASE)
+                    + F.expr("(17 * coalesce(s, 0)) div 20")
+                ).cast("long").alias("rank"),
+            )
+        return ranks
+    finally:
+        ed.unpersist()
+
+
+def _pagerank_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+    UNION ALL
+    SELECT 's' || l_suppkey, 'p' || l_partkey FROM lineitem) e
+)""",
+        "outdeg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        f"r0 AS (SELECT node, CAST({PR_R0} AS BIGINT) AS rank FROM nodes)",
+    ]
+    prev = "r0"
+    for i in range(1, N_PR_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst, sum(r.rank // o.deg) AS s
+  FROM {prev} r JOIN edges e ON r.node = e.src JOIN outdeg o ON e.src = o.src
+  GROUP BY e.dst
+)""")
+        ctes.append(f"""r{i} AS (
+  SELECT n.node,
+         CAST({PR_BASE} + (17 * coalesce(c.s, 0)) // 20 AS BIGINT) AS rank
+  FROM nodes n LEFT JOIN c{i} c ON n.node = c.dst
+)""")
+        prev = f"r{i}"
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT node, rank FROM {prev}"
+
+
+def register_all() -> None:
+    register("graph_pagerank", q_graph_pagerank, _pagerank_sql())

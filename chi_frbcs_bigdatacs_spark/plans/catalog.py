@@ -506,6 +506,7 @@ from chi_frbcs_bigdatacs_spark.operators import multimodal as _multimodal  # noq
 from chi_frbcs_bigdatacs_spark.operators import resample as _resample  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import tpch_plus as _tpch_plus  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import packing as _packing  # noqa: E402
+from chi_frbcs_bigdatacs_spark.operators import graph as _graph  # noqa: E402
 from chi_frbcs_bigdatacs_spark.operators import quality as _quality  # noqa: E402
 from chi_frbcs_bigdatacs_spark.sources import formats as _formats  # noqa: E402
 from chi_frbcs_bigdatacs_spark.fuzzy import keel_cv as _keel_cv  # noqa: E402
@@ -529,4 +530,5 @@ _stream_windows.register_all()
 _stream_stateful.register_all()
 _stream_neardup.register_all()
 _quality.register_all()
+_graph.register_all()
 _formats.register_all()

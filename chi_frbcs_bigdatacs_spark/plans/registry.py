@@ -133,6 +133,8 @@ CHECK_PRIORITY: list[str] = [
     "drift_ks",
     "stream_ivf_assign",
     "audit_duplicate_pk",
+    "graph_pagerank",
+    "anonymize_kgroups",
 ]
 
 

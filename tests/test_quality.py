@@ -183,6 +183,61 @@ def test_drift_ks_matches_numpy_ecdf(spark):
         assert abs(r.ks - ks) < 1e-6, (et, r.ks, ks)
 
 
+def test_graph_pagerank_matches_pure_python(spark):
+    """The fixed-point integer PageRank equals an independent Python
+    re-implementation over the same edge list — exact, no tolerance —
+    and respects the structural invariants (floor, mass bound, full
+    node coverage)."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        N_PR_ITERS,
+        PR_BASE,
+        PR_R0,
+        _edges,
+        q_graph_pagerank,
+    )
+
+    edges = [(r.src, r.dst) for r in _edges(spark, SF_SMALL).collect()]
+    nodes = sorted({s for s, _ in edges})
+    outdeg: dict[str, int] = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {v: PR_R0 for v in nodes}
+    for _ in range(N_PR_ITERS):
+        s: dict[str, int] = {}
+        for u, v in edges:
+            s[v] = s.get(v, 0) + rank[u] // outdeg[u]
+        rank = {v: PR_BASE + (17 * s.get(v, 0)) // 20 for v in nodes}
+    got = {r.node: r.rank for r in q_graph_pagerank(spark, SF_SMALL).collect()}
+    assert got == rank
+    assert all(r >= PR_BASE for r in got.values())
+    assert sum(got.values()) <= len(nodes) * PR_R0
+
+
+def test_anonymize_kgroups_suppresses_small_groups(spark):
+    """Every released group has >= K members, and suppression really
+    removed groups (released group count < raw group count at this
+    sf)."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        K_ANON,
+        q_anonymize_kgroups,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    rows = q_anonymize_kgroups(spark, SF_SMALL).collect()
+    assert rows and all(r.n >= K_ANON for r in rows)
+    raw = (
+        load_table(spark, SF_SMALL, "orders")
+        .selectExpr(
+            "o_orderstatus", "o_orderpriority", "date_format(o_orderdate, 'yyyy-MM')"
+        )
+        .distinct()
+        .count()
+    )
+    assert len(rows) < raw
+    # suppressed members are absent: released coverage < 1500 orders
+    assert sum(r.n for r in rows) < 1500
+
+
 def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
     """Every reported dup has dup_of < vec_id, the pair lives in the
     same k-means cell, and its cosine clears the threshold against a
