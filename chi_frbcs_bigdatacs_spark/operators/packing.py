@@ -239,8 +239,77 @@ GROUP BY doc_id
 """
 
 
+# --- end-to-end training-data pipeline --------------------------------------
+# The whole assembly line in ONE composed DAG: quality filter (length
+# + distinct-token ratio, the pipeline_clean_corpus gate) -> exact
+# dedup (min-id survivor per text) -> deterministic 8/1/1 hash split
+# (the split_stratified rule, inlined so token counts survive) ->
+# per-(split, lang) doc/token accounting. This is the composition a
+# real corpus job runs end-to-end; one oracle hash checks the entire
+# chain, not just its pieces. Scale shape: one text-keyed dedup
+# shuffle + one small-key agg — the split adds NO shuffle (pure hash
+# of doc_id).
+
+
+def q_pipeline_training_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    quality = d.filter(
+        (F.length("text") >= 100)
+        & (F.size(F.array_distinct(toks)).cast("double") / F.size(toks) >= 0.3)
+    )
+    survivors = quality.groupBy("text").agg(
+        F.min("doc_id").alias("doc_id"), F.min("lang").alias("lang")
+    )
+    tr, va, _te = SPLIT_BUCKETS
+    b = _doc_hash() % 10
+    split = (
+        F.when(b < tr, "train").when(b < tr + va, "valid").otherwise("test")
+    )
+    tok = survivors.select(
+        split.alias("split"),
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return tok.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+    )
+
+
+PIPELINE_TRAINING_DATA_SQL = f"""
+WITH quality AS (
+  SELECT * FROM documents
+  WHERE length(text) >= 100
+    AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        / CAST(len(string_split(text, ' '))  AS DOUBLE) >= 0.3
+),
+survivors AS (
+  SELECT min(doc_id) AS doc_id, min(lang) AS lang, text
+  FROM quality GROUP BY text
+),
+tok AS (
+  SELECT CASE WHEN ({_DOC_HASH_SQL}) % 10 < {SPLIT_BUCKETS[0]} THEN 'train'
+              WHEN ({_DOC_HASH_SQL}) % 10 < {SPLIT_BUCKETS[0] + SPLIT_BUCKETS[1]} THEN 'valid'
+              ELSE 'test' END AS split,
+         lang,
+         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+  FROM survivors
+)
+SELECT split, lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+FROM tok GROUP BY 1, 2
+"""
+
+
 def register_all() -> None:
     register("doc_pack_sequences", q_doc_pack_sequences, DOC_PACK_SEQUENCES_SQL)
+    register(
+        "pipeline_training_data",
+        q_pipeline_training_data,
+        PIPELINE_TRAINING_DATA_SQL,
+    )
     register("split_stratified", q_split_stratified, SPLIT_STRATIFIED_SQL)
     register("corpus_mix_sqrt", q_corpus_mix_sqrt, CORPUS_MIX_SQRT_SQL)
     register(

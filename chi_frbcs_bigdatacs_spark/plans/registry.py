@@ -135,6 +135,7 @@ CHECK_PRIORITY: list[str] = [
     "audit_duplicate_pk",
     "graph_pagerank",
     "anonymize_kgroups",
+    "pipeline_training_data",
 ]
 
 
