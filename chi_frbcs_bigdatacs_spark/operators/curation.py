@@ -803,8 +803,75 @@ GROUP BY event_type
 """
 
 
+# --- running z-score anomaly detection --------------------------------------
+# Online monitoring: flag each event whose value deviates more than
+# Z sigma from the running mean/variance of all PRIOR events of its
+# type (prior-only stats avoid self-inclusion and give the streaming
+# twin identical semantics). The criterion is evaluated in EXACT
+# integer arithmetic so both engines (and the streaming twin) agree
+# bit-for-bit with no epsilon:
+#   v = round(100 * value)            (values are 2dp, so exact)
+#   flag  <=>  (c*v - s)^2 > Z^2 * (c*ss - s^2)   [all integers]
+# which is |v - s/c| > Z * sqrt(ss/c - (s/c)^2) cleared of divisions.
+# Intermediates reach ~6e19 at 8x sf0.1, so the comparison runs in
+# DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact 128-bit.
+# Shape: one window per event_type ordered by (ts, event_id) — a
+# hash-partitioned sort, no global order; everything else is a map.
+ANOM_WARMUP = 100  # prior-count below which nothing is flagged
+ANOM_Z2 = 9  # Z = 3 sigma
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        v100.alias("v"),
+        F.count(F.lit(1)).over(w).alias("c"),
+        F.coalesce(F.sum(v100).over(w), F.lit(0)).alias("s"),
+        F.coalesce(F.sum(v100 * v100).over(w), F.lit(0)).alias("ss"),
+    )
+    dec = "decimal(38,0)"
+    c, v, s, ss = (F.col(x).cast(dec) for x in ("c", "v", "s", "ss"))
+    lhs = (c * v - s) * (c * v - s)
+    rhs = F.lit(ANOM_Z2).cast(dec) * (c * ss - s * s)
+    return d.filter((F.col("c") >= ANOM_WARMUP) & (lhs > rhs)).select(
+        "event_id", "event_type", "value", F.col("c").alias("n_prior")
+    )
+
+
+ANOMALY_ZSCORE_SQL = f"""
+WITH pre AS (
+  SELECT event_id, event_type, value,
+         CAST(round(100 * value) AS BIGINT) AS v,
+         count(*) OVER w AS c,
+         coalesce(sum(CAST(round(100 * value) AS BIGINT)) OVER w, 0) AS s,
+         coalesce(sum(CAST(round(100 * value) AS BIGINT)
+                      * CAST(round(100 * value) AS BIGINT)) OVER w, 0) AS ss
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, event_type, value, CAST(c AS BIGINT) AS n_prior
+FROM pre
+WHERE c >= {ANOM_WARMUP}
+  AND (CAST(c AS HUGEINT) * v - s) * (CAST(c AS HUGEINT) * v - s)
+      > {ANOM_Z2} * (CAST(c AS HUGEINT) * ss - CAST(s AS HUGEINT) * s)
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
+    register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
     register("drift_ks", q_drift_ks, DRIFT_KS_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)

@@ -136,6 +136,8 @@ CHECK_PRIORITY: list[str] = [
     "graph_pagerank",
     "anonymize_kgroups",
     "pipeline_training_data",
+    "anomaly_zscore",
+    "stream_anomaly_detect",
 ]
 
 

@@ -559,6 +559,101 @@ def _ivf_assign_oracle() -> str:
     return _ivf_build_sql()
 
 
+def q_stream_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `anomaly_zscore` (operators/curation.py):
+    per-event-type running (count, sum, sum-of-squares) counters as
+    state over a TIME-ORDERED replay (the stream_stream_join staging
+    — ts is unique at every sf, so ts order == the batch window's
+    (ts, event_id) order); each micro-batch flags its events against
+    the integer criterion (c*v - s)^2 > Z^2*(c*ss - s^2) using
+    exact Python-int arithmetic (the squares exceed int64 at scale),
+    then folds the batch into the counters. Every anomaly is emitted
+    exactly once, so the update-mode sink union IS the result; strict
+    equivalence oracle = the batch SQL.
+
+    Scale shape: state is three integers per event_type (constant
+    domain, the stateful-sharding lesson holds trivially); per batch
+    the exact comparison is vectorized over object ints — at
+    production triggers the batch is small, and the prior-only
+    semantics mean no reprocessing of history ever."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        ANOM_WARMUP,
+        ANOM_Z2,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+
+    src = _events_tsorder_src(spark, sf_dir)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select("event_id", "event_type", "ts", "value")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        c0, s0, ss0 = state.get if state.exists else (0, 0, 0)
+        chunks = [pdf for pdf in pdfs]
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        v = np.round(pdf["value"].to_numpy() * 100).astype("int64")
+        n = len(v)
+        c_arr = c0 + np.arange(n, dtype="int64")
+        s_arr = s0 + np.concatenate(([0], np.cumsum(v)[:-1]))
+        ss_arr = ss0 + np.concatenate(([0], np.cumsum(v * v)[:-1]))
+        co, vo, so, sso = (
+            a.astype(object) for a in (c_arr, v, s_arr, ss_arr)
+        )
+        d = co * vo - so
+        flag = (c_arr >= ANOM_WARMUP) & np.array(
+            d * d > ANOM_Z2 * (co * sso - so * so), dtype=bool
+        )
+        state.update(
+            (int(c0 + n), int(s0 + v.sum()), int(ss0 + (v * v).sum()))
+        )
+        out = pd.DataFrame(
+            {
+                "event_id": pdf["event_id"][flag],
+                "event_type": event_type,
+                "value": pdf["value"][flag],
+                "n_prior": c_arr[flag],
+            }
+        )
+        yield out
+
+    flagged = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_id long, event_type string, value double, n_prior long",
+        stateStructType="c long, s long, ss long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_anom_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        flagged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).select("event_id", "event_type", "value", "n_prior")
+
+
+def _anomaly_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.curation import ANOMALY_ZSCORE_SQL
+
+    return ANOMALY_ZSCORE_SQL
+
+
 def _index_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.operators.text import TEXT_INDEX_BUILD_SQL
 
@@ -591,3 +686,4 @@ def register_all() -> None:
 
     register("stream_drift_psi", q_stream_drift_psi, DRIFT_PSI_SQL)
     register("stream_ivf_assign", q_stream_ivf_assign, _ivf_assign_oracle())
+    register("stream_anomaly_detect", q_stream_anomaly_detect, _anomaly_oracle())
