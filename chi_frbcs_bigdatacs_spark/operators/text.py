@@ -842,7 +842,60 @@ LIMIT {BPE_TOP}
 """
 
 
+# --- positional phrase search ----------------------------------------------
+# The IR feature term-frequency indexes cannot answer: exact phrase
+# hits via POSITIONAL postings. Shape: posexplode to (doc, pos, term)
+# -> filter to the phrase's two terms ONLY (the selective cut happens
+# before any join; postings volume is the terms' frequency, never the
+# corpus) -> self equi-join on (doc_id, pos+1 = pos) -> per-doc count.
+# At 100 TB the same plan runs off a persisted positional index
+# (doc_id, term, pos) with the term filter pushed to the scan, the
+# natural extension of text_index_build's (doc, term, tf) layout.
+PHRASE_A, PHRASE_B = "order", "fast"
+
+
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    postings = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+    ).filter(F.col("term").isin(PHRASE_A, PHRASE_B))
+    a = postings.filter(F.col("term") == PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("term") == PHRASE_B).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pb"] == a["pa"] + 1)).select(
+        a["doc_id"], "pa"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        # 1-based like the SQL's generate_subscripts
+        (F.min("pa") + 1).cast("long").alias("first_pos"),
+    )
+
+
+TEXT_PHRASE_SEARCH_SQL = f"""
+WITH postings AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+         generate_subscripts(string_split(text, ' '), 1) AS pos
+  FROM documents
+),
+hits AS (
+  SELECT a.doc_id, a.pos AS pa
+  FROM postings a JOIN postings b
+    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+  WHERE a.term = '{PHRASE_A}' AND b.term = '{PHRASE_B}'
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       CAST(min(pa) AS BIGINT) AS first_pos
+FROM hits GROUP BY doc_id
+"""
+
+
 def register_all() -> None:
+    register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
     register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf, _hybrid_rrf_sql())
     register("bpe_top_merges", q_bpe_top_merges, BPE_TOP_MERGES_SQL)

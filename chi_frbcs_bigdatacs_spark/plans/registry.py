@@ -138,6 +138,7 @@ CHECK_PRIORITY: list[str] = [
     "pipeline_training_data",
     "anomaly_zscore",
     "stream_anomaly_detect",
+    "text_phrase_search",
 ]
 
 
