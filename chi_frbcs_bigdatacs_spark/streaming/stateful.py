@@ -559,7 +559,9 @@ def _ivf_assign_oracle() -> str:
     return _ivf_build_sql()
 
 
-def q_stream_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_anomaly_detect(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
     """Streaming twin of `anomaly_zscore` (operators/curation.py):
     per-event-type running (count, sum, sum-of-squares) counters as
     state over a TIME-ORDERED replay (the stream_stream_join staging
@@ -582,9 +584,12 @@ def q_stream_anomaly_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         ANOM_WARMUP,
         ANOM_Z2,
     )
-    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        N_TS_ORDER_FILES,
+        _events_tsorder_src,
+    )
 
-    src = _events_tsorder_src(spark, sf_dir)
+    src = _events_tsorder_src(spark, sf_dir, n_files or N_TS_ORDER_FILES)
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = (
         spark.readStream.schema(batch.schema)

@@ -176,3 +176,19 @@ def test_stream_minhash_pairs_invariant_under_skewed_split(spark, tmp_path):
     )
     batch = sorted(map(tuple, q_dedup_minhash(spark, SF_SMALL).collect()))
     assert streamed == batch and streamed
+
+
+def test_stream_anomaly_invariant_under_replay_split(spark):
+    """The anomaly set is a pure function of the time-ordered event
+    stream, not of how replay chops it into micro-batches: a 3-file
+    and a 6-file staging produce the identical result, and both equal
+    the batch prefix-window computation."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_anomaly_zscore
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import (
+        q_stream_anomaly_detect,
+    )
+
+    a3 = sorted(map(tuple, q_stream_anomaly_detect(spark, SF_SMALL, n_files=3).collect()))
+    a6 = sorted(map(tuple, q_stream_anomaly_detect(spark, SF_SMALL, n_files=6).collect()))
+    batch = sorted(map(tuple, q_anomaly_zscore(spark, SF_SMALL).collect()))
+    assert a3 and a3 == a6 == batch
