@@ -894,8 +894,89 @@ FROM hits GROUP BY doc_id
 """
 
 
+# --- materialized positional index ------------------------------------------
+# The serving-path completion of phrase search, mirroring the BM25
+# and IVF index pairs: tokenize ONCE into a persisted (doc_id, pos,
+# term) postings table — written term-CLUSTERED (sortWithinPartitions
+# on term) so parquet row-group min/max stats prune non-phrase terms
+# — then answer phrase queries from the index alone: the corpus is
+# never rescanned, and the `term IN (...)` cut reaches the postings
+# scan as PushedFilters (pinned in tests/test_plans-style assertion
+# in test_quality.py).
+
+
+def _pos_index_dir(spark: SparkSession, sf_dir: str) -> str:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        postings = docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), " ")).alias("pos", "term"),
+        )
+        postings.sortWithinPartitions("term").write.mode("overwrite").parquet(d)
+
+    return staged_dir("pos_index", sf_dir, build)
+
+
+def q_text_posindex_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build (memoized) + audit the persisted postings: per first
+    letter of term, posting and distinct-term counts — the hash check
+    proves the on-disk index equals a from-scratch tokenization."""
+    d = _pos_index_dir(spark, sf_dir)
+    back = spark.read.parquet(d)
+    return (
+        back.groupBy(F.substring("term", 1, 1).alias("letter"))
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.count_distinct("term").alias("n_terms"),
+            F.count_distinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+TEXT_POSINDEX_BUILD_SQL = """
+WITH postings AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+  FROM documents
+)
+SELECT substr(term, 1, 1) AS letter,
+       CAST(count(*) AS BIGINT) AS n_postings,
+       CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM postings GROUP BY 1
+"""
+
+
+def q_text_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the phrase query from the persisted positional index —
+    must equal `text_phrase_search` exactly; documents is never
+    scanned."""
+    d = _pos_index_dir(spark, sf_dir)
+    postings = spark.read.parquet(d).filter(
+        F.col("term").isin(PHRASE_A, PHRASE_B)
+    )
+    a = postings.filter(F.col("term") == PHRASE_A).select(
+        "doc_id", F.col("pos").alias("pa")
+    )
+    b = postings.filter(F.col("term") == PHRASE_B).select(
+        "doc_id", F.col("pos").alias("pb")
+    )
+    hits = a.join(b, (a["doc_id"] == b["doc_id"]) & (b["pb"] == a["pa"] + 1)).select(
+        a["doc_id"], "pa"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.min("pa") + 1).cast("long").alias("first_pos"),
+    )
+
+
 def register_all() -> None:
     register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
+    register("text_posindex_build", q_text_posindex_build, TEXT_POSINDEX_BUILD_SQL)
+    register(
+        "text_phrase_from_index", q_text_phrase_from_index, TEXT_PHRASE_SEARCH_SQL
+    )
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
     register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf, _hybrid_rrf_sql())
     register("bpe_top_merges", q_bpe_top_merges, BPE_TOP_MERGES_SQL)

@@ -139,6 +139,8 @@ CHECK_PRIORITY: list[str] = [
     "anomaly_zscore",
     "stream_anomaly_detect",
     "text_phrase_search",
+    "text_posindex_build",
+    "text_phrase_from_index",
 ]
 
 

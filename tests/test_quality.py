@@ -238,6 +238,26 @@ def test_anonymize_kgroups_suppresses_small_groups(spark):
     assert sum(r.n for r in rows) < 1500
 
 
+def test_phrase_from_index_never_scans_documents(spark):
+    """Serving from the positional index must not touch the corpus:
+    no documents.parquet scan, and the two-term IN cut reaches the
+    postings parquet as a pushed filter."""
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        q_text_phrase_from_index,
+        q_text_phrase_search,
+    )
+
+    df = q_text_phrase_from_index(spark, SF_SMALL)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "documents.parquet" not in p
+    assert "PushedFilters: [" in p and "In(term, [" in p, (
+        p.split("FileScan")[-1][:400]
+    )
+    served = sorted(map(tuple, df.collect()))
+    direct = sorted(map(tuple, q_text_phrase_search(spark, SF_SMALL).collect()))
+    assert served == direct and served
+
+
 def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
     """Every reported dup has dup_of < vec_id, the pair lives in the
     same k-means cell, and its cosine clears the threshold against a
