@@ -869,9 +869,51 @@ WHERE c >= {ANOM_WARMUP}
 """
 
 
+# --- SCD2 dimension build ---------------------------------------------------
+# Slowly-changing-dimension type 2 from an event log: each 'signup'
+# event opens a new version of the user's dimension row, valid from
+# its ts until the user's next signup (NULL = current). The standard
+# warehouse interval construction: one window per user_id ordered by
+# (ts, event_id) — lead() for valid_to, row_number() for the version
+# ordinal. Hash-partitioned by the dimension key, no global sort;
+# downstream point-in-time lookups are then the existing as-of join.
+SCD2_EVENT = "signup"
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == SCD2_EVENT
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        F.round("value", 2).alias("attr_value"),
+        F.lead("ts").over(w).isNull().alias("is_current"),
+    )
+
+
+SCD2_BUILD_SQL = f"""
+SELECT user_id,
+       CAST(row_number() OVER w AS BIGINT) AS version,
+       CAST(ts AS TIMESTAMP_NS) AS valid_from,
+       CAST(lead(ts) OVER w AS TIMESTAMP_NS) AS valid_to,
+       round(value, 2) AS attr_value,
+       lead(ts) OVER w IS NULL AS is_current
+FROM events
+WHERE event_type = '{SCD2_EVENT}'
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
+    register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
     register("drift_ks", q_drift_ks, DRIFT_KS_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)

@@ -141,6 +141,7 @@ CHECK_PRIORITY: list[str] = [
     "text_phrase_search",
     "text_posindex_build",
     "text_phrase_from_index",
+    "scd2_build",
 ]
 
 

@@ -258,6 +258,26 @@ def test_phrase_from_index_never_scans_documents(spark):
     assert served == direct and served
 
 
+def test_scd2_intervals_are_contiguous(spark):
+    """Per user: versions run 1..n, each version's valid_to equals the
+    next version's valid_from, and exactly the last version is
+    current (valid_to NULL)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_scd2_build
+
+    rows = q_scd2_build(spark, SF_SMALL).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, vs in by_user.items():
+        vs.sort(key=lambda r: r.version)
+        assert [r.version for r in vs] == list(range(1, len(vs) + 1))
+        for a, b in zip(vs, vs[1:]):
+            assert a.valid_to == b.valid_from, user
+        assert all(not r.is_current for r in vs[:-1])
+        assert vs[-1].is_current and vs[-1].valid_to is None
+
+
 def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
     """Every reported dup has dup_of < vec_id, the pair lives in the
     same k-means cell, and its cosine clears the threshold against a
