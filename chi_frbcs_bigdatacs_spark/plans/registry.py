@@ -142,6 +142,7 @@ CHECK_PRIORITY: list[str] = [
     "text_posindex_build",
     "text_phrase_from_index",
     "scd2_build",
+    "stream_scd2_maintain",
 ]
 
 

@@ -653,6 +653,125 @@ def q_stream_anomaly_detect(
     return spark.table(name).select("event_id", "event_type", "value", "n_prior")
 
 
+def q_stream_scd2_maintain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `scd2_build` (operators/curation.py):
+    maintain the SCD2 dimension incrementally — each arriving signup
+    CLOSES the user's open version (emitting it with its final
+    valid_to) and OPENS a new current one. State per user is three
+    scalars (open version ordinal, its start micros, its attribute);
+    replay is time-ordered (ts unique), so per-user arrival order
+    equals the batch window's (ts, event_id) order. A version row is
+    re-emitted when it closes, so the final table takes max(valid_to)
+    per (user, version) — NULL only if the version never closed,
+    which is exactly `is_current`. Strict equivalence oracle: the
+    batch SCD2 SQL."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import SCD2_EVENT
+    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+
+    src = _events_tsorder_src(spark, sf_dir)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .filter(F.col("event_type") == SCD2_EVENT)
+        .select("user_id", "event_id", "ts", "value")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        k0, open_us, open_val = state.get if state.exists else (0, 0, 0.0)
+        pdf = (
+            pd.concat(list(pdfs), ignore_index=True)
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        t_us = (pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64"))
+        vals = pdf["value"].to_numpy()
+        n = len(t_us)
+        versions, froms, tos, attrs, curr = [], [], [], [], []
+        if k0 > 0:  # close the previously open version
+            versions.append(k0)
+            froms.append(open_us)
+            tos.append(t_us[0])
+            attrs.append(open_val)
+            curr.append(False)
+        for i in range(n - 1):  # versions opened AND closed this batch
+            versions.append(k0 + 1 + i)
+            froms.append(t_us[i])
+            tos.append(t_us[i + 1])
+            attrs.append(float(vals[i]))
+            curr.append(False)
+        versions.append(k0 + n)  # the new open (current) version
+        froms.append(t_us[n - 1])
+        tos.append(np.int64(-1))  # sentinel -> NULL below
+        attrs.append(float(vals[n - 1]))
+        curr.append(True)
+        state.update((int(k0 + n), int(t_us[n - 1]), float(vals[n - 1])))
+        out = pd.DataFrame(
+            {
+                "user_id": user_id,
+                "version": pd.array(versions, dtype="int64"),
+                "valid_from": pd.to_datetime(froms, unit="us"),
+                "valid_to": pd.to_datetime(
+                    [None if t == -1 else t for t in tos], unit="us"
+                ),
+                "attr_value": attrs,
+                "is_current": curr,
+            }
+        )
+        yield out
+
+    dim = ev.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, version long, valid_from timestamp,"
+            " valid_to timestamp, attr_value double, is_current boolean"
+        ),
+        stateStructType="k long, open_us long, open_val double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_scd2_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        dim.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # a version appears once per lifecycle transition; max(valid_to)
+    # keeps the closed value (NULL only for the never-closed current)
+    final = (
+        spark.table(name)
+        .groupBy("user_id", "version")
+        .agg(
+            F.max("valid_from").alias("valid_from"),
+            F.max("valid_to").alias("valid_to"),
+            F.round(F.max("attr_value"), 2).alias("attr_value"),
+        )
+    )
+    return final.select(
+        "user_id",
+        "version",
+        "valid_from",
+        "valid_to",
+        "attr_value",
+        F.col("valid_to").isNull().alias("is_current"),
+    )
+
+
+def _scd2_oracle() -> str:
+    from chi_frbcs_bigdatacs_spark.operators.curation import SCD2_BUILD_SQL
+
+    return SCD2_BUILD_SQL
+
+
 def _anomaly_oracle() -> str:
     from chi_frbcs_bigdatacs_spark.operators.curation import ANOMALY_ZSCORE_SQL
 
@@ -692,3 +811,4 @@ def register_all() -> None:
     register("stream_drift_psi", q_stream_drift_psi, DRIFT_PSI_SQL)
     register("stream_ivf_assign", q_stream_ivf_assign, _ivf_assign_oracle())
     register("stream_anomaly_detect", q_stream_anomaly_detect, _anomaly_oracle())
+    register("stream_scd2_maintain", q_stream_scd2_maintain, _scd2_oracle())
