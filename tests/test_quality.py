@@ -258,6 +258,42 @@ def test_phrase_from_index_never_scans_documents(spark):
     assert served == direct and served
 
 
+def test_anomaly_criterion_is_the_three_sigma_rule(spark):
+    """The division-free integer criterion is semantically the
+    z-score rule, not merely self-consistent: recompute prior
+    mean/std in float per event and compare flags — they must agree
+    everywhere except within float epsilon of the boundary."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        ANOM_WARMUP,
+        q_anomaly_zscore,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    flagged = {
+        r.event_id for r in q_anomaly_zscore(spark, SF_SMALL).collect()
+    }
+    assert flagged
+    pdf = (
+        load_table(spark, SF_SMALL, "events")
+        .toPandas()
+        .sort_values(["ts", "event_id"])
+    )
+    for _, g in pdf.groupby("event_type"):
+        v = np.round(g["value"].to_numpy() * 100)
+        ids = g["event_id"].to_numpy()
+        for i in range(ANOM_WARMUP, len(v)):
+            prior = v[:i]
+            z = (v[i] - prior.mean()) / max(prior.std(), 1e-12)
+            margin = abs(abs(z) - 3.0)
+            if margin > 1e-6:  # away from the boundary, flags agree
+                assert (abs(z) > 3.0) == (ids[i] in flagged), (
+                    ids[i],
+                    z,
+                )
+
+
 def test_scd2_intervals_are_contiguous(spark):
     """Per user: versions run 1..n, each version's valid_to equals the
     next version's valid_from, and exactly the last version is
