@@ -103,11 +103,13 @@ class ChiFRBCSModel:
             self.rules_dataframe.unpersist()
 
     # -- scoring --
-    def transform(self, df: DataFrame) -> DataFrame:
+    def transform(self, df: DataFrame, broadcast_rules: bool = True) -> DataFrame:
         fuzz = R.fuzzify(df, self.parts)
-        return self.transform_fuzzified(fuzz)
+        return self.transform_fuzzified(fuzz, broadcast_rules=broadcast_rules)
 
-    def transform_fuzzified(self, fuzz: DataFrame) -> DataFrame:
+    def transform_fuzzified(
+        self, fuzz: DataFrame, broadcast_rules: bool = True
+    ) -> DataFrame:
         # NOTE on physical strategy (measured at sf0.1, local[32]):
         # plan-literal "map-only" scorers — dense slot-table lookup via
         # higher-order functions, per-rule unrolled array_max, and
@@ -130,8 +132,20 @@ class ChiFRBCSModel:
         # predictions onto examples (saves a wide sort-merge join).
         # pad_unmatched keeps null/out-of-vocab examples in the output
         # (sentinel cell -> default class) instead of dropping them.
+        # broadcast_rules=False is the rules-too-big-to-broadcast path
+        # (L^d-explosive models whose rule base exceeds executor/driver
+        # broadcast budgets): the SAME equi-join on the cell key runs
+        # as a shuffle join instead — the cell explosion shuffles once
+        # on (l1..ld), the rule base shuffles on the same key, and the
+        # argmax aggregation below is unchanged, so results are
+        # bit-identical (pinned by the classify_wr_bigmodel oracle).
         cells = R.candidate_cells(fuzz, self.parts, pad_unmatched=True)
-        scored = cells.join(F.broadcast(rules), ants, "left")
+        # the shuffle_hash hint keeps AQE from demoting the join back
+        # to a broadcast when the fixture-scale rule base is tiny —
+        # the whole point of the path is to exercise the plan that a
+        # too-big-to-broadcast rule base would force
+        rules_side = F.broadcast(rules) if broadcast_rules else rules.hint("shuffle_hash")
+        scored = cells.join(rules_side, ants, "left")
         neg_inf = F.lit(float("-inf"))
         if self.frm == "wr":
             # argmax via lexicographic struct max == ORDER BY score DESC,
@@ -429,11 +443,11 @@ class ChiFRBCSClassifier:
             self.parts, rows, default_cls, self.frm, rules_dataframe=rdf
         )
 
-    def fit_transform(self, df: DataFrame) -> DataFrame:
+    def fit_transform(self, df: DataFrame, broadcast_rules: bool = True) -> DataFrame:
         """Fit and score the same data (resubstitution), reusing the
         persisted narrow input for both passes."""
         model = self.fit(df, _retain_fuzz=True)
-        return model.transform(self._base)
+        return model.transform(self._base, broadcast_rules=broadcast_rules)
 
     def release(self) -> None:
         """Unpersist the training-input cache retained by

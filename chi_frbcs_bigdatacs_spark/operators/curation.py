@@ -910,8 +910,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- trailing 7-day active users (WAU) --------------------------------------
+# The sliding-window DISTINCT aggregate ("weekly active users as of
+# each day") that no window frame can express directly — COUNT
+# (DISTINCT) over a RANGE frame is unsupported in both engines, and
+# a per-day self-join over a date range re-scans the fact table 7x.
+# Scalable shape: distinct (day, user) once, explode each activity
+# row to the 7 window-end days it covers (a CONSTANT 7x multiply of
+# the already-deduplicated activity table, not of raw events),
+# distinct again, count per window day. Two shuffles total,
+# window-length-bounded blowup, no range join — at 100 TB this is
+# the standard coverage-explode WAU plan. Output is restricted to
+# window days that actually occur in the data (partial leading
+# windows included, trailing phantom days dropped via a semi join
+# on the tiny distinct-day set).
+WAU_DAYS = 7
+
+
+def q_agg_active_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ud = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    days = ud.select("day").distinct()
+    cov = (
+        ud.select(
+            F.explode(F.expr(f"sequence(0, {WAU_DAYS - 1})")).alias("off"),
+            "day",
+            "user_id",
+        )
+        .select(F.date_add("day", F.col("off")).alias("wday"), "user_id")
+        .distinct()
+    )
+    return (
+        cov.join(days, cov["wday"] == days["day"], "left_semi")
+        .groupBy("wday")
+        .agg(F.count(F.lit(1)).alias("wau"))
+        .select(F.date_format("wday", "yyyy-MM-dd").alias("day"), "wau")
+    )
+
+
+AGG_ACTIVE_USERS_7D_SQL = f"""
+WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+days AS (SELECT DISTINCT day FROM ud),
+cov AS (
+  SELECT DISTINCT CAST(day + off * INTERVAL 1 DAY AS DATE) AS wday, user_id
+  FROM ud CROSS JOIN (SELECT unnest(range(0, {WAU_DAYS})) AS off) o
+)
+SELECT strftime(wday, '%Y-%m-%d') AS day, CAST(count(*) AS BIGINT) AS wau
+FROM cov
+WHERE wday IN (SELECT day FROM days)
+GROUP BY wday
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
+    register("agg_active_users_7d", q_agg_active_users_7d, AGG_ACTIVE_USERS_7D_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)

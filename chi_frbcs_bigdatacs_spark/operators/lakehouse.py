@@ -1,0 +1,264 @@
+"""Lakehouse table-maintenance operators (round 7).
+
+The mutation half of a production table format (Delta/Iceberg/Hudi
+expose these as MERGE INTO, snapshot diff, and privacy deletes):
+apply a CDC changeset to a snapshot, diff two snapshots, and cascade
+a GDPR erasure request through the FK graph. All three are pure
+DataFrame plans — one key-partitioned join per table touched, no
+driver-side row handling — so they hold at 100 TB where the
+changeset is a few million rows against a multi-billion-row target
+(the merge join shuffles on the table key; Catalyst/AQE broadcasts
+the changeset side automatically when it is small enough).
+
+Fixture design: the changeset is DERIVED deterministically from the
+orders table itself (modulus predicates on o_orderkey), so both
+engines construct bit-identical inputs with no side files and the
+merge exercises every MERGE branch at every sf: inserts (keys held
+out of the target snapshot), updates, deletes, and untouched rows.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+# --- MERGE INTO (CDC upsert apply) -------------------------------------------
+# Target snapshot = orders with o_orderkey % 10 < 8 (the other 20% of
+# keys are "future" rows arriving via the changeset). Changeset ops,
+# first match wins (each key appears at most once):
+#   o_orderkey % 10 >= 8          -> 'I' insert (key absent from target)
+#   o_orderkey % 13 == 0          -> 'D' delete
+#   o_orderkey %  7 == 0          -> 'U' update (status -> 'R', price += 1.00)
+# Merge semantics are ANSI MERGE: matched+U updates, matched+D
+# deletes, unmatched+I inserts; I against an existing key or U/D
+# against a missing key cannot occur by construction. Shape: ONE full
+# outer join on the table key (sort-merge at scale; AQE broadcasts
+# small changesets) followed by a map-side CASE projection.
+_MERGE_UPDATE_STATUS = "R"
+
+
+def _target(o: DataFrame) -> DataFrame:
+    return o.filter(F.col("o_orderkey") % 10 < 8)
+
+
+def _changeset(o: DataFrame) -> DataFrame:
+    k = F.col("o_orderkey")
+    op = (
+        F.when(k % 10 >= 8, F.lit("I"))
+        .when(k % 13 == 0, F.lit("D"))
+        .when(k % 7 == 0, F.lit("U"))
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            op.alias("op"),
+            F.when(op == "U", F.lit(_MERGE_UPDATE_STATUS))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("c_status"),
+            F.when(op == "U", F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("c_price"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def merged_snapshot(o: DataFrame) -> DataFrame:
+    """Apply the derived changeset to the derived target snapshot."""
+    t = _target(o).select(
+        F.col("o_orderkey").alias("t_key"),
+        F.col("o_orderstatus").alias("t_status"),
+        F.col("o_totalprice").alias("t_price"),
+    )
+    c = _changeset(o).select(
+        F.col("o_orderkey").alias("c_key"), "op", "c_status", "c_price"
+    )
+    j = t.join(c, t["t_key"] == c["c_key"], "full_outer")
+    return (
+        j.filter(~(F.col("op").eqNullSafe(F.lit("D"))))
+        .select(
+            F.coalesce("t_key", "c_key").alias("o_orderkey"),
+            F.when(F.col("op") == "U", F.col("c_status"))
+            .when(F.col("op") == "I", F.col("c_status"))
+            .otherwise(F.col("t_status"))
+            .alias("o_orderstatus"),
+            F.when(F.col("op") == "U", F.col("c_price"))
+            .when(F.col("op") == "I", F.col("c_price"))
+            .otherwise(F.col("t_price"))
+            .alias("o_totalprice"),
+            F.when(F.col("op") == "I", F.lit("insert"))
+            .when(F.col("op") == "U", F.lit("update"))
+            .otherwise(F.lit("keep"))
+            .alias("merge_action"),
+        )
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return merged_snapshot(load_table(spark, sf_dir, "orders"))
+
+
+_CHANGESET_SQL = f"""
+SELECT o_orderkey AS c_key, op,
+       CASE WHEN op = 'U' THEN '{_MERGE_UPDATE_STATUS}' ELSE o_orderstatus END AS c_status,
+       CASE WHEN op = 'U' THEN o_totalprice + 1.0 ELSE o_totalprice END AS c_price
+FROM (
+  SELECT *,
+         CASE WHEN o_orderkey % 10 >= 8 THEN 'I'
+              WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'U' END AS op
+  FROM orders) s
+WHERE op IS NOT NULL
+"""
+
+_MERGED_SQL = f"""
+SELECT coalesce(t_key, c_key) AS o_orderkey,
+       CASE WHEN op IN ('U', 'I') THEN c_status ELSE t_status END AS o_orderstatus,
+       CASE WHEN op IN ('U', 'I') THEN c_price ELSE t_price END AS o_totalprice,
+       CASE WHEN op = 'I' THEN 'insert'
+            WHEN op = 'U' THEN 'update'
+            ELSE 'keep' END AS merge_action
+FROM (SELECT o_orderkey AS t_key, o_orderstatus AS t_status,
+             o_totalprice AS t_price
+      FROM orders WHERE o_orderkey % 10 < 8) t
+FULL OUTER JOIN ({_CHANGESET_SQL}) c ON t.t_key = c.c_key
+WHERE op IS DISTINCT FROM 'D'
+"""
+
+MERGE_UPSERT_SQL = _MERGED_SQL
+
+
+# --- snapshot diff -----------------------------------------------------------
+# Generic table-format diff between two snapshot versions (what
+# Delta's DESCRIBE HISTORY + CDF exposes): full outer join on the
+# primary key, rows classified added / removed / changed by NULL-safe
+# column comparison — NEVER by stringified row hash, because float ->
+# string formatting is engine-specific. Unchanged rows are dropped so
+# the output stays changeset-sized at any table size; the only
+# shuffle is the PK join.
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    a = _target(o).select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderstatus").alias("a_status"),
+        F.col("o_totalprice").alias("a_price"),
+    )
+    b = merged_snapshot(o).select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderstatus").alias("b_status"),
+        F.col("o_totalprice").alias("b_price"),
+    )
+    j = a.join(b, a["a_key"] == b["b_key"], "full_outer")
+    status = (
+        F.when(F.col("a_key").isNull(), F.lit("added"))
+        .when(F.col("b_key").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("a_status").eqNullSafe(F.col("b_status"))
+            | ~F.col("a_price").eqNullSafe(F.col("b_price")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("same"))
+    )
+    return (
+        j.select(F.coalesce("a_key", "b_key").alias("o_orderkey"), status.alias("diff"))
+        .filter(F.col("diff") != "same")
+    )
+
+
+TABLE_DIFF_SQL = f"""
+SELECT coalesce(a_key, b_key) AS o_orderkey,
+       CASE WHEN a_key IS NULL THEN 'added'
+            WHEN b_key IS NULL THEN 'removed'
+            WHEN a_status IS DISTINCT FROM b_status
+                 OR a_price IS DISTINCT FROM b_price THEN 'changed'
+            ELSE 'same' END AS diff
+FROM (SELECT o_orderkey AS a_key, o_orderstatus AS a_status,
+             o_totalprice AS a_price
+      FROM orders WHERE o_orderkey % 10 < 8) a
+FULL OUTER JOIN (
+  SELECT o_orderkey AS b_key, o_orderstatus AS b_status,
+         o_totalprice AS b_price
+  FROM ({_MERGED_SQL}) m) b ON a.a_key = b.b_key
+WHERE (CASE WHEN a_key IS NULL THEN 'added'
+            WHEN b_key IS NULL THEN 'removed'
+            WHEN a_status IS DISTINCT FROM b_status
+                 OR a_price IS DISTINCT FROM b_price THEN 'changed'
+            ELSE 'same' END) <> 'same'
+"""
+
+
+# --- GDPR cascade delete audit -----------------------------------------------
+# Right-to-erasure propagation through the FK graph: erasing a set of
+# customers must also erase their orders and those orders' lineitems.
+# The audit reports, per table, total rows, rows deleted by the
+# cascade, and rows remaining — computed with ONE left-semi-shaped
+# membership join per FK hop (the erased-key sets are tiny relative
+# to the facts, so Catalyst broadcasts them; at 100 TB this is the
+# standard broadcast anti-join delete). No row is ever collected.
+def q_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    erased_c = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    erased_o = orders.join(
+        erased_c, orders["o_custkey"] == erased_c["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    parts = []
+    for label, table, key_col, erased, ekey in (
+        ("customer", cust, "c_custkey", erased_c, "c_custkey"),
+        ("orders", orders, "o_custkey", erased_c, "c_custkey"),
+        ("lineitem", li, "l_orderkey", erased_o, "o_orderkey"),
+    ):
+        hit = table.join(
+            erased.withColumnRenamed(ekey, "__ek"),
+            table[key_col] == F.col("__ek"),
+            "left_outer",
+        )
+        parts.append(
+            hit.agg(
+                F.lit(label).alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(F.when(F.col("__ek").isNotNull(), 1).otherwise(0)).alias(
+                    "n_deleted"
+                ),
+                F.sum(F.when(F.col("__ek").isNull(), 1).otherwise(0)).alias(
+                    "n_remaining"
+                ),
+            )
+        )
+    return reduce(lambda x, y: x.unionByName(y), parts)
+
+
+DELETE_CASCADE_SQL = """
+WITH erased_c AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+     erased_o AS (SELECT o_orderkey FROM orders
+                  WHERE o_custkey IN (SELECT c_custkey FROM erased_c))
+SELECT 'customer' AS table_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN e.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+       CAST(sum(CASE WHEN e.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_remaining
+FROM customer c LEFT JOIN erased_c e ON c.c_custkey = e.c_custkey
+UNION ALL
+SELECT 'orders',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN e.c_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN e.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM orders o LEFT JOIN erased_c e ON o.o_custkey = e.c_custkey
+UNION ALL
+SELECT 'lineitem',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN e.o_orderkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN e.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+FROM lineitem l LEFT JOIN erased_o e ON l.l_orderkey = e.o_orderkey
+"""
+
+
+def register_all() -> None:
+    register("merge_upsert", q_merge_upsert, MERGE_UPSERT_SQL)
+    register("table_diff", q_table_diff, TABLE_DIFF_SQL)
+    register("delete_cascade", q_delete_cascade, DELETE_CASCADE_SQL)

@@ -317,6 +317,72 @@ GROUP BY bin
 """
 
 
+# --- edge-broadcast discretization (the 100 TB path) -------------------------
+# The scale-out counterpart of discretize_quantile promised in its
+# docstring: instead of one global ntile sort (O(n log n) single
+# ordering), compute the 9 decile EDGES in one aggregation pass
+# (percentile() here; on a real cluster approx_percentile — the
+# exact edges keep the oracle bit-checkable, same R-7 interpolation
+# parity as agg_percentile), broadcast the one-row edge array, and
+# bin every row with a map-only 9-term comparison sum. Two passes
+# over the data, zero global sorts — the plan that survives a
+# 100 TB fact table. Bin populations differ from exact ntile only at
+# edge-tie boundaries (documented equal-frequency approximation);
+# this key carries its own oracle built the same way.
+_QBIN_PROBS = tuple((i + 1) / N_QBINS for i in range(N_QBINS - 1))
+
+
+def q_discretize_quantile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = ", ".join(f"{p}" for p in _QBIN_PROBS)
+    edges = li.agg(
+        F.expr(f"percentile(l_extendedprice, array({probs}))").alias("edges")
+    )
+    # bin = 1 + #edges strictly below the value: identical arithmetic
+    # on both engines, no rank involved
+    bin_expr = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(F.col("l_extendedprice") > F.element_at("edges", i + 1), 1).otherwise(0)
+            for i in range(len(_QBIN_PROBS))
+        ],
+    ) + F.lit(1)
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        F.col("l_extendedprice").alias("price"),
+        bin_expr.cast("long").alias("bin"),
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("price").alias("min_price"),
+        F.max("price").alias("max_price"),
+        F.sum(F.col("price").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+_QBIN_TERMS_SQL = " + ".join(
+    f"CASE WHEN l_extendedprice > edges[{i + 1}] THEN 1 ELSE 0 END"
+    for i in range(len(_QBIN_PROBS))
+)
+
+DISCRETIZE_QUANTILE_APPROX_SQL = f"""
+WITH e AS (
+  SELECT quantile_cont(l_extendedprice,
+                       [{", ".join(str(p) for p in _QBIN_PROBS)}]) AS edges
+  FROM lineitem
+)
+SELECT bin, CAST(count(*) AS BIGINT) AS n,
+       min(price) AS min_price, max(price) AS max_price,
+       CAST(sum(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM (
+  SELECT l_extendedprice AS price,
+         CAST({_QBIN_TERMS_SQL} + 1 AS BIGINT) AS bin
+  FROM lineitem, e) t
+GROUP BY bin
+"""
+
+
 # --- k-anonymity generalize + suppress --------------------------------------
 # The privacy gate before releasing user-adjacent aggregates:
 # generalize the quasi-identifiers (exact order date -> calendar
@@ -359,4 +425,9 @@ def register_all() -> None:
     register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)
     register("sample_group_topn", q_sample_group_topn, SAMPLE_GROUP_TOPN_SQL)
     register("discretize_quantile", q_discretize_quantile, DISCRETIZE_QUANTILE_SQL)
+    register(
+        "discretize_quantile_approx",
+        q_discretize_quantile_approx,
+        DISCRETIZE_QUANTILE_APPROX_SQL,
+    )
     register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)

@@ -992,8 +992,70 @@ WHERE e.vec_id NOT IN (SELECT vec_id FROM ({_dedup_semantic_sql()}) d)
 """
 
 
+# --- random sign projection (Johnson-Lindenstrauss dim reduction) ----------
+# The standard pre-ANN compression step: project DIM=64-dim vectors
+# to RP_DIM=16 with a dense +-1 sign matrix scaled by 1/sqrt(RP_DIM)
+# (Achlioptas 2003's database-friendly JL variant — signs instead of
+# gaussians, so the projection is pure add/sub). The matrix is
+# DETERMINISTIC: sign(i, j) from a Knuth multiplicative hash of the
+# coordinate pair, generated by the same Python loop into Spark
+# literals and oracle SQL literals — the engines never compute the
+# matrix, only the fold. Shape: map-only projection (RP_DIM
+# aggregate(zip_with) folds against literal sign arrays — the r5 HOF
+# kernel lesson; no shuffle anywhere), so it scales as one scan at
+# any corpus size.
+RP_DIM = 16
+
+
+def _rp_sign(i: int, j: int) -> int:
+    # content-addressed sign: md5 of the coordinate pair (a weak
+    # multiplicative hash produced linearly DEPENDENT output dims —
+    # p_{j+7} == -p_j — which defeats the JL guarantee; md5 bytes
+    # have no such structure). Computed once at import into literals.
+    import hashlib
+
+    return 1 if hashlib.md5(f"rp:{i},{j}".encode()).digest()[0] & 1 == 0 else -1
+
+
+_RP_SCALE = 0.25  # 1/sqrt(RP_DIM), exact in binary
+
+
+def _rp_col(j: int) -> Column:
+    signs = F.array(*[F.lit(float(_rp_sign(i, j))) for i in range(DIM)])
+    fold = F.aggregate(
+        F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.round(fold * F.lit(_RP_SCALE), 6)
+
+
+def q_embed_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        *[_rp_col(j).alias(f"p{j + 1}") for j in range(RP_DIM)],
+    )
+
+
+def _rp_sql() -> str:
+    cols = []
+    for j in range(RP_DIM):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(_rp_sign(i, j))}"
+            for i in range(DIM)
+        )
+        cols.append(f"round(({terms}) * {_RP_SCALE}, 6) AS p{j + 1}")
+    return "SELECT vec_id, label,\n       " + ",\n       ".join(cols) + "\nFROM embeddings"
+
+
+EMBED_PROJECT_RP_SQL = _rp_sql()
+
+
 def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
+    register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("simsearch_topk_batch", q_simsearch_topk_batch, SIMSEARCH_TOPK_BATCH_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)

@@ -33,86 +33,29 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # rely on their latest green CORRECTNESS_r{N} row plus the local
 # parity suite (tests/test_oracle_parity.py runs ALL oracled keys
 # every CI run — the rotation only affects which subset the external
-# driver re-hashes). Round-6 ordering (VERDICT r5 item 1 — retire the
-# staleness backlog):
-# (a) the 10 keys added this round, (b) the keys whose plans or
-# shared code changed this round (N_LLOYD multi-iteration k-means
-# changed the three IVF hashes; the BM25 scorer refactor and the
-# stream-packing chunk fix are behavior-preserving but re-verified),
-# then (c) THE STALENESS ROTATION: all 35 longest-unchecked keys
-# whose last driver check is r1/r2 (displaced by the r5 additions).
-# Still past-cap after this round (r2-green, locally parity-green
-# every CI; front-load in r7): media_meta, media_frames, scan_csv,
-# scan_jsonl, scan_orc, sink_partitioned, plus the r5-green keys.
+# driver re-hashes). Round-7 ordering (NOTES.md R7 WINDOW PLAN):
+# (a) the 4 remaining r2-stale format keys, (b) ALL 30 late-r6
+# additions — registered after the r6 window was fixed, so the driver
+# has NEVER checked them (CORRECTNESS_r06 confirms the r6 window was
+# the 50 keys that preceded them), (c) new r7 keys, (d) the
+# longest-unchecked remainder: the 8 r2-checked text keys, then the
+# oldest r3-checked fuzzy-core keys until the 50-slot cap. With the
+# 8 new r7 keys the cap lands after the r2 text battery, so the
+# r3-checked keys below it are past-cap this round (all r3-green and
+# locally parity-green every CI — front-load in r8): fuzzify,
+# rulegen_antecedent, agg_class_counts, rulemerge_avg,
+# model_roundtrip, classify_ac, metrics_confusion, filter_pred,
+# scalar_array_funcs, agg_median_mode, join_bucketed,
+# join_salted_skew, scan_source, project_encode, filter_valid,
+# dedup_chunk, text_normalize, media_resize, media_decode,
+# simsearch_topk_batch, embed_neardup, embed_neardup_lsh.
 CHECK_PRIORITY: list[str] = [
-    # (a) new this round -- never driver-checked
-    "crossval_keel",
-    "text_index_build",
-    "text_bm25_from_index",
-    "stream_dedup_minhash",
-    "join_dpp",
-    "sql_q2",
-    "sql_q9",
-    "sql_q12",
-    "sql_q16",
-    "sql_q20",
-    # (b) result hashes changed this round (N_LLOYD=4 k-means).
-    # text_bm25_topk (scorer refactor) and stream_pack_sequences
-    # (chunk fix) also changed CODE but their result hashes are
-    # UNCHANGED and r5-green — local parity re-proves them every CI,
-    # so their slots go to two more stale keys instead.
-    "simsearch_ivf_kmeans",
-    "simsearch_ivf_probe2",
-    "simsearch_recall",
-    # (c) staleness rotation: last green driver check is r1/r2
-    "ruleweight_pcf_plain",
-    "ruleweight_pcfcs_costmatrix",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_percentile",
-    "join_broadcast",
-    "join_sortmerge",
-    "agg_cube",
-    "agg_distinct",
-    "rule_conflict_resolve_d8",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_cross",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "setop_union",
-    "setop_except",
-    "setop_intersect",
-    "unpivot_measures",
-    "window_rank",
-    "window_distribution",
-    "fuzzify_nominal",
-    "rulegen_nominal",
-    "agg_pivot",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "join_salted",
-    "topk_global",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_hashkey",
-    "embed_cosine",
-    "simsearch_ivf",
-    "media_meta",
-    "media_frames",
-    # -- window cap is 50; (a)-(c) above are exactly 50 (37 of the 41
-    # stale keys re-checked). The r7 rotation starts here: the 4
-    # remaining r2-stale format keys, then the LATE-R6 ADDITIONS that
-    # post-date this round's window (never driver-checked, locally
-    # parity-green): simsearch_ivf_build, simsearch_ivf_from_index,
-    # text_repetition, corpus_report, filter_length_band — plus any
-    # keys added after them.
+    # (a) r2-stale format keys (last driver check: round 2)
     "scan_csv",
     "scan_jsonl",
     "scan_orc",
     "sink_partitioned",
+    # (b) late-r6 additions -- never driver-checked
     "simsearch_ivf_build",
     "simsearch_ivf_from_index",
     "text_repetition",
@@ -143,6 +86,49 @@ CHECK_PRIORITY: list[str] = [
     "text_phrase_from_index",
     "scd2_build",
     "stream_scd2_maintain",
+    # (c) new r7 keys -- never driver-checked (inserted as built)
+    "merge_upsert",
+    "table_diff",
+    "delete_cascade",
+    "discretize_quantile_approx",
+    "classify_wr_bigmodel",
+    "embed_project_rp",
+    "agg_active_users_7d",
+    "stream_merge_upsert",
+    # (d) staleness rotation: r2-checked text battery, then the
+    # oldest r3-checked fuzzy-core keys, up to the 50-key cap
+    "text_lexical",
+    "pipeline_clean_corpus",
+    "text_tokens",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_tokens_bpe",
+    "text_fingerprint",
+    "fuzzify",
+    "rulegen_antecedent",
+    "agg_class_counts",
+    "rulemerge_avg",
+    "model_roundtrip",
+    "classify_ac",
+    "metrics_confusion",
+    "filter_pred",
+    # -- 50-slot cap lands here; everything below is past-cap order
+    # for the r8 rotation (r3-green, locally parity-green every CI)
+    "scalar_array_funcs",
+    "agg_median_mode",
+    "join_bucketed",
+    "join_salted_skew",
+    "scan_source",
+    "project_encode",
+    "filter_valid",
+    "dedup_chunk",
+    "text_normalize",
+    "media_resize",
+    "media_decode",
+    "simsearch_topk_batch",
+    "embed_neardup",
+    "embed_neardup_lsh",
 ]
 
 

@@ -1,0 +1,197 @@
+"""M5 — streaming CDC upsert materialization (round 7).
+
+Streaming twin of `merge_upsert` (operators/lakehouse.py): the base
+snapshot and the changeset arrive as ONE stream of CDC records
+(base rows tagged 'B', changeset rows 'I'/'U'/'D'), and the operator
+maintains the merged table incrementally — the continuous-apply mode
+every table format's streaming MERGE offers.
+
+ORDER-INSENSITIVE BY CONSTRUCTION: per key there is at most one base
+row and at most one changeset op, and the state stores BOTH sides
+independently as they arrive; every touch re-emits the ANSI-MERGE
+result of whatever has arrived, tagged with n_seen (0..2 rows seen
+for the key). n_seen strictly increases per emission, so final =
+the max-n_seen emission per key — which, once replay completes, is
+the merge of base+op, i.e. exactly the batch `merge_upsert` result
+under ANY split of the input into micro-batches (the strict
+batch-equivalence oracle, MERGE_UPSERT_SQL).
+
+State sharding follows the r6 minhash lesson (NOTES): NEVER one
+state group per table key — 15k Arrow round-trips per micro-batch.
+The state key is o_orderkey % N_CDC_SHARDS (a CONSTANT 32 groups,
+partition-parallel); each shard holds its keys' pending halves as
+parallel arrays. At production scale shards stay constant-count
+while state size tracks the live key set, the same shape RocksDB
+state stores expect.
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+    MERGE_UPSERT_SQL,
+    _changeset,
+    _target,
+)
+from chi_frbcs_bigdatacs_spark.plans.registry import register
+from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+N_CDC_SHARDS = 32
+N_CDC_FILES = 4
+
+
+def _cdc_src(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        base = _target(o).select(
+            "o_orderkey",
+            F.lit("B").alias("op"),
+            F.col("o_orderstatus").alias("c_status"),
+            F.col("o_totalprice").alias("c_price"),
+        )
+        chg = _changeset(o).select("o_orderkey", "op", "c_status", "c_price")
+        base.unionByName(chg).repartition(N_CDC_FILES).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    return staged_dir("merge_cdc", sf_dir, build)
+
+
+def q_stream_merge_upsert(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    """`staged_src` lets tests replay a skewed/adversarial file split
+    (one file = one micro-batch) to prove arrival-order invariance."""
+    src = staged_src or _cdc_src(spark, sf_dir)
+    schema = "o_orderkey long, op string, c_status string, c_price double"
+    cdc = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("shard", F.col("o_orderkey") % N_CDC_SHARDS)
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # shard state: key -> [has_base, bstat, bprice, opcode, ostat, oprice]
+        rows: dict[int, list] = {}
+        if state.exists:
+            keys, hasb, bstat, bprice, opc, ostat, oprice = state.get
+            for i, k in enumerate(keys):
+                rows[int(k)] = [
+                    bool(hasb[i]),
+                    bstat[i],
+                    float(bprice[i]),
+                    opc[i],
+                    ostat[i],
+                    float(oprice[i]),
+                ]
+        touched: set[int] = set()
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                k = int(r.o_orderkey)
+                st = rows.setdefault(k, [False, "", 0.0, "", "", 0.0])
+                if r.op == "B":
+                    st[0], st[1], st[2] = True, r.c_status, float(r.c_price)
+                else:
+                    st[3], st[4], st[5] = r.op, r.c_status, float(r.c_price)
+                touched.add(k)
+        out = {
+            "o_orderkey": [],
+            "n_seen": [],
+            "o_orderstatus": [],
+            "o_totalprice": [],
+            "merge_action": [],
+            "present": [],
+        }
+        for k in sorted(touched):
+            hasb, bstat, bprice, opc, ostat, oprice = rows[k]
+            n_seen = int(hasb) + int(opc != "")
+            if opc == "D":
+                present, status, price, action = False, "", 0.0, "delete"
+            elif opc == "I":
+                present, status, price, action = True, ostat, oprice, "insert"
+            elif opc == "U":
+                # an update needs its base row; until it arrives the
+                # key has no merged row yet (corrected on arrival)
+                present, status, price, action = hasb, ostat, oprice, "update"
+            else:
+                present, status, price, action = hasb, bstat, bprice, "keep"
+            out["o_orderkey"].append(k)
+            out["n_seen"].append(n_seen)
+            out["o_orderstatus"].append(status)
+            out["o_totalprice"].append(price)
+            out["merge_action"].append(action)
+            out["present"].append(present)
+        ks = sorted(rows)
+        state.update(
+            (
+                ks,
+                [rows[k][0] for k in ks],
+                [rows[k][1] for k in ks],
+                [rows[k][2] for k in ks],
+                [rows[k][3] for k in ks],
+                [rows[k][4] for k in ks],
+                [rows[k][5] for k in ks],
+            )
+        )
+        if out["o_orderkey"]:
+            yield pd.DataFrame(out)
+
+    merged = cdc.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "o_orderkey long, n_seen int, o_orderstatus string,"
+            " o_totalprice double, merge_action string, present boolean"
+        ),
+        stateStructType=(
+            "keys array<long>, hasb array<boolean>, bstat array<string>,"
+            " bprice array<double>, opc array<string>,"
+            " ostat array<string>, oprice array<double>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_cdc_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        merged.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # final = the max-n_seen emission per key (n_seen strictly
+    # increases per key across emissions), then drop deleted /
+    # not-yet-material rows
+    final = (
+        spark.table(name)
+        .groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_seen", "present", "o_orderstatus", "o_totalprice", "merge_action"
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s.present"))
+    )
+    return final.select(
+        "o_orderkey",
+        F.col("s.o_orderstatus").alias("o_orderstatus"),
+        F.col("s.o_totalprice").alias("o_totalprice"),
+        F.col("s.merge_action").alias("merge_action"),
+    )
+
+
+def register_all() -> None:
+    register("stream_merge_upsert", q_stream_merge_upsert, MERGE_UPSERT_SQL)
