@@ -1,0 +1,155 @@
+"""Semantic invariants for the lakehouse CDC trio + the round-7
+scale-path operators, beyond the cross-engine parity gate:
+MERGE branch accounting, diff/changeset agreement, cascade-delete
+conservation, streaming-merge arrival-order invariance, and the
+JL projection's rank/isometry sanity."""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def _orders(spark):
+    return spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+
+
+def test_merge_branches_partition_the_keyspace(spark):
+    """Every MERGE branch lands where ANSI semantics say: I keys are
+    inserted, D keys are gone, U keys carry the updated status/price,
+    untouched target rows pass through bit-identically."""
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        _MERGE_UPDATE_STATUS,
+        merged_snapshot,
+    )
+
+    o = _orders(spark)
+    merged = merged_snapshot(o).cache()
+    try:
+        rows = {r["o_orderkey"]: r for r in merged.collect()}
+        for r in o.collect():
+            k = r["o_orderkey"]
+            if k % 10 >= 8:  # insert
+                assert rows[k]["merge_action"] == "insert"
+                assert rows[k]["o_totalprice"] == r["o_totalprice"]
+            elif k % 13 == 0:  # delete
+                assert k not in rows
+            elif k % 7 == 0:  # update
+                assert rows[k]["merge_action"] == "update"
+                assert rows[k]["o_orderstatus"] == _MERGE_UPDATE_STATUS
+                assert rows[k]["o_totalprice"] == r["o_totalprice"] + 1.0
+            else:  # keep
+                assert rows[k]["merge_action"] == "keep"
+                assert rows[k]["o_orderstatus"] == r["o_orderstatus"]
+                assert rows[k]["o_totalprice"] == r["o_totalprice"]
+        assert len(rows) == merged.count()  # key is unique in the output
+    finally:
+        merged.unpersist()
+
+
+def test_table_diff_counts_equal_changeset_arithmetic(spark):
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import q_table_diff
+
+    o = _orders(spark)
+    keys = [r["o_orderkey"] for r in o.select("o_orderkey").collect()]
+    n_added = sum(1 for k in keys if k % 10 >= 8)
+    n_removed = sum(1 for k in keys if k % 10 < 8 and k % 13 == 0)
+    n_changed = sum(
+        1 for k in keys if k % 10 < 8 and k % 13 != 0 and k % 7 == 0
+    )
+    got = {
+        r["diff"]: r["n"]
+        for r in q_table_diff(spark, SF_SMALL).groupBy("diff").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    assert got == {"added": n_added, "removed": n_removed, "changed": n_changed}
+
+
+def test_delete_cascade_conserves_rows(spark):
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import q_delete_cascade
+
+    audit = {r["table_name"]: r for r in q_delete_cascade(spark, SF_SMALL).collect()}
+    for t in ("customer", "orders", "lineitem"):
+        assert audit[t]["n_rows"] == audit[t]["n_deleted"] + audit[t]["n_remaining"]
+    # the cascade can only grow down the FK fan-out
+    assert audit["customer"]["n_deleted"] >= 1
+    assert audit["orders"]["n_deleted"] >= audit["customer"]["n_deleted"]
+    assert audit["lineitem"]["n_deleted"] >= audit["orders"]["n_deleted"]
+
+
+def test_stream_merge_invariant_under_op_before_base_split(spark, tmp_path):
+    """The streaming MERGE must converge to the batch result even when
+    every changeset op arrives BEFORE its base row (the adversarial
+    arrival order for upsert state): stage changeset-first files and
+    compare against the batch operator."""
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        _changeset,
+        _target,
+        merged_snapshot,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.cdc import q_stream_merge_upsert
+
+    o = _orders(spark)
+    src = str(tmp_path / "cdc_op_first")
+    chg = _changeset(o).select("o_orderkey", "op", "c_status", "c_price")
+    base = _target(o).select(
+        "o_orderkey",
+        F.lit("B").alias("op"),
+        F.col("o_orderstatus").alias("c_status"),
+        F.col("o_totalprice").alias("c_price"),
+    )
+    # file 1: ALL ops; files 2-3: the base snapshot split unevenly
+    chg.coalesce(1).write.mode("append").parquet(src)
+    base.filter(F.col("o_orderkey") % 5 == 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    base.filter(F.col("o_orderkey") % 5 != 0).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    streamed = sorted(
+        map(tuple, q_stream_merge_upsert(spark, SF_SMALL, staged_src=src).collect())
+    )
+    batch = sorted(map(tuple, merged_snapshot(o).collect()))
+    assert streamed == batch and streamed
+
+
+def test_rp_projection_rank_and_isometry(spark):
+    """The sign matrix must be full-rank (the r7 hash fix: the weak
+    multiplicative hash produced p_{j+7} == -p_j) and the scaled
+    projection roughly norm-preserving on real fixture vectors (JL
+    with k=16: loose [0.4, 2.2] ratio band, deterministic data)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        DIM,
+        RP_DIM,
+        _rp_sign,
+        q_embed_project_rp,
+    )
+
+    M = np.array(
+        [[_rp_sign(i, j) for j in range(RP_DIM)] for i in range(DIM)],
+        dtype=np.float64,
+    )
+    assert np.linalg.matrix_rank(M) == RP_DIM
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").orderBy("vec_id")
+    vecs = np.array([r["embedding"] for r in emb.limit(20).collect()])
+    proj = q_embed_project_rp(spark, SF_SMALL).orderBy("vec_id").limit(20).collect()
+    P = np.array([[r[f"p{j + 1}"] for j in range(RP_DIM)] for r in proj])
+    ratios = np.linalg.norm(P, axis=1) / np.linalg.norm(vecs, axis=1)
+    assert ratios.min() > 0.4 and ratios.max() < 2.2
+
+
+def test_discretize_approx_bins_are_near_equal_population(spark):
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        N_QBINS,
+        q_discretize_quantile_approx,
+    )
+
+    rows = q_discretize_quantile_approx(spark, SF_SMALL).collect()
+    assert sorted(r["bin"] for r in rows) == list(range(1, N_QBINS + 1))
+    total = sum(r["n"] for r in rows)
+    for r in rows:
+        assert abs(r["n"] - total / N_QBINS) <= total * 0.01, r
