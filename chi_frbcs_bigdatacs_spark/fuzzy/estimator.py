@@ -199,7 +199,11 @@ class ChiFRBCSModel:
         through d<=6 (<=64 cells/example); at d>=8 flip to
         transform_pandas — and pair it with collect_rules=True,
         because this path materializes the rule arrays driver-side
-        anyway (it warns on a distributed rule base)."""
+        anyway (it warns on a distributed rule base). If the rule
+        base is too large even for the JVM broadcast budget, use
+        transform(broadcast_rules=False) instead: the same cell
+        equi-join as a shuffle-hash join, nothing rule-sized ever
+        leaves the executors (the classify_wr_bigmodel path)."""
         import numpy as np
 
         parts = self.parts

@@ -842,6 +842,109 @@ LIMIT {BPE_TOP}
 """
 
 
+# --- iterative BPE merge training -------------------------------------------
+# The full tokenizer-training outer loop, not just one candidate
+# count (bpe_top_merges above): N_BPE_ROUNDS rounds of (count
+# adjacent pairs) -> (pick the top pair, ties by pair asc) -> (merge
+# it greedily left-to-right across the corpus), the algorithm of
+# Sennrich et al. 2016. Output is the learned merge table
+# (round, pair, n) — the artifact a tokenizer ships.
+#
+# The greedy non-overlapping merge is PURE STRING algebra shared by
+# both engines: double every separator so each token owns its flanks
+# (' a  a  a ' matches ' a  a ' exactly at non-overlapping pair
+# sites — verified equal to the fold semantics on both engines),
+# replace ' A  B ' with ' A_B ', then collapse spaces. The top pair
+# is read driver-side per round (ONE row — the same bounded
+# driver-side constant pattern as the IVF probe pick), while the
+# oracle unrolls the rounds as self-contained CTEs with scalar
+# subqueries, like graph_pagerank's unrolled iterations.
+#
+# Scale shape per round: one explode + one map-side-combined pair
+# agg + TakeOrdered(1), then a map-only string rewrite; rounds stack
+# expression lineage (production would persist the corpus every few
+# rounds — noted, not needed at fixture depth 3).
+N_BPE_ROUNDS = 3
+
+
+def _bpe_pair_counts(corpus: DataFrame) -> DataFrame:
+    toks = F.split(F.col("s"), " ")
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        corpus.select(F.explode(grams).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    corpus = d.select(
+        F.regexp_replace(F.trim(F.col("text")), " +", " ").alias("s")
+    )
+    rows = []
+    for rnd in range(1, N_BPE_ROUNDS + 1):
+        top = (
+            _bpe_pair_counts(corpus)
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .first()
+        )
+        rows.append((rnd, top["pair"], top["n"]))
+        a_b = top["pair"]
+        pattern = " " + a_b.replace(" ", "  ") + " "
+        merged = " " + a_b.replace(" ", "_") + " "
+        corpus = corpus.select(
+            F.regexp_replace(
+                F.trim(
+                    F.expr(
+                        "replace(' ' || replace(s, ' ', '  ') || ' ', "
+                        f"'{pattern}', '{merged}')"
+                    )
+                ),
+                " +",
+                " ",
+            ).alias("s")
+        )
+    return spark.createDataFrame(rows, "round int, pair string, n long")
+
+
+def _bpe_train_sql() -> str:
+    parts = ["c0 AS (SELECT regexp_replace(trim(text), ' +', ' ', 'g') AS s FROM documents)"]
+    for r in range(1, N_BPE_ROUNDS + 1):
+        parts.append(
+            f"""p{r} AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(CASE WHEN len(string_split(s, ' ')) >= 2
+                     THEN list_transform(
+                            range(1, len(string_split(s, ' '))),
+                            i -> array_to_string(
+                                   list_slice(string_split(s, ' '), i, i + 1), ' '))
+                     ELSE [] END) AS pair
+        FROM c{r - 1}) t
+  GROUP BY pair),
+t{r} AS (SELECT pair, n FROM p{r} ORDER BY n DESC, pair ASC LIMIT 1),
+c{r} AS (
+  SELECT regexp_replace(trim(replace(' ' || replace(s, ' ', '  ') || ' ',
+           ' ' || replace((SELECT pair FROM t{r}), ' ', '  ') || ' ',
+           ' ' || replace((SELECT pair FROM t{r}), ' ', '_') || ' ')),
+         ' +', ' ', 'g') AS s
+  FROM c{r - 1})"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, pair, n FROM t{r}" for r in range(1, N_BPE_ROUNDS + 1)
+    )
+    return "WITH " + ",\n".join(parts) + "\n" + union
+
+
+BPE_TRAIN_MERGES_SQL = _bpe_train_sql()
+
+
 # --- positional phrase search ----------------------------------------------
 # The IR feature term-frequency indexes cannot answer: exact phrase
 # hits via POSITIONAL postings. Shape: posexplode to (doc, pos, term)
@@ -980,6 +1083,7 @@ def register_all() -> None:
     register("text_bm25_topk", q_text_bm25_topk, _bm25_sql())
     register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf, _hybrid_rrf_sql())
     register("bpe_top_merges", q_bpe_top_merges, BPE_TOP_MERGES_SQL)
+    register("bpe_train_merges", q_bpe_train_merges, BPE_TRAIN_MERGES_SQL)
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)
