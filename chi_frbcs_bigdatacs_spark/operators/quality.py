@@ -317,6 +317,76 @@ GROUP BY bin
 """
 
 
+# --- z-order clustered scan with multi-dimensional data skipping -------------
+# The read-side payoff of scalar_zorder_key: write lineitem CLUSTERED
+# by the Morton key (range-repartition on zkey + sortWithinPartitions
+# — the Delta/Iceberg Z-ORDER write path), then answer a rectangular
+# (l_partkey, l_suppkey) box query against the clustered copy. Because
+# z-ordering makes both dimensions locally monotone within files,
+# parquet footer min/max stats skip every row group outside the box —
+# a scan whose I/O tracks the BOX size, not the table size, in BOTH
+# dimensions at once (single-column sorting can only prune one). The
+# box predicate reaches the scan as PushedFilters (pinned in
+# tests/test_plans.py); the oracle runs the same box over the raw
+# table, proving the rewrite is layout-only.
+# the box is sf-relative (low corner: partkey <= max/8, suppkey <=
+# max/4, ~1/32 of the key plane at every sf) so the skipping claim is
+# testable at any fixture size; the bounds are integer floor-division
+# of the table max — read driver-side on the Spark path (two scalars,
+# the timeseries_gapfill pattern) and scalar subqueries in the oracle
+ZORDER_P_FRAC, ZORDER_S_FRAC = 8, 4
+ZORDER_FILES = 16
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> str:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build(d: str) -> None:
+        li = load_table(spark, sf_dir, "lineitem")
+        (
+            li.withColumn("zkey", _zorder_col("l_partkey", "l_suppkey"))
+            .repartitionByRange(ZORDER_FILES, "zkey")
+            .sortWithinPartitions("zkey")
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+
+    return staged_dir("zorder_layout", sf_dir, build)
+
+
+def zorder_box(spark: SparkSession, sf_dir: str) -> tuple[int, int]:
+    li = load_table(spark, sf_dir, "lineitem")
+    pmax, smax = li.agg(F.max("l_partkey"), F.max("l_suppkey")).first()
+    return int(pmax) // ZORDER_P_FRAC, int(smax) // ZORDER_S_FRAC
+
+
+def q_scan_zorder_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    phi, shi = zorder_box(spark, sf_dir)
+    return (
+        spark.read.parquet(_zorder_layout(spark, sf_dir))
+        .filter(
+            F.col("l_partkey").between(0, phi)
+            & F.col("l_suppkey").between(0, shi)
+        )
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+        )
+    )
+
+
+SCAN_ZORDER_PRUNED_SQL = f"""
+SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       l_partkey, l_suppkey, l_quantity
+FROM lineitem
+WHERE l_partkey BETWEEN 0 AND (SELECT max(l_partkey) // {ZORDER_P_FRAC} FROM lineitem)
+  AND l_suppkey BETWEEN 0 AND (SELECT max(l_suppkey) // {ZORDER_S_FRAC} FROM lineitem)
+"""
+
+
 # --- edge-broadcast discretization (the 100 TB path) -------------------------
 # The scale-out counterpart of discretize_quantile promised in its
 # docstring: instead of one global ntile sort (O(n log n) single
@@ -423,6 +493,7 @@ def register_all() -> None:
     register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
     register("audit_duplicate_pk", q_audit_duplicate_pk, AUDIT_DUPLICATE_PK_SQL)
     register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)
+    register("scan_zorder_pruned", q_scan_zorder_pruned, SCAN_ZORDER_PRUNED_SQL)
     register("sample_group_topn", q_sample_group_topn, SAMPLE_GROUP_TOPN_SQL)
     register("discretize_quantile", q_discretize_quantile, DISCRETIZE_QUANTILE_SQL)
     register(

@@ -96,6 +96,7 @@ CHECK_PRIORITY: list[str] = [
     "agg_active_users_7d",
     "stream_merge_upsert",
     "bpe_train_merges",
+    "scan_zorder_pruned",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",

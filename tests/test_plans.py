@@ -151,6 +151,48 @@ def test_partition_pruned_scan(spark):
     ), p.split("FileScan")[-1][:400]
 
 
+def test_zorder_scan_pushes_box_and_skips_row_groups(spark):
+    """The box predicate must reach the clustered parquet as
+    PushedFilters, and the z-order layout must make footer min/max
+    stats actually effective: the fraction of row groups whose
+    (l_partkey, l_suppkey) ranges intersect the box must be a small
+    minority — that I/O reduction IS the operator's reason to exist."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        _zorder_layout,
+        zorder_box,
+    )
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    df = get_registry()["scan_zorder_pruned"].fn(spark, SF_SMALL)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    pushed = p.split("PushedFilters: [")[-1].split("ReadSchema")[0]
+    # the scan metadata string is truncated at 100 chars, so pin the
+    # range-pushdown prefix rather than all four bounds
+    for frag in ("GreaterThanOrEqual(l_partkey,0)", "LessThanOrEqual(l_p"):
+        assert frag in pushed, f"{frag} missing from PushedFilters: {pushed}"
+
+    phi, shi = zorder_box(spark, SF_SMALL)
+    plo = slo = 0
+    total = hit = 0
+    for f in glob.glob(f"{_zorder_layout(spark, SF_SMALL)}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        for rg in range(md.num_row_groups):
+            g = md.row_group(rg)
+            ps = g.column(cols["l_partkey"]).statistics
+            ss = g.column(cols["l_suppkey"]).statistics
+            total += 1
+            if ps.min <= phi and ps.max >= plo and ss.min <= shi and ss.max >= slo:
+                hit += 1
+    assert total >= 8, f"expected a multi-row-group layout, got {total}"
+    assert hit <= total // 2, (
+        f"z-order layout not skipping: {hit}/{total} row groups intersect the box"
+    )
+
+
 def test_bm25_from_index_never_scans_documents(spark):
     """Serving from the materialized index must not touch the corpus:
     no documents.parquet scan, and the 3-term query filter is pushed
