@@ -488,6 +488,73 @@ HAVING count(*) >= {K_ANON}
 """
 
 
+# --- column masking (static data-protection policy) -------------------------
+# The deterministic masking pass applied before data leaves the
+# trusted zone, complementing anonymize_kgroups (aggregate release)
+# and delete_cascade (erasure): direct identifiers are pseudonymized
+# with a keyed hash (same input -> same token, so joins on the
+# pseudonym still work downstream), quasi-identifiers are coarsened
+# (account balance to the nearest 100), and low-risk attributes pass
+# through. Pure map-only projection — no shuffle, trivially 100 TB.
+MASK_SALT = "mask-v1"
+
+
+def q_mask_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring(
+            F.md5(F.concat(F.lit(MASK_SALT), F.lit("|"), F.col("c_name"))), 1, 16
+        ).alias("name_token"),
+        (F.floor(F.col("c_acctbal") / 100) * 100).cast("double").alias(
+            "acctbal_band"
+        ),
+        "c_mktsegment",
+    )
+
+
+MASK_COLUMNS_SQL = f"""
+SELECT c_custkey,
+       substr(md5('{MASK_SALT}' || '|' || c_name), 1, 16) AS name_token,
+       CAST(floor(c_acctbal / 100) * 100 AS DOUBLE) AS acctbal_band,
+       c_mktsegment
+FROM customer
+"""
+
+
+# --- freshness / staleness audit ---------------------------------------------
+# The SLA check every ingestion DAG runs: per event type, latest
+# arrival and its lag behind the newest event anywhere — one grouped
+# agg plus a one-row global max folded back in (broadcast-sized).
+def q_audit_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    per_type = ev.groupBy("event_type").agg(F.max("ts").alias("latest_ts"))
+    glob = per_type.agg(F.max("latest_ts").alias("global_ts"))
+    return (
+        per_type.crossJoin(F.broadcast(glob))
+        .select(
+            "event_type",
+            F.date_format("latest_ts", "yyyy-MM-dd HH:mm:ss").alias("latest_ts"),
+            (
+                (F.unix_micros("global_ts") - F.unix_micros("latest_ts"))
+                / F.lit(1_000_000)
+            ).cast("long").alias("lag_seconds"),
+        )
+    )
+
+
+AUDIT_FRESHNESS_SQL = """
+WITH per_type AS (SELECT event_type, max(ts) AS latest_ts FROM events GROUP BY 1),
+g AS (SELECT max(latest_ts) AS global_ts FROM per_type)
+SELECT event_type,
+       strftime(latest_ts, '%Y-%m-%d %H:%M:%S') AS latest_ts,
+       CAST(epoch_us(global_ts - latest_ts) // 1000000 AS BIGINT) AS lag_seconds
+FROM per_type CROSS JOIN g
+"""
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
@@ -502,3 +569,5 @@ def register_all() -> None:
         DISCRETIZE_QUANTILE_APPROX_SQL,
     )
     register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)
+    register("mask_columns", q_mask_columns, MASK_COLUMNS_SQL)
+    register("audit_freshness", q_audit_freshness, AUDIT_FRESHNESS_SQL)

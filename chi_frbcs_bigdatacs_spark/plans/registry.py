@@ -97,6 +97,8 @@ CHECK_PRIORITY: list[str] = [
     "stream_merge_upsert",
     "bpe_train_merges",
     "scan_zorder_pruned",
+    "mask_columns",
+    "audit_freshness",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",
