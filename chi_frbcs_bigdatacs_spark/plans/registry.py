@@ -40,15 +40,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # the 50 keys that preceded them), (c) new r7 keys, (d) the
 # longest-unchecked remainder: the 8 r2-checked text keys, then the
 # oldest r3-checked fuzzy-core keys until the 50-slot cap. With the
-# 8 new r7 keys the cap lands after the r2 text battery, so the
-# r3-checked keys below it are past-cap this round (all r3-green and
-# locally parity-green every CI — front-load in r8): fuzzify,
-# rulegen_antecedent, agg_class_counts, rulemerge_avg,
-# model_roundtrip, classify_ac, metrics_confusion, filter_pred,
-# scalar_array_funcs, agg_median_mode, join_bucketed,
-# join_salted_skew, scan_source, project_encode, filter_valid,
-# dedup_chunk, text_normalize, media_resize, media_decode,
-# simsearch_topk_batch, embed_neardup, embed_neardup_lsh.
+# 12 new r7 keys the cap lands after text_stats (the first 4 of the
+# r2 text battery), so everything below it is past-cap this round
+# (all r2/r3-green and locally parity-green every CI) — NOTES.md's
+# R8 WINDOW PLAN lists the exact front-load order for next round.
 CHECK_PRIORITY: list[str] = [
     # (a) r2-stale format keys (last driver check: round 2)
     "scan_csv",
