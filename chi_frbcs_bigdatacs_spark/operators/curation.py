@@ -964,9 +964,65 @@ GROUP BY wday
 """
 
 
+# --- weekly cohort retention matrix ------------------------------------------
+# The product-analytics staple: bucket users by first-activity week
+# (their cohort) and count how many are still active k weeks later.
+# Shape: distinct (user, day) once; per-user min via one groupBy (NOT
+# a window — no sort needed for a single min); one equi-join back on
+# user_id (broadcast-able: one row per user, always << activity); one
+# distinct + count per (cohort_week, week_offset). All integer date
+# arithmetic against a fixed epoch — no float, no rank, fully
+# order-free. At 100 TB: two shuffles on user_id + one on the tiny
+# (cohort, offset) grid.
+COHORT_EPOCH = "2024-01-01"
+
+
+def q_window_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    first = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(first, "user_id")
+    epoch = F.lit(COHORT_EPOCH).cast("date")
+    return (
+        j.select(
+            "user_id",
+            F.floor(F.datediff(F.col("first_day"), epoch) / 7)
+            .cast("long")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("day"), F.col("first_day")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+WINDOW_RETENTION_COHORTS_SQL = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+first AS (SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id),
+cells AS (
+  SELECT DISTINCT ud.user_id,
+         CAST(floor(date_diff('day', DATE '{COHORT_EPOCH}', first_day) / 7) AS BIGINT) AS cohort_week,
+         CAST(floor(date_diff('day', first_day, day) / 7) AS BIGINT) AS week_offset
+  FROM ud JOIN first ON ud.user_id = first.user_id
+)
+SELECT cohort_week, week_offset, CAST(count(*) AS BIGINT) AS n_users
+FROM cells GROUP BY 1, 2
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("agg_active_users_7d", q_agg_active_users_7d, AGG_ACTIVE_USERS_7D_SQL)
+    register(
+        "window_retention_cohorts",
+        q_window_retention_cohorts,
+        WINDOW_RETENTION_COHORTS_SQL,
+    )
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)

@@ -94,6 +94,7 @@ CHECK_PRIORITY: list[str] = [
     "scan_zorder_pruned",
     "mask_columns",
     "audit_freshness",
+    "window_retention_cohorts",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",
