@@ -258,7 +258,60 @@ FROM lineitem l LEFT JOIN erased_o e ON l.l_orderkey = e.o_orderkey
 """
 
 
+# --- small-files compaction --------------------------------------------------
+# The OPTIMIZE/rewrite-data-files maintenance job every table format
+# schedules: a directory fragmented into many small parquet files
+# (here: a staged 64-file layout of lineitem — the shape a streaming
+# sink or over-parallel write leaves behind) is rewritten into a few
+# right-sized files. Compaction is one read + round-robin
+# repartition + write — no shuffle key, so the exchange is pure
+# coalescing; at 100 TB this runs per-partition-directory with file
+# counts chosen from target_bytes / avg_row_size. The audit row
+# proves the contract: before/after file counts (repartition(n)
+# writes exactly n non-empty parts when rows >> n) and exact row
+# conservation — the oracle pins the same three numbers from the
+# raw table.
+COMPACT_SRC_FILES = 64
+COMPACT_TARGET_FILES = 4
+
+
+def q_maintenance_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build_small(d: str) -> None:
+        load_table(spark, sf_dir, "lineitem").repartition(
+            COMPACT_SRC_FILES
+        ).write.mode("overwrite").parquet(d)
+
+    small = staged_dir("smallfiles", sf_dir, build_small)
+
+    def build_compact(d: str) -> None:
+        spark.read.parquet(small).repartition(COMPACT_TARGET_FILES).write.mode(
+            "overwrite"
+        ).parquet(d)
+
+    compacted = staged_dir("compacted", sf_dir, build_compact)
+    n_before = len(glob.glob(f"{small}/part-*.parquet"))
+    n_after = len(glob.glob(f"{compacted}/part-*.parquet"))
+    n_rows = spark.read.parquet(compacted).count()
+    return spark.createDataFrame(
+        [(n_before, n_after, n_rows)],
+        "n_files_before long, n_files_after long, n_rows long",
+    )
+
+
+MAINTENANCE_COMPACT_SQL = f"""
+SELECT CAST({COMPACT_SRC_FILES} AS BIGINT) AS n_files_before,
+       CAST({COMPACT_TARGET_FILES} AS BIGINT) AS n_files_after,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+"""
+
+
 def register_all() -> None:
     register("merge_upsert", q_merge_upsert, MERGE_UPSERT_SQL)
+    register("maintenance_compact", q_maintenance_compact, MAINTENANCE_COMPACT_SQL)
     register("table_diff", q_table_diff, TABLE_DIFF_SQL)
     register("delete_cascade", q_delete_cascade, DELETE_CASCADE_SQL)

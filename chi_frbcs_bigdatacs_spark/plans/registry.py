@@ -95,6 +95,8 @@ CHECK_PRIORITY: list[str] = [
     "mask_columns",
     "audit_freshness",
     "window_retention_cohorts",
+    "stream_audit_freshness",
+    "maintenance_compact",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",

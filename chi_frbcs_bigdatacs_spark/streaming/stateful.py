@@ -496,6 +496,65 @@ def q_stream_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_audit_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Realtime ingestion-SLA monitoring — the streaming twin of
+    `audit_freshness` (operators/quality.py): maintain the latest
+    arrival per event type as state (one int64 micros watermark per
+    type — the constant-group-count sharding lesson holds trivially,
+    the key domain is the 5 event types) and report each type's lag
+    behind the global newest event. Max is monotone, so final state =
+    max over update-mode emissions; the lag projection is the same
+    batch expression. Strict equivalence oracle: AUDIT_FRESHNESS_SQL."""
+    # the staged parquet reads back TIMESTAMP_NTZ; under the UTC
+    # session the cast to TIMESTAMP is micros-identity
+    ev = _staged_stream(spark, sf_dir).select(
+        "event_type", F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        latest = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf):
+                latest = max(latest, int(pdf["ts_us"].max()))
+        state.update((latest,))
+        yield pd.DataFrame({"event_type": [event_type], "latest_us": [latest]})
+
+    latest = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, latest_us long",
+        stateStructType="latest_us long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_fresh_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        latest.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("latest_us").alias("latest_us"))
+    )
+    glob = final.agg(F.max("latest_us").alias("global_us"))
+    return final.crossJoin(F.broadcast(glob)).select(
+        "event_type",
+        F.date_format(
+            F.timestamp_micros(F.col("latest_us")), "yyyy-MM-dd HH:mm:ss"
+        ).alias("latest_ts"),
+        ((F.col("global_us") - F.col("latest_us")) / F.lit(1_000_000))
+        .cast("long")
+        .alias("lag_seconds"),
+    )
+
+
 def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into a served ANN index: new vectors arrive
     over several micro-batches and are assigned to the PERSISTED IVF
@@ -812,3 +871,6 @@ def register_all() -> None:
     register("stream_ivf_assign", q_stream_ivf_assign, _ivf_assign_oracle())
     register("stream_anomaly_detect", q_stream_anomaly_detect, _anomaly_oracle())
     register("stream_scd2_maintain", q_stream_scd2_maintain, _scd2_oracle())
+    from chi_frbcs_bigdatacs_spark.operators.quality import AUDIT_FRESHNESS_SQL
+
+    register("stream_audit_freshness", q_stream_audit_freshness, AUDIT_FRESHNESS_SQL)
