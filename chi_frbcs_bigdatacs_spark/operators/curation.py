@@ -964,6 +964,41 @@ GROUP BY wday
 """
 
 
+# --- event path transitions (first-order Markov counts) ----------------------
+# The journey-analysis primitive behind sankey/path dashboards: for
+# each user's time-ordered event sequence, count every consecutive
+# (prev -> next) event-type transition. One window per user (single
+# hash-partitioned sort keyed by user_id, no global order) + one
+# bounded |types|^2 agg. Ordering is deterministic: events.ts is
+# unique per the testdata contract, and event_id breaks ties anyway.
+def q_events_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        ev.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+EVENTS_PATH_TRANSITIONS_SQL = """
+SELECT prev_type, event_type, CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev_type
+  FROM events) t
+WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # --- weekly cohort retention matrix ------------------------------------------
 # The product-analytics staple: bucket users by first-activity week
 # (their cohort) and count how many are still active k weeks later.
@@ -1022,6 +1057,11 @@ def register_all() -> None:
         "window_retention_cohorts",
         q_window_retention_cohorts,
         WINDOW_RETENTION_COHORTS_SQL,
+    )
+    register(
+        "events_path_transitions",
+        q_events_path_transitions,
+        EVENTS_PATH_TRANSITIONS_SQL,
     )
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)

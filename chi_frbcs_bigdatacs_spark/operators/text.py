@@ -842,6 +842,97 @@ LIMIT {BPE_TOP}
 """
 
 
+# --- tf-idf weighting --------------------------------------------------------
+# The classic sparse text-feature weighting: per (doc, term) raw term
+# frequency scaled by ln(N/df). Shape: one explode + one (doc, term)
+# agg for tf, one distinct-explode agg for df, one equi-join on the
+# term (Catalyst broadcasts the vocab side when it fits, shuffles on
+# the term otherwise); N is a driver scalar folded as a literal (the
+# token_doc_freq pattern). Same tokenizer as the rest of the text
+# battery (lowercase, non-letter splits, len >= 3).
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # driver scalar, folded as a literal
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tok.select("doc_id", "token")
+        .distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return tf.join(df, "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(
+            F.col("tf").cast("double")
+            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            6,
+        ).alias("tfidf"),
+    )
+
+
+TEXT_TFIDF_SQL = """
+WITH tok AS (
+  SELECT doc_id, token
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents) t
+  WHERE length(token) >= 3
+),
+tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+df AS (SELECT token, count(*) AS df
+       FROM (SELECT DISTINCT doc_id, token FROM tok) u GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT tf.doc_id, tf.token, tf.tf,
+       round(CAST(tf.tf AS DOUBLE) * ln(n.n_docs / df.df), 6) AS tfidf
+FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+"""
+
+
+# --- hashing-trick vectorization ---------------------------------------------
+# The fixed-dimension escape from unbounded vocabularies (Weinberger
+# et al. 2009): every token maps to slot md5(token) % FH_DIM, so the
+# feature space is bounded with NO vocab table, no fit pass, and no
+# OOV problem — the property that makes it the streaming/100 TB
+# vectorizer. Sparse output (doc_id, slot, n); the md5->int64 idiom
+# is the same one the MinHash and content-addressed-id paths use.
+FH_DIM = 32
+
+
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+    ).filter(F.length("token") >= 3)
+    slot = (
+        F.conv(F.substring(F.md5(F.col("token")), 1, 15), 16, 10).cast("long")
+        % FH_DIM
+    )
+    return (
+        tok.select("doc_id", slot.alias("slot"))
+        .groupBy("doc_id", "slot")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+SELECT doc_id,
+       CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % {FH_DIM} AS slot,
+       CAST(count(*) AS BIGINT) AS n
+FROM (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+  FROM documents) t
+WHERE length(token) >= 3
+GROUP BY 1, 2
+"""
+
+
 # --- iterative BPE merge training -------------------------------------------
 # The full tokenizer-training outer loop, not just one candidate
 # count (bpe_top_merges above): N_BPE_ROUNDS rounds of (count
@@ -1084,6 +1175,8 @@ def register_all() -> None:
     register("retrieval_hybrid_rrf", q_retrieval_hybrid_rrf, _hybrid_rrf_sql())
     register("bpe_top_merges", q_bpe_top_merges, BPE_TOP_MERGES_SQL)
     register("bpe_train_merges", q_bpe_train_merges, BPE_TRAIN_MERGES_SQL)
+    register("text_tfidf", q_text_tfidf, TEXT_TFIDF_SQL)
+    register("feature_hashing", q_feature_hashing, FEATURE_HASHING_SQL)
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)

@@ -97,6 +97,12 @@ CHECK_PRIORITY: list[str] = [
     "window_retention_cohorts",
     "stream_audit_freshness",
     "maintenance_compact",
+    # late r7 additions: text_tfidf takes the 50th slot; the two
+    # after it are past-cap (locally parity-green; front-load with
+    # the r8 window per NOTES)
+    "text_tfidf",
+    "feature_hashing",
+    "events_path_transitions",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",
