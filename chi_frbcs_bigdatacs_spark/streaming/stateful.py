@@ -555,6 +555,96 @@ def q_stream_audit_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_path_transitions` (curation.py):
+    emit each user's consecutive event-type transitions as events
+    arrive, carrying the user's LAST SEEN type across micro-batches
+    as state. Replay is time-ordered (`_events_tsorder_src`; ts is
+    unique per the testdata contract) so per-user arrival order
+    equals the batch window's (ts, event_id) order — the same
+    precondition stream_scd2_maintain documents. State is sharded to
+    a CONSTANT user_id % 64 group count (the r6 minhash lesson);
+    each shard stores its users' (user, last_type, last_ts_us,
+    last_eid) as parallel arrays. Transitions are append-mode rows;
+    the final count per (prev, next) pair is a batch-side groupBy of
+    the sink — strict equivalence oracle:
+    EVENTS_PATH_TRANSITIONS_SQL."""
+    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+
+    src = _events_tsorder_src(spark, sf_dir)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "user_id",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            "event_type",
+            (F.col("user_id") % 64).alias("shard"),
+        )
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last: dict[int, tuple] = {}
+        if state.exists:
+            users, types, tss, eids = state.get
+            for u, t, ts_us, eid in zip(users, types, tss, eids):
+                last[int(u)] = (t, int(ts_us), int(eid))
+        prev_out: list[str] = []
+        next_out: list[str] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            b = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            for r in b.itertuples(index=False):
+                u = int(r.user_id)
+                if u in last:
+                    prev_out.append(last[u][0])
+                    next_out.append(r.event_type)
+                last[u] = (r.event_type, int(r.ts_us), int(r.event_id))
+        us = sorted(last)
+        state.update(
+            (
+                us,
+                [last[u][0] for u in us],
+                [last[u][1] for u in us],
+                [last[u][2] for u in us],
+            )
+        )
+        if prev_out:
+            yield pd.DataFrame({"prev_type": prev_out, "event_type": next_out})
+
+    trans = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="prev_type string, event_type string",
+        stateStructType=(
+            "users array<long>, types array<string>,"
+            " tss array<long>, eids array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_path_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        trans.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into a served ANN index: new vectors arrive
     over several micro-batches and are assigned to the PERSISTED IVF
@@ -874,3 +964,12 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.quality import AUDIT_FRESHNESS_SQL
 
     register("stream_audit_freshness", q_stream_audit_freshness, AUDIT_FRESHNESS_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        EVENTS_PATH_TRANSITIONS_SQL,
+    )
+
+    register(
+        "stream_path_transitions",
+        q_stream_path_transitions,
+        EVENTS_PATH_TRANSITIONS_SQL,
+    )
