@@ -964,6 +964,57 @@ GROUP BY wday
 """
 
 
+# --- gaps-and-islands: longest consecutive-day activity streak ---------------
+# The canonical gaps-and-islands rewrite: within a user's distinct
+# activity days, consecutive runs share a constant (day - row_number)
+# anchor, so streaks fall out of one window + one groupBy — no
+# self-join, no recursion. Output: each user's longest streak, top-20
+# by (streak desc, user asc) for a bounded result. Shape: one
+# user-keyed window sort + two small aggs; scales as a single shuffle
+# on user_id.
+STREAK_TOP = 20
+
+
+def q_window_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    ud = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    anchored = ud.withColumn(
+        "anchor", F.date_add("day", -F.row_number().over(w))
+    )
+    streaks = anchored.groupBy("user_id", "anchor").agg(
+        F.count(F.lit(1)).alias("streak")
+    )
+    return (
+        streaks.groupBy("user_id")
+        .agg(F.max("streak").alias("longest_streak"))
+        .orderBy(F.col("longest_streak").desc(), F.col("user_id").asc())
+        .limit(STREAK_TOP)
+    )
+
+
+WINDOW_STREAKS_SQL = f"""
+WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+anchored AS (
+  SELECT user_id, day,
+         day - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day ASC) AS INTEGER) AS anchor
+  FROM ud
+),
+streaks AS (
+  SELECT user_id, anchor, CAST(count(*) AS BIGINT) AS streak
+  FROM anchored GROUP BY 1, 2
+)
+SELECT user_id, max(streak) AS longest_streak
+FROM streaks GROUP BY user_id
+ORDER BY longest_streak DESC, user_id ASC
+LIMIT {STREAK_TOP}
+"""
+
+
 # --- event path transitions (first-order Markov counts) ----------------------
 # The journey-analysis primitive behind sankey/path dashboards: for
 # each user's time-ordered event sequence, count every consecutive
@@ -1063,6 +1114,7 @@ def register_all() -> None:
         q_events_path_transitions,
         EVENTS_PATH_TRANSITIONS_SQL,
     )
+    register("window_streaks", q_window_streaks, WINDOW_STREAKS_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)

@@ -104,6 +104,7 @@ CHECK_PRIORITY: list[str] = [
     "feature_hashing",
     "events_path_transitions",
     "stream_path_transitions",
+    "window_streaks",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",
