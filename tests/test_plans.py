@@ -193,6 +193,27 @@ def test_zorder_scan_pushes_box_and_skips_row_groups(spark):
     )
 
 
+def test_merge_upsert_is_single_join(spark):
+    """The MERGE apply must stay ONE key join + a map-side CASE
+    projection: one SortMergeJoin (or shuffled hash), no second join,
+    no nested-loop — the shape that holds when the target is 100 TB
+    and the changeset shuffles once on the table key."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    p = (
+        get_registry()["merge_upsert"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    n_joins = p.count("SortMergeJoin") + p.count("ShuffledHashJoin") + p.count(
+        "BroadcastHashJoin"
+    )
+    assert n_joins == 1, f"expected exactly 1 join, plan has {n_joins}"
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_bm25_from_index_never_scans_documents(spark):
     """Serving from the materialized index must not touch the corpus:
     no documents.parquet scan, and the 3-term query filter is pushed
