@@ -910,6 +910,73 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
 
 
+# --- point-in-time join against the SCD2 dimension ---------------------------
+# The reason SCD2 exists: enrich facts with the dimension attributes
+# AS OF each fact's timestamp (the feature-store / audit-correct
+# join, never the current row). Scalable shape: the union-marker
+# as-of plan (same family as join_asof) — union dimension version
+# STARTS with the facts, ONE window per user carrying the last seen
+# (version, attr) forward, keep fact rows that have a carried
+# version. One shuffle on user_id, no range join; the oracle IS the
+# naive interval join (valid_from <= ts < valid_to), which is the
+# O(n * versions) plan this rewrite avoids at 100 TB. events.ts is
+# globally unique (testdata contract), so signup-vs-fact ordering
+# needs no tiebreak.
+PIT_FACT_EVENT = "purchase"
+
+
+def q_join_scd2_pit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    dim_marks = q_scd2_build(spark, sf_dir).select(
+        "user_id",
+        F.col("valid_from").alias("t"),
+        F.lit(None).cast("long").alias("event_id"),
+        "version",
+        "attr_value",
+        F.lit(False).alias("is_fact"),
+    )
+    facts = ev.filter(F.col("event_type") == PIT_FACT_EVENT).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.lit(None).cast("long").alias("version"),
+        F.lit(None).cast("double").alias("attr_value"),
+        F.lit(True).alias("is_fact"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = dim_marks.unionByName(facts).select(
+        "user_id",
+        "event_id",
+        "is_fact",
+        F.last("version", ignorenulls=True).over(w).alias("version"),
+        F.last("attr_value", ignorenulls=True).over(w).alias("attr_value"),
+    )
+    return carried.filter(
+        F.col("is_fact") & F.col("version").isNotNull()
+    ).select("event_id", "user_id", "version", "attr_value")
+
+
+def _join_scd2_pit_sql() -> str:
+    return f"""
+WITH dim AS ({SCD2_BUILD_SQL}),
+f AS (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = '{PIT_FACT_EVENT}')
+SELECT f.event_id, f.user_id, d.version, d.attr_value
+FROM f JOIN dim d
+  ON f.user_id = d.user_id
+ AND f.ts >= d.valid_from
+ AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+"""
+
+
 # --- trailing 7-day active users (WAU) --------------------------------------
 # The sliding-window DISTINCT aggregate ("weekly active users as of
 # each day") that no window frame can express directly — COUNT
@@ -1115,6 +1182,7 @@ def register_all() -> None:
         EVENTS_PATH_TRANSITIONS_SQL,
     )
     register("window_streaks", q_window_streaks, WINDOW_STREAKS_SQL)
+    register("join_scd2_pit", q_join_scd2_pit, _join_scd2_pit_sql())
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
