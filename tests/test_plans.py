@@ -193,6 +193,23 @@ def test_zorder_scan_pushes_box_and_skips_row_groups(spark):
     )
 
 
+def test_scd2_pit_join_plans_no_join(spark):
+    """The point-in-time enrichment must compile to the union-marker
+    window plan — ZERO join operators anywhere (the naive rewrite is
+    an interval join that explodes at scale; it exists only as the
+    oracle)."""
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    p = (
+        get_registry()["join_scd2_pit"]
+        .fn(spark, SF_SMALL)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Join" not in p, f"PIT enrichment planned a join:\n{p[:600]}"
+
+
 def test_merge_upsert_is_single_join(spark):
     """The MERGE apply must stay ONE key join + a map-side CASE
     projection: one SortMergeJoin (or shuffled hash), no second join,
