@@ -803,6 +803,58 @@ GROUP BY event_type
 """
 
 
+# --- time-weighted average (TWAP) -------------------------------------------
+# The irregular-sampling average a plain avg() gets wrong: each
+# observation holds until the next one, so its weight is its holding
+# interval (the step-function integral / elapsed time — the TWAP of
+# finance and sensor pipelines). Exactness follows the anomaly_zscore
+# recipe: v = round(100*value) and dt in integer MICROS, so the
+# numerator sum(v * dt) is an exact DECIMAL(38,0)/HUGEINT; both
+# engines convert the same exact integers to double (same
+# nearest-even result) before ONE division, rounded to 6dp. Shape:
+# one lead() window per event_type + one agg — no global sort.
+def q_timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    t_us = F.unix_micros("ts")
+    d = ev.select(
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v"),
+        (F.lead(t_us).over(w) - t_us).alias("dt_us"),
+    ).filter(F.col("dt_us").isNotNull())
+    dec = "decimal(38,0)"
+    num = F.sum(F.col("v").cast(dec) * F.col("dt_us").cast(dec))
+    den = F.sum(F.col("dt_us").cast(dec))
+    return d.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.round(
+            num.cast("double") / (F.lit(100.0) * den.cast("double")), 6
+        ).alias("twap"),
+    )
+
+
+TIMESERIES_TWAP_SQL = """
+WITH d AS (
+  SELECT event_type,
+         CAST(round(100 * value) AS BIGINT) AS v,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dt_us
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_intervals,
+       round(CAST(sum(CAST(v AS HUGEINT) * dt_us) AS DOUBLE)
+             / (100.0 * CAST(sum(CAST(dt_us AS HUGEINT)) AS DOUBLE)), 6) AS twap
+FROM d
+WHERE dt_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 # --- running z-score anomaly detection --------------------------------------
 # Online monitoring: flag each event whose value deviates more than
 # Z sigma from the running mean/variance of all PRIOR events of its
@@ -1183,6 +1235,7 @@ def register_all() -> None:
     )
     register("window_streaks", q_window_streaks, WINDOW_STREAKS_SQL)
     register("join_scd2_pit", q_join_scd2_pit, _join_scd2_pit_sql())
+    register("timeseries_twap", q_timeseries_twap, TIMESERIES_TWAP_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
