@@ -107,6 +107,7 @@ CHECK_PRIORITY: list[str] = [
     "window_streaks",
     "join_scd2_pit",
     "timeseries_twap",
+    "stream_twap",
     # (d) staleness rotation: r2-checked text battery, then the
     # oldest r3-checked fuzzy-core keys, up to the 50-key cap
     "text_lexical",

@@ -645,6 +645,104 @@ def q_stream_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `timeseries_twap` (curation.py): maintain
+    per-type running integer sums sum(v*dt) and sum(dt) plus the
+    last (ts, v) observation as state over time-ordered replay; each
+    arriving event closes the previous observation's holding
+    interval. Because every accumulator is an exact integer (the
+    numerator as a decimal string — Python ints are unbounded, the
+    state column is not), the final state equals the batch window
+    computation bit-for-bit, and the final projection applies the
+    IDENTICAL decimal->double division the batch key uses. Oracle:
+    TIMESERIES_TWAP_SQL. State key = event_type (constant 5 groups)."""
+    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+
+    src = _events_tsorder_src(spark, sf_dir)
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .select(
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.round(F.col("value") * 100).cast("long").alias("v"),
+        )
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        if state.exists:
+            n, num_str, den, last_ts, last_v = state.get
+            num = int(num_str)
+        else:
+            n, num, den, last_ts, last_v = 0, 0, 0, -1, 0
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            b = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            for r in b.itertuples(index=False):
+                ts_us, v = int(r.ts_us), int(r.v)
+                if last_ts >= 0:
+                    dt = ts_us - last_ts
+                    num += last_v * dt
+                    den += dt
+                    n += 1
+                last_ts, last_v = ts_us, v
+        state.update((n, str(num), den, last_ts, last_v))
+        yield pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n_intervals": [n],
+                "num_str": [str(num)],
+                "den": [den],
+            }
+        )
+
+    acc = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, n_intervals long, num_str string, den long"
+        ),
+        stateStructType=(
+            "n long, num_str string, den long, last_ts long, last_v long"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_twap_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        acc.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # n_intervals is monotone -> final = max-n emission per type; the
+    # projection mirrors the batch expression exactly
+    final = (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max(F.struct("n_intervals", "num_str", "den")).alias("s"))
+    )
+    num_dec = F.col("s.num_str").cast("decimal(38,0)")
+    return final.select(
+        "event_type",
+        F.col("s.n_intervals").alias("n_intervals"),
+        F.round(
+            num_dec.cast("double")
+            / (F.lit(100.0) * F.col("s.den").cast("decimal(38,0)").cast("double")),
+            6,
+        ).alias("twap"),
+    )
+
+
 def q_stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming ingest into a served ANN index: new vectors arrive
     over several micro-batches and are assigned to the PERSISTED IVF
@@ -973,3 +1071,6 @@ def register_all() -> None:
         q_stream_path_transitions,
         EVENTS_PATH_TRANSITIONS_SQL,
     )
+    from chi_frbcs_bigdatacs_spark.operators.curation import TIMESERIES_TWAP_SQL
+
+    register("stream_twap", q_stream_twap, TIMESERIES_TWAP_SQL)
