@@ -645,7 +645,9 @@ def q_stream_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_twap(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
     """Streaming twin of `timeseries_twap` (curation.py): maintain
     per-type running integer sums sum(v*dt) and sum(dt) plus the
     last (ts, v) observation as state over time-ordered replay; each
@@ -655,10 +657,15 @@ def q_stream_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
     state column is not), the final state equals the batch window
     computation bit-for-bit, and the final projection applies the
     IDENTICAL decimal->double division the batch key uses. Oracle:
-    TIMESERIES_TWAP_SQL. State key = event_type (constant 5 groups)."""
+    TIMESERIES_TWAP_SQL. State key = event_type (constant 5 groups).
+    `n_files` overrides the replay split for the invariance test."""
     from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
 
-    src = _events_tsorder_src(spark, sf_dir)
+    src = (
+        _events_tsorder_src(spark, sf_dir)
+        if n_files is None
+        else _events_tsorder_src(spark, sf_dir, n_files)
+    )
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     ev = (
         spark.readStream.schema(batch.schema)

@@ -178,6 +178,19 @@ def test_stream_minhash_pairs_invariant_under_skewed_split(spark, tmp_path):
     assert streamed == batch and streamed
 
 
+def test_stream_twap_invariant_under_replay_split(spark):
+    """The streaming TWAP carries exact integer state, so any
+    time-ordered replay split must produce bit-identical sums: 3-file
+    and 6-file stagings equal each other and the batch window key."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_timeseries_twap
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_twap
+
+    t3 = sorted(map(tuple, q_stream_twap(spark, SF_SMALL, n_files=3).collect()))
+    t6 = sorted(map(tuple, q_stream_twap(spark, SF_SMALL, n_files=6).collect()))
+    batch = sorted(map(tuple, q_timeseries_twap(spark, SF_SMALL).collect()))
+    assert t3 and t3 == t6 == batch
+
+
 def test_stream_anomaly_invariant_under_replay_split(spark):
     """The anomaly set is a pure function of the time-ordered event
     stream, not of how replay chops it into micro-batches: a 3-file
