@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
@@ -844,33 +845,32 @@ LIMIT {BPE_TOP}
 
 # --- tf-idf weighting --------------------------------------------------------
 # The classic sparse text-feature weighting: per (doc, term) raw term
-# frequency scaled by ln(N/df). Shape: one explode + one (doc, term)
-# agg for tf, one distinct-explode agg for df, one equi-join on the
-# term (Catalyst broadcasts the vocab side when it fits, shuffles on
-# the term otherwise); N is a driver scalar folded as a literal (the
-# token_doc_freq pattern). Same tokenizer as the rest of the text
+# frequency scaled by ln(N/df). Shape: ONE full text scan — the
+# explode + (doc, term) agg for tf; df is then a WINDOW count over tf
+# partitioned by token (tf rows are already distinct (doc, term)
+# pairs, so df(token) = that token's tf row count — the r1-r7
+# distinct-explode second scan + vocab join were redundant). Plan:
+# scan -> agg shuffle on (doc, token) -> window shuffle on token —
+# one scan, two shuffles, zero joins (pinned in tests/test_plans.py).
+# N is a driver scalar folded as a literal (the token_doc_freq
+# pattern); after column pruning d.count() reads parquet footers
+# only — no text pages. Same tokenizer as the rest of the text
 # battery (lowercase, non-letter splits, len >= 3).
 def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    n_docs = d.count()  # driver scalar, folded as a literal
+    n_docs = d.count()  # footer-only after pruning; folded as a literal
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
     ).filter(F.length("token") >= 3)
     tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = (
-        tok.select("doc_id", "token")
-        .distinct()
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("df"))
-    )
-    return tf.join(df, "token").select(
+    df = F.count(F.lit(1)).over(Window.partitionBy("token"))
+    return tf.select(
         "doc_id",
         "token",
         "tf",
         F.round(
-            F.col("tf").cast("double")
-            * F.log(F.lit(float(n_docs)) / F.col("df")),
+            F.col("tf").cast("double") * F.log(F.lit(float(n_docs)) / df),
             6,
         ).alias("tfidf"),
     )
@@ -952,9 +952,15 @@ GROUP BY 1, 2
 # subqueries, like graph_pagerank's unrolled iterations.
 #
 # Scale shape per round: one explode + one map-side-combined pair
-# agg + TakeOrdered(1), then a map-only string rewrite; rounds stack
-# expression lineage (production would persist the corpus every few
-# rounds — noted, not needed at fixture depth 3).
+# agg + TakeOrdered(1), then a map-only string rewrite. The rewritten
+# corpus is PERSISTED each round (bounded unpersist chain, the
+# graph_pagerank pattern) so round r scans the round-(r-1) corpus
+# once instead of re-executing all prior rewrites — without it the
+# lineage re-derivation is quadratic in round count (the r7 8x
+# number, 42.7s, was partly this). The merged-pair literals reach
+# the plan through F.lit (never f-string interpolation into an
+# expression), so corpus text containing quotes/backslashes cannot
+# break or alter the rewrite.
 N_BPE_ROUNDS = 3
 
 
@@ -980,7 +986,10 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace(F.trim(F.col("text")), " +", " ").alias("s")
     )
     rows = []
+    cached = []
     for rnd in range(1, N_BPE_ROUNDS + 1):
+        corpus = corpus.persist()
+        cached.append(corpus)
         top = (
             _bpe_pair_counts(corpus)
             .orderBy(F.col("n").desc(), F.col("pair").asc())
@@ -990,18 +999,18 @@ def q_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         a_b = top["pair"]
         pattern = " " + a_b.replace(" ", "  ") + " "
         merged = " " + a_b.replace(" ", "_") + " "
+        spaced = F.concat(F.lit(" "), F.regexp_replace("s", " ", "  "), F.lit(" "))
         corpus = corpus.select(
             F.regexp_replace(
-                F.trim(
-                    F.expr(
-                        "replace(' ' || replace(s, ' ', '  ') || ' ', "
-                        f"'{pattern}', '{merged}')"
-                    )
-                ),
+                F.trim(F.replace(spaced, F.lit(pattern), F.lit(merged))),
                 " +",
                 " ",
             ).alias("s")
         )
+        if len(cached) > 2:  # keep only the live round + its parent
+            cached.pop(0).unpersist()
+    for c in cached:
+        c.unpersist()
     return spark.createDataFrame(rows, "round int, pair string, n long")
 
 

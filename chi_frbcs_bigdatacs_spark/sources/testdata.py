@@ -37,6 +37,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def read_events_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw events read with the TIMESTAMP(NANOS) guard, no ts
+    normalization: `ts` may come back as timestamp, timestamp_ntz, or
+    int64 nanos. Streaming sources that bind `batch.schema` share
+    this entry so a nanos fixture fails at neither schema inference
+    nor a seconds-misread cast (ADVICE r7)."""
+    try:
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+    except Exception:
+        # TIMESTAMP(NANOS) files are rejected outright at schema
+        # inference unless read as raw longs.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with `ts` normalized to a (tz-naive-semantics) timestamp.
 
@@ -53,13 +68,7 @@ def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       older session): truncate nanos to micros with exact integer
       division, matching DuckDB's ns->us cast.
     """
-    try:
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    except Exception:
-        # TIMESTAMP(NANOS) files are rejected outright at schema
-        # inference unless read as raw longs.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = read_events_raw(spark, sf_dir)
     ts_type = df.schema["ts"].dataType.typeName()
     if ts_type == "timestamp":
         return df

@@ -32,8 +32,15 @@ N_SOURCE_FILES = 4
 
 def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stage events as N parquet files -> N micro-batches (memoized
-    per sf_dir, removed at exit)."""
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    per sf_dir, removed at exit). The batch side goes through
+    load_events so `ts` is normalized to TIMESTAMP micros BEFORE
+    staging — on a TIMESTAMP(NANOS)/int64-ts fixture a bare
+    spark.read.parquet either fails at schema inference or leaves a
+    long `ts` that a naive cast would misread as seconds (the r3
+    post-mortem; ADVICE r7)."""
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    batch = load_events(spark, sf_dir)
     src = staged_dir(
         "events_multi",
         sf_dir,
@@ -569,21 +576,19 @@ def q_stream_path_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final count per (prev, next) pair is a batch-side groupBy of
     the sink — strict equivalence oracle:
     EVENTS_PATH_TRANSITIONS_SQL."""
-    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
+    )
 
-    src = _events_tsorder_src(spark, sf_dir)
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select(
-            "user_id",
-            "event_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            "event_type",
-            (F.col("user_id") % 64).alias("shard"),
-        )
+    # shared reader: ts already normalized to TIMESTAMP micros, with
+    # the int64-nanos fallback (ADVICE r7 — a bare batch.schema bind
+    # + cast misreads long ts as seconds on a nanos fixture)
+    ev = _events_stream_ordered(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        (F.col("user_id") % 64).alias("shard"),
     )
 
     def update(
@@ -659,24 +664,21 @@ def q_stream_twap(
     IDENTICAL decimal->double division the batch key uses. Oracle:
     TIMESERIES_TWAP_SQL. State key = event_type (constant 5 groups).
     `n_files` overrides the replay split for the invariance test."""
-    from chi_frbcs_bigdatacs_spark.streaming.windows import _events_tsorder_src
-
-    src = (
-        _events_tsorder_src(spark, sf_dir)
-        if n_files is None
-        else _events_tsorder_src(spark, sf_dir, n_files)
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
     )
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
-    ev = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .select(
-            "event_type",
-            "event_id",
-            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
-            F.round(F.col("value") * 100).cast("long").alias("v"),
-        )
+
+    # shared reader (ts normalized + nanos fallback, ADVICE r7)
+    stream = (
+        _events_stream_ordered(spark, sf_dir)
+        if n_files is None
+        else _events_stream_ordered(spark, sf_dir, n_files)
+    )
+    ev = stream.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v"),
     )
 
     def update(
@@ -732,11 +734,15 @@ def q_stream_twap(
     )
     q.awaitTermination()
     # n_intervals is monotone -> final = max-n emission per type; the
-    # projection mirrors the batch expression exactly
+    # projection mirrors the batch expression exactly. Types with a
+    # single observation close no interval (n=0, den=0) and are
+    # dropped, matching the batch key's dt IS NOT NULL filter — a
+    # bare division would emit twap=NaN for them (ADVICE r7).
     final = (
         spark.table(name)
         .groupBy("event_type")
         .agg(F.max(F.struct("n_intervals", "num_str", "den")).alias("s"))
+        .filter(F.col("s.n_intervals") > 0)
     )
     num_dec = F.col("s.num_str").cast("decimal(38,0)")
     return final.select(

@@ -297,7 +297,9 @@ def _events_tsorder_src(
 def _events_stream_ordered(
     spark: SparkSession, sf_dir: str, n_files: int = N_TS_ORDER_FILES
 ) -> DataFrame:
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from chi_frbcs_bigdatacs_spark.sources.testdata import read_events_raw
+
+    batch = read_events_raw(spark, sf_dir)
     src = _events_tsorder_src(spark, sf_dir, n_files)
     stream = (
         spark.readStream.schema(batch.schema)

@@ -69,15 +69,40 @@ def test_table_diff_counts_equal_changeset_arithmetic(spark):
 
 
 def test_delete_cascade_conserves_rows(spark):
+    """Conservation + EXACT per-table deleted counts recomputed from
+    the erased key set (c_custkey % 97 == 0). Cross-table monotonicity
+    (orders deleted >= customers deleted) is deliberately NOT asserted:
+    a customer with zero orders makes it fixture-dependent, not an
+    operator invariant (ADVICE r7)."""
     from chi_frbcs_bigdatacs_spark.operators.lakehouse import q_delete_cascade
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
 
     audit = {r["table_name"]: r for r in q_delete_cascade(spark, SF_SMALL).collect()}
     for t in ("customer", "orders", "lineitem"):
         assert audit[t]["n_rows"] == audit[t]["n_deleted"] + audit[t]["n_remaining"]
-    # the cascade can only grow down the FK fan-out
-    assert audit["customer"]["n_deleted"] >= 1
-    assert audit["orders"]["n_deleted"] >= audit["customer"]["n_deleted"]
-    assert audit["lineitem"]["n_deleted"] >= audit["orders"]["n_deleted"]
+    erased_c = {
+        r["c_custkey"]
+        for r in load_table(spark, SF_SMALL, "customer")
+        .filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+        .collect()
+    }
+    orders = load_table(spark, SF_SMALL, "orders").select(
+        "o_orderkey", "o_custkey"
+    ).collect()
+    erased_o = {r["o_orderkey"] for r in orders if r["o_custkey"] in erased_c}
+    n_li = sum(
+        1
+        for r in load_table(spark, SF_SMALL, "lineitem")
+        .select("l_orderkey")
+        .collect()
+        if r["l_orderkey"] in erased_o
+    )
+    assert audit["customer"]["n_deleted"] == len(erased_c) >= 1
+    assert audit["orders"]["n_deleted"] == sum(
+        1 for r in orders if r["o_custkey"] in erased_c
+    )
+    assert audit["lineitem"]["n_deleted"] == n_li
 
 
 def test_stream_merge_invariant_under_op_before_base_split(spark, tmp_path):

@@ -262,3 +262,47 @@ def test_ivf_from_index_prunes_to_one_cell(spark):
     assert re.search(r"PartitionFilters: \[[^\]]*\(k#\d+ = \d+\)", p), (
         "no pruned cells scan in plan"
     )
+
+
+def test_tfidf_is_single_scan_no_join(spark):
+    """r8 rewrite: df(token) is a window count over the tf aggregate
+    (tf rows are distinct (doc, term) pairs), so the whole query is
+    ONE documents scan -> (doc, token) agg shuffle -> token window
+    shuffle. The r1-r7 shape paid a second full text scan (the
+    distinct-explode df branch) plus a vocab join."""
+    p = _plan(spark, "text_tfidf")
+    assert p.count("FileScan") == 1, f"expected 1 scan:\n{p[:800]}"
+    assert "Join" not in p, "tfidf planned a join; df should be a window"
+    assert "Window" in p
+
+
+def test_bpe_round_scans_cached_corpus(spark):
+    """r8 fix: each BPE round persists the rewritten corpus, so round
+    r's pair count reads the round-(r-1) cache — InMemoryTableScan,
+    not a re-execution of every prior round's rewrites (which is
+    quadratic in round count). The query itself returns a driver-built
+    local table; the pin is on the per-round count plan."""
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        _bpe_pair_counts,
+        load_table,
+    )
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, SF_SMALL, "documents")
+    corpus = d.select(
+        F.regexp_replace(F.trim(F.col("text")), " +", " ").alias("s")
+    ).persist()
+    try:
+        corpus.count()
+        p = (
+            _bpe_pair_counts(corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # the FileScan string still appears inside the printed
+        # InMemoryRelation DEFINITION; the executed access path is the
+        # InMemoryTableScan node
+        assert "InMemoryTableScan" in p, "pair count did not read the cache"
+    finally:
+        corpus.unpersist()
