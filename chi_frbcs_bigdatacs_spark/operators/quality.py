@@ -317,6 +317,71 @@ GROUP BY bin
 """
 
 
+# --- sketch-edge discretization (the bounded-memory 100 TB path) -------------
+# Closes the one r7 perf-weak flag: discretize_quantile_approx's
+# exact percentile() edge pass holds every distinct value in per-task
+# memory (measured GC-thrash at 8x on the default heap — NOTES r7).
+# This variant computes the decile edges with approx_percentile (a
+# KLL/GK-style mergeable sketch: per-task memory is the sketch size,
+# O(accuracy), INDEPENDENT of distinct-value count), broadcasts the
+# one-row edge array, and bins map-only — the same two-scan,
+# zero-sort plan, now with bounded memory at any scale.
+#
+# Oracle (the agg_approx_percentile pattern): sketch edges are
+# engine-specific, so the checked output is the deterministic part —
+# the bin ids, the EXACT total row count, and a boolean asserting the
+# sketch delivered equal-frequency bins: every bin population within
+# 2% of n/10 (accuracy=10000 gives ~1e-4 rank error; the sketch is
+# deterministic per input, so the boolean is stable). DuckDB emits
+# the same 10 rows with within_tol=true.
+QSKETCH_ACCURACY = 10000
+QSKETCH_TOL = 0.02
+
+
+def q_discretize_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = ", ".join(f"{p}" for p in _QBIN_PROBS)
+    edges = li.agg(
+        F.expr(
+            f"approx_percentile(l_extendedprice, array({probs}),"
+            f" {QSKETCH_ACCURACY})"
+        ).alias("edges")
+    )
+    bin_expr = reduce(
+        lambda x, y: x + y,
+        [
+            F.when(
+                F.col("l_extendedprice") > F.element_at("edges", i + 1), 1
+            ).otherwise(0)
+            for i in range(len(_QBIN_PROBS))
+        ],
+    ) + F.lit(1)
+    binned = li.crossJoin(F.broadcast(edges)).select(
+        bin_expr.cast("long").alias("bin")
+    )
+    per_bin = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n_bin"))
+    tot = per_bin.agg(F.sum("n_bin").alias("n_total"))
+    return per_bin.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_total",
+        (
+            F.abs(
+                F.col("n_bin").cast("double")
+                - F.col("n_total").cast("double") / N_QBINS
+            )
+            <= F.lit(QSKETCH_TOL) * F.col("n_total").cast("double") / N_QBINS
+        ).alias("within_tol"),
+    )
+
+
+DISCRETIZE_QUANTILE_SKETCH_SQL = f"""
+SELECT CAST(range + 1 AS BIGINT) AS bin,
+       (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_total,
+       true AS within_tol
+FROM range({N_QBINS})
+"""
+
+
 # --- z-order clustered scan with multi-dimensional data skipping -------------
 # The read-side payoff of scalar_zorder_key: write lineitem CLUSTERED
 # by the Morton key (range-repartition on zkey + sortWithinPartitions
@@ -567,6 +632,11 @@ def register_all() -> None:
         "discretize_quantile_approx",
         q_discretize_quantile_approx,
         DISCRETIZE_QUANTILE_APPROX_SQL,
+    )
+    register(
+        "discretize_quantile_sketch",
+        q_discretize_quantile_sketch,
+        DISCRETIZE_QUANTILE_SKETCH_SQL,
     )
     register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)
     register("mask_columns", q_mask_columns, MASK_COLUMNS_SQL)

@@ -46,6 +46,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (all r3/r4-green and locally parity-green every CI).
 CHECK_PRIORITY: list[str] = [
     # (a) new r8 keys -- never driver-checked (inserted as built)
+    "discretize_quantile_sketch",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",

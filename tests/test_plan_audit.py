@@ -32,6 +32,7 @@ BNL_ALLOWED = {
     "text_bm25_from_index",
     "filter_length_band",  # one-row percentile-threshold agg broadcast
     "discretize_quantile_approx",  # one-row decile-edge agg broadcast
+    "discretize_quantile_sketch",  # one-row sketch-edge + one-row total
     "audit_freshness",  # one-row global-max agg broadcast
     "drift_psi",  # one-row period-totals agg broadcast
     "retrieval_hybrid_rrf",  # fuses two 10-row top-k lists (bm25 + cosine)
