@@ -932,12 +932,12 @@ WHERE c >= {ANOM_WARMUP}
 SCD2_EVENT = "signup"
 
 
-def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scd2_versions(ev: DataFrame) -> DataFrame:
+    """SCD2 version rows from attribute-change events: one window per
+    user derives version numbers, validity intervals, and the
+    current-row flag."""
     from pyspark.sql.window import Window
 
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == SCD2_EVENT
-    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     return ev.select(
         "user_id",
@@ -947,6 +947,13 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("value", 2).alias("attr_value"),
         F.lead("ts").over(w).isNull().alias("is_current"),
     )
+
+
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == SCD2_EVENT
+    )
+    return _scd2_versions(ev)
 
 
 SCD2_BUILD_SQL = f"""
@@ -1027,6 +1034,70 @@ FROM f JOIN dim d
  AND f.ts >= d.valid_from
  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
 """
+
+
+# --- SCD2 type-2 MERGE (incremental version maintenance) ---------------------
+# Closes the batch half of the SCD2 maintenance loop (scd2_build /
+# stream_scd2_maintain / join_scd2_pit): apply a changeset of NEW
+# attribute observations to an already-MATERIALIZED SCD2 dimension —
+# closing each touched user's current row and appending the new
+# versions with continued numbering — in one plan.
+#
+# Scalable shape: zero joins. The stored dimension contributes one
+# mark per version (valid_from, attr_value; version/valid_to/
+# is_current are DERIVED state, cheaper to re-derive than to
+# reconcile), the changeset contributes one mark per new observation,
+# and a single per-user window over the union rebuilds the version
+# chain — lead(t) simultaneously CLOSES the formerly-current row
+# (its lead is the first changeset ts) and chains the new rows. One
+# shuffle on user_id of (dim + changeset), no interval join, no
+# per-user max-version lookup join. At 100 TB the union is
+# partition-pruned to users present in the changeset (untouched
+# partitions are not rewritten — the Delta/Iceberg MERGE file-skip);
+# the fixture applies it to the full key space.
+#
+# Fixture split is sf-relative (the scan_zorder_pruned 2-scalar
+# pattern): T0 = min_ts + (max_ts - min_ts) * 4 / 5 in integer
+# micros (positive ints — DuckDB // parity rule, NOTES r6); events
+# before T0 are the stored dim, the rest arrive as the changeset.
+# Since events.ts is globally unique (testdata contract), the merged
+# chain equals scd2_build over the FULL event log — which is the
+# oracle (SCD2_BUILD_SQL), making every closed valid_to, continued
+# version number, and moved is_current flag hash-checked.
+MERGE_SCD2_SPLIT_NUM, MERGE_SCD2_SPLIT_DEN = 4, 5
+
+
+def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == SCD2_EVENT
+    )
+    b = ev.agg(
+        F.min(F.unix_micros("ts")).alias("lo"),
+        F.max(F.unix_micros("ts")).alias("hi"),
+    ).collect()[0]
+    t0 = b["lo"] + (b["hi"] - b["lo"]) * MERGE_SCD2_SPLIT_NUM // MERGE_SCD2_SPLIT_DEN
+    # the materialized dimension (stand-in for the stored table):
+    # full SCD2 build over the pre-T0 log, then only the MERGE-
+    # relevant columns survive as marks
+    dim_marks = _scd2_versions(ev.filter(F.unix_micros("ts") < t0)).select(
+        "user_id", F.col("valid_from").alias("t"), "attr_value"
+    )
+    chg_marks = ev.filter(F.unix_micros("ts") >= t0).select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.round("value", 2).alias("attr_value"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t")
+    return dim_marks.unionByName(chg_marks).select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("version"),
+        F.col("t").alias("valid_from"),
+        F.lead("t").over(w).alias("valid_to"),
+        "attr_value",
+        F.lead("t").over(w).isNull().alias("is_current"),
+    )
 
 
 # --- trailing 7-day active users (WAU) --------------------------------------
@@ -1238,6 +1309,7 @@ def register_all() -> None:
     register("timeseries_twap", q_timeseries_twap, TIMESERIES_TWAP_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
+    register("merge_scd2", q_merge_scd2, SCD2_BUILD_SQL)
     register("drift_psi", q_drift_psi, DRIFT_PSI_SQL)
     register("drift_ks", q_drift_ks, DRIFT_KS_SQL)
     register("join_fuzzy_match", q_join_fuzzy_match, JOIN_FUZZY_MATCH_SQL)

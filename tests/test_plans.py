@@ -306,3 +306,13 @@ def test_bpe_round_scans_cached_corpus(spark):
         assert "InMemoryTableScan" in p, "pair count did not read the cache"
     finally:
         corpus.unpersist()
+
+
+def test_merge_scd2_plans_no_join(spark):
+    """The type-2 MERGE must stay the union-window plan: the stored
+    dim's marks union the changeset and ONE per-user window rebuilds
+    the chain — zero join operators (the naive rewrite joins the
+    changeset against per-user current rows / max versions)."""
+    p = _plan(spark, "merge_scd2")
+    assert "Join" not in p, f"merge_scd2 planned a join:\n{p[:600]}"
+    assert "Window" in p
