@@ -204,10 +204,70 @@ FROM s
 """
 
 
+def _encode_bmp(width: int, height: int, d: int) -> bytes:
+    """Minimal uncompressed 24-bit bottom-up BMP encoder (pure
+    Python/struct — the Windows BMP container, public format). Pixel
+    (x, y) carries the deterministic channels
+    r=(d+3x+5y)%256, g=(2d+7x+y)%256, b=(3d+x+11y)%256, so every
+    downstream feature has a closed form the oracle can recompute
+    without parsing bytes."""
+    import struct
+
+    row_raw = width * 3
+    pad = (4 - row_raw % 4) % 4
+    img_size = (row_raw + pad) * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # BMP stores rows bottom-up
+        for x in range(width):
+            r = (d + 3 * x + 5 * y) % 256
+            g = (2 * d + 7 * x + y) % 256
+            b = (3 * d + x + 11 * y) % 256
+            rows += bytes((b, g, r))  # BGR byte order
+        rows += b"\x00" * pad
+    return header + bytes(rows)
+
+
+def _decode_bmp(raw: bytes) -> tuple[int, int, float, int]:
+    """REAL pure-Python BMP decoder: parses the BITMAPFILEHEADER /
+    BITMAPINFOHEADER, honors the pixel-array offset, 4-byte row
+    padding, bottom-up row order, and BGR byte order, and reduces the
+    pixel array to (width, height, sum_rgb, positional checksum).
+    The checksum weights each pixel by (1 + x + width*y), so a
+    decoder that misreads padding, flips rows, or swaps channels
+    produces a different value — the oracle recomputes it from the
+    closed-form pixel function."""
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    width, height = struct.unpack_from("<ii", raw, 18)
+    bpp, comp = struct.unpack_from("<H", raw, 28)[0], struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 24 or comp != 0 or height <= 0:
+        raise NotImplementedError("only uncompressed 24-bit bottom-up BMP")
+    stride = (width * 3 + 3) // 4 * 4
+    total = 0
+    checksum = 0
+    for y in range(height):
+        base = offset + (height - 1 - y) * stride  # bottom-up -> row y
+        for x in range(width):
+            b, g, r = raw[base + 3 * x : base + 3 * x + 3]
+            total += r + g + b
+            checksum += (1 + x + width * y) * (r + 2 * g + 3 * b)
+    return width, height, float(total), checksum
+
+
 def _decode_bytes(raw: bytes, fmt: str) -> list[float]:
-    """STUB codec. Deterministic byte-level features for the fake
-    formats; real decoders (PIL/ffmpeg/...) are not available in this
-    environment and belong here when they are."""
+    """Codec dispatch: 'bmp' decodes for real (_decode_bmp); the fake
+    'png'/'jpeg' formats keep deterministic byte-level stub features
+    (real PIL/ffmpeg decoders are not available in this environment
+    and belong here when they are)."""
+    if fmt == "bmp":
+        w, h, total, _ = _decode_bmp(raw)
+        return [float(w * h * 3), total / (w * h * 3), 255.0]
     if fmt not in ("png", "jpeg"):
         raise NotImplementedError(f"codec for format {fmt!r} not available")
     if not raw:
@@ -255,8 +315,93 @@ FROM documents
 """
 
 
+# --- real-codec decode (BMP) -------------------------------------------------
+# The one honest stub in the repo was the codec itself; this key makes
+# the decode REAL: a deterministic 24-bit BMP per document is encoded
+# worker-side (Arrow-batched mapInPandas), then a second mapInPandas
+# stage parses the actual BMP container — header fields, pixel-array
+# offset, 4-byte row padding, bottom-up rows, BGR order — and emits
+# geometry + channel features. Because the pixel function is closed-
+# form in (doc_id, x, y), the DuckDB oracle recomputes every feature
+# arithmetically WITHOUT parsing bytes: a decoder bug (wrong stride,
+# flipped rows, swapped channels) hash-mismatches. Both stages are
+# map-only — no shuffle anywhere; at 100 TB this is the shape of a
+# real media feature-extraction pass (decode cost scales per byte,
+# embarrassingly parallel).
+BMP_MOD = 251
+
+
+def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 5 + 2).cast("int").alias("w"),
+        (F.col("doc_id") % 4 + 2).cast("int").alias("h"),
+        (F.col("doc_id") % BMP_MOD).cast("int").alias("seed"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_bmp(int(w), int(h), int(s))
+                        for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_bmp(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bmp_w": [f[0] for f in feats],
+                    "bmp_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_rgb": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, bmp_w int, bmp_h int, n_px long,"
+        " mean_rgb double, pos_checksum long",
+    ).withColumn("mean_rgb", F.round("mean_rgb", 6))
+
+
+MEDIA_DECODE_BMP_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 5 + 2 AS INT) AS w,
+         CAST(doc_id % 4 + 2 AS INT) AS h,
+         doc_id % {BMP_MOD} AS d
+  FROM documents
+)
+SELECT doc_id, w AS bmp_w, h AS bmp_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (d + 3 * x + 5 * y) % 256
+             + (2 * d + 7 * x + y) % 256
+             + (3 * d + x + 11 * y) % 256 AS DOUBLE)))))
+         / (3 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * ((d + 3 * x + 5 * y) % 256
+                 + 2 * ((2 * d + 7 * x + y) % 256)
+                 + 3 * ((3 * d + x + 11 * y) % 256)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
+    register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
     register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)

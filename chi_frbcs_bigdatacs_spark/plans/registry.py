@@ -48,6 +48,7 @@ CHECK_PRIORITY: list[str] = [
     # (a) new r8 keys -- never driver-checked (inserted as built)
     "discretize_quantile_sketch",
     "merge_scd2",
+    "media_decode_bmp",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",

@@ -116,3 +116,45 @@ def test_chunking_empty_text_one_empty_chunk(spark, duck):
             greatest(0, CAST(floor((length('') - 1) / {CHUNK_STRIDE}) AS BIGINT)) + 1)))"""
     ).fetchone()[0]
     assert n == 1
+
+
+def test_bmp_codec_roundtrip_and_rejections():
+    """The real BMP codec: encode->decode must reproduce geometry,
+    channel sum, and the positional checksum for shapes that exercise
+    every row-padding case (3*w % 4 in {0,1,2,3}); malformed streams
+    must be rejected, not silently mis-decoded."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_bmp,
+        _encode_bmp,
+    )
+
+    for w, h, d in [(2, 2, 0), (3, 2, 7), (4, 3, 17), (5, 4, 250), (6, 5, 123)]:
+        raw = _encode_bmp(w, h, d)
+        got_w, got_h, total, ck = _decode_bmp(raw)
+        exp_total = sum(
+            (d + 3 * x + 5 * y) % 256
+            + (2 * d + 7 * x + y) % 256
+            + (3 * d + x + 11 * y) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        exp_ck = sum(
+            (1 + x + w * y)
+            * (
+                (d + 3 * x + 5 * y) % 256
+                + 2 * ((2 * d + 7 * x + y) % 256)
+                + 3 * ((3 * d + x + 11 * y) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (got_w, got_h, total, ck) == (w, h, float(exp_total), exp_ck)
+    with pytest.raises(ValueError):
+        _decode_bmp(b"PNG\x00garbage")
+    # 8-bit BMP header (bpp=8) must hit the NotImplementedError branch
+    bad = bytearray(_encode_bmp(2, 2, 0))
+    bad[28] = 8
+    with pytest.raises(NotImplementedError):
+        _decode_bmp(bytes(bad))
