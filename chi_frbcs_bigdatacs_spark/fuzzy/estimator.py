@@ -70,6 +70,34 @@ def _release_retained() -> None:
         _RETAINED_FUZZ.pop().unpersist()
 
 
+# Auto-mode broadcast budget for the scoring join. A rule row in the
+# broadcast HashedRelation costs ~8 bytes per antecedent/cls/weight
+# field plus per-row structure overhead; 256 MiB keeps the broadcast
+# comfortably inside a normal executor memory budget (Spark's hard
+# broadcast ceiling is 8 GiB; the measured r7 A/B shows broadcast
+# winning whenever it fits, so the budget — not a perf crossover —
+# is the flip point).
+AUTO_BROADCAST_BUDGET_BYTES = 256 << 20
+_RULE_ROW_OVERHEAD_BYTES = 64
+
+
+def estimated_rule_bytes(n_rules: int, n_features: int) -> int:
+    """Broadcast-size estimate for a rule base: d antecedent labels +
+    cls + weight at 8 bytes each, plus per-row overhead."""
+    return n_rules * (8 * (n_features + 2) + _RULE_ROW_OVERHEAD_BYTES)
+
+
+def should_broadcast_rules(
+    n_rules: int,
+    n_features: int,
+    budget_bytes: int = AUTO_BROADCAST_BUDGET_BYTES,
+) -> bool:
+    """The auto-mode decision transform(broadcast_rules=None) applies:
+    broadcast while the estimated rule-base size fits the budget,
+    shuffle-hash past it."""
+    return estimated_rule_bytes(n_rules, n_features) <= budget_bytes
+
+
 def _rules_schema(d: int) -> StructType:
     return StructType(
         [StructField(f"l{i + 1}", IntegerType()) for i in range(d)]
@@ -103,12 +131,21 @@ class ChiFRBCSModel:
             self.rules_dataframe.unpersist()
 
     # -- scoring --
-    def transform(self, df: DataFrame, broadcast_rules: bool = True) -> DataFrame:
+    def rule_count(self) -> int:
+        """Bounded driver scalar: literal models know it for free;
+        distributed models count the persisted rule DataFrame."""
+        if self.rules_rows is not None:
+            return len(self.rules_rows)
+        return self.rules_dataframe.count()
+
+    def transform(
+        self, df: DataFrame, broadcast_rules: bool | None = None
+    ) -> DataFrame:
         fuzz = R.fuzzify(df, self.parts)
         return self.transform_fuzzified(fuzz, broadcast_rules=broadcast_rules)
 
     def transform_fuzzified(
-        self, fuzz: DataFrame, broadcast_rules: bool = True
+        self, fuzz: DataFrame, broadcast_rules: bool | None = None
     ) -> DataFrame:
         # NOTE on physical strategy (measured at sf0.1, local[32]):
         # plan-literal "map-only" scorers — dense slot-table lookup via
@@ -140,6 +177,18 @@ class ChiFRBCSModel:
         # argmax aggregation below is unchanged, so results are
         # bit-identical (pinned by the classify_wr_bigmodel oracle).
         cells = R.candidate_cells(fuzz, self.parts, pad_unmatched=True)
+        # AUTO mode (broadcast_rules=None, the default): pick the
+        # physical strategy from the rule-base size estimate. The
+        # measured guidance (NOTES r7 A/B at 8x/32x): broadcast
+        # scoring beats the shuffle-hash fallback WHENEVER the rule
+        # base fits (4.1x faster at 8x, narrowing to 1.6x at 32x), so
+        # auto broadcasts up to the byte budget and falls back only
+        # past it — the fallback trades a bounded constant factor for
+        # removing the rule-base size ceiling entirely.
+        if broadcast_rules is None:
+            broadcast_rules = should_broadcast_rules(
+                self.rule_count(), len(self.parts.features)
+            )
         # the shuffle_hash hint keeps AQE from demoting the join back
         # to a broadcast when the fixture-scale rule base is tiny —
         # the whole point of the path is to exercise the plan that a
@@ -447,7 +496,9 @@ class ChiFRBCSClassifier:
             self.parts, rows, default_cls, self.frm, rules_dataframe=rdf
         )
 
-    def fit_transform(self, df: DataFrame, broadcast_rules: bool = True) -> DataFrame:
+    def fit_transform(
+        self, df: DataFrame, broadcast_rules: bool | None = None
+    ) -> DataFrame:
         """Fit and score the same data (resubstitution), reusing the
         persisted narrow input for both passes."""
         model = self.fit(df, _retain_fuzz=True)

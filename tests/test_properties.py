@@ -130,3 +130,42 @@ def test_cost_scope_local_vs_global_diverge_on_skewed_buckets(spark):
     # global: balanced 10:10 -> costs (1, 1) -> majority class wins at 0.6
     assert glo[(0, 1)] == (0, 0.6)
     assert glo[(1, 1)] == (1, 0.6)
+
+
+def test_scoring_auto_mode_flips_at_budget_and_stays_bit_identical(spark):
+    """r8 auto-mode: transform(broadcast_rules=None) must (a) pick the
+    broadcast plan for any model under the byte budget, (b) flip to
+    shuffle-hash exactly past it (pure decision function, boundary
+    pinned), and (c) produce BIT-IDENTICAL predictions on both
+    physical paths — the strategy is a plan choice, never a result
+    change."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import (
+        AUTO_BROADCAST_BUDGET_BYTES,
+        ChiFRBCSClassifier,
+        estimated_rule_bytes,
+        should_broadcast_rules,
+    )
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+        LINEITEM_CLF_PARTITIONS as P,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    # (b) the flip point is the budget, exactly
+    d = len(P.features)
+    per_rule = estimated_rule_bytes(1, d)
+    n_at_budget = AUTO_BROADCAST_BUDGET_BYTES // per_rule
+    assert should_broadcast_rules(n_at_budget, d)
+    assert not should_broadcast_rules(n_at_budget + 1, d)
+
+    df = lineitem_clf(spark, SF_SMALL)
+    model = ChiFRBCSClassifier(parts=P).fit(df)
+
+    # (a) fixture model is far under budget -> auto = broadcast
+    auto = model.transform(df)
+    p = auto._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p, "auto mode did not broadcast a small model"
+
+    # (c) both physical paths agree bit-for-bit
+    rows_b = sorted(map(tuple, model.transform(df, broadcast_rules=True).collect()))
+    rows_s = sorted(map(tuple, model.transform(df, broadcast_rules=False).collect()))
+    assert rows_b == rows_s
