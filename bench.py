@@ -33,6 +33,20 @@ HEADLINE = [
     "stream_tumbling",      # structured-streaming windowed agg
 ]
 
+# Second headline group (r8, VERDICT r7 item 3): the heavy surfaces
+# added in r7-r8 were invisible to BENCH artifacts. Tracked under
+# separate ext fields so the primary group stays comparable with
+# BENCH_r01+ across rounds.
+HEADLINE_EXT = [
+    "merge_upsert",              # lakehouse MERGE: full-outer PK join + CASE
+    "merge_scd2",                # type-2 MERGE: union-window version rebuild
+    "stream_merge_upsert",       # stateful streaming CDC upsert
+    "text_tfidf",                # one-scan tf + token-window df
+    "bpe_train_merges",          # iterative tokenizer training loop
+    "discretize_quantile_sketch",  # sketch edges + map-only binning
+    "agg_active_users_7d",       # coverage-explode windowed distinct
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -59,13 +73,13 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         print(f"warmup failed (continuing cold): {exc!r}", file=sys.stderr)
 
-    def run_pass() -> tuple[dict[str, float], dict[str, str]]:
+    def run_pass(keys: list[str] = HEADLINE) -> tuple[dict[str, float], dict[str, str]]:
         """One timed pass. A broken query records an error string
         instead of zeroing the whole round's perf signal (VERDICT r3:
         one bad key crashed the bench and lost every timing)."""
         t: dict[str, float] = {}
         errs: dict[str, str] = {}
-        for key in HEADLINE:
+        for key in keys:
             t0 = time.perf_counter()
             try:
                 df = reg[key].fn(spark, sf_dir)
@@ -99,6 +113,16 @@ def main() -> None:
     warm = {k: round(median(v), 3) for k, v in warm_samples.items() if v}
     warm_best = {k: min(v) for k, v in warm_samples.items() if v}
 
+    # ext group: same cold + median-of-N protocol, separate fields
+    ext_timings, ext_errs = run_pass(HEADLINE_EXT)
+    ext_samples: dict[str, list[float]] = {k: [] for k in HEADLINE_EXT}
+    for _ in range(n_warm):
+        w, we = run_pass(HEADLINE_EXT)
+        ext_errs.update(we)
+        for k, v in w.items():
+            ext_samples[k].append(v)
+    ext_warm = {k: round(median(v), 3) for k, v in ext_samples.items() if v}
+
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -111,10 +135,14 @@ def main() -> None:
         "queries_warm": warm,
         "warm_protocol": f"median_of_{n_warm}",
         "queries_warm_best": warm_best,
+        "value_ext": round(sum(ext_timings.values()), 3),
+        "queries_ext": ext_timings,
+        "value_ext_warm": round(sum(ext_warm.values()), 3),
+        "queries_ext_warm": ext_warm,
     }
-    if errs or warm_errs:
-        out["errors"] = {**warm_errs, **errs}
-        out["n_failed"] = len({**warm_errs, **errs})
+    if errs or warm_errs or ext_errs:
+        out["errors"] = {**warm_errs, **errs, **ext_errs}
+        out["n_failed"] = len({**warm_errs, **errs, **ext_errs})
     print(json.dumps(out))
     spark.stop()
 
