@@ -855,6 +855,49 @@ GROUP BY event_type
 """
 
 
+# --- OHLC bar aggregation (time-series downsampling) -------------------------
+# The bar/candle downsample every market-data and sensor pipeline
+# ships: per (series, time bucket) the first (open), max (high), min
+# (low), and last (close) observation. ONE map-side-combined
+# aggregation — open/close via min_by/max_by on the event time (ts is
+# globally unique per the testdata contract, so no tie-break channel
+# is needed and the picks are order-insensitive), high/low plain
+# min/max, all value-PICKS of already-2dp-rounded doubles (no
+# accumulation — no float-order parity risk). The bucket is one
+# date_trunc, a map-side expression; at 100 TB this is a single
+# shuffle on (series, bucket) with partial aggregation doing almost
+# all the work map-side.
+def q_timeseries_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts")).alias("bucket"),
+        "ts",
+        F.round("value", 2).alias("v"),
+    )
+    return ev.groupBy("event_type", "bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min_by("v", "ts").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", "ts").alias("close"),
+    )
+
+
+TIMESERIES_OHLC_SQL = """
+SELECT event_type,
+       CAST(date_trunc('hour', ts) AS TIMESTAMP_NS) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       arg_min(round(value, 2), ts) AS open,
+       max(round(value, 2)) AS high,
+       min(round(value, 2)) AS low,
+       arg_max(round(value, 2), ts) AS close
+FROM events
+GROUP BY 1, 2
+"""
+
+
 # --- running z-score anomaly detection --------------------------------------
 # Online monitoring: flag each event whose value deviates more than
 # Z sigma from the running mean/variance of all PRIOR events of its
@@ -1307,6 +1350,7 @@ def register_all() -> None:
     register("window_streaks", q_window_streaks, WINDOW_STREAKS_SQL)
     register("join_scd2_pit", q_join_scd2_pit, _join_scd2_pit_sql())
     register("timeseries_twap", q_timeseries_twap, TIMESERIES_TWAP_SQL)
+    register("timeseries_ohlc", q_timeseries_ohlc, TIMESERIES_OHLC_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("merge_scd2", q_merge_scd2, SCD2_BUILD_SQL)

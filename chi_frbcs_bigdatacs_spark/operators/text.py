@@ -933,6 +933,120 @@ GROUP BY 1, 2
 """
 
 
+# --- count-min sketch frequency estimation -----------------------------------
+# The bounded-memory frequency table (Cormode & Muthukrishnan 2005):
+# DEPTH independent hash rows x WIDTH buckets; est(token) = min over
+# rows of its bucket count, guaranteed >= the true count. THE sketch
+# for heavy-hitter queries over a 100 TB token stream: the build is a
+# constant DEPTH-x fan-out + one map-side-combined agg into
+# DEPTH*WIDTH cells (the state is CONSTANT-sized regardless of corpus
+# or vocabulary — contrast the exact per-token agg whose key space is
+# the vocabulary), and the sketch rows merge by addition across
+# partitions/streams. Hashes are the repo's md5->int64 idiom seeded
+# by the row index, so both engines compute the identical sketch and
+# the oracle is STRICT — estimates, not just the guarantee, are
+# hash-checked. Output: per probe token (present, rare, and absent
+# probes) the exact count, the CMS estimate, and the overestimate
+# invariant.
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+# probes cover the interesting cases: heavy hitters (join, hash),
+# mid-frequency (order, fast), the one genuinely rare fixture token
+# (dup — where a bucket collision with a heavy hitter would surface
+# as est_n > exact_n), and an absent token (the guarantee still
+# holds: est >= 0 = exact)
+CMS_PROBES = ("join", "hash", "order", "fast", "dup", "zzzabsent")
+
+
+def _cms_bucket_col(j: F.Column | str, token: F.Column | str) -> F.Column:
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat_ws(":", j, token)), 1, 15), 16, 10
+        ).cast("long")
+        % CMS_WIDTH
+    )
+
+
+def q_agg_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token")
+    ).filter(F.length("token") >= 3)
+    js = F.array([F.lit(j) for j in range(CMS_DEPTH)])
+    cms = (
+        tok.select(F.explode(js).alias("j"), "token")
+        .select("j", _cms_bucket_col(F.col("j"), F.col("token")).alias("bucket"))
+        .groupBy("j", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    probes = spark.createDataFrame([(t,) for t in CMS_PROBES], "token string")
+    probe_rows = probes.select(
+        "token",
+        F.explode(js).alias("j"),
+    ).select(
+        "token", "j", _cms_bucket_col(F.col("j"), F.col("token")).alias("bucket")
+    )
+    est = (
+        probe_rows.join(F.broadcast(cms), ["j", "bucket"], "left")
+        .groupBy("token")
+        .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est_n"))
+    )
+    exact = (
+        tok.filter(F.col("token").isin(*CMS_PROBES))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("x"))
+    )
+    return est.join(F.broadcast(exact), "token", "left").select(
+        "token",
+        F.coalesce(F.col("x"), F.lit(0)).cast("long").alias("exact_n"),
+        F.col("est_n").cast("long").alias("est_n"),
+        (F.col("est_n") >= F.coalesce(F.col("x"), F.lit(0))).alias("overestimates"),
+    )
+
+
+_CMS_PROBE_VALUES = ", ".join(f"('{t}')" for t in CMS_PROBES)
+_CMS_PROBE_IN = ", ".join(f"'{t}'" for t in CMS_PROBES)
+
+AGG_COUNT_MIN_SKETCH_SQL = f"""
+WITH tok AS (
+  SELECT token
+  FROM (SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+        FROM documents) t
+  WHERE length(token) >= 3
+),
+js AS (SELECT CAST(range AS INT) AS j FROM range({CMS_DEPTH})),
+build AS (
+  SELECT j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15)
+              AS BIGINT) % {CMS_WIDTH} AS bucket,
+         CAST(count(*) AS BIGINT) AS n
+  FROM tok CROSS JOIN js
+  GROUP BY 1, 2
+),
+probes(token) AS (VALUES {_CMS_PROBE_VALUES}),
+pr AS (
+  SELECT token, j,
+         CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || token), 1, 15)
+              AS BIGINT) % {CMS_WIDTH} AS bucket
+  FROM probes CROSS JOIN js
+),
+est AS (
+  SELECT token, min(COALESCE(b.n, 0)) AS est_n
+  FROM pr LEFT JOIN build b USING (j, bucket)
+  GROUP BY token
+),
+ex AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS x
+  FROM tok WHERE token IN ({_CMS_PROBE_IN}) GROUP BY token
+)
+SELECT est.token,
+       CAST(COALESCE(ex.x, 0) AS BIGINT) AS exact_n,
+       CAST(est.est_n AS BIGINT) AS est_n,
+       est.est_n >= COALESCE(ex.x, 0) AS overestimates
+FROM est LEFT JOIN ex ON est.token = ex.token
+"""
+
+
 # --- iterative BPE merge training -------------------------------------------
 # The full tokenizer-training outer loop, not just one candidate
 # count (bpe_top_merges above): N_BPE_ROUNDS rounds of (count
@@ -1186,6 +1300,9 @@ def register_all() -> None:
     register("bpe_train_merges", q_bpe_train_merges, BPE_TRAIN_MERGES_SQL)
     register("text_tfidf", q_text_tfidf, TEXT_TFIDF_SQL)
     register("feature_hashing", q_feature_hashing, FEATURE_HASHING_SQL)
+    register(
+        "agg_count_min_sketch", q_agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL
+    )
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)

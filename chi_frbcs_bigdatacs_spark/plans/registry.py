@@ -49,6 +49,9 @@ CHECK_PRIORITY: list[str] = [
     "discretize_quantile_sketch",
     "merge_scd2",
     "media_decode_bmp",
+    "agg_count_min_sketch",
+    "graph_triangle_count",
+    "timeseries_ohlc",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
