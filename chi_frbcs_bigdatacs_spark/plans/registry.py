@@ -52,6 +52,7 @@ CHECK_PRIORITY: list[str] = [
     "agg_count_min_sketch",
     "graph_triangle_count",
     "timeseries_ohlc",
+    "stream_ohlc",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",

@@ -1058,6 +1058,122 @@ def _rule_stats_oracle() -> str:
     return oracle.stats_sql(LINEITEM_CLF_SQL, P, cost_mode="none")
 
 
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming bar builder — the twin of `timeseries_ohlc`
+    (curation.py): maintain per (event_type, hour-bucket) OHLC bars
+    as events arrive. ARRIVAL-ORDER INVARIANT BY CONSTRUCTION (the
+    stream_merge_upsert discipline, not the ts-ordered-replay one):
+    the state carries open/close WITH their timestamps, so a
+    late-arriving earlier event still wins open and loses close —
+    every accumulator is a pick or a count, no order-sensitive sum.
+    State key = event_type (constant 5 groups, the r6 sharding
+    lesson) holding per-bucket parallel arrays; emissions carry the
+    bucket's monotone event count n, so final = max-n emission per
+    (type, bucket). Values are rounded to 2dp ENGINE-SIDE before the
+    pandas fold (same F.round as the batch key — pandas half-even
+    rounding never runs). Strict oracle: TIMESERIES_OHLC_SQL."""
+    HOUR_US = 3_600_000_000
+    ev = _staged_stream(spark, sf_dir).select(
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round("value", 2).alias("v"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (event_type,) = key
+        bars: dict[int, list] = {}  # bucket -> [n, ots, ov, hi, lo, cts, cv]
+        if state.exists:
+            bks, ns, otss, ovs, his, los, ctss, cvs = state.get
+            for i, bk in enumerate(bks):
+                bars[int(bk)] = [
+                    int(ns[i]), int(otss[i]), float(ovs[i]), float(his[i]),
+                    float(los[i]), int(ctss[i]), float(cvs[i]),
+                ]
+        touched = set()
+        for pdf in pdfs:
+            for r in pdf.itertuples(index=False):
+                ts_us, v = int(r.ts_us), float(r.v)
+                bk = ts_us // HOUR_US * HOUR_US
+                touched.add(bk)
+                b = bars.get(bk)
+                if b is None:
+                    bars[bk] = [1, ts_us, v, v, v, ts_us, v]
+                    continue
+                b[0] += 1
+                if ts_us < b[1]:
+                    b[1], b[2] = ts_us, v
+                if v > b[3]:
+                    b[3] = v
+                if v < b[4]:
+                    b[4] = v
+                if ts_us > b[5]:
+                    b[5], b[6] = ts_us, v
+        ks = sorted(bars)
+        state.update((
+            ks,
+            [bars[k][0] for k in ks],
+            [bars[k][1] for k in ks],
+            [bars[k][2] for k in ks],
+            [bars[k][3] for k in ks],
+            [bars[k][4] for k in ks],
+            [bars[k][5] for k in ks],
+            [bars[k][6] for k in ks],
+        ))
+        if touched:
+            tk = sorted(touched)
+            yield pd.DataFrame(
+                {
+                    "event_type": [event_type] * len(tk),
+                    "bucket_us": tk,
+                    "n": [bars[k][0] for k in tk],
+                    "open": [bars[k][2] for k in tk],
+                    "high": [bars[k][3] for k in tk],
+                    "low": [bars[k][4] for k in tk],
+                    "close": [bars[k][6] for k in tk],
+                }
+            )
+
+    acc = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "event_type string, bucket_us long, n long,"
+            " open double, high double, low double, close double"
+        ),
+        stateStructType=(
+            "buckets array<long>, ns array<long>, otss array<long>,"
+            " ovs array<double>, his array<double>, los array<double>,"
+            " ctss array<long>, cvs array<double>"
+        ),
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_ohlc_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        acc.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    final = (
+        spark.table(name)
+        .groupBy("event_type", "bucket_us")
+        .agg(F.max(F.struct("n", "open", "high", "low", "close")).alias("s"))
+    )
+    return final.select(
+        "event_type",
+        F.timestamp_micros(F.col("bucket_us")).alias("bucket"),
+        F.col("s.n").alias("n"),
+        F.col("s.open").alias("open"),
+        F.col("s.high").alias("high"),
+        F.col("s.low").alias("low"),
+        F.col("s.close").alias("close"),
+    )
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
@@ -1087,3 +1203,6 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import TIMESERIES_TWAP_SQL
 
     register("stream_twap", q_stream_twap, TIMESERIES_TWAP_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import TIMESERIES_OHLC_SQL
+
+    register("stream_ohlc", q_stream_ohlc, TIMESERIES_OHLC_SQL)
