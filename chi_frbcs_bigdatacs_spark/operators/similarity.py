@@ -1053,7 +1053,166 @@ def _rp_sql() -> str:
 EMBED_PROJECT_RP_SQL = _rp_sql()
 
 
+# --- product quantization + asymmetric distance (PQ-ADC) ---------------------
+# The compression half of a 100 TB vector store (Jégou et al. 2011):
+# split the 64-dim space into PQ_M = 8 subspaces of 8 dims, encode
+# each subvector as the id of its nearest codebook centroid (the
+# vector compresses 64 floats -> 8 small codes), and serve queries
+# with ASYMMETRIC DISTANCE: precompute the query's distance to every
+# (subspace, centroid) cell once (a PQ_M x PQ_K lookup table), then
+# each database vector's distance is just PQ_M table lookups — no
+# float math per vector at serve time.
+#
+# Codebook: the subvectors of the first PQ_K vec_ids (sampled-seed
+# codebook init — deterministic and data-derived; a production build
+# would Lloyd-refine per subspace exactly like simsearch_ivf_kmeans
+# does for the coarse quantizer). Parity: subspace distances use the
+# same left-fold double accumulation as the dot products (bit-equal
+# across engines), argmin ties break to the LOWEST centroid id
+# (struct-min on Spark == min-over-dist-then-min-k two-step in SQL),
+# and the ADC total sums per-cell distances as ROUNDED MICRO-UNIT
+# INTEGERS so the cross-subspace addition order cannot matter (the
+# corpus_mix_sqrt integer discipline).
+#
+# Scale shape: encode = constant PQ_M-explode + broadcast-join of the
+# PQ_M*PQ_K codebook + map-side struct-min argmin — one shuffle on
+# (vec_id, m); serve = broadcast of the PQ_M*PQ_K lut + integer agg +
+# TakeOrdered(10). Nothing vector-sized ever shuffles at serve time.
+PQ_M = 8
+PQ_SUB = DIM // PQ_M
+PQ_K = 16
+
+
+def _pq_dist2(sub_a: str, sub_b: str) -> Column:
+    """Squared L2 between two PQ_SUB-dim arrays, left-fold order."""
+    return F.aggregate(
+        F.zip_with(
+            F.col(sub_a),
+            F.col(sub_b),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_subvectors(df: DataFrame, id_col: str, out: str) -> DataFrame:
+    """Explode a 64-dim embedding into PQ_M (m, subvec) rows."""
+    ms = F.array([F.lit(m) for m in range(PQ_M)])
+    return df.select(
+        id_col, F.explode(ms).alias("m"), F.col("embedding").alias("_e")
+    ).select(
+        id_col,
+        "m",
+        F.slice(F.col("_e"), F.col("m") * PQ_SUB + 1, PQ_SUB).alias(out),
+    )
+
+
+def q_embed_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = _pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), "vec_id", "cvec"
+    ).select(F.col("vec_id").alias("k"), "m", "cvec")
+    # encode: 8x explode, broadcast codebook join, struct-min argmin
+    sub = _pq_subvectors(emb, "vec_id", "svec")
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "k", _pq_dist2("svec", "cvec").alias("d2")
+        )
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("k"))).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("code"))
+    )
+    # serve: the query's lut over all (m, k) cells, in micro-units
+    q = _pq_subvectors(
+        _query_vec(spark, sf_dir).select(
+            F.lit(0).alias("qid"), F.col("qvec").alias("embedding")
+        ),
+        "qid",
+        "qsub",
+    )
+    lut = (
+        cb.join(F.broadcast(q), "m")
+        .select(
+            "m",
+            "k",
+            F.round(_pq_dist2("qsub", "cvec") * 1e6, 0)
+            .cast("long")
+            .alias("ld_micro"),
+        )
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]),
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.sum("ld_micro").alias("adc_micro"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct(codes["m"], "code"))),
+                    lambda s: s["code"].cast("string"),
+                ),
+                ",",
+            ).alias("codes"),
+        )
+    )
+    return (
+        adc.select("vec_id", "codes", F.col("adc_micro").cast("long").alias("adc_micro"))
+        .orderBy(F.col("adc_micro").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _pq_adc_sql() -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, {n} + 1), j -> "
+        "(CAST({a}[{off} + j] AS DOUBLE) - CAST({b}[{off} + j] AS DOUBLE))"
+        " * (CAST({a}[{off} + j] AS DOUBLE) - CAST({b}[{off} + j] AS DOUBLE)))), "
+        "(acc, x) -> acc + x)"
+    )
+    vec_cell = d2.format(n=PQ_SUB, a="e.embedding", b="s.c", off=f"ms.m * {PQ_SUB}")
+    q_cell = d2.format(n=PQ_SUB, a="q.qv", b="s.c", off=f"ms.m * {PQ_SUB}")
+    return f"""
+WITH seeds AS (SELECT vec_id AS k, embedding AS c FROM embeddings WHERE vec_id < {PQ_K}),
+ms AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
+sub AS (
+  SELECT e.vec_id, ms.m, s.k, {vec_cell} AS d2
+  FROM embeddings e CROSS JOIN ms CROSS JOIN seeds s
+),
+mind AS (SELECT vec_id, m, min(d2) AS d0 FROM sub GROUP BY 1, 2),
+codes AS (
+  SELECT s.vec_id, s.m, CAST(min(s.k) AS INT) AS code
+  FROM sub s JOIN mind d ON s.vec_id = d.vec_id AND s.m = d.m AND s.d2 = d.d0
+  GROUP BY 1, 2
+),
+q AS (SELECT embedding AS qv FROM embeddings ORDER BY vec_id ASC LIMIT 1),
+lut AS (
+  SELECT ms.m, s.k, CAST(round({q_cell} * 1e6, 0) AS BIGINT) AS ld_micro
+  FROM seeds s CROSS JOIN ms CROSS JOIN q
+),
+adc AS (
+  SELECT c.vec_id,
+         CAST(sum(l.ld_micro) AS BIGINT) AS adc_micro,
+         array_to_string(list_transform(
+           list_sort(list({{'m': c.m, 'code': c.code}})),
+           r -> CAST(r.code AS VARCHAR)), ',') AS codes
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id
+)
+SELECT vec_id, codes, adc_micro
+FROM adc
+ORDER BY adc_micro ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def register_all() -> None:
+    register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)

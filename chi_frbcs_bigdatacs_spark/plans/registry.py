@@ -53,6 +53,7 @@ CHECK_PRIORITY: list[str] = [
     "graph_triangle_count",
     "timeseries_ohlc",
     "stream_ohlc",
+    "embed_pq_adc",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
