@@ -54,6 +54,7 @@ CHECK_PRIORITY: list[str] = [
     "timeseries_ohlc",
     "stream_ohlc",
     "embed_pq_adc",
+    "resample_smote",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
