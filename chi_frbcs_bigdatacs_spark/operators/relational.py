@@ -280,6 +280,61 @@ GROUP BY o_orderpriority
 """
 
 
+# --- runtime bloom-filter join (row-level runtime filtering) -----------------
+# The shuffle-join counterpart of join_dpp's partition pruning:
+# Catalyst's InjectRuntimeFilter plants a bloom_filter_agg subquery
+# on the SELECTIVE build side (urgent orders) and a might_contain()
+# filter on the 100 TB probe side's scan, so most lineitem rows die
+# BEFORE the shuffle instead of after the join — at scale this is
+# the difference between shuffling the full fact table and shuffling
+# the ~selectivity fraction of it. InjectRuntimeFilter only fires
+# for probably-shuffle joins over large probe scans, so at FIXTURE
+# scale the size thresholds are lowered WHILE THE PLAN IS FROZEN
+# (accessing executedPlan caches the optimized logical plan on the
+# Dataset) and restored before returning — nothing leaks into other
+# keys' planning, and a real cluster needs no conf change at all.
+# The injection is pinned in tests/test_plans.py; a bloom filter is
+# results-neutral by construction (might_contain has no false
+# negatives), which the DuckDB oracle hash-checks.
+def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    df = (
+        o.hint("merge")
+        .join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
+        )
+    )
+    app_key = (
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold"
+    )
+    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
+    old_app, old_bcast = spark.conf.get(app_key), spark.conf.get(bcast_key)
+    try:
+        spark.conf.set(app_key, "1KB")
+        spark.conf.set(bcast_key, "-1")
+        df._jdf.queryExecution().executedPlan()  # freeze injected plan
+    finally:
+        spark.conf.set(app_key, old_app)
+        spark.conf.set(bcast_key, old_bcast)
+    return df
+
+
+JOIN_RUNTIME_BLOOM_SQL = """
+SELECT o_orderstatus, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY o_orderstatus
+"""
+
+
 def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
@@ -1282,6 +1337,7 @@ def register_all() -> None:
     register("setop_except", q_setop_except, SETOP_EXCEPT_SQL)
     register("join_broadcast", q_join_broadcast, JOIN_BROADCAST_SQL)
     register("join_sortmerge", q_join_sortmerge, JOIN_SORTMERGE_SQL)
+    register("join_runtime_bloom", q_join_runtime_bloom, JOIN_RUNTIME_BLOOM_SQL)
     register("join_semi", q_join_semi, JOIN_SEMI_SQL)
     register("join_anti", q_join_anti, JOIN_ANTI_SQL)
     register("join_range", q_join_range, JOIN_RANGE_SQL)

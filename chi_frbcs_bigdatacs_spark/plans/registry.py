@@ -55,6 +55,7 @@ CHECK_PRIORITY: list[str] = [
     "stream_ohlc",
     "embed_pq_adc",
     "resample_smote",
+    "join_runtime_bloom",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",

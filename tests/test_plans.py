@@ -316,3 +316,13 @@ def test_merge_scd2_plans_no_join(spark):
     p = _plan(spark, "merge_scd2")
     assert "Join" not in p, f"merge_scd2 planned a join:\n{p[:600]}"
     assert "Window" in p
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """The selective-dim shuffle join must carry Catalyst's runtime
+    row-level filter: a bloom_filter_agg subquery on the filtered
+    build side and a might_contain() predicate on the fact-side scan,
+    so probe rows die before the shuffle."""
+    p = _plan(spark, "join_runtime_bloom")
+    assert "might_contain" in p, "no runtime bloom filter on the probe side"
+    assert "bloom_filter_agg" in p, "no bloom filter built from the dim side"
