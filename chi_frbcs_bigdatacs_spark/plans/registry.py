@@ -101,15 +101,17 @@ CHECK_PRIORITY: list[str] = [
     "classify_wr_plain",
     "classify_wr_multiclass",
     "metrics_confusion_multiclass",
+    # -- 50-slot cap: 10 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 25, so the cap lands here after the
+    # first 25 of the 30 (d) r3-stale keys (the last entry in the
+    # window is metrics_confusion_multiclass). Everything below is
+    # past-cap in r9 front-load order: the 5 remaining r3 keys, then
+    # the r4-checked backlog.
     "classify_holdout",
     "crossval_gm_auc",
     "classify_wr_nominal",
     "metrics_gm_auc_multiclass",
     "crossval_multiclass",
-    # -- 50-slot cap: with 5 new r8 keys in (a) the cap lands after
-    # metrics_gm_auc_multiclass; each additional r8 key pushes one
-    # more (d)-tail key past the cap into the r9 rotation. Everything
-    # below is past-cap r4-checked backlog in r9 front-load order.
     "agg_value_stats",
     "join_asof",
     "join_range",
