@@ -1334,6 +1334,177 @@ FROM cells GROUP BY 1, 2
 """
 
 
+# --- truncated-window EWMA (exponential smoothing) ---------------------------
+# Exponential smoothing over the irregular event stream, the
+# denoising pass sensor/metric pipelines run before thresholding.
+# The textbook recursion ewma_t = a*x_t + (1-a)*ewma_{t-1} is a
+# sequential scan; the SCALABLE equivalent used here truncates the
+# exponential tail at K=24 lags (tail mass (1-a)^24 ~ 1e-3 at
+# a=0.25), which turns the recursion into a FIXED linear combination
+# of the last K observations — 24 lag() columns over one
+# (event_type)-partitioned window, a single shuffle, no sequential
+# dependency. (The untruncated recurrence is still mergeable as an
+# affine map v -> a*v + b per block, but block composition changes
+# float rounding order; the truncated form is what both engines can
+# compute BIT-IDENTICALLY.)
+#
+# Parity design: v = round(100*value) is an exactly-representable
+# integer-valued double; the weights a*(1-a)^j are Python-computed
+# doubles interpolated as full-precision literals into BOTH engines;
+# the weighted sum is generated LEFT-ASSOCIATIVE in both (identical
+# IEEE operation sequence -> identical bits), one division by the
+# literal 100*W, round(6). Rows with fewer than K predecessors are
+# excluded so the weight vector (and denominator) is constant.
+EWMA_ALPHA = 0.25
+EWMA_K = 24
+EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_K)]
+EWMA_DEN = 100.0 * sum(EWMA_WEIGHTS)  # left-assoc Python sum, literal below
+
+
+def q_timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    v = F.round(F.col("value") * 100)  # integer-valued double, exact
+    lags = [F.lag(v, j).over(w).alias(f"v{j}") for j in range(EWMA_K)]
+    d = ev.select(
+        "event_type",
+        "ts",
+        F.row_number().over(w).alias("rn"),
+        *lags,
+    ).filter(F.col("rn") >= EWMA_K)
+    wsum = F.col("v0") * F.lit(EWMA_WEIGHTS[0])
+    for j in range(1, EWMA_K):  # left-associative chain, mirrors the SQL
+        wsum = wsum + F.col(f"v{j}") * F.lit(EWMA_WEIGHTS[j])
+    d = d.select(
+        "event_type",
+        "ts",
+        F.round(wsum / F.lit(EWMA_DEN), 6).alias("ewma"),
+    )
+    return (
+        d.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max_by("ewma", "ts").alias("ewma_close"),
+        )
+    )
+
+
+def _timeseries_ewma_sql() -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(round(100 * value), {j}) OVER w AS v{j}" for j in range(EWMA_K)
+    )
+    wsum = " + ".join(f"v{j} * {EWMA_WEIGHTS[j]!r}" for j in range(EWMA_K))
+    return f"""
+WITH lagged AS (
+  SELECT event_type, ts,
+         row_number() OVER w AS rn,
+         {lag_cols}
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+pts AS (
+  SELECT event_type, ts, round(({wsum}) / {EWMA_DEN!r}, 6) AS ewma
+  FROM lagged WHERE rn >= {EWMA_K}
+)
+SELECT event_type, date_trunc('hour', ts) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       max_by(ewma, ts) AS ewma_close
+FROM pts GROUP BY 1, 2
+"""
+
+
+# --- last-touch conversion attribution ---------------------------------------
+# The marketing-analytics staple: credit each conversion (purchase)
+# to the user's most recent touch event (click/view) inside a 24h
+# lookback, else 'none'. ONE window pass per user carries the last
+# touch forward — last(CASE..., ignorenulls) over ROWS UNBOUNDED
+# PRECEDING..1 PRECEDING; the ts and type columns are two IGNORE
+# NULLS picks whose CASEs null out on exactly the same rows, so they
+# always come from the same touch row. No self-join, no as-of join:
+# at 100 TB this is a single shuffle on user_id (the same shape as
+# sessionization), and the output is channel-cardinality tiny.
+# Parity: latency is summed in exact integer MICROS and divided once
+# (the TWAP recipe); revenue is an exact integer cent sum.
+ATTR_LOOKBACK_US = 24 * 3600 * 1_000_000
+
+
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = ev.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        "value",
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("t_type"),
+        F.last(F.when(is_touch, F.unix_micros("ts")), ignorenulls=True)
+        .over(w)
+        .alias("t_us"),
+    ).filter(F.col("event_type") == "purchase")
+    dt = F.unix_micros("ts") - F.col("t_us")
+    attributed = (F.col("t_us").isNotNull()) & (dt <= ATTR_LOOKBACK_US)
+    d = d.select(
+        F.when(attributed, F.col("t_type")).otherwise(F.lit("none")).alias("channel"),
+        F.when(attributed, dt).alias("dt_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return d.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n_conv"),
+        F.sum("cents").alias("revenue_cents"),
+        F.round(
+            F.sum("dt_us").cast("double") / (F.lit(1e6) * F.count("dt_us")), 6
+        ).alias("avg_latency_s"),
+    )
+
+
+EVENTS_ATTRIBUTION_SQL = f"""
+WITH marked AS (
+  SELECT user_id, event_type, ts, value,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS)
+           OVER w AS t_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN epoch_us(ts) END IGNORE NULLS)
+           OVER w AS t_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+conv AS (
+  SELECT CASE WHEN t_us IS NOT NULL
+                   AND epoch_us(ts) - t_us <= {ATTR_LOOKBACK_US}
+              THEN t_type ELSE 'none' END AS channel,
+         CASE WHEN t_us IS NOT NULL
+                   AND epoch_us(ts) - t_us <= {ATTR_LOOKBACK_US}
+              THEN epoch_us(ts) - t_us END AS dt_us,
+         CAST(round(100 * value) AS BIGINT) AS cents
+  FROM marked WHERE event_type = 'purchase'
+)
+SELECT channel,
+       CAST(count(*) AS BIGINT) AS n_conv,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       round(CAST(sum(dt_us) AS DOUBLE) / (1e6 * count(dt_us)), 6)
+         AS avg_latency_s
+FROM conv GROUP BY channel
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("agg_active_users_7d", q_agg_active_users_7d, AGG_ACTIVE_USERS_7D_SQL)
@@ -1351,6 +1522,8 @@ def register_all() -> None:
     register("join_scd2_pit", q_join_scd2_pit, _join_scd2_pit_sql())
     register("timeseries_twap", q_timeseries_twap, TIMESERIES_TWAP_SQL)
     register("timeseries_ohlc", q_timeseries_ohlc, TIMESERIES_OHLC_SQL)
+    register("timeseries_ewma", q_timeseries_ewma, _timeseries_ewma_sql())
+    register("events_attribution", q_events_attribution, EVENTS_ATTRIBUTION_SQL)
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("merge_scd2", q_merge_scd2, SCD2_BUILD_SQL)

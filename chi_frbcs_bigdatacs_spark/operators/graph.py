@@ -177,8 +177,83 @@ GROUP BY e1.src
 """
 
 
+# --- label propagation (community detection) ---------------------------------
+# The fourth graph primitive: synchronous label propagation
+# (Raghavan et al. 2007) over the part<->supplier co-occurrence
+# graph PageRank uses. Each round every node adopts the MODE of its
+# neighbors' labels; the classic algorithm breaks ties randomly,
+# which is non-reproducible — here ties go to the LOWEST label
+# (min label among max-count), making every round a deterministic
+# function of the previous one, so a fixed N_LPA_ITERS unrolls into
+# an exact cross-engine oracle. Each round is ONE equi-join
+# (edges x labels, co-partitioned on src like PageRank's contrib
+# join) + one (node, label) count agg + one argmax — the argmax is
+# min(struct(-cnt, label)), the engine-neutral two-step
+# max-count/min-label pick. Output: per surviving label, the
+# community size (label cardinality shrinks monotonically; N=3
+# rounds on the bipartite fixture already coarsens to meaningful
+# communities).
+N_LPA_ITERS = 3
+
+
+def q_graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).persist()
+    try:
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        labels = nodes.withColumn("label", F.col("node"))
+        for _ in range(N_LPA_ITERS):
+            cnt = (
+                labels.join(edges, labels["node"] == edges["src"])
+                .groupBy(F.col("dst").alias("n2"), "label")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            labels = (
+                cnt.groupBy("n2")
+                .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("s"))
+                .select(F.col("n2").alias("node"), F.col("s.label").alias("label"))
+            )
+        return labels.groupBy("label").agg(F.count(F.lit(1)).alias("n_nodes"))
+    finally:
+        edges.unpersist()
+
+
+def _lpa_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+    UNION ALL
+    SELECT 's' || l_suppkey, 'p' || l_partkey FROM lineitem) e
+)""",
+        "nodes AS (SELECT DISTINCT src AS node FROM edges)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    prev = "l0"
+    for i in range(1, N_LPA_ITERS + 1):
+        ctes.append(f"""c{i} AS (
+  SELECT e.dst AS n2, l.label, count(*) AS c
+  FROM {prev} l JOIN edges e ON l.node = e.src
+  GROUP BY e.dst, l.label
+)""")
+        ctes.append(f"""m{i} AS (SELECT n2, max(c) AS c0 FROM c{i} GROUP BY n2)""")
+        ctes.append(f"""l{i} AS (
+  SELECT c.n2 AS node, min(c.label) AS label
+  FROM c{i} c JOIN m{i} m ON c.n2 = m.n2 AND c.c = m.c0
+  GROUP BY c.n2
+)""")
+        prev = f"l{i}"
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT label, CAST(count(*) AS BIGINT) AS n_nodes"
+        + f"\nFROM {prev} GROUP BY label"
+    )
+
+
 def register_all() -> None:
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
+    register(
+        "graph_label_propagation", q_graph_label_propagation, _lpa_sql()
+    )
     register(
         "graph_triangle_count", q_graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL
     )

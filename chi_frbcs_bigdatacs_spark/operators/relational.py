@@ -758,6 +758,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_agg_hll_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches hll_sketch_agg): the
+    100 TB distinct-count architecture — build one sketch PER SHARD
+    (here per o_orderpriority), answer the global rollup by UNIONING
+    the partial sketches (hll_union_agg) instead of rescanning the
+    fact table. The checked output is the agg_approx_distinct
+    pattern: exact counts plus a 5%-tolerance bool on each sketch
+    estimate, including the merged 'ALL' row whose estimate came
+    only from the 5 partial sketches (sketches are deterministic per
+    input, so the bools are stable). One scan builds the partials;
+    the union is a 5-row agg."""
+    o = load_table(spark, sf_dir, "orders")
+    parts = o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_exact"),
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("sk"),
+    )
+    per_group = parts.select(
+        F.col("o_orderpriority").alias("grp"),
+        "n_exact",
+        (
+            F.abs(F.hll_sketch_estimate("sk") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+    exact_all = o.select(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    merged = parts.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n_merged")
+    )
+    all_row = exact_all.crossJoin(merged).select(
+        F.lit("ALL").alias("grp"),
+        "n_exact",
+        (
+            F.abs(F.col("n_merged") - F.col("n_exact")).cast("double")
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("approx_ok"),
+    )
+    return per_group.unionByName(all_row)
+
+
+AGG_HLL_UNION_SQL = """
+SELECT o_orderpriority AS grp,
+       count(DISTINCT o_custkey) AS n_exact, true AS approx_ok
+FROM orders GROUP BY o_orderpriority
+UNION ALL
+SELECT 'ALL', count(DISTINCT o_custkey), true FROM orders
+"""
+
+
 def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (R-7 linear interpolation in both engines)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -1319,6 +1371,7 @@ def register_all() -> None:
     register("agg_pivot", q_agg_pivot, AGG_PIVOT_SQL)
     register("agg_percentile", q_agg_percentile, AGG_PERCENTILE_SQL)
     register("agg_approx_distinct", q_agg_approx_distinct, AGG_APPROX_DISTINCT_SQL)
+    register("agg_hll_union", q_agg_hll_union, AGG_HLL_UNION_SQL)
     register("agg_approx_percentile", q_agg_approx_percentile, AGG_APPROX_PERCENTILE_SQL)
     register("join_salted", q_join_salted, JOIN_SALTED_SQL)
     register("join_salted_skew", q_join_salted_skew, JOIN_SALTED_SKEW_SQL)

@@ -276,7 +276,119 @@ FROM (
 """
 
 
+# --- Tomek-link cleaning ------------------------------------------------------
+# The fourth imbalance treatment of the line (Tomek 1976; the
+# undersampling sibling SMOTE+Tomek pipelines use): a Tomek link is a
+# cross-class pair that are each other's NEAREST NEIGHBOR — such
+# pairs straddle the class boundary (or are noise), and removing the
+# majority member sharpens it. Neighbor search reuses SMOTE's grid
+# bucketing: nearest is per-bucket (equi self-join on the grid key +
+# struct-min, join volume sum-of-bucket^2 — never all-pairs; the
+# documented grid-local approximation, production probes adjacent
+# cells). Distances use SMOTE's exact term order; mutuality is an
+# equi self-join of the per-row argmin table on (id, nn_id) =
+# (nn_id, id). Output = the links, oriented minority-first (the
+# majority column is the removal set). Everything after the bucketed
+# argmin is id-arithmetic — the oracle is strict.
+
+
+def q_resample_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    counts = _class_counts(df)
+    min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    m = df.select(
+        "id",
+        "label",
+        *FEATURES,
+        F.col("f1").cast("int").alias("bq"),
+        F.floor(F.col("f2") / SMOTE_F2_BAND).cast("int").alias("bp"),
+    )
+    a = m.select(
+        F.col("id").alias("a_id"),
+        F.col("label").alias("a_label"),
+        *[F.col(f).alias(f"a_{f}") for f in FEATURES],
+        "bq",
+        "bp",
+    )
+    b = m.select(
+        F.col("id").alias("b_id"),
+        F.col("label").alias("b_label"),
+        *[F.col(f).alias(f"b_{f}") for f in FEATURES],
+        "bq",
+        "bp",
+    )
+    pairs = a.join(b, ["bq", "bp"]).filter(F.col("a_id") != F.col("b_id"))
+    diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
+    d2 = (
+        diff["f1"] * diff["f1"]
+        + (diff["f2"] / 1000.0) * (diff["f2"] / 1000.0)
+        + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
+        + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
+    )
+    nn = (
+        pairs.select("a_id", "a_label", d2.alias("d2"), "b_id", "b_label")
+        .groupBy("a_id", "a_label")
+        .agg(F.min(F.struct("d2", "b_id", "b_label")).alias("s"))
+        .select(
+            "a_id",
+            "a_label",
+            F.col("s.b_id").alias("nn_id"),
+            F.col("s.b_label").alias("nn_label"),
+        )
+    )
+    fwd = nn.filter(
+        (F.col("a_label") == F.lit(int(min_label)))
+        & (F.col("nn_label") != F.col("a_label"))
+    ).select(
+        F.col("a_id").alias("min_id"), F.col("nn_id").alias("maj_id")
+    )
+    rev = nn.select(
+        F.col("a_id").alias("maj_id"), F.col("nn_id").alias("min_id")
+    )
+    return fwd.join(rev, ["min_id", "maj_id"]).select(
+        F.col("min_id").cast("long"), F.col("maj_id").cast("long")
+    )
+
+
+RESAMPLE_TOMEK_SQL = f"""
+WITH clf AS ({LINEITEM_CLF_SQL}),
+cnt AS (SELECT label, count(*) AS n FROM clf GROUP BY label),
+ml AS (SELECT label FROM cnt ORDER BY n ASC, label ASC LIMIT 1),
+m AS (
+  SELECT id, label, f1, f2, f3, f4,
+         CAST(f1 AS INT) AS bq,
+         CAST(floor(f2 / {SMOTE_F2_BAND}) AS INT) AS bp
+  FROM clf
+),
+pairs AS (
+  SELECT a.id AS a_id, a.label AS a_label,
+         b.id AS b_id, b.label AS b_label,
+         (b.f1 - a.f1) * (b.f1 - a.f1)
+           + ((b.f2 - a.f2) / 1000.0) * ((b.f2 - a.f2) / 1000.0)
+           + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
+           + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
+  FROM m a JOIN m b ON a.bq = b.bq AND a.bp = b.bp AND a.id <> b.id
+),
+mind AS (SELECT a_id, min(d2) AS d0 FROM pairs GROUP BY a_id),
+nn AS (
+  SELECT p.a_id, any_value(p.a_label) AS a_label,
+         min(p.b_id) AS nn_id
+  FROM pairs p JOIN mind d ON p.a_id = d.a_id AND p.d2 = d.d0
+  GROUP BY p.a_id
+),
+nn2 AS (
+  SELECT nn.a_id, nn.a_label, nn.nn_id, m.label AS nn_label
+  FROM nn JOIN m ON m.id = nn.nn_id
+)
+SELECT CAST(f.a_id AS BIGINT) AS min_id, CAST(f.nn_id AS BIGINT) AS maj_id
+FROM nn2 f
+JOIN nn2 r ON r.a_id = f.nn_id AND r.nn_id = f.a_id
+WHERE f.a_label = (SELECT label FROM ml) AND f.nn_label <> f.a_label
+"""
+
+
 def register_all() -> None:
     register("resample_ros", q_resample_ros, RESAMPLE_ROS_SQL)
     register("resample_rus", q_resample_rus, RESAMPLE_RUS_SQL)
     register("resample_smote", q_resample_smote, RESAMPLE_SMOTE_SQL)
+    register("resample_tomek", q_resample_tomek, RESAMPLE_TOMEK_SQL)

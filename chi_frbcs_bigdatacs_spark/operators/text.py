@@ -1288,6 +1288,384 @@ def q_text_phrase_from_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- bigram language-model scoring -------------------------------------------
+# The n-gram upgrade of text_unigram_surprisal (packing.py): train an
+# add-one-smoothed bigram LM on the corpus's OWN token stream and
+# score each document by its mean bigram log-probability
+# ln((c(w1,w2)+1) / (c(w1)+V)) — the classic model-free fluency /
+# perplexity filter (low = improbable token transitions). Bigrams
+# come from ONE lead() window over the positional token stream (no
+# self-join); counts are two hash aggs; scoring joins occurrences to
+# the distinct-bigram logprob table on the derived (w1,w2) key —
+# vocabulary-sized, broadcastable. Parity follows the surprisal
+# recipe: each bigram's logprob is rounded to 6dp BEFORE the per-doc
+# mean, V and the counts are exact integers, and the final mean is
+# round(...,4) (same residual round(avg(double)) risk class,
+# accepted as a noise gate).
+
+
+def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w1"
+        ),
+    ).filter(F.col("w1") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "doc_id", "w1", F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    v = toks.select("w1").distinct().count()  # vocab size, driver scalar
+    c2 = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    lp = c2.join(c1, "w1").select(
+        "w1",
+        "w2",
+        F.round(
+            F.log(
+                (F.col("c2") + 1).cast("double")
+                / (F.col("c1") + F.lit(v)).cast("double")
+            ),
+            6,
+        ).alias("lp"),
+    )
+    return (
+        bi.join(lp, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
+TEXT_BIGRAM_LM_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, w1 FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w1,
+           generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+    FROM documents) t
+  WHERE w1 <> ''
+),
+bi AS (
+  SELECT doc_id, w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM toks
+),
+bi2 AS (SELECT doc_id, w1, w2 FROM bi WHERE w2 IS NOT NULL),
+v AS (SELECT count(DISTINCT w1) AS v FROM toks),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bi2 GROUP BY w1, w2),
+c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY w1),
+lp AS (
+  SELECT c2.w1, c2.w2,
+         round(ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS lp
+  FROM c2 JOIN c1 ON c1.w1 = c2.w1 CROSS JOIN v
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(lp.lp), 4) AS avg_logprob
+FROM bi2 b JOIN lp ON lp.w1 = b.w1 AND lp.w2 = b.w2
+GROUP BY b.doc_id
+"""
+
+
+# --- RAKE keyword extraction --------------------------------------------------
+# Rapid Automatic Keyword Extraction (Rose et al. 2010): candidate
+# phrases are maximal runs of content tokens between stopword/short-
+# token breaks; word score = degree/frequency (degree = summed length
+# of phrases the word occurs in); phrase score = sum of its word
+# scores. The phrase segmentation is the gaps-and-islands idiom
+# (pos - row_number over non-break rows), entirely window/agg algebra
+# — no regex phrase splitting, no UDF. Scores stay in EXACT integer
+# micro-units: word_score = (1e6 * degree) div freq (floor division
+# on positive BIGINTs is engine-identical), phrase score an integer
+# sum — the oracle is strict, no float tolerance anywhere.
+# Scale shape: one explode + two hash aggs + one join of phrase words
+# against the vocabulary-sized word-score table (broadcastable) + a
+# global top-25 (TakeOrdered); runs longer than RAKE_MAX_LEN are
+# dropped (synthetic long runs are noise, and the cap bounds the
+# phrase key space).
+RAKE_MAX_LEN = 4
+RAKE_TOP_N = 25
+
+
+def q_text_keyword_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "token"
+        ),
+    )
+    sw = F.array(*[F.lit(w) for w in _ALL_STOPWORDS])
+    content = toks.filter(
+        (F.length("token") >= 3) & ~F.array_contains(sw, F.col("token"))
+    )
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    runs = content.withColumn(
+        "grp", F.col("pos") - F.row_number().over(wd)
+    )
+    wp = Window.partitionBy("doc_id", "grp")
+    words = runs.withColumn("plen", F.count(F.lit(1)).over(wp)).filter(
+        F.col("plen") <= RAKE_MAX_LEN
+    )
+    scores = words.groupBy("token").agg(
+        F.count(F.lit(1)).alias("freq"),
+        F.sum("plen").alias("deg"),
+    ).select(
+        "token", F.expr("(1000000 * deg) div freq").alias("wscore")
+    )
+    phrases = (
+        words.groupBy("doc_id", "grp")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("n_words"),
+        )
+        .groupBy("phrase", "n_words")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    pw = phrases.select(
+        "phrase", F.explode(F.split(F.col("phrase"), " ")).alias("token")
+    )
+    pscore = (
+        pw.join(F.broadcast(scores), "token")
+        .groupBy("phrase")
+        .agg(F.sum("wscore").alias("score"))
+    )
+    return (
+        phrases.join(pscore, "phrase")
+        .select(
+            "phrase",
+            F.col("n_words").cast("long").alias("n_words"),
+            F.col("n_occ").cast("long").alias("n_occ"),
+            F.col("score").cast("long").alias("score"),
+        )
+        .orderBy(F.desc("score"), "phrase")
+        .limit(RAKE_TOP_N)
+    )
+
+
+def _rake_sql() -> str:
+    sw = ", ".join(f"'{w}'" for w in _ALL_STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT doc_id, pos - 1 AS pos, token FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS token,
+           generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+    FROM documents) t
+),
+content AS (
+  SELECT doc_id, pos, token FROM toks
+  WHERE length(token) >= 3 AND token NOT IN ({sw})
+),
+runs AS (
+  SELECT doc_id, pos, token,
+         pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM content
+),
+words AS (
+  SELECT doc_id, grp, pos, token,
+         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+  FROM runs
+  QUALIFY plen <= {RAKE_MAX_LEN}
+),
+scores AS (
+  SELECT token, (1000000 * sum(plen)) // count(*) AS wscore
+  FROM words GROUP BY token
+),
+occs AS (
+  SELECT doc_id, grp,
+         string_agg(token, ' ' ORDER BY pos) AS phrase,
+         count(*) AS n_words
+  FROM words GROUP BY doc_id, grp
+),
+phrases AS (
+  SELECT phrase, n_words, count(*) AS n_occ
+  FROM occs GROUP BY phrase, n_words
+),
+pscore AS (
+  SELECT p.phrase, sum(s.wscore) AS score
+  FROM (SELECT phrase, unnest(string_split(phrase, ' ')) AS token
+        FROM phrases) p
+  JOIN scores s ON s.token = p.token
+  GROUP BY p.phrase
+)
+SELECT ph.phrase,
+       CAST(ph.n_words AS BIGINT) AS n_words,
+       CAST(ph.n_occ AS BIGINT) AS n_occ,
+       CAST(ps.score AS BIGINT) AS score
+FROM phrases ph JOIN pscore ps ON ps.phrase = ph.phrase
+ORDER BY score DESC, ph.phrase
+LIMIT {RAKE_TOP_N}
+"""
+
+
+# --- KMV bottom-k set-overlap sketch -----------------------------------------
+# Cross-corpus vocabulary overlap WITHOUT materializing the sets:
+# each language's distinct-token set is reduced to its KMV signature
+# (the K smallest md5 hashes — Bar-Yossef et al. 2002 / Beyer et al.
+# 2007), and per language pair the standard bottom-k estimator
+# est_J = |X ∩ A ∩ B| / |X| with X = bottom-k(A ∪ B) is evaluated.
+# Two properties carry this to 100 TB:
+# 1. MERGEABILITY — bottom-k(A ∪ B) == bottom-k(bottom-k(A) ∪
+#    bottom-k(B)), so each corpus reduces to K rows once (a map-side
+#    partial top-k, then a K-row global agg) and every pairwise
+#    comparison runs on K-row inputs regardless of corpus size.
+# 2. EXACT MEMBERSHIP — any x in X with x ∈ A has hash ≤ kth(A∪B) ≤
+#    kth(A), so x is inside bottom-k(A); membership tests against the
+#    sketches are exact, never approximate.
+# Both engines hash with the same md5 and order by (h, token), so the
+# sketches — and therefore the ESTIMATES — are identical: the oracle
+# is STRICT. The exact jaccard (affordable at fixture scale, the
+# recall-check column like simsearch_recall's) rides along so the
+# estimator's error is visible in the checked output.
+KMV_K = 128
+
+
+def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .distinct()
+        .withColumn("h", F.md5("token"))
+    )
+    wk = Window.partitionBy("lang").orderBy("h", "token")
+    kmv = toks.withColumn("rn", F.row_number().over(wk)).filter(
+        F.col("rn") <= KMV_K
+    ).select("lang", "token", "h")
+    langs = kmv.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("la"))
+        .join(langs.select(F.col("lang").alias("lb")), F.col("la") < F.col("lb"))
+    )
+    # X = bottom-k of the union, built from the two sketches only
+    both = pairs.join(
+        F.broadcast(kmv),
+        (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
+    ).select("la", "lb", "token", "h").distinct()
+    wu = Window.partitionBy("la", "lb").orderBy("h", "token")
+    x = both.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= KMV_K)
+    ka = kmv.select(F.col("lang").alias("la"), "token", F.lit(1).alias("in_a"))
+    kb = kmv.select(F.col("lang").alias("lb"), "token", F.lit(1).alias("in_b"))
+    flagged = (
+        x.join(F.broadcast(ka), ["la", "token"], "left")
+        .join(F.broadcast(kb), ["lb", "token"], "left")
+        .groupBy("la", "lb")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(
+                F.coalesce(F.col("in_a"), F.lit(0))
+                * F.coalesce(F.col("in_b"), F.lit(0))
+            ).cast("long").alias("n_shared"),
+        )
+    )
+    # exact jaccard: fixture-affordable verification column
+    ta = toks.select(F.col("lang").alias("la"), "token")
+    tb = toks.select(F.col("lang").alias("lb"), "token")
+    n_int = (
+        ta.join(tb, "token")
+        .filter(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+    )
+    sizes = toks.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        flagged.join(n_int, ["la", "lb"], "left")
+        .join(sizes.select(F.col("lang").alias("la"), F.col("n").alias("n_a")), "la")
+        .join(sizes.select(F.col("lang").alias("lb"), F.col("n").alias("n_b")), "lb")
+        .select(
+            "la",
+            "lb",
+            F.col("k_eff").cast("long").alias("k_eff"),
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("k_eff"), 6).alias("est_jaccard"),
+            F.coalesce(F.col("n_int"), F.lit(0)).cast("long").alias("n_int"),
+            F.round(
+                F.coalesce(F.col("n_int"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_int"), F.lit(0))),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+SKETCH_KMV_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents) t
+  WHERE length(token) >= 3
+),
+hashed AS (SELECT lang, token, md5(token) AS h FROM toks),
+kmv AS (
+  SELECT lang, token, h FROM (
+    SELECT lang, token, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, token) AS rn
+    FROM hashed) s
+  WHERE rn <= {KMV_K}
+),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb
+  FROM (SELECT DISTINCT lang FROM kmv) a
+  JOIN (SELECT DISTINCT lang FROM kmv) b ON a.lang < b.lang
+),
+uni AS (
+  SELECT DISTINCT p.la, p.lb, k.token, k.h
+  FROM pairs p JOIN kmv k ON k.lang IN (p.la, p.lb)
+),
+x AS (
+  SELECT la, lb, token FROM (
+    SELECT la, lb, token,
+           row_number() OVER (PARTITION BY la, lb ORDER BY h, token) AS rn
+    FROM uni) s
+  WHERE rn <= {KMV_K}
+),
+flagged AS (
+  SELECT x.la, x.lb,
+         CAST(count(*) AS BIGINT) AS k_eff,
+         CAST(sum(CASE WHEN ka.token IS NOT NULL AND kb.token IS NOT NULL
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+  FROM x
+  LEFT JOIN kmv ka ON ka.lang = x.la AND ka.token = x.token
+  LEFT JOIN kmv kb ON kb.lang = x.lb AND kb.token = x.token
+  GROUP BY x.la, x.lb
+),
+n_int AS (
+  SELECT a.lang AS la, b.lang AS lb, CAST(count(*) AS BIGINT) AS n_int
+  FROM toks a JOIN toks b ON a.token = b.token AND a.lang < b.lang
+  GROUP BY 1, 2
+),
+sizes AS (SELECT lang, count(*) AS n FROM toks GROUP BY lang)
+SELECT f.la, f.lb, f.k_eff, f.n_shared,
+       round(CAST(f.n_shared AS DOUBLE) / f.k_eff, 6) AS est_jaccard,
+       COALESCE(n_int.n_int, 0) AS n_int,
+       round(CAST(COALESCE(n_int.n_int, 0) AS DOUBLE)
+             / (sa.n + sb.n - COALESCE(n_int.n_int, 0)), 6) AS exact_jaccard
+FROM flagged f
+LEFT JOIN n_int ON n_int.la = f.la AND n_int.lb = f.lb
+JOIN sizes sa ON sa.lang = f.la
+JOIN sizes sb ON sb.lang = f.lb
+"""
+
+
 def register_all() -> None:
     register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
     register("text_posindex_build", q_text_posindex_build, TEXT_POSINDEX_BUILD_SQL)
@@ -1303,6 +1681,9 @@ def register_all() -> None:
     register(
         "agg_count_min_sketch", q_agg_count_min_sketch, AGG_COUNT_MIN_SKETCH_SQL
     )
+    register("sketch_kmv_overlap", q_sketch_kmv_overlap, SKETCH_KMV_OVERLAP_SQL)
+    register("text_keyword_rake", q_text_keyword_rake, _rake_sql())
+    register("text_bigram_lm", q_text_bigram_lm, TEXT_BIGRAM_LM_SQL)
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)

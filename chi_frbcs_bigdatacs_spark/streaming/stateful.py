@@ -1174,6 +1174,107 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `events_attribution` (curation.py): credit
+    each purchase to the user's most recent click/view inside the 24h
+    lookback AS IT ARRIVES, carrying each user's last touch
+    (type, ts_us) across micro-batches as state. Replay is
+    time-ordered (`_events_stream_ordered`; ts unique per the
+    testdata contract), so per-user arrival order equals the batch
+    window's (ts, event_id) order — the stream_path_transitions
+    precondition. State shards on the CONSTANT user_id % 64 key;
+    each conversion emits (channel, dt_us, cents) append rows and the
+    final per-channel aggregation is the batch key's arithmetic
+    verbatim (exact integer cents / micros sums, ONE division) —
+    strict equivalence oracle: EVENTS_ATTRIBUTION_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import ATTR_LOOKBACK_US
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
+    )
+
+    ev = _events_stream_ordered(spark, sf_dir).select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 64).alias("shard"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        last: dict[int, tuple] = {}
+        if state.exists:
+            users, types, tss = state.get
+            for u, t, ts_us in zip(users, types, tss):
+                last[int(u)] = (t, int(ts_us))
+        ch_out: list[str] = []
+        dt_out: list = []
+        c_out: list[int] = []
+        chunks = [p for p in pdfs if len(p)]
+        if chunks:
+            b = pd.concat(chunks, ignore_index=True).sort_values(
+                ["ts_us", "event_id"], kind="mergesort"
+            )
+            for r in b.itertuples(index=False):
+                u = int(r.user_id)
+                et = r.event_type
+                if et in ("click", "view"):
+                    last[u] = (et, int(r.ts_us))
+                elif et == "purchase":
+                    t = last.get(u)
+                    if t is not None and int(r.ts_us) - t[1] <= ATTR_LOOKBACK_US:
+                        ch_out.append(t[0])
+                        dt_out.append(int(r.ts_us) - t[1])
+                    else:
+                        ch_out.append("none")
+                        dt_out.append(None)
+                    c_out.append(int(r.cents))
+        us = sorted(last)
+        state.update(
+            (us, [last[u][0] for u in us], [last[u][1] for u in us])
+        )
+        if ch_out:
+            yield pd.DataFrame(
+                {
+                    "channel": ch_out,
+                    "dt_us": pd.array(dt_out, dtype="Int64"),
+                    "cents": c_out,
+                }
+            )
+
+    conv = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="channel string, dt_us long, cents long",
+        stateStructType=(
+            "users array<long>, types array<string>, tss array<long>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_attr_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        conv.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_conv"),
+            F.sum("cents").alias("revenue_cents"),
+            F.round(
+                F.sum("dt_us").cast("double") / (F.lit(1e6) * F.count("dt_us")), 6
+            ).alias("avg_latency_s"),
+        )
+    )
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
@@ -1206,3 +1307,8 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import TIMESERIES_OHLC_SQL
 
     register("stream_ohlc", q_stream_ohlc, TIMESERIES_OHLC_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        EVENTS_ATTRIBUTION_SQL,
+    )
+
+    register("stream_attribution", q_stream_attribution, EVENTS_ATTRIBUTION_SQL)

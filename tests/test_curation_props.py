@@ -131,3 +131,42 @@ def test_simsearch_recall_is_nontrivial_and_monotone(spark):
     seq = [rows[p] for p in sorted(rows)]
     assert seq == sorted(seq), f"recall not monotone in probes: {rows}"
     assert rows[max(RECALL_PROBES)] == 1.0 or max(RECALL_PROBES) < K_CLUSTERS
+
+
+def test_timeseries_ewma_close_within_observed_band(spark):
+    """The EWMA is a convex combination of the last K observations, so
+    every emitted close must lie inside the global [min, max] value
+    band of its event type (a truncation/renormalization bug that
+    over- or under-weights a lag would push it outside)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_timeseries_ewma
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    out = q_timeseries_ewma(spark, SF_SMALL)
+    band = (
+        load_events(spark, SF_SMALL)
+        .groupBy("event_type")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    bad = (
+        out.join(band, "event_type")
+        .filter((F.col("ewma_close") < F.col("lo") - 1e-6)
+                | (F.col("ewma_close") > F.col("hi") + 1e-6))
+        .count()
+    )
+    assert bad == 0
+    assert out.count() > 0
+
+
+def test_sketch_kmv_overlap_estimator_sane(spark):
+    """Bottom-k estimator sanity on the fixture: estimates live in
+    [0, 1], k_eff is capped at K, and the estimate tracks the exact
+    jaccard to within the standard-error band (~3/sqrt(K) at K=128 —
+    a hash or membership-join bug shows up as a gross miss)."""
+    from chi_frbcs_bigdatacs_spark.operators.text import KMV_K, q_sketch_kmv_overlap
+
+    rows = q_sketch_kmv_overlap(spark, SF_SMALL).collect()
+    assert rows, "no language pairs emitted"
+    for r in rows:
+        assert 0 <= r.k_eff <= KMV_K
+        assert 0.0 <= r.est_jaccard <= 1.0
+        assert abs(r.est_jaccard - r.exact_jaccard) <= 3.0 / (KMV_K ** 0.5)

@@ -28,6 +28,8 @@ from tests.conftest import SF_SMALL
 #   - timeseries_gapfill: constant date spine x the tiny broadcast
 #     event-type domain (the gap-fill reporting grid).
 BNL_ALLOWED = {
+    "sketch_kmv_overlap",  # lang-pair spine (<=10 rows) x broadcast K-row sketches
+    "agg_hll_union",  # one-row exact-global agg x one-row merged-sketch agg
     "text_bm25_topk",
     "text_bm25_from_index",
     "filter_length_band",  # one-row percentile-threshold agg broadcast
