@@ -1417,6 +1417,130 @@ FROM pts GROUP BY 1, 2
 """
 
 
+# --- MAD-based robust outlier detection --------------------------------------
+# The robust twin of anomaly_zscore: median / median-absolute-
+# deviation replaces mean / stddev, so a few extreme values cannot
+# drag the threshold toward themselves (the classic failure of
+# z-scores on heavy-tailed telemetry). Two grouped percentile passes
+# (median of v, then median of |v - m|) + one conditional count.
+# Values are 2dp-rounded doubles; both engines interpolate the even-
+# count median as (a+b)/2 over IDENTICAL doubles, and the outlier
+# comparison |v-m| > MAD_K*mad runs on identical doubles — exact
+# cross-engine agreement without a rounding gate. At 100 TB the
+# exact grouped percentile becomes approx_percentile exactly as the
+# discretize_quantile_sketch key documents (mergeable KLL sketch,
+# bounded task memory); the per-type key space keeps each sort
+# partition-local here.
+MAD_K = 6.0
+
+
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).select(
+        "event_type", F.round("value", 2).alias("v")
+    )
+    med = ev.groupBy("event_type").agg(
+        F.expr("percentile(v, 0.5)").alias("m")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").select(
+        "event_type", "v", "m", F.abs(F.col("v") - F.col("m")).alias("ad")
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(ad, 0.5)").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.first("m"), 6).alias("median"),
+            F.round(F.first("mad"), 6).alias("mad"),
+            F.sum(
+                F.when(F.col("ad") > F.lit(MAD_K) * F.col("mad"), 1).otherwise(0)
+            ).cast("long").alias("n_outliers"),
+        )
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH ev AS (SELECT event_type, round(value, 2) AS v FROM events),
+med AS (SELECT event_type, median(v) AS m FROM ev GROUP BY event_type),
+dev AS (
+  SELECT ev.event_type, ev.v, med.m, abs(ev.v - med.m) AS ad
+  FROM ev JOIN med ON med.event_type = ev.event_type
+),
+mad AS (SELECT event_type, median(ad) AS mad FROM dev GROUP BY event_type)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       round(any_value(dev.m), 6) AS median,
+       round(any_value(mad.mad), 6) AS mad,
+       CAST(sum(CASE WHEN dev.ad > {MAD_K} * mad.mad THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev JOIN mad ON mad.event_type = dev.event_type
+GROUP BY dev.event_type
+"""
+
+
+# --- revenue concentration (top-decile share) --------------------------------
+# The Pareto question every growth dashboard asks: what share of
+# total revenue comes from the top 10% of users? Per-user revenue is
+# an exact integer cent sum; the decile assignment is ntile(10) over
+# (revenue DESC, user_id) — the id tie-break makes the boundary
+# deterministic on both engines; the shares divide exact integers
+# ONCE, rounded to 6dp. One shuffle on user_id + one ntile window
+# over the (much smaller) per-user aggregate.
+
+
+def q_agg_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    w = Window.orderBy(F.desc("cents"), "user_id")
+    deciles = per_user.select(
+        "cents", F.ntile(10).over(w).alias("decile")
+    )
+    return deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cents").alias("cents"),
+    ).select(
+        "decile",
+        "n_users",
+        "cents",
+        F.round(
+            F.col("cents").cast("double")
+            / F.sum("cents").over(Window.partitionBy()).cast("double"),
+            6,
+        ).alias("revenue_share"),
+    )
+
+
+AGG_REVENUE_CONCENTRATION_SQL = """
+WITH per_user AS (
+  SELECT user_id, sum(CAST(round(100 * value) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+deciles AS (
+  SELECT cents, ntile(10) OVER (ORDER BY cents DESC, user_id) AS decile
+  FROM per_user
+),
+agg AS (
+  SELECT decile, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cents) AS BIGINT) AS cents
+  FROM deciles GROUP BY decile
+)
+SELECT decile, n_users, cents,
+       round(CAST(cents AS DOUBLE) / CAST(sum(cents) OVER () AS DOUBLE), 6)
+         AS revenue_share
+FROM agg
+"""
+
+
 # --- last-touch conversion attribution ---------------------------------------
 # The marketing-analytics staple: credit each conversion (purchase)
 # to the user's most recent touch event (click/view) inside a 24h
@@ -1524,6 +1648,12 @@ def register_all() -> None:
     register("timeseries_ohlc", q_timeseries_ohlc, TIMESERIES_OHLC_SQL)
     register("timeseries_ewma", q_timeseries_ewma, _timeseries_ewma_sql())
     register("events_attribution", q_events_attribution, EVENTS_ATTRIBUTION_SQL)
+    register("anomaly_mad", q_anomaly_mad, ANOMALY_MAD_SQL)
+    register(
+        "agg_revenue_concentration",
+        q_agg_revenue_concentration,
+        AGG_REVENUE_CONCENTRATION_SQL,
+    )
     register("anomaly_zscore", q_anomaly_zscore, ANOMALY_ZSCORE_SQL)
     register("scd2_build", q_scd2_build, SCD2_BUILD_SQL)
     register("merge_scd2", q_merge_scd2, SCD2_BUILD_SQL)

@@ -620,8 +620,106 @@ FROM per_type CROSS JOIN g
 """
 
 
+# --- declarative expectation suite -------------------------------------------
+# The great-expectations-style contract check every ingestion gate
+# runs: a declarative suite of column expectations (non-null, range,
+# domain, format, cross-column order) evaluated in ONE conditional-
+# aggregation pass per table — the violation predicates are SHARED
+# SQL text compiled by Spark (F.expr) and DuckDB alike, so the suite
+# definition cannot drift between engines — plus one anti-join count
+# for the referential rule. Per rule: row count, violation count,
+# and the pass verdict. At 100 TB each table contributes exactly one
+# scan (all its rules fold into one agg; no per-rule passes), and
+# the referential check is the audit_fk_orphans broadcast-semi
+# shape.
+EXPECT_RULES = {
+    "orders": [
+        ("o_totalprice_positive", "NOT (o_totalprice > 0)"),
+        ("o_orderdate_not_null", "o_orderdate IS NULL"),
+        ("o_orderstatus_domain", "o_orderstatus NOT IN ('O', 'F', 'P')"),
+        # deliberately failing expectation: the violation-counting
+        # path must be exercised, not just the all-zero happy path
+        ("o_totalprice_under_400k", "o_totalprice > 400000"),
+    ],
+    "lineitem": [
+        ("l_quantity_range", "l_quantity < 1 OR l_quantity > 50"),
+        ("l_discount_range", "l_discount < 0 OR l_discount > 0.1"),
+        ("l_quantity_le_45", "l_quantity > 45"),  # fails on ~10% of rows
+    ],
+}
+
+
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for table, rules in EXPECT_RULES.items():
+        t = load_table(spark, sf_dir, table)
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(F.when(F.expr(pred), 1).otherwise(0)).alias(rid)
+            for rid, pred in rules
+        ]
+        one = t.agg(*aggs)
+        stacked = one.select(
+            F.lit(table).alias("table_name"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(rid).alias("rule_id"),
+                            F.col(rid).cast("long").alias("n_violations"),
+                        )
+                        for rid, _ in rules
+                    ]
+                )
+            ).alias("r"),
+        ).select(
+            "table_name", F.col("r.rule_id").alias("rule_id"), "n_rows",
+            F.col("r.n_violations").alias("n_violations"),
+        )
+        out = stacked if out is None else out.unionByName(stacked)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_li = li.count()
+    orphans = li.join(o, li["l_orderkey"] == o["o_orderkey"], "left_anti")
+    ref = orphans.agg(F.count(F.lit(1)).alias("n_violations")).select(
+        F.lit("lineitem").alias("table_name"),
+        F.lit("l_orderkey_references_orders").alias("rule_id"),
+        F.lit(n_li).cast("long").alias("n_rows"),
+        F.col("n_violations").cast("long").alias("n_violations"),
+    )
+    return out.unionByName(ref).withColumn(
+        "passed", F.col("n_violations") == 0
+    )
+
+
+def _quality_expectations_sql() -> str:
+    parts = []
+    for table, rules in EXPECT_RULES.items():
+        sel = ", ".join(
+            f"CAST(sum(CASE WHEN {pred} THEN 1 ELSE 0 END) AS BIGINT) AS {rid}"
+            for rid, pred in rules
+        )
+        rows = ", ".join(f"('{rid}', {rid})" for rid, _ in rules)
+        parts.append(f"""
+SELECT '{table}' AS table_name, r.rule_id, CAST(a.n_rows AS BIGINT) AS n_rows,
+       CAST(r.n_violations AS BIGINT) AS n_violations,
+       r.n_violations = 0 AS passed
+FROM (SELECT count(*) AS n_rows, {sel} FROM {table}) a
+CROSS JOIN LATERAL (VALUES {rows}) AS r(rule_id, n_violations)""")
+    parts.append("""
+SELECT 'lineitem', 'l_orderkey_references_orders',
+       CAST((SELECT count(*) FROM lineitem) AS BIGINT),
+       CAST(count(*) AS BIGINT), count(*) = 0
+FROM lineitem li
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)""")
+    return "\nUNION ALL\n".join(parts)
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
+    register(
+        "quality_expectations", q_quality_expectations, _quality_expectations_sql()
+    )
     register("audit_fk_orphans", q_audit_fk_orphans, AUDIT_FK_ORPHANS_SQL)
     register("audit_duplicate_pk", q_audit_duplicate_pk, AUDIT_DUPLICATE_PK_SQL)
     register("scalar_zorder_key", q_scalar_zorder_key, SCALAR_ZORDER_KEY_SQL)

@@ -1534,6 +1534,49 @@ LIMIT {RAKE_TOP_N}
 KMV_K = 128
 
 
+def kmv_pair_estimates(kmv: DataFrame) -> DataFrame:
+    """Per language pair the bottom-k estimator over two KMV
+    sketches: (la, lb, k_eff, n_shared, est_jaccard). `kmv` has
+    columns (lang, token, h) with at most KMV_K rows per lang —
+    shared by the batch key and the streaming-ingest twin (the
+    sketches are the ONLY input, which is the whole point)."""
+    from pyspark.sql.window import Window
+
+    langs = kmv.select("lang").distinct()
+    pairs = (
+        langs.select(F.col("lang").alias("la"))
+        .join(langs.select(F.col("lang").alias("lb")), F.col("la") < F.col("lb"))
+    )
+    # X = bottom-k of the union, built from the two sketches only
+    both = pairs.join(
+        F.broadcast(kmv),
+        (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
+    ).select("la", "lb", "token", "h").distinct()
+    wu = Window.partitionBy("la", "lb").orderBy("h", "token")
+    x = both.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= KMV_K)
+    ka = kmv.select(F.col("lang").alias("la"), "token", F.lit(1).alias("in_a"))
+    kb = kmv.select(F.col("lang").alias("lb"), "token", F.lit(1).alias("in_b"))
+    return (
+        x.join(F.broadcast(ka), ["la", "token"], "left")
+        .join(F.broadcast(kb), ["lb", "token"], "left")
+        .groupBy("la", "lb")
+        .agg(
+            F.count(F.lit(1)).alias("k_eff"),
+            F.sum(
+                F.coalesce(F.col("in_a"), F.lit(0))
+                * F.coalesce(F.col("in_b"), F.lit(0))
+            ).cast("long").alias("n_shared"),
+        )
+        .select(
+            "la",
+            "lb",
+            F.col("k_eff").cast("long").alias("k_eff"),
+            "n_shared",
+            F.round(F.col("n_shared") / F.col("k_eff"), 6).alias("est_jaccard"),
+        )
+    )
+
+
 def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1551,32 +1594,7 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     kmv = toks.withColumn("rn", F.row_number().over(wk)).filter(
         F.col("rn") <= KMV_K
     ).select("lang", "token", "h")
-    langs = kmv.select("lang").distinct()
-    pairs = (
-        langs.select(F.col("lang").alias("la"))
-        .join(langs.select(F.col("lang").alias("lb")), F.col("la") < F.col("lb"))
-    )
-    # X = bottom-k of the union, built from the two sketches only
-    both = pairs.join(
-        F.broadcast(kmv),
-        (F.col("lang") == F.col("la")) | (F.col("lang") == F.col("lb")),
-    ).select("la", "lb", "token", "h").distinct()
-    wu = Window.partitionBy("la", "lb").orderBy("h", "token")
-    x = both.withColumn("rn", F.row_number().over(wu)).filter(F.col("rn") <= KMV_K)
-    ka = kmv.select(F.col("lang").alias("la"), "token", F.lit(1).alias("in_a"))
-    kb = kmv.select(F.col("lang").alias("lb"), "token", F.lit(1).alias("in_b"))
-    flagged = (
-        x.join(F.broadcast(ka), ["la", "token"], "left")
-        .join(F.broadcast(kb), ["lb", "token"], "left")
-        .groupBy("la", "lb")
-        .agg(
-            F.count(F.lit(1)).alias("k_eff"),
-            F.sum(
-                F.coalesce(F.col("in_a"), F.lit(0))
-                * F.coalesce(F.col("in_b"), F.lit(0))
-            ).cast("long").alias("n_shared"),
-        )
-    )
+    flagged = kmv_pair_estimates(kmv)
     # exact jaccard: fixture-affordable verification column
     ta = toks.select(F.col("lang").alias("la"), "token")
     tb = toks.select(F.col("lang").alias("lb"), "token")
@@ -1594,9 +1612,9 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "la",
             "lb",
-            F.col("k_eff").cast("long").alias("k_eff"),
+            "k_eff",
             "n_shared",
-            F.round(F.col("n_shared") / F.col("k_eff"), 6).alias("est_jaccard"),
+            "est_jaccard",
             F.coalesce(F.col("n_int"), F.lit(0)).cast("long").alias("n_int"),
             F.round(
                 F.coalesce(F.col("n_int"), F.lit(0))
@@ -1605,6 +1623,54 @@ def q_sketch_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("exact_jaccard"),
         )
     )
+
+
+# sketch-only projection of the oracle, for the streaming-ingest twin
+# (exact jaccard needs the full token sets, which the stream's
+# constant-size state deliberately does NOT retain)
+SKETCH_KMV_STREAM_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT lang, token FROM (
+    SELECT lang, unnest(string_split_regex(lower(text), '[^a-z]+')) AS token
+    FROM documents) t
+  WHERE length(token) >= 3
+),
+hashed AS (SELECT lang, token, md5(token) AS h FROM toks),
+kmv AS (
+  SELECT lang, token, h FROM (
+    SELECT lang, token, h,
+           row_number() OVER (PARTITION BY lang ORDER BY h, token) AS rn
+    FROM hashed) s
+  WHERE rn <= {KMV_K}
+),
+pairs AS (
+  SELECT a.lang AS la, b.lang AS lb
+  FROM (SELECT DISTINCT lang FROM kmv) a
+  JOIN (SELECT DISTINCT lang FROM kmv) b ON a.lang < b.lang
+),
+uni AS (
+  SELECT DISTINCT p.la, p.lb, k.token, k.h
+  FROM pairs p JOIN kmv k ON k.lang IN (p.la, p.lb)
+),
+x AS (
+  SELECT la, lb, token FROM (
+    SELECT la, lb, token,
+           row_number() OVER (PARTITION BY la, lb ORDER BY h, token) AS rn
+    FROM uni) s
+  WHERE rn <= {KMV_K}
+)
+SELECT x.la, x.lb,
+       CAST(count(*) AS BIGINT) AS k_eff,
+       CAST(sum(CASE WHEN ka.token IS NOT NULL AND kb.token IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+       round(CAST(sum(CASE WHEN ka.token IS NOT NULL AND kb.token IS NOT NULL
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS est_jaccard
+FROM x
+LEFT JOIN kmv ka ON ka.lang = x.la AND ka.token = x.token
+LEFT JOIN kmv kb ON kb.lang = x.lb AND kb.token = x.token
+GROUP BY x.la, x.lb
+"""
 
 
 SKETCH_KMV_OVERLAP_SQL = f"""

@@ -1174,7 +1174,114 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_stream_sketch_kmv(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    """Streaming-ingest twin of `sketch_kmv_overlap` (text.py):
+    maintain each language's bottom-k KMV token sketch as documents
+    arrive, then answer the pair-overlap estimates FROM THE SKETCHES
+    ALONE (`kmv_pair_estimates`). State per lang is the sketch itself
+    — at most KMV_K (hash, token) pairs + a doc counter — i.e.
+    CONSTANT-size state regardless of corpus length, the defining
+    property of a mergeable sketch under streaming ingest; and
+    because bottom-k merge is commutative/associative/idempotent the
+    final sketch is ARRIVAL-ORDER INVARIANT by construction. Tokens
+    hash with hashlib.md5 == Spark/DuckDB md5 (hex), so the result is
+    bit-equal to the batch build: strict oracle
+    SKETCH_KMV_STREAM_SQL (the sketch-only projection — exact
+    jaccard would need the full token sets the state deliberately
+    drops)."""
+    import hashlib
+    import re
+
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        KMV_K,
+        kmv_pair_estimates,
+    )
+
+    if staged_src is not None:
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged_src)
+        )
+    else:
+        src = _documents_idorder_stream(spark, sf_dir)
+    docs = src.select("lang", "text")
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        sk: dict[str, str] = {}  # h -> token
+        n_seen = 0
+        if state.exists:
+            hs, toks, n0 = state.get
+            sk = dict(zip(hs, toks))
+            n_seen = int(n0)
+        for p in pdfs:
+            for txt in p["text"]:
+                n_seen += 1
+                for t in set(re.split("[^a-z]+", str(txt).lower())):
+                    if len(t) >= 3:
+                        sk[hashlib.md5(t.encode()).hexdigest()] = t
+        keep = sorted(sk.items())[:KMV_K]
+        state.update(
+            ([h for h, _ in keep], [t for _, t in keep], n_seen)
+        )
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]] * len(keep),
+                "h": [h for h, _ in keep],
+                "token": [t for _, t in keep],
+                "n_seen": [n_seen] * len(keep),
+            }
+        )
+
+    sketches = docs.groupBy("lang").applyInPandasWithState(
+        update,
+        outputStructType="lang string, h string, token string, n_seen long",
+        stateStructType=(
+            "hs array<string>, toks array<string>, n_seen long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_kmv_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        sketches.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    # renamed join keys sidestep the memory-sink self-join
+    # conflicting-attribute trap
+    last = sunk.groupBy(F.col("lang").alias("lg")).agg(
+        F.max("n_seen").alias("ns")
+    )
+    final = (
+        sunk.join(
+            last,
+            (F.col("lang") == F.col("lg")) & (F.col("n_seen") == F.col("ns")),
+        )
+        .select("lang", "token", "h")
+        .distinct()
+    )
+    # re-materialize with a fresh lineage: the memory-sink view's
+    # attributes break Catalyst's self-join dedup inside
+    # kmv_pair_estimates, and the sketch is bounded (langs x KMV_K
+    # rows) by construction, so a driver round-trip is sketch-serving,
+    # not a data move
+    final = spark.createDataFrame(final.toPandas(), schema=final.schema)
+    return kmv_pair_estimates(final)
+
+
+def q_stream_attribution(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
     """Streaming twin of `events_attribution` (curation.py): credit
     each purchase to the user's most recent click/view inside the 24h
     lookback AS IT ARRIVES, carrying each user's last touch
@@ -1192,7 +1299,12 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _events_stream_ordered,
     )
 
-    ev = _events_stream_ordered(spark, sf_dir).select(
+    src = (
+        _events_stream_ordered(spark, sf_dir)
+        if n_files is None
+        else _events_stream_ordered(spark, sf_dir, n_files)
+    )
+    ev = src.select(
         "user_id",
         "event_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
@@ -1312,3 +1424,6 @@ def register_all() -> None:
     )
 
     register("stream_attribution", q_stream_attribution, EVENTS_ATTRIBUTION_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.text import SKETCH_KMV_STREAM_SQL
+
+    register("stream_sketch_kmv", q_stream_sketch_kmv, SKETCH_KMV_STREAM_SQL)

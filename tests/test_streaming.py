@@ -205,3 +205,60 @@ def test_stream_anomaly_invariant_under_replay_split(spark):
     a6 = sorted(map(tuple, q_stream_anomaly_detect(spark, SF_SMALL, n_files=6).collect()))
     batch = sorted(map(tuple, q_anomaly_zscore(spark, SF_SMALL).collect()))
     assert a3 and a3 == a6 == batch
+
+
+def test_stream_attribution_invariant_under_replay_split(spark):
+    """Attribution credits are a pure function of the time-ordered
+    event stream: 3-file and 6-file replays equal each other and the
+    batch window key (integer cents/micros state, one final
+    division)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_events_attribution
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_attribution
+
+    a3 = sorted(map(tuple, q_stream_attribution(spark, SF_SMALL, n_files=3).collect()))
+    a6 = sorted(map(tuple, q_stream_attribution(spark, SF_SMALL, n_files=6).collect()))
+    batch = sorted(map(tuple, q_events_attribution(spark, SF_SMALL).collect()))
+    assert a3 and a3 == a6 == batch
+
+
+def test_stream_kmv_sketch_invariant_under_skewed_split(spark, tmp_path):
+    """Bottom-k merge is commutative/associative/idempotent, so the
+    final sketch — and every pair estimate served from it — must not
+    depend on how ingest chops the corpus: a deliberately skewed
+    3-file staging equals the batch sketch estimates."""
+    from chi_frbcs_bigdatacs_spark.operators.text import kmv_pair_estimates
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_sketch_kmv
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "skewed_docs_kmv")
+    parts = [
+        docs.filter(F.col("doc_id") % 100 < 60),
+        docs.filter((F.col("doc_id") % 100).between(60, 64)),
+        docs.filter(F.col("doc_id") % 100 > 64),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(tuple, q_stream_sketch_kmv(spark, SF_SMALL, staged_src=src).collect())
+    )
+    toks = (
+        docs.select(
+            "lang",
+            F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("token"),
+        )
+        .filter(F.length("token") >= 3)
+        .distinct()
+        .withColumn("h", F.md5("token"))
+    )
+    from pyspark.sql.window import Window
+    from chi_frbcs_bigdatacs_spark.operators.text import KMV_K
+
+    wk = Window.partitionBy("lang").orderBy("h", "token")
+    kmv = (
+        toks.withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= KMV_K)
+        .select("lang", "token", "h")
+    )
+    batch = sorted(map(tuple, kmv_pair_estimates(kmv).collect()))
+    assert streamed and streamed == batch
