@@ -35,15 +35,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-8 ordering (NOTES.md R8 WINDOW PLAN):
-# (a) new r8 keys (never driver-checked), (b) the seven r7 keys the
-# r7 cap displaced (never driver-checked; CORRECTNESS_r07 confirms
-# the r7 window stopped at text_tfidf), (c) the eight r2-stale text
-# keys (last driver check: round 2), (d) the thirty r3-stale keys,
-# longest-unchecked first. The single "cap lands here" marker below
-# is the ONLY position comment — count list entries against it; with
-# the current new-key count the cap consumes (a)-(c) and the head of
-# (d), and everything past the marker rotates into the r9 window
-# (all r3/r4-green and locally parity-green every CI).
+# (a) ALL new r8 keys (never driver-checked), (b) the seven r7 keys
+# the r7 cap displaced (never driver-checked; CORRECTNESS_r07
+# confirms the r7 window stopped at text_tfidf), (c) the eight
+# r2-stale text keys (last driver check: round 2), (d) the thirty
+# r3-stale keys, longest-unchecked first. The single "cap lands
+# here" marker below is the ONLY position comment — count list
+# entries against it; the cap consumes (a)-(c) and the head of (d),
+# and everything past the marker rotates into the r9 window (all
+# r3/r4-green and locally parity-green every CI).
 CHECK_PRIORITY: list[str] = [
     # (a) new r8 keys -- never driver-checked (inserted as built)
     "discretize_quantile_sketch",
@@ -56,6 +56,19 @@ CHECK_PRIORITY: list[str] = [
     "embed_pq_adc",
     "resample_smote",
     "join_runtime_bloom",
+    "agg_hll_union",
+    "sketch_kmv_overlap",
+    "text_keyword_rake",
+    "text_bigram_lm",
+    "timeseries_ewma",
+    "events_attribution",
+    "anomaly_mad",
+    "agg_revenue_concentration",
+    "resample_tomek",
+    "stream_attribution",
+    "stream_sketch_kmv",
+    "quality_expectations",
+    "graph_label_propagation",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -88,6 +101,13 @@ CHECK_PRIORITY: list[str] = [
     "agg_median_mode",
     "join_bucketed",
     "join_salted_skew",
+    # -- 50-slot cap: 23 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 38, so the cap lands here after the
+    # first 12 of the 30 (d) r3-stale keys (the last entry in the
+    # window is join_salted_skew). Everything below is past-cap in
+    # r9 front-load order: the 18 remaining r3 keys, then the
+    # r4-checked backlog. NOTE: any key added later this round must
+    # be inserted into (a) and displace the tail of (d) one-for-one.
     "scan_source",
     "project_encode",
     "filter_valid",
@@ -101,12 +121,6 @@ CHECK_PRIORITY: list[str] = [
     "classify_wr_plain",
     "classify_wr_multiclass",
     "metrics_confusion_multiclass",
-    # -- 50-slot cap: 10 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 25, so the cap lands here after the
-    # first 25 of the 30 (d) r3-stale keys (the last entry in the
-    # window is metrics_confusion_multiclass). Everything below is
-    # past-cap in r9 front-load order: the 5 remaining r3 keys, then
-    # the r4-checked backlog.
     "classify_holdout",
     "crossval_gm_auc",
     "classify_wr_nominal",
