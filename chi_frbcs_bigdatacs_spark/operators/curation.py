@@ -1648,6 +1648,13 @@ def register_all() -> None:
     register("timeseries_ohlc", q_timeseries_ohlc, TIMESERIES_OHLC_SQL)
     register("timeseries_ewma", q_timeseries_ewma, _timeseries_ewma_sql())
     register("events_attribution", q_events_attribution, EVENTS_ATTRIBUTION_SQL)
+    register("events_rfm", q_events_rfm, EVENTS_RFM_SQL)
+    register("agg_market_basket", q_agg_market_basket, AGG_MARKET_BASKET_SQL)
+    register(
+        "timeseries_interpolate",
+        q_timeseries_interpolate,
+        TIMESERIES_INTERPOLATE_SQL,
+    )
     register("anomaly_mad", q_anomaly_mad, ANOMALY_MAD_SQL)
     register(
         "agg_revenue_concentration",
@@ -1676,3 +1683,319 @@ def register_all() -> None:
     register("dedup_latest_event", q_dedup_latest_event, DEDUP_LATEST_EVENT_SQL)
     register("embed_quantize", q_embed_quantize, EMBED_QUANTIZE_SQL)
     register("window_funnel", q_window_funnel, WINDOW_FUNNEL_SQL)
+
+
+# --- RFM customer segmentation ----------------------------------------------
+# The classic marketing triad over the event stream: per-user Recency
+# (days since last purchase, anchored at the corpus-max purchase ts so
+# the result is replayable), Frequency (purchase count) and Monetary
+# (exact integer cent sum), each quartiled with ntile(4) and mapped to
+# a named segment. Parity: all three metrics are integers; the ntile
+# orderings carry `user_id` as a total-order tiebreak so both engines
+# assign identical quartiles (ntile's equal-buckets-remainder-first
+# split is deterministic given a total order).
+# Scale shape: ONE map-side-combined agg over events collapses the
+# stream to |users| rows; the three ntile windows are global sorts of
+# that already-tiny per-user table (users << events). At 100 TB the
+# quartile edges come from approx_percentile over the same per-user
+# agg (the discretize_quantile_sketch recipe) instead of a global
+# sort — same outputs, no single-reducer window.
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    anchored = per_user.select(
+        "user_id",
+        F.datediff(
+            F.max("last_day").over(Window.partitionBy()), F.col("last_day")
+        ).alias("recency_days"),
+        "freq",
+        "cents",
+    )
+    r = F.ntile(4).over(
+        Window.orderBy(F.desc("recency_days"), F.col("user_id"))
+    )
+    f = F.ntile(4).over(Window.orderBy(F.col("freq"), F.col("user_id")))
+    m = F.ntile(4).over(Window.orderBy(F.col("cents"), F.col("user_id")))
+    scored = anchored.select(
+        "user_id",
+        "recency_days",
+        "freq",
+        "cents",
+        r.alias("r_score"),
+        f.alias("f_score"),
+        m.alias("m_score"),
+    )
+    seg = (
+        F.when((F.col("r_score") >= 4) & (F.col("f_score") >= 4), "champion")
+        .when((F.col("r_score") >= 3) & (F.col("f_score") >= 3), "loyal")
+        .when((F.col("r_score") <= 2) & (F.col("m_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 1, "hibernating")
+        .otherwise("other")
+    )
+    return scored.select("*", seg.alias("segment"))
+
+
+EVENTS_RFM_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         max(CAST(ts AS DATE)) AS last_day,
+         count(*) AS freq,
+         sum(CAST(round(100 * value) AS BIGINT)) AS cents
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+anchored AS (
+  SELECT user_id,
+         datediff('day', last_day, max(last_day) OVER ()) AS recency_days,
+         freq, cents
+  FROM per_user
+),
+scored AS (
+  SELECT user_id, recency_days, CAST(freq AS BIGINT) AS freq,
+         CAST(cents AS BIGINT) AS cents,
+         ntile(4) OVER (ORDER BY recency_days DESC, user_id) AS r_score,
+         ntile(4) OVER (ORDER BY freq, user_id) AS f_score,
+         ntile(4) OVER (ORDER BY cents, user_id) AS m_score
+  FROM anchored
+)
+SELECT user_id, recency_days, freq, cents, r_score, f_score, m_score,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 3 AND f_score >= 3 THEN 'loyal'
+            WHEN r_score <= 2 AND m_score >= 3 THEN 'at_risk'
+            WHEN r_score <= 1 THEN 'hibernating'
+            ELSE 'other' END AS segment
+FROM scored
+"""
+
+
+# --- market-basket association rules ----------------------------------------
+# Frequent-pair mining over the TPC-H order baskets: support,
+# directional confidence and lift for every part pair co-purchased in
+# >= BASKET_MIN_SUPPORT orders. The pair generator is an equi-self-
+# join ON THE BASKET KEY (l_orderkey) with p1 < p2 — join volume is
+# sum over orders of C(basket_size, 2), bounded by the max basket
+# size (7 lineitems in TPC-H), NEVER |parts|^2. At 100 TB the same
+# plan holds because basket size is a data invariant; a pathological
+# mega-basket would be capped/salted first (the join_salted_skew
+# recipe). Parity: counts are exact integers; lift and confidence are
+# ONE division of exact integers each (identical doubles on both
+# engines), rounded 6dp; ordering ties break on the integer support
+# then (p1, p2).
+BASKET_MIN_SUPPORT = 2
+BASKET_TOP_N = 50
+
+
+def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+    ).distinct()
+    n_orders = baskets.select("ok").distinct().count()
+    item_n = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("ok", F.col("p").alias("pa"))
+    b = baskets.select("ok", F.col("p").alias("pb"))
+    pairs = (
+        a.join(b, "ok")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= BASKET_MIN_SUPPORT)
+    )
+    enriched = (
+        pairs.join(
+            F.broadcast(item_n.withColumnRenamed("p", "pa")
+                        .withColumnRenamed("cnt", "cnt_a")), "pa"
+        )
+        .join(
+            F.broadcast(item_n.withColumnRenamed("p", "pb")
+                        .withColumnRenamed("cnt", "cnt_b")), "pb"
+        )
+        .select(
+            "pa",
+            "pb",
+            "pair_n",
+            "cnt_a",
+            "cnt_b",
+            F.round(
+                F.col("pair_n").cast("double") / F.col("cnt_a"), 6
+            ).alias("conf_a_to_b"),
+            F.round(
+                (F.lit(n_orders) * F.col("pair_n")).cast("double")
+                / (F.col("cnt_a") * F.col("cnt_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return (
+        enriched.orderBy(
+            F.desc("pair_n"), F.desc("lift"), F.col("pa"), F.col("pb")
+        )
+        .limit(BASKET_TOP_N)
+    )
+
+
+AGG_MARKET_BASKET_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS p FROM lineitem
+),
+n_ord AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+item_n AS (SELECT p, count(*) AS cnt FROM baskets GROUP BY p),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, count(*) AS pair_n
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.p < b.p
+  GROUP BY 1, 2 HAVING count(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT pa, pb, CAST(pair_n AS BIGINT) AS pair_n,
+       CAST(ia.cnt AS BIGINT) AS cnt_a, CAST(ib.cnt AS BIGINT) AS cnt_b,
+       round(CAST(pair_n AS DOUBLE) / ia.cnt, 6) AS conf_a_to_b,
+       round(CAST(n_orders * pair_n AS DOUBLE) / (ia.cnt * ib.cnt), 6)
+         AS lift
+FROM pairs
+JOIN item_n ia ON pairs.pa = ia.p
+JOIN item_n ib ON pairs.pb = ib.p
+CROSS JOIN n_ord
+ORDER BY pair_n DESC, lift DESC, pa, pb
+LIMIT {BASKET_TOP_N}
+"""
+
+
+# --- linear interpolation onto an hourly grid -------------------------------
+# The resampling twin of timeseries_gapfill: instead of LOCF, each
+# hourly grid point between a type's first and last observation gets
+# the LINEAR interpolation of its surrounding observations. ZERO
+# joins against the data: observations and grid points UNION into one
+# stream and two IGNORE-NULLS window picks per side (value and ts
+# null out on exactly the same rows, so both always come from the
+# same observation) recover (prev, next) — the SCD2 union-marker
+# plan. A grid point landing exactly on an observation sorts AFTER it
+# ((t_us, is_grid) order), so prev == that observation and the
+# interpolation factor is exactly 0. Parity: values are integer
+# cents, timestamps integer micros; the factor is ONE division of
+# exact integers, the result expression is identical on both engines,
+# 6dp-rounded. Scale: one shuffle on event_type, grid is
+# spine x |types| (tiny), window is partition-local.
+
+
+def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    obs = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("t_us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+        F.lit(0).alias("is_grid"),
+    )
+    d0, d1 = ev.agg(
+        F.date_trunc("hour", F.min("ts")), F.date_trunc("hour", F.max("ts"))
+    ).first()
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                f"sequence(TIMESTAMP'{d0}', TIMESTAMP'{d1}', interval 1 hour)"
+            )
+        ).alias("g_ts")
+    )
+    types = ev.select("event_type").distinct()
+    grid = spine.crossJoin(F.broadcast(types)).select(
+        "event_type",
+        F.unix_micros("g_ts").alias("t_us"),
+        F.lit(None).cast("long").alias("v_cents"),
+        F.lit(1).alias("is_grid"),
+    )
+    w_prev = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("event_type")
+        .orderBy("t_us", "is_grid")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    u = obs.unionByName(grid).select(
+        "event_type",
+        "t_us",
+        "is_grid",
+        F.last("v_cents", ignorenulls=True).over(w_prev).alias("v0"),
+        F.last(
+            F.when(F.col("v_cents").isNotNull(), F.col("t_us")),
+            ignorenulls=True,
+        ).over(w_prev).alias("t0"),
+        F.first("v_cents", ignorenulls=True).over(w_next).alias("v1"),
+        F.first(
+            F.when(F.col("v_cents").isNotNull(), F.col("t_us")),
+            ignorenulls=True,
+        ).over(w_next).alias("t1"),
+    )
+    interior = u.filter(
+        (F.col("is_grid") == 1)
+        & F.col("v0").isNotNull()
+        & F.col("v1").isNotNull()
+    )
+    interp = (
+        F.col("v0")
+        + (F.col("v1") - F.col("v0"))
+        * (
+            (F.col("t_us") - F.col("t0")).cast("double")
+            / (F.col("t1") - F.col("t0")).cast("double")
+        )
+    ) / F.lit(100.0)
+    return interior.select(
+        "event_type",
+        F.timestamp_micros(F.col("t_us")).alias("grid_ts"),
+        F.round(interp, 6).alias("v_interp"),
+    )
+
+
+TIMESERIES_INTERPOLATE_SQL = """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) AS t_us,
+         CAST(round(100 * value) AS BIGINT) AS v_cents, 0 AS is_grid
+  FROM events
+),
+b AS (
+  SELECT date_trunc('hour', min(ts)) AS d0, date_trunc('hour', max(ts)) AS d1
+  FROM events
+),
+spine AS (
+  SELECT unnest(range(d0, d1 + INTERVAL 1 HOUR, INTERVAL 1 HOUR)) AS g_ts
+  FROM b
+),
+grid AS (
+  SELECT t.event_type, epoch_us(CAST(s.g_ts AS TIMESTAMP)) AS t_us,
+         CAST(NULL AS BIGINT) AS v_cents, 1 AS is_grid
+  FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+),
+u AS (
+  SELECT event_type, t_us, is_grid,
+         last_value(v_cents IGNORE NULLS) OVER wp AS v0,
+         last_value(CASE WHEN v_cents IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER wp AS t0,
+         first_value(v_cents IGNORE NULLS) OVER wn AS v1,
+         first_value(CASE WHEN v_cents IS NOT NULL THEN t_us END IGNORE NULLS)
+           OVER wn AS t1
+  FROM (SELECT * FROM obs UNION ALL SELECT * FROM grid)
+  WINDOW wp AS (PARTITION BY event_type ORDER BY t_us, is_grid
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY event_type ORDER BY t_us, is_grid
+                ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT event_type, make_timestamp(t_us) AS grid_ts,
+       round((v0 + (v1 - v0) * (CAST(t_us - t0 AS DOUBLE)
+                                / CAST(t1 - t0 AS DOUBLE))) / 100.0, 6)
+         AS v_interp
+FROM u
+WHERE is_grid = 1 AND v0 IS NOT NULL AND v1 IS NOT NULL
+"""

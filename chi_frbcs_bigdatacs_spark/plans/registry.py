@@ -69,6 +69,9 @@ CHECK_PRIORITY: list[str] = [
     "stream_sketch_kmv",
     "quality_expectations",
     "graph_label_propagation",
+    "events_rfm",
+    "agg_market_basket",
+    "timeseries_interpolate",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -98,16 +101,16 @@ CHECK_PRIORITY: list[str] = [
     "metrics_confusion",
     "filter_pred",
     "scalar_array_funcs",
+    # -- 50-slot cap: 26 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 41, so the cap lands here after the
+    # first 9 of the 30 (d) r3-stale keys (the last entry in the
+    # window is scalar_array_funcs). Everything below is past-cap in
+    # r9 front-load order: the 21 remaining r3 keys, then the
+    # r4-checked backlog. NOTE: any key added later this round must
+    # be inserted into (a) and displace the tail of (d) one-for-one.
     "agg_median_mode",
     "join_bucketed",
     "join_salted_skew",
-    # -- 50-slot cap: 23 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 38, so the cap lands here after the
-    # first 12 of the 30 (d) r3-stale keys (the last entry in the
-    # window is join_salted_skew). Everything below is past-cap in
-    # r9 front-load order: the 18 remaining r3 keys, then the
-    # r4-checked backlog. NOTE: any key added later this round must
-    # be inserted into (a) and displace the tail of (d) one-for-one.
     "scan_source",
     "project_encode",
     "filter_valid",

@@ -39,6 +39,7 @@ BNL_ALLOWED = {
     "drift_psi",  # one-row period-totals agg broadcast
     "retrieval_hybrid_rrf",  # fuses two 10-row top-k lists (bm25 + cosine)
     "timeseries_gapfill",
+    "timeseries_interpolate",  # hourly spine x broadcast |event types| grid
     "embed_cosine",
     "simsearch_topk",
     "simsearch_topk_batch",
