@@ -1732,6 +1732,193 @@ JOIN sizes sb ON sb.lang = f.lb
 """
 
 
+# --- Gopher-style document quality rules -------------------------------------
+# The published Gopher (Rae et al. 2021, arXiv:2112.11446 §A1.1) rule
+# battery, restated over the fixture corpus: word-count band, mean
+# word length band, minimum stopword evidence, and a max-repetition
+# cap (most-frequent-word share). Every rule is evaluated in EXACT
+# integer arithmetic — the mean-word-length band [3, 10] becomes
+# 3 * n_words <= total_word_chars <= 10 * n_words and the repetition
+# cap top_n * 10 <= n_words * REP_MAX_TENTHS — so no float ever
+# crosses the engine boundary. Scale: one explode + two hash aggs per
+# doc (map-side combined), output is |docs| rows of booleans; the
+# whole battery is a single-scan, single-shuffle plan.
+GOPHER_MIN_WORDS = 30
+GOPHER_MAX_WORDS = 400
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_STOPWORDS = ("the", "a", "data", "of", "to")
+GOPHER_REP_MAX_TENTHS = 1  # most-frequent word must be <= 10% of words
+
+
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w"),
+    ).filter(F.col("w") != "")
+    per_word = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = per_word.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.sum(F.length("w") * F.col("c")).alias("n_word_chars"),
+        F.max("c").alias("top_n"),
+        F.sum(
+            F.when(F.col("w").isin(*GOPHER_STOPWORDS), F.col("c")).otherwise(0)
+        ).alias("n_stop"),
+    )
+    rules = per_doc.select(
+        "doc_id",
+        "n_words",
+        ((F.col("n_words") >= GOPHER_MIN_WORDS)
+         & (F.col("n_words") <= GOPHER_MAX_WORDS)).alias("ok_word_count"),
+        ((F.lit(3) * F.col("n_words") <= F.col("n_word_chars"))
+         & (F.col("n_word_chars") <= F.lit(10) * F.col("n_words"))).alias(
+            "ok_mean_word_len"
+        ),
+        (F.col("n_stop") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+        (F.col("top_n") * 10
+         <= F.col("n_words") * F.lit(10 * GOPHER_REP_MAX_TENTHS)).alias(
+            "ok_repetition"
+        ),
+    )
+    return rules.select(
+        "*",
+        (F.col("ok_word_count")
+         & F.col("ok_mean_word_len")
+         & F.col("ok_stopwords")
+         & F.col("ok_repetition")).alias("passes_gopher"),
+    )
+
+
+_GOPHER_STOP_SQL = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+QUALITY_GOPHER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(c) AS n_words,
+         sum(length(w) * c) AS n_word_chars,
+         max(c) AS top_n,
+         sum(CASE WHEN w IN ({_GOPHER_STOP_SQL}) THEN c ELSE 0 END) AS n_stop
+  FROM per_word GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       (n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+         AS ok_word_count,
+       (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+         AS ok_mean_word_len,
+       (n_stop >= {GOPHER_MIN_STOPWORDS}) AS ok_stopwords,
+       (top_n * 10 <= n_words * {10 * GOPHER_REP_MAX_TENTHS}) AS ok_repetition,
+       ((n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS})
+        AND (3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words)
+        AND (n_stop >= {GOPHER_MIN_STOPWORDS})
+        AND (top_n * 10 <= n_words * {10 * GOPHER_REP_MAX_TENTHS}))
+         AS passes_gopher
+FROM per_doc
+"""
+
+
+# --- PMI collocation mining ---------------------------------------------------
+# Corpus-level collocations: adjacent bigrams whose joint frequency
+# beats independence. lift = N * c(w1,w2) / (c_left(w1) * c_right(w2))
+# is ONE division of exact integers (identical doubles both engines)
+# and PMI = ln(lift) is one libm call over that identical double,
+# 6dp-rounded. Frequency floor PMI_MIN_COUNT keeps the tail noise
+# out (standard practice — PMI explodes on hapax pairs). Scale: the
+# bigram builder is the text_bigram_lm shape (posexplode + lead over
+# a per-doc window, partition-local); counts are three hash aggs;
+# the join of bigram counts to the two marginal tables hash-joins on
+# the word key. Output is top-PMI_TOP_N rows via TakeOrdered.
+PMI_MIN_COUNT = 5
+PMI_TOP_N = 40
+
+
+def q_text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w1"
+        ),
+    ).filter(F.col("w1") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bi = toks.select(
+        "w1", F.lead("w1").over(w).alias("w2")
+    ).filter(F.col("w2").isNotNull())
+    n_bi = bi.count()  # driver scalar, like text_bigram_lm's vocab size
+    c2 = (
+        bi.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= PMI_MIN_COUNT)
+    )
+    c_l = bi.groupBy("w1").agg(F.count(F.lit(1)).alias("c_a"))
+    c_r = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("c_b"))
+    lift = (F.lit(n_bi) * F.col("c_ab")).cast("double") / (
+        F.col("c_a") * F.col("c_b")
+    ).cast("double")
+    scored = (
+        c2.join(c_l, "w1")
+        .join(c_r, "w2")
+        .select(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            F.round(F.log(lift), 6).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi"), F.col("w1"), F.col("w2")
+    ).limit(PMI_TOP_N)
+
+
+TEXT_COLLOCATIONS_PMI_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, pos, w1 FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w1,
+           generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1)
+             AS pos
+    FROM documents) t
+  WHERE w1 <> ''
+),
+bi AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, lead(w1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM toks) b
+  WHERE w2 IS NOT NULL
+),
+n AS (SELECT count(*) AS n_bi FROM bi),
+c2 AS (
+  SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY w1, w2
+  HAVING count(*) >= {PMI_MIN_COUNT}
+),
+c_l AS (SELECT w1, count(*) AS c_a FROM bi GROUP BY w1),
+c_r AS (SELECT w2, count(*) AS c_b FROM bi GROUP BY w2)
+SELECT c2.w1, c2.w2,
+       CAST(c_ab AS BIGINT) AS c_ab,
+       CAST(c_a AS BIGINT) AS c_a,
+       CAST(c_b AS BIGINT) AS c_b,
+       round(ln(CAST(n_bi * c_ab AS DOUBLE) / CAST(c_a * c_b AS DOUBLE)), 6)
+         AS pmi
+FROM c2
+JOIN c_l ON c2.w1 = c_l.w1
+JOIN c_r ON c2.w2 = c_r.w2
+CROSS JOIN n
+ORDER BY pmi DESC, c2.w1, c2.w2
+LIMIT {PMI_TOP_N}
+"""
+
+
+
 def register_all() -> None:
     register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
     register("text_posindex_build", q_text_posindex_build, TEXT_POSINDEX_BUILD_SQL)
@@ -1765,3 +1952,9 @@ def register_all() -> None:
     register("text_langid", q_text_langid, _langid_sql())
     register("text_tokens_bpe", q_text_tokens_bpe, TEXT_TOKENS_BPE_SQL)
     register("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_SQL)
+    register("quality_gopher", q_quality_gopher, QUALITY_GOPHER_SQL)
+    register(
+        "text_collocations_pmi",
+        q_text_collocations_pmi,
+        TEXT_COLLOCATIONS_PMI_SQL,
+    )

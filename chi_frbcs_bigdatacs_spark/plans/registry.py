@@ -72,6 +72,8 @@ CHECK_PRIORITY: list[str] = [
     "events_rfm",
     "agg_market_basket",
     "timeseries_interpolate",
+    "quality_gopher",
+    "text_collocations_pmi",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -99,15 +101,15 @@ CHECK_PRIORITY: list[str] = [
     "model_roundtrip",
     "classify_ac",
     "metrics_confusion",
-    "filter_pred",
-    "scalar_array_funcs",
-    # -- 50-slot cap: 26 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 41, so the cap lands here after the
-    # first 9 of the 30 (d) r3-stale keys (the last entry in the
-    # window is scalar_array_funcs). Everything below is past-cap in
-    # r9 front-load order: the 21 remaining r3 keys, then the
+    # -- 50-slot cap: 28 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 43, so the cap lands here after the
+    # first 7 of the 30 (d) r3-stale keys (the last entry in the
+    # window is metrics_confusion). Everything below is past-cap in
+    # r9 front-load order: the 23 remaining r3 keys, then the
     # r4-checked backlog. NOTE: any key added later this round must
     # be inserted into (a) and displace the tail of (d) one-for-one.
+    "filter_pred",
+    "scalar_array_funcs",
     "agg_median_mode",
     "join_bucketed",
     "join_salted_skew",

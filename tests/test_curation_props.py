@@ -272,3 +272,61 @@ def test_interpolation_is_exact_on_synthetic_segment(spark):
             ).collect()
             assert len(got) == 1 and abs(got[0]["v_interp"] - expect) < 1e-9
     out.unpersist()
+
+
+def test_gopher_flags_compose_and_discriminate(spark):
+    """passes_gopher must equal the AND of the four rule flags, and on
+    the fixture corpus each rule must actually discriminate (neither
+    all-pass nor all-fail) so the battery is not vacuous."""
+    from chi_frbcs_bigdatacs_spark.operators.text import q_quality_gopher
+
+    df = q_quality_gopher(spark, SF_SMALL).cache()
+    n = df.count()
+    recomposed = (
+        F.col("ok_word_count")
+        & F.col("ok_mean_word_len")
+        & F.col("ok_stopwords")
+        & F.col("ok_repetition")
+    )
+    assert df.filter(F.col("passes_gopher") != recomposed).count() == 0
+    for flag in ("ok_word_count", "ok_stopwords"):
+        k = df.filter(F.col(flag)).count()
+        assert 0 < k < n, (flag, k, n)
+    # repetition discriminates at sf0.01 (312/500) but is all-pass on
+    # the shorter sf0.001 docs — require only non-vacuous truthiness
+    assert df.filter(F.col("ok_repetition")).count() > 0
+    df.unpersist()
+
+
+def test_pmi_recomputes_from_counts(spark):
+    """PMI must equal ln(n_bi * c_ab / (c_a * c_b)) recomputed from the
+    emitted integer counts and the corpus bigram total; the support
+    floor must hold on every row."""
+    import math
+
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        PMI_MIN_COUNT,
+        q_text_collocations_pmi,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    rows = q_text_collocations_pmi(spark, SF_SMALL).collect()
+    assert rows and all(r["c_ab"] >= PMI_MIN_COUNT for r in rows)
+    d = load_table(spark, SF_SMALL, "documents")
+    toks = d.select(
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w"
+        ),
+        "doc_id",
+    ).filter(F.col("w") != "")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    n_bi = (
+        toks.select("doc_id", "w", F.lead("w").over(w).alias("w2"))
+        .filter(F.col("w2").isNotNull())
+        .count()
+    )
+    for r in rows:
+        expect = round(math.log(n_bi * r["c_ab"] / (r["c_a"] * r["c_b"])), 6)
+        assert abs(r["pmi"] - expect) < 1e-9, (r, expect)
