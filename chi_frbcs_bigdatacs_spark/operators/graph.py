@@ -249,6 +249,97 @@ def _lpa_sql() -> str:
     )
 
 
+# --- neighborhood Jaccard node similarity ------------------------------------
+# "Suppliers with the most similar part portfolios": for every
+# supplier pair sharing >= JACC_MIN_SHARED parts, the Jaccard
+# similarity of their distinct part sets. The pair generator is the
+# standard two-hop equi-join THROUGH the shared-part key — join
+# volume is sum over parts of C(suppliers_per_part, 2) (fan-out-
+# bounded, max 41 suppliers/part at sf0.01), NEVER |suppliers|^2; at
+# 100 TB a hub part (a part stocked by a large fraction of all
+# suppliers) would be degree-capped or handled with the
+# join_salted_skew recipe before pairing — the same arboricity
+# argument as graph_triangle_count's degree orientation. Parity:
+# shared / union counts are exact integers; jaccard is ONE division
+# of exact integers (identical doubles both engines), 6dp-rounded;
+# ordering ties break on the integer shared count then (s_a, s_b).
+JACC_MIN_SHARED = 2
+JACC_TOP_N = 50
+
+
+def q_graph_jaccard_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).distinct()
+    deg = b.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    a = b.select("p", F.col("s").alias("s_a"))
+    c = b.select("p", F.col("s").alias("s_b"))
+    shared = (
+        a.join(c, "p")
+        .filter(F.col("s_a") < F.col("s_b"))
+        .groupBy("s_a", "s_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= JACC_MIN_SHARED)
+    )
+    out = (
+        shared.join(
+            F.broadcast(
+                deg.withColumnRenamed("s", "s_a").withColumnRenamed(
+                    "deg", "deg_a"
+                )
+            ),
+            "s_a",
+        )
+        .join(
+            F.broadcast(
+                deg.withColumnRenamed("s", "s_b").withColumnRenamed(
+                    "deg", "deg_b"
+                )
+            ),
+            "s_b",
+        )
+        .select(
+            "s_a",
+            "s_b",
+            "shared",
+            "deg_a",
+            "deg_b",
+            F.round(
+                F.col("shared").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return out.orderBy(
+        F.desc("shared"), F.desc("jaccard"), F.col("s_a"), F.col("s_b")
+    ).limit(JACC_TOP_N)
+
+
+GRAPH_JACCARD_NEIGHBORS_SQL = f"""
+WITH b AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem),
+deg AS (SELECT s, count(*) AS deg FROM b GROUP BY s),
+shared AS (
+  SELECT a.s AS s_a, c.s AS s_b, count(*) AS shared
+  FROM b a JOIN b c ON a.p = c.p AND a.s < c.s
+  GROUP BY 1, 2 HAVING count(*) >= {JACC_MIN_SHARED}
+)
+SELECT s_a, s_b, CAST(shared AS BIGINT) AS shared,
+       CAST(da.deg AS BIGINT) AS deg_a, CAST(db.deg AS BIGINT) AS deg_b,
+       round(CAST(shared AS DOUBLE)
+             / CAST(da.deg + db.deg - shared AS DOUBLE), 6) AS jaccard
+FROM shared
+JOIN deg da ON shared.s_a = da.s
+JOIN deg db ON shared.s_b = db.s
+ORDER BY shared DESC, jaccard DESC, s_a, s_b
+LIMIT {JACC_TOP_N}
+"""
+
+
+
 def register_all() -> None:
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
     register(
@@ -256,4 +347,9 @@ def register_all() -> None:
     )
     register(
         "graph_triangle_count", q_graph_triangle_count, GRAPH_TRIANGLE_COUNT_SQL
+    )
+    register(
+        "graph_jaccard_neighbors",
+        q_graph_jaccard_neighbors,
+        GRAPH_JACCARD_NEIGHBORS_SQL,
     )

@@ -715,6 +715,135 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = li.l_orderkey)""")
     return "\nUNION ALL\n".join(parts)
 
 
+# --- standard-score feature scaling ------------------------------------------
+# The ML-prep twin of anomaly_zscore: standardize events.value per
+# event_type against the GROUP's own mean/stddev (population), the
+# transform every feature pipeline runs before distance-based models
+# (the engine's own fuzzification grid assumes comparable ranges).
+# Parity: with v in exact integer cents, z = (c*v - s) / sqrt(c*ss -
+# s^2) — numerator and the sqrt argument are exact integers (DECIMAL
+# path, no float accumulation), so both engines evaluate ONE sqrt and
+# ONE division over identical values; 6dp-rounded. The emitted subset
+# is the deterministic event_id % SCALE_SAMPLE_MOD == 0 slice —
+# output row count is bounded and stable, the full-table transform is
+# the same map-only expression. Scale: one map-side-combined agg to
+# |types| rows, broadcast back over the scan — no shuffle of the fact
+# table at all.
+SCALE_SAMPLE_MOD = 97
+
+
+def q_feature_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v100 = F.round(F.col("value") * 100).cast("long")
+    stats = ev.select("event_type", v100.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    d = ev.select("event_id", "event_type", "value", v100.alias("v")).join(
+        F.broadcast(stats), "event_type"
+    )
+    num = (F.col("c") * F.col("v") - F.col("s")).cast("double")
+    den = F.sqrt((F.col("c") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    return (
+        d.filter(F.col("event_id") % SCALE_SAMPLE_MOD == 0)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(num / den, 6).alias("z"),
+        )
+    )
+
+
+FEATURE_SCALE_STANDARD_SQL = f"""
+WITH v AS (
+  SELECT event_id, event_type, value,
+         CAST(round(100 * value) AS BIGINT) AS v
+  FROM events
+),
+stats AS (
+  SELECT event_type, count(*) AS c, sum(v) AS s, sum(v * v) AS ss
+  FROM v GROUP BY event_type
+)
+SELECT event_id, v.event_type, value,
+       round(CAST(c * v - s AS DOUBLE)
+             / sqrt(CAST(c * ss - s * s AS DOUBLE)), 6) AS z
+FROM v JOIN stats ON v.event_type = stats.event_type
+WHERE event_id % {SCALE_SAMPLE_MOD} = 0
+"""
+
+
+# --- missing-value imputation -------------------------------------------------
+# Median imputation over a DETERMINISTIC missingness mask (event_id %
+# IMPUTE_MOD == 0 plays the null role — the fixture has no real
+# nulls, and a seeded mask keeps both engines and every rerun on the
+# same rows). Per event_type: observed median as the fill value, and
+# the post-imputation mean recomputed as ONE division of exact
+# integers ((sum_obs + n_miss * fill) in half-cent units to keep the
+# possibly-.5-cent median exact). Scale: one grouped exact-percentile
+# pass over the observed slice (per-type key space keeps the sort
+# partition-local; the approx_percentile swap is the
+# discretize_quantile_sketch recipe) and one map-side-combined agg.
+IMPUTE_MOD = 7
+
+
+def q_impute_missing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    masked = ev.select(
+        "event_type",
+        F.when(
+            F.col("event_id") % IMPUTE_MOD == 0, F.lit(None)
+        ).otherwise(F.round(F.col("value") * 100).cast("long")).alias("v"),
+    )
+    per_type = masked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_missing"),
+        F.expr("percentile(v, 0.5)").alias("fill_cents"),
+        F.sum("v").alias("s_obs"),
+    )
+    # half-cent units make (n_miss * fill) exact even when the even-
+    # count median lands on .5 of a cent
+    post_mean = (
+        (2 * F.col("s_obs") + F.col("n_missing") * F.round(2 * F.col("fill_cents")))
+        .cast("double")
+        / (F.lit(200.0) * F.col("n"))
+    )
+    return per_type.select(
+        "event_type",
+        "n",
+        "n_missing",
+        F.round(F.col("fill_cents") / 100.0, 6).alias("fill_value"),
+        F.round(post_mean, 6).alias("post_impute_mean"),
+    )
+
+
+IMPUTE_MISSING_SQL = f"""
+WITH masked AS (
+  SELECT event_type,
+         CASE WHEN event_id % {IMPUTE_MOD} = 0 THEN NULL
+              ELSE CAST(round(100 * value) AS BIGINT) END AS v
+  FROM events
+),
+per_type AS (
+  SELECT event_type,
+         count(*) AS n,
+         sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_missing,
+         quantile_cont(v, 0.5) AS fill_cents,
+         sum(v) AS s_obs
+  FROM masked GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       CAST(n_missing AS BIGINT) AS n_missing,
+       round(fill_cents / 100.0, 6) AS fill_value,
+       round(CAST(2 * s_obs + n_missing * round(2 * fill_cents) AS DOUBLE)
+             / (200.0 * n), 6) AS post_impute_mean
+FROM per_type
+"""
+
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register(
@@ -739,3 +868,9 @@ def register_all() -> None:
     register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)
     register("mask_columns", q_mask_columns, MASK_COLUMNS_SQL)
     register("audit_freshness", q_audit_freshness, AUDIT_FRESHNESS_SQL)
+    register(
+        "feature_scale_standard",
+        q_feature_scale_standard,
+        FEATURE_SCALE_STANDARD_SQL,
+    )
+    register("impute_missing", q_impute_missing, IMPUTE_MISSING_SQL)

@@ -74,6 +74,9 @@ CHECK_PRIORITY: list[str] = [
     "timeseries_interpolate",
     "quality_gopher",
     "text_collocations_pmi",
+    "graph_jaccard_neighbors",
+    "feature_scale_standard",
+    "impute_missing",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -98,16 +101,16 @@ CHECK_PRIORITY: list[str] = [
     "rulegen_antecedent",
     "agg_class_counts",
     "rulemerge_avg",
+    # -- 50-slot cap: 31 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 46, so the cap lands here after the
+    # first 4 of the 30 (d) r3-stale keys (the last entry in the
+    # window is rulemerge_avg). Everything below is past-cap in
+    # r9 front-load order: the 26 remaining r3 keys, then the
+    # r4-checked backlog. NOTE: any key added later this round must
+    # be inserted into (a) and displace the tail of (d) one-for-one.
     "model_roundtrip",
     "classify_ac",
     "metrics_confusion",
-    # -- 50-slot cap: 28 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 43, so the cap lands here after the
-    # first 7 of the 30 (d) r3-stale keys (the last entry in the
-    # window is metrics_confusion). Everything below is past-cap in
-    # r9 front-load order: the 23 remaining r3 keys, then the
-    # r4-checked backlog. NOTE: any key added later this round must
-    # be inserted into (a) and displace the tail of (d) one-for-one.
     "filter_pred",
     "scalar_array_funcs",
     "agg_median_mode",

