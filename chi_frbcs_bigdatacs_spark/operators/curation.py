@@ -1702,17 +1702,12 @@ def register_all() -> None:
 # sort — same outputs, no single-reducer window.
 
 
-def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+def rfm_score(per_user: DataFrame) -> DataFrame:
+    """Score a (user_id, last_day, freq, cents) per-user table — the
+    shared back half of the batch key and its streaming twin, so both
+    paths are bit-identical by construction."""
     from pyspark.sql.window import Window
 
-    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
-
-    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
-    per_user = ev.groupBy("user_id").agg(
-        F.max(F.to_date("ts")).alias("last_day"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
-    )
     anchored = per_user.select(
         "user_id",
         F.datediff(
@@ -1743,6 +1738,18 @@ def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("other")
     )
     return scored.select("*", seg.alias("segment"))
+
+
+def q_events_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    per_user = ev.groupBy("user_id").agg(
+        F.max(F.to_date("ts")).alias("last_day"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
+    return rfm_score(per_user)
 
 
 EVENTS_RFM_SQL = """

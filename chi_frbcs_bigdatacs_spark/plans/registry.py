@@ -77,6 +77,7 @@ CHECK_PRIORITY: list[str] = [
     "graph_jaccard_neighbors",
     "feature_scale_standard",
     "impute_missing",
+    "stream_rfm",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -100,14 +101,14 @@ CHECK_PRIORITY: list[str] = [
     "fuzzify",
     "rulegen_antecedent",
     "agg_class_counts",
-    "rulemerge_avg",
-    # -- 50-slot cap: 31 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 46, so the cap lands here after the
-    # first 4 of the 30 (d) r3-stale keys (the last entry in the
-    # window is rulemerge_avg). Everything below is past-cap in
-    # r9 front-load order: the 26 remaining r3 keys, then the
+    # -- 50-slot cap: 32 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 47, so the cap lands here after the
+    # first 3 of the 30 (d) r3-stale keys (the last entry in the
+    # window is agg_class_counts). Everything below is past-cap in
+    # r9 front-load order: the 27 remaining r3 keys, then the
     # r4-checked backlog. NOTE: any key added later this round must
     # be inserted into (a) and displace the tail of (d) one-for-one.
+    "rulemerge_avg",
     "model_roundtrip",
     "classify_ac",
     "metrics_confusion",

@@ -1387,6 +1387,128 @@ def q_stream_attribution(
     )
 
 
+def q_stream_rfm(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
+    """Streaming twin of `events_rfm` (curation.py): maintain each
+    user's (max purchase ts, purchase count, exact cent sum) as state
+    while purchases arrive, then hand the FINAL per-user snapshot to
+    the SAME `rfm_score` finisher the batch key uses — quartiles and
+    segments are bit-identical by construction. All three
+    accumulators are commutative/associative (max, sum, sum), so the
+    result is ARRIVAL-ORDER INVARIANT — no replay-order precondition
+    at all, unlike the path/TWAP twins. State shards on the CONSTANT
+    user_id % 64 key (the r6 minhash lesson); cents are rounded
+    ENGINE-side before entering pandas so no float rounding policy
+    crosses the boundary. Each batch appends its shard snapshot
+    tagged with the shard's running event count; "final" = the
+    max-count emission per shard (monotone, the stream_stateful_count
+    recipe). Strict oracle: EVENTS_RFM_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        EVENTS_RFM_SQL as _,  # noqa: F401  (documents the pairing)
+    )
+    from chi_frbcs_bigdatacs_spark.operators.curation import rfm_score
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
+    )
+
+    src = (
+        _events_stream_ordered(spark, sf_dir)
+        if n_files is None
+        else _events_stream_ordered(spark, sf_dir, n_files)
+    )
+    ev = src.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+        (F.col("user_id") % 64).alias("shard"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        acc: dict[int, list] = {}
+        n_seen = 0
+        if state.exists:
+            users, tss, freqs, cents, n0 = state.get
+            for u, t, fq, c in zip(users, tss, freqs, cents):
+                acc[int(u)] = [int(t), int(fq), int(c)]
+            n_seen = int(n0)
+        for p in pdfs:
+            for u, t, c in zip(p["user_id"], p["ts_us"], p["cents"]):
+                u, t, c = int(u), int(t), int(c)
+                n_seen += 1
+                if u in acc:
+                    a = acc[u]
+                    a[0] = max(a[0], t)
+                    a[1] += 1
+                    a[2] += c
+                else:
+                    acc[u] = [t, 1, c]
+        us = sorted(acc)
+        state.update(
+            (
+                us,
+                [acc[u][0] for u in us],
+                [acc[u][1] for u in us],
+                [acc[u][2] for u in us],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": us,
+                "last_ts_us": [acc[u][0] for u in us],
+                "freq": [acc[u][1] for u in us],
+                "cents": [acc[u][2] for u in us],
+                "n_seen": [n_seen] * len(us),
+                "shard": [key[0]] * len(us),
+            }
+        )
+
+    snaps = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, last_ts_us long, freq long, cents long,"
+            " n_seen long, shard long"
+        ),
+        stateStructType=(
+            "users array<long>, tss array<long>, freqs array<long>,"
+            " cents array<long>, n_seen long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_rfm_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        snaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    last = sunk.groupBy(F.col("shard").alias("sh")).agg(
+        F.max("n_seen").alias("ns")
+    )
+    per_user = (
+        sunk.join(
+            last,
+            (F.col("shard") == F.col("sh")) & (F.col("n_seen") == F.col("ns")),
+        )
+        .select(
+            "user_id",
+            F.to_date(F.timestamp_micros(F.col("last_ts_us"))).alias(
+                "last_day"
+            ),
+            "freq",
+            "cents",
+        )
+    )
+    return rfm_score(per_user)
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
@@ -1427,3 +1549,6 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.text import SKETCH_KMV_STREAM_SQL
 
     register("stream_sketch_kmv", q_stream_sketch_kmv, SKETCH_KMV_STREAM_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import EVENTS_RFM_SQL
+
+    register("stream_rfm", q_stream_rfm, EVENTS_RFM_SQL)

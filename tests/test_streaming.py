@@ -262,3 +262,18 @@ def test_stream_kmv_sketch_invariant_under_skewed_split(spark, tmp_path):
     )
     batch = sorted(map(tuple, kmv_pair_estimates(kmv).collect()))
     assert streamed and streamed == batch
+
+
+def test_stream_rfm_is_replay_split_invariant(spark):
+    """The RFM twin must produce the identical scored table whatever
+    the micro-batch split (state accumulators are max/sum/sum —
+    order-free), and match the batch key exactly."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_events_rfm
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import q_stream_rfm
+    from tests.conftest import SF_SMALL
+
+    batch = sorted(map(tuple, q_events_rfm(spark, SF_SMALL).collect()))
+    s3 = sorted(map(tuple, q_stream_rfm(spark, SF_SMALL, n_files=3).collect()))
+    s6 = sorted(map(tuple, q_stream_rfm(spark, SF_SMALL, n_files=6).collect()))
+    assert s3 == batch
+    assert s6 == batch
