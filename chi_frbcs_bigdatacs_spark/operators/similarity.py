@@ -1211,8 +1211,131 @@ LIMIT 10
 """
 
 
+# --- IVFADC: coarse routing + compressed re-rank ------------------------------
+# The production ANN serving stack (Jegou et al. 2011, the FAISS
+# IVFADC layout) assembled from the engine's two tested halves: the
+# sign-LSH coarse cell routes the query to ITS bucket only (expected
+# n/256 of the corpus scanned, the simsearch_ivf access path), and
+# candidates inside the cell are scored with PQ ASYMMETRIC DISTANCE
+# (the embed_pq_adc compressed scorer: PQ_M lookups per vector, no
+# float math per candidate). At 100 TB the codes are precomputed and
+# stored cell-clustered (simsearch_ivf_build's index layout), so a
+# query touches one cell's code pages — bytes-per-candidate = PQ_M
+# codes, not DIM floats; here the encode runs inline over the routed
+# cell to keep the key self-contained. Parity: cell + codes + lut
+# are the tested constructions; ADC totals are exact micro-unit
+# integer sums (order-free); final order (adc_micro, vec_id).
+
+
+def q_simsearch_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col("embedding")
+    )
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qemb"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = emb.join(F.broadcast(q), emb["bucket"] == q["qbucket"]).select(
+        "vec_id", "bucket", "embedding"
+    )
+    cb = _pq_subvectors(
+        emb.filter(F.col("vec_id") < PQ_K), "vec_id", "cvec"
+    ).select(F.col("vec_id").alias("k"), "m", "cvec")
+    sub = _pq_subvectors(cand, "vec_id", "svec")
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", _pq_dist2("svec", "cvec").alias("d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d2"), F.col("k"))).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("code"))
+    )
+    qsub = _pq_subvectors(
+        q.select(F.lit(0).alias("qid"), F.col("qemb").alias("embedding")),
+        "qid",
+        "qsub",
+    )
+    lut = cb.join(F.broadcast(qsub), "m").select(
+        "m",
+        "k",
+        F.round(_pq_dist2("qsub", "cvec") * 1e6, 0).cast("long").alias(
+            "ld_micro"
+        ),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("ld_micro").alias("adc_micro"))
+    )
+    return (
+        adc.join(cand.select("vec_id", "bucket"), "vec_id")
+        .select("vec_id", "bucket", F.col("adc_micro").cast("long").alias("adc_micro"))
+        .orderBy(F.col("adc_micro").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _ivf_pq_sql() -> str:
+    d2 = (
+        "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(range(1, {n} + 1), j -> "
+        "(CAST({a}[{off} + j] AS DOUBLE) - CAST({b}[{off} + j] AS DOUBLE))"
+        " * (CAST({a}[{off} + j] AS DOUBLE) - CAST({b}[{off} + j] AS DOUBLE)))), "
+        "(acc, x) -> acc + x)"
+    )
+    vec_cell = d2.format(n=PQ_SUB, a="e.embedding", b="s.c", off=f"ms.m * {PQ_SUB}")
+    q_cell = d2.format(n=PQ_SUB, a="q.qemb", b="s.c", off=f"ms.m * {PQ_SUB}")
+    return f"""
+WITH eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qemb, bucket AS qbucket
+      FROM eb ORDER BY vec_id ASC LIMIT 1),
+cand AS (
+  SELECT e.vec_id, e.bucket, e.embedding
+  FROM eb e JOIN q ON e.bucket = q.qbucket
+),
+seeds AS (SELECT vec_id AS k, embedding AS c FROM embeddings
+          WHERE vec_id < {PQ_K}),
+ms AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
+sub AS (
+  SELECT e.vec_id, ms.m, s.k, {vec_cell} AS d2
+  FROM cand e CROSS JOIN ms CROSS JOIN seeds s
+),
+mind AS (SELECT vec_id, m, min(d2) AS d0 FROM sub GROUP BY 1, 2),
+codes AS (
+  SELECT s.vec_id, s.m, CAST(min(s.k) AS INT) AS code
+  FROM sub s JOIN mind d ON s.vec_id = d.vec_id AND s.m = d.m AND s.d2 = d.d0
+  GROUP BY 1, 2
+),
+lut AS (
+  SELECT ms.m, s.k, CAST(round({q_cell} * 1e6, 0) AS BIGINT) AS ld_micro
+  FROM seeds s CROSS JOIN ms CROSS JOIN q
+),
+adc AS (
+  SELECT c.vec_id, CAST(sum(l.ld_micro) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id
+)
+SELECT adc.vec_id, cand.bucket, adc.adc_micro
+FROM adc JOIN cand ON adc.vec_id = cand.vec_id
+ORDER BY adc.adc_micro ASC, adc.vec_id ASC
+LIMIT 10
+"""
+
+
+
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
+    register("simsearch_ivf_pq", q_simsearch_ivf_pq, _ivf_pq_sql())
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)

@@ -78,6 +78,7 @@ CHECK_PRIORITY: list[str] = [
     "feature_scale_standard",
     "impute_missing",
     "stream_rfm",
+    "simsearch_ivf_pq",
     # (b) r7 keys displaced past the r7 50-slot cap -- never
     # driver-checked (locally parity-green at sf0.001 + sf0.01)
     "feature_hashing",
@@ -100,14 +101,14 @@ CHECK_PRIORITY: list[str] = [
     # longest-unchecked-first per NOTES R8 WINDOW PLAN
     "fuzzify",
     "rulegen_antecedent",
-    "agg_class_counts",
-    # -- 50-slot cap: 32 new r8 keys (a) + 7 displaced r7 keys (b) +
-    # 8 r2-stale text keys (c) = 47, so the cap lands here after the
-    # first 3 of the 30 (d) r3-stale keys (the last entry in the
-    # window is agg_class_counts). Everything below is past-cap in
-    # r9 front-load order: the 27 remaining r3 keys, then the
+    # -- 50-slot cap: 33 new r8 keys (a) + 7 displaced r7 keys (b) +
+    # 8 r2-stale text keys (c) = 48, so the cap lands here after the
+    # first 2 of the 30 (d) r3-stale keys (the last entry in the
+    # window is rulegen_antecedent). Everything below is past-cap in
+    # r9 front-load order: the 28 remaining r3 keys, then the
     # r4-checked backlog. NOTE: any key added later this round must
     # be inserted into (a) and displace the tail of (d) one-for-one.
+    "agg_class_counts",
     "rulemerge_avg",
     "model_roundtrip",
     "classify_ac",
