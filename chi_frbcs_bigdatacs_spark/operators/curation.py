@@ -1926,10 +1926,15 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("t_us", "is_grid")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
+    # "first obs strictly after me" re-expressed over the REVERSED
+    # total order so the frame GROWS (unboundedPreceding..-1): Spark
+    # evaluates growing frames incrementally in O(n), but a shrinking
+    # (k, unboundedFollowing) frame is recomputed per row — O(n^2)
+    # per partition, measured 29s at sf0.1 before this rewrite.
     w_next = (
         Window.partitionBy("event_type")
-        .orderBy("t_us", "is_grid")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.desc("t_us"), F.desc("is_grid"))
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     u = obs.unionByName(grid).select(
         "event_type",
@@ -1940,8 +1945,8 @@ def q_timeseries_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("v_cents").isNotNull(), F.col("t_us")),
             ignorenulls=True,
         ).over(w_prev).alias("t0"),
-        F.first("v_cents", ignorenulls=True).over(w_next).alias("v1"),
-        F.first(
+        F.last("v_cents", ignorenulls=True).over(w_next).alias("v1"),
+        F.last(
             F.when(F.col("v_cents").isNotNull(), F.col("t_us")),
             ignorenulls=True,
         ).over(w_next).alias("t1"),
