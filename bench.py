@@ -45,6 +45,8 @@ HEADLINE_EXT = [
     "bpe_train_merges",          # iterative tokenizer training loop
     "discretize_quantile_sketch",  # sketch edges + map-only binning
     "agg_active_users_7d",       # coverage-explode windowed distinct
+    "agg_market_basket",         # basket-key pair mining (late r8)
+    "timeseries_interpolate",    # zero-join union-window resample (late r8)
 ]
 
 
