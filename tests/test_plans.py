@@ -326,3 +326,38 @@ def test_runtime_bloom_filter_injected(spark):
     p = _plan(spark, "join_runtime_bloom")
     assert "might_contain" in p, "no runtime bloom filter on the probe side"
     assert "bloom_filter_agg" in p, "no bloom filter built from the dim side"
+
+
+def test_interpolate_is_union_window_no_data_join(spark):
+    """timeseries_interpolate joins NOTHING against the events table:
+    prev/next observations come from two window picks over the
+    obs+grid UNION. The only join in the plan is the broadcast
+    nested-loop of the tiny hourly spine x |event types| grid — no
+    sort-merge or shuffled-hash join may appear, and both window
+    frames must be the streaming-evaluable growing kind (a shrinking
+    (1, unboundedFollowing) frame is recomputed per row — the 26x
+    regression this plan pin guards)."""
+    p = _plan(spark, "timeseries_interpolate")
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p[:800]
+    assert "unboundedfollowing" not in p.lower(), (
+        "shrinking window frame reappeared in the interpolation plan"
+    )
+
+
+def test_feature_scale_broadcasts_stats_over_scan(spark):
+    """feature_scale_standard must broadcast the |event types|-row
+    stats table back over the fact scan (BroadcastHashJoin) — the
+    fact table itself is never exchanged on a key: the only shuffle
+    in the plan is the partial->final aggregate of the stats branch."""
+    p = _plan(spark, "feature_scale_standard")
+    assert "BroadcastHashJoin" in p, p[:800]
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_ivf_pq_serves_from_broadcasts(spark):
+    """simsearch_ivf_pq's serve path: codebook, query lut and routed
+    candidates compose through broadcast joins only — nothing
+    embedding-sized is exchanged by key at serve time."""
+    p = _plan(spark, "simsearch_ivf_pq")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
