@@ -399,9 +399,155 @@ FROM px
 """
 
 
+# --- REAL WAV/PCM audio codec ------------------------------------------------
+# The audio twin of the BMP path: a genuine RIFF/WAVE 16-bit mono PCM
+# encoder+decoder in the Arrow-batched mapInPandas pipeline (RIFF
+# size, fmt chunk with rate/block-align/bits, chunk-walking decoder
+# that skips unknown chunks), over CLOSED-FORM samples
+# s_i = ((d*2311 + i*7919) mod 65536) - 32768, so the oracle
+# recomputes every feature from (doc_id-derived) integers WITHOUT
+# parsing bytes — any header/stride/endianness bug in the codec
+# hash-fails. All features are exact integers (duration in micros is
+# n * 125 at 8 kHz). Scale: encode/decode are map-only Arrow batches;
+# nothing shuffles until the final feature projection.
+WAV_MOD = 241
+WAV_SR = 8000
+
+
+def _wav_samples(d: int, n: int) -> list[int]:
+    return [((d * 2311 + i * 7919) % 65536) - 32768 for i in range(n)]
+
+
+def _encode_wav(d: int, n: int) -> bytes:
+    import struct
+
+    samples = _wav_samples(d, n)
+    data = struct.pack("<" + "h" * n, *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_SR, WAV_SR * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Chunk-walking decode -> (sr, n_samples, peak_abs, sum_abs,
+    n_zero_cross, checksum). Raises on anything non-PCM16-mono."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", raw[4:8])
+    if riff_len != len(raw) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _rate, _align, bits = struct.unpack("<HHIIHH", body)
+            if (tag, ch, bits) != (1, 1, 16):
+                raise ValueError("not 16-bit mono PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # RIFF chunks are word-aligned
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n = len(data) // 2
+    samples = struct.unpack("<" + "h" * n, data)
+    peak = max(abs(s) for s in samples)
+    sum_abs = sum(abs(s) for s in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    checksum = sum((i + 1) * s for i, s in enumerate(samples))
+    return sr, n, peak, sum_abs, zc, checksum
+
+
+def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32 + 16).cast("int").alias("n"),
+        (F.col("doc_id") % WAV_MOD).cast("int").alias("seed"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_wav(int(s), int(n))
+                        for s, n in zip(pdf["seed"], pdf["n"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sr": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "duration_us": [
+                        f[1] * 1_000_000 // f[0] for f in feats
+                    ],
+                    "peak_abs": [f[2] for f in feats],
+                    "sum_abs": [f[3] for f in feats],
+                    "n_zero_cross": [f[4] for f in feats],
+                    "checksum": [f[5] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, sr int, n_samples int, duration_us long,"
+        " peak_abs long, sum_abs long, n_zero_cross long, checksum long",
+    )
+
+
+MEDIA_DECODE_WAV_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 32 + 16 AS INT) AS n,
+         doc_id % {WAV_MOD} AS d
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n, d,
+         list_transform(range(n),
+           i -> (d * 2311 + i * 7919) % 65536 - 32768) AS smp
+  FROM base
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS INT) AS sr,
+       n AS n_samples,
+       CAST(n * 1000000 // {WAV_SR} AS BIGINT) AS duration_us,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS peak_abs,
+       CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_sum(list_transform(range(1, n),
+           i -> CASE WHEN (smp[i] < 0) <> (smp[i + 1] < 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross,
+       CAST(list_sum(list_transform(range(n),
+           i -> (i + 1) * smp[i + 1])) AS BIGINT) AS checksum
+FROM s
+"""
+
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
+    register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
     register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)

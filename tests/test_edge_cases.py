@@ -158,3 +158,44 @@ def test_bmp_codec_roundtrip_and_rejections():
     bad[28] = 8
     with pytest.raises(NotImplementedError):
         _decode_bmp(bytes(bad))
+
+
+def test_wav_codec_rejects_malformed_input():
+    """The decoder must walk chunks properly (word alignment, unknown
+    chunk skip) and reject non-RIFF, wrong-format and length-lying
+    inputs rather than misreading them."""
+    import struct
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_wav,
+        _encode_wav,
+        _wav_samples,
+    )
+
+    raw = _encode_wav(13, 21)
+    # round-trip sanity incl. odd-length unknown chunk insertion
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # word-aligned pad
+    with_junk = raw[:12] + junk + raw[12:]
+    with_junk = b"RIFF" + struct.pack("<I", len(with_junk) - 8) + with_junk[8:]
+    assert _decode_wav(with_junk) == _decode_wav(raw)
+    smp = _wav_samples(13, 21)
+    sr, n, peak, sab, zc, ck = _decode_wav(raw)
+    assert (sr, n) == (8000, 21)
+    assert peak == max(abs(s) for s in smp)
+    assert zc == sum(
+        1 for i in range(1, 21) if (smp[i - 1] < 0) != (smp[i] < 0)
+    )
+    with pytest.raises(ValueError):
+        _decode_wav(b"OGGS" + raw[4:])
+    with pytest.raises(ValueError):
+        _decode_wav(raw[:4] + struct.pack("<I", 999) + raw[8:])
+    # stereo fmt chunk must be rejected
+    bad_fmt = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    bad = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(bad_fmt)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt
+    )
+    with pytest.raises(ValueError):
+        _decode_wav(bad)
