@@ -1919,6 +1919,82 @@ LIMIT {PMI_TOP_N}
 
 
 
+# --- corpus token-budget planning ---------------------------------------------
+# The mixture-planning pass a training-data pipeline runs before
+# sampling: per (lang, source) shard, total whitespace tokens and
+# docs, ranked by token mass with the CUMULATIVE corpus share — "how
+# many shards (and which) fit an 80% token budget". One map-side-
+# combined agg collapses the corpus to |lang x source| rows; the
+# ranking window sorts that tiny table only. Parity: token counts
+# are exact integers; shares are ONE division of exact integers
+# (identical doubles), 6dp-rounded; ordering ties break on the
+# integer count then shard keys.
+TOKEN_BUDGET_SHARE = 0.8
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    shard = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    w = Window.orderBy(F.desc("n_tokens"), F.col("lang"), F.col("source"))
+    total = Window.partitionBy()
+    ranked = shard.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n_tokens").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("cum_tokens"),
+        F.sum("n_tokens").over(total).alias("total_tokens"),
+    )
+    return ranked.select(
+        "lang",
+        "source",
+        "n_docs",
+        "n_tokens",
+        "rank",
+        "cum_tokens",
+        F.round(
+            F.col("cum_tokens").cast("double") / F.col("total_tokens"), 6
+        ).alias("cum_share"),
+        (
+            (F.col("cum_tokens") - F.col("n_tokens")).cast("double")
+            < F.lit(TOKEN_BUDGET_SHARE) * F.col("total_tokens")
+        ).alias("in_budget_80"),
+    )
+
+
+CORPUS_TOKEN_BUDGET_SQL = f"""
+WITH shard AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM documents GROUP BY lang, source
+),
+ranked AS (
+  SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM shard
+  WINDOW w AS (ORDER BY n_tokens DESC, lang, source)
+)
+SELECT lang, source, n_docs, n_tokens, rank, cum_tokens,
+       round(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS cum_share,
+       (CAST(cum_tokens - n_tokens AS DOUBLE)
+        < {TOKEN_BUDGET_SHARE} * total_tokens) AS in_budget_80
+FROM ranked
+"""
+
+
+
 def register_all() -> None:
     register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
     register("text_posindex_build", q_text_posindex_build, TEXT_POSINDEX_BUILD_SQL)
@@ -1957,4 +2033,7 @@ def register_all() -> None:
         "text_collocations_pmi",
         q_text_collocations_pmi,
         TEXT_COLLOCATIONS_PMI_SQL,
+    )
+    register(
+        "corpus_token_budget", q_corpus_token_budget, CORPUS_TOKEN_BUDGET_SQL
     )

@@ -330,3 +330,28 @@ def test_pmi_recomputes_from_counts(spark):
     for r in rows:
         expect = round(math.log(n_bi * r["c_ab"] / (r["c_a"] * r["c_b"])), 6)
         assert abs(r["pmi"] - expect) < 1e-9, (r, expect)
+
+
+def test_token_budget_cumsum_and_flag_are_consistent(spark):
+    """cum_tokens must be the running sum in rank order, the final
+    cum_share must be exactly 1.0, and in_budget_80 must hold exactly
+    for the prefix whose PRECEDING mass is under 80% (greedy
+    knapsack-by-rank semantics)."""
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        TOKEN_BUDGET_SHARE,
+        q_corpus_token_budget,
+    )
+
+    rows = sorted(
+        q_corpus_token_budget(spark, SF_SMALL).collect(),
+        key=lambda r: r["rank"],
+    )
+    run, total = 0, rows[-1]["cum_tokens"]
+    for r in rows:
+        run += r["n_tokens"]
+        assert r["cum_tokens"] == run
+        assert r["in_budget_80"] == (
+            (run - r["n_tokens"]) < TOKEN_BUDGET_SHARE * total
+        )
+    assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
+    assert rows[0]["in_budget_80"]
