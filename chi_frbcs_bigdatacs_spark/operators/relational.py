@@ -1352,6 +1352,112 @@ FROM med JOIN mode ON med.l_returnflag = mode.l_returnflag
 """
 
 
+# --- nearest as-of join (both directions, tie -> earlier) -------------------
+# The OTHER as-of semantics time-series stores ship (QuestDB/kdb
+# `asof` is backward; pandas merge_asof(direction='nearest') is
+# this): each purchase matches its NEAREST click in time (either
+# direction) for the same user, ties on |dt| -> the EARLIER click,
+# and a miss if no click is within ASOF_NEAREST_TOL_US. Same
+# union-marker window plan as join_scd2_pit — the prev pick is a
+# growing ignore-nulls window, the next pick the reversed-order
+# growing window (NEVER a shrinking (1, unboundedFollowing) frame:
+# that is recomputed per row, the timeseries_interpolate lesson) —
+# so there is NO data-sized join at all: one shuffle on user_id.
+# Parity: dt comparison and the tie rule are exact integer micros.
+ASOF_NEAREST_TOL_US = 48 * 3600 * 1_000_000
+
+
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    marked = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_us"),
+        "event_id",
+        F.when(F.col("event_type") == "click", F.col("event_id")).alias(
+            "click_id"
+        ),
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")).alias(
+            "click_us"
+        ),
+        (F.col("event_type") == "purchase").alias("is_purchase"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("t_us").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    d = (
+        marked.select(
+            "*",
+            F.last("click_id", ignorenulls=True).over(w_prev).alias("p_id"),
+            F.last("click_us", ignorenulls=True).over(w_prev).alias("p_us"),
+            F.last("click_id", ignorenulls=True).over(w_next).alias("n_id"),
+            F.last("click_us", ignorenulls=True).over(w_next).alias("n_us"),
+        )
+        .filter(F.col("is_purchase"))
+    )
+    dp = F.col("t_us") - F.col("p_us")  # >= 0 when present
+    dn = F.col("n_us") - F.col("t_us")  # >= 0 when present
+    pick_prev = F.col("p_us").isNotNull() & (
+        F.col("n_us").isNull() | (dp <= dn)  # tie -> earlier (prev)
+    )
+    nearest_id = F.when(pick_prev, F.col("p_id")).otherwise(F.col("n_id"))
+    nearest_dt = F.when(pick_prev, dp).otherwise(dn)
+    return d.select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.when(
+            nearest_dt <= ASOF_NEAREST_TOL_US, nearest_id
+        ).alias("nearest_click_id"),
+        F.when(nearest_dt <= ASOF_NEAREST_TOL_US, nearest_dt).alias("dt_us"),
+    )
+
+
+JOIN_ASOF_NEAREST_SQL = f"""
+WITH marked AS (
+  SELECT user_id, epoch_us(ts) AS t_us, event_id,
+         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+         CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us,
+         event_type = 'purchase' AS is_purchase
+  FROM events WHERE event_type IN ('click', 'purchase')
+),
+picked AS (
+  SELECT *,
+         last_value(click_id IGNORE NULLS) OVER wp AS p_id,
+         last_value(click_us IGNORE NULLS) OVER wp AS p_us,
+         last_value(click_id IGNORE NULLS) OVER wn AS n_id,
+         last_value(click_us IGNORE NULLS) OVER wn AS n_us
+  FROM marked
+  WINDOW wp AS (PARTITION BY user_id ORDER BY t_us ASC, event_id ASC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         wn AS (PARTITION BY user_id ORDER BY t_us DESC, event_id DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+chosen AS (
+  SELECT event_id AS purchase_id, user_id,
+         CASE WHEN p_us IS NOT NULL
+                   AND (n_us IS NULL OR t_us - p_us <= n_us - t_us)
+              THEN p_id ELSE n_id END AS nearest_id,
+         CASE WHEN p_us IS NOT NULL
+                   AND (n_us IS NULL OR t_us - p_us <= n_us - t_us)
+              THEN t_us - p_us ELSE n_us - t_us END AS nearest_dt
+  FROM picked WHERE is_purchase
+)
+SELECT purchase_id, user_id,
+       CASE WHEN nearest_dt <= {ASOF_NEAREST_TOL_US}
+            THEN nearest_id END AS nearest_click_id,
+       CASE WHEN nearest_dt <= {ASOF_NEAREST_TOL_US}
+            THEN nearest_dt END AS dt_us
+FROM chosen
+"""
+
+
+
 def register_all() -> None:
     register("window_lag_lead", q_window_lag_lead, WINDOW_LAG_LEAD_SQL)
     register("window_range_frame", q_window_range_frame, WINDOW_RANGE_FRAME_SQL)
@@ -1364,6 +1470,7 @@ def register_all() -> None:
     register("window_distribution", q_window_distribution, WINDOW_DISTRIBUTION_SQL)
     register("agg_value_stats", q_agg_value_stats, AGG_VALUE_STATS_SQL)
     register("join_asof", q_join_asof, JOIN_ASOF_SQL)
+    register("join_asof_nearest", q_join_asof_nearest, JOIN_ASOF_NEAREST_SQL)
     register("agg_grouping_sets", _grouping_sets_query, AGG_GROUPING_SETS_SQL)
     register("window_session", q_window_session, WINDOW_SESSION_SQL)
     register("join_bucketed", q_join_bucketed, JOIN_BUCKETED_SQL)

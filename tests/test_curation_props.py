@@ -355,3 +355,44 @@ def test_token_budget_cumsum_and_flag_are_consistent(spark):
         )
     assert abs(rows[-1]["cum_share"] - 1.0) < 1e-9
     assert rows[0]["in_budget_80"]
+
+
+def test_asof_nearest_is_argmin_abs_dt(spark):
+    """Brute-force check: for every purchase, the emitted click must
+    minimize |dt| over ALL of that user's clicks (tie -> earlier
+    click), and be null exactly when no click is inside the
+    tolerance."""
+    from chi_frbcs_bigdatacs_spark.operators.relational import (
+        ASOF_NEAREST_TOL_US,
+        q_join_asof_nearest,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    out = {r["purchase_id"]: r for r in q_join_asof_nearest(spark, SF_SMALL).collect()}
+    ev = load_table(spark, SF_SMALL, "events")
+    rows = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "event_type"
+    ).collect()
+    clicks_by_user = {}
+    for r in rows:
+        if r["event_type"] == "click":
+            clicks_by_user.setdefault(r["user_id"], []).append((r["t"], r["event_id"]))
+    n_checked = 0
+    for r in rows:
+        if r["event_type"] != "purchase":
+            continue
+        best = None
+        for ct, cid in clicks_by_user.get(r["user_id"], []):
+            d = abs(r["t"] - ct)
+            # tie -> earlier click == smaller ct
+            key = (d, ct)
+            if best is None or key < best[0]:
+                best = (key, cid, d)
+        o = out[r["event_id"]]
+        if best is None or best[2] > ASOF_NEAREST_TOL_US:
+            assert o["nearest_click_id"] is None, (r, o)
+        else:
+            assert o["nearest_click_id"] == best[1], (r, o, best)
+            assert o["dt_us"] == best[2]
+            n_checked += 1
+    assert n_checked > 0
