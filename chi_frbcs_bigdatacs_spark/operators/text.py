@@ -1932,14 +1932,11 @@ LIMIT {PMI_TOP_N}
 TOKEN_BUDGET_SHARE = 0.8
 
 
-def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+def token_budget_rank(shard: DataFrame) -> DataFrame:
+    """Rank a (lang, source, n_docs, n_tokens) shard table — the
+    shared back half of the batch key and its streaming twin."""
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    shard = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
-    )
     w = Window.orderBy(F.desc("n_tokens"), F.col("lang"), F.col("source"))
     total = Window.partitionBy()
     ranked = shard.select(
@@ -1968,6 +1965,15 @@ def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             < F.lit(TOKEN_BUDGET_SHARE) * F.col("total_tokens")
         ).alias("in_budget_80"),
     )
+
+
+def q_corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shard = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    return token_budget_rank(shard)
 
 
 CORPUS_TOKEN_BUDGET_SQL = f"""

@@ -1509,6 +1509,75 @@ def q_stream_rfm(
     return rfm_score(per_user)
 
 
+def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `corpus_token_budget` (text.py): maintain
+    per-(lang, source) running (docs, tokens) sums as documents
+    arrive, then hand the final snapshot to the SAME
+    `token_budget_rank` finisher — ranking, cumulative shares and the
+    budget flag are bit-identical to batch by construction. Both
+    accumulators are plain sums, so the result is ARRIVAL-ORDER
+    INVARIANT. Token counts are computed ENGINE-side
+    (size(split(text))) before entering pandas, so no tokenizer
+    re-implementation crosses the boundary; state keys directly on
+    the (lang, source) shard pair (a bounded catalog dimension, the
+    stream_ohlc per-type precedent). Strict oracle:
+    CORPUS_TOKEN_BUDGET_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.text import token_budget_rank
+
+    src = _documents_idorder_stream(spark, sf_dir)
+    docs = src.select(
+        "lang",
+        "source",
+        F.size(F.split(F.col("text"), " ")).alias("n_tok"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        docs_n, toks = 0, 0
+        if state.exists:
+            docs_n, toks = (int(x) for x in state.get)
+        for p in pdfs:
+            docs_n += len(p)
+            toks += int(p["n_tok"].sum())
+        state.update((docs_n, toks))
+        yield pd.DataFrame(
+            {
+                "lang": [key[0]],
+                "source": [key[1]],
+                "n_docs": [docs_n],
+                "n_tokens": [toks],
+            }
+        )
+
+    snaps = docs.groupBy("lang", "source").applyInPandasWithState(
+        update,
+        outputStructType="lang string, source string, n_docs long, n_tokens long",
+        stateStructType="n_docs long, n_tokens long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_budget_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        snaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    # monotone counters: final snapshot per shard = max n_docs row
+    final = (
+        sunk.groupBy("lang", "source")
+        .agg(
+            F.max_by("n_docs", "n_docs").alias("n_docs"),
+            F.max_by("n_tokens", "n_docs").alias("n_tokens"),
+        )
+    )
+    return token_budget_rank(final)
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
@@ -1552,3 +1621,8 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import EVENTS_RFM_SQL
 
     register("stream_rfm", q_stream_rfm, EVENTS_RFM_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        CORPUS_TOKEN_BUDGET_SQL,
+    )
+
+    register("stream_token_budget", q_stream_token_budget, CORPUS_TOKEN_BUDGET_SQL)

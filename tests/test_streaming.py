@@ -277,3 +277,17 @@ def test_stream_rfm_is_replay_split_invariant(spark):
     s6 = sorted(map(tuple, q_stream_rfm(spark, SF_SMALL, n_files=6).collect()))
     assert s3 == batch
     assert s6 == batch
+
+
+def test_stream_token_budget_equals_batch(spark):
+    """The token-budget twin must equal the batch ranking row for row
+    (sums are order-free; the finisher is shared code)."""
+    from chi_frbcs_bigdatacs_spark.operators.text import q_corpus_token_budget
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import (
+        q_stream_token_budget,
+    )
+    from tests.conftest import SF_SMALL
+
+    batch = sorted(map(tuple, q_corpus_token_budget(spark, SF_SMALL).collect()))
+    stream = sorted(map(tuple, q_stream_token_budget(spark, SF_SMALL).collect()))
+    assert stream == batch
