@@ -1629,6 +1629,73 @@ FROM conv GROUP BY channel
 """
 
 
+# --- cross-metric daily correlation ------------------------------------------
+# "Which event volumes move together?": Pearson correlation of daily
+# event counts for every event-type pair. The data-sized work is ONE
+# map-side-combined (day, type) count agg; the pair join is the tiny
+# daily table against itself on the day key (volume = days x
+# C(|types|, 2)). Parity: corr is computed from EXACT integer sums
+# (n, Sx, Sy, Sxy, Sxx, Syy) with two sqrts and one division over
+# identical integers — no float accumulation crosses engines;
+# 6dp-rounded. Degenerate pairs (zero variance on either side) emit
+# NULL on both engines.
+
+
+def q_agg_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a = daily.select("day", F.col("event_type").alias("type_a"), F.col("n").alias("x"))
+    b = daily.select("day", F.col("event_type").alias("type_b"), F.col("n").alias("y"))
+    pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
+    s = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    vx = (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    vy = (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy"))
+    corr = F.when(
+        (vx > 0) & (vy > 0),
+        F.round(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6),
+    )
+    return s.select("type_a", "type_b", "n_days", corr.alias("corr_daily"))
+
+
+AGG_DAILY_CORR_SQL = """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+),
+s AS (
+  SELECT type_a, type_b, count(*) AS n_days,
+         sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+         sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pairs GROUP BY 1, 2
+)
+SELECT type_a, type_b, CAST(n_days AS BIGINT) AS n_days,
+       CASE WHEN n_days * sxx - sx * sx > 0 AND n_days * syy - sy * sy > 0
+            THEN round(CAST(n_days * sxy - sx * sy AS DOUBLE)
+                       / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                          * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+       END AS corr_daily
+FROM s
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
     register("agg_active_users_7d", q_agg_active_users_7d, AGG_ACTIVE_USERS_7D_SQL)
@@ -1649,6 +1716,7 @@ def register_all() -> None:
     register("timeseries_ewma", q_timeseries_ewma, _timeseries_ewma_sql())
     register("events_attribution", q_events_attribution, EVENTS_ATTRIBUTION_SQL)
     register("events_rfm", q_events_rfm, EVENTS_RFM_SQL)
+    register("agg_daily_corr", q_agg_daily_corr, AGG_DAILY_CORR_SQL)
     register("agg_market_basket", q_agg_market_basket, AGG_MARKET_BASKET_SQL)
     register(
         "timeseries_interpolate",

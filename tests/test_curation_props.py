@@ -396,3 +396,33 @@ def test_asof_nearest_is_argmin_abs_dt(spark):
             assert o["dt_us"] == best[2]
             n_checked += 1
     assert n_checked > 0
+
+
+def test_daily_corr_matches_numpy_and_is_bounded(spark):
+    """Every emitted coefficient must equal numpy's corrcoef on the
+    same daily counts (1e-9) and lie in [-1, 1]."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_agg_daily_corr
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    out = q_agg_daily_corr(spark, SF_SMALL).collect()
+    assert out
+    ev = load_events(spark, SF_SMALL)
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type = {}
+    for r in daily:
+        by_type.setdefault(r["event_type"], {})[r["day"]] = r["n"]
+    for r in out:
+        xa, xb = by_type[r["type_a"]], by_type[r["type_b"]]
+        days = sorted(set(xa) & set(xb))
+        assert r["n_days"] == len(days)
+        x = np.array([xa[d] for d in days], dtype=float)
+        y = np.array([xb[d] for d in days], dtype=float)
+        if r["corr_daily"] is not None:
+            assert -1.0 <= r["corr_daily"] <= 1.0
+            assert abs(r["corr_daily"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-9
