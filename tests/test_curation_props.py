@@ -426,3 +426,96 @@ def test_daily_corr_matches_numpy_and_is_bounded(spark):
         if r["corr_daily"] is not None:
             assert -1.0 <= r["corr_daily"] <= 1.0
             assert abs(r["corr_daily"] - round(float(np.corrcoef(x, y)[0, 1]), 6)) < 1e-9
+
+
+def _ref_ntile(order_keys, k=4):
+    """Reference ntile: first (n mod k) buckets get ceil(n/k) rows,
+    the rest floor(n/k), assigned in sort order (the SQL standard)."""
+    n = len(order_keys)
+    idx = sorted(range(n), key=lambda i: order_keys[i])
+    big, rem = divmod(n, k)
+    out = [0] * n
+    pos = 0
+    for b in range(k):
+        size = big + (1 if b < rem else 0)
+        for _ in range(size):
+            if pos < n:
+                out[idx[pos]] = b + 1
+                pos += 1
+    return out
+
+
+def test_rfm_score_matches_reference_on_random_tables(spark):
+    """rfm_score (the shared batch/stream finisher) must reproduce a
+    from-scratch ntile + segment reference on random per-user tables,
+    including tiny n (n < 4 exercises ntile's short-bucket path)."""
+    import datetime
+    import random
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import rfm_score
+
+    for seed, n in [(1, 1), (2, 3), (3, 17), (4, 100)]:
+        rng = random.Random(seed)
+        rows = [
+            (
+                u,
+                datetime.date(2024, 1, 1)
+                + datetime.timedelta(days=rng.randrange(60)),
+                rng.randrange(1, 50),
+                rng.randrange(100, 10_000),
+            )
+            for u in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "user_id long, last_day date, freq long, cents long"
+        )
+        got = {r["user_id"]: r for r in rfm_score(df).collect()}
+        anchor = max(r[1] for r in rows)
+        rec = {u: (anchor - d).days for u, d, _, _ in rows}
+        r_ref = _ref_ntile([(-rec[u], u) for u, *_ in rows])
+        f_ref = _ref_ntile([(fq, u) for u, _, fq, _ in rows])
+        m_ref = _ref_ntile([(c, u) for u, _, _, c in rows])
+        for i, (u, _, fq, c) in enumerate(rows):
+            g = got[u]
+            assert g["recency_days"] == rec[u]
+            assert (g["r_score"], g["f_score"], g["m_score"]) == (
+                r_ref[i],
+                f_ref[i],
+                m_ref[i],
+            ), (seed, n, u)
+
+
+def test_token_budget_rank_matches_reference_on_random_tables(spark):
+    """token_budget_rank must reproduce a from-scratch cumulative-share
+    reference on random shard tables (including a single-shard
+    table)."""
+    import random
+
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        TOKEN_BUDGET_SHARE,
+        token_budget_rank,
+    )
+
+    for seed, n in [(5, 1), (6, 7), (7, 40)]:
+        rng = random.Random(seed)
+        rows = [
+            (f"l{i%4}", f"s{i}", rng.randrange(1, 100), rng.randrange(1, 10_000))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(
+            rows, "lang string, source string, n_docs long, n_tokens long"
+        )
+        got = sorted(
+            token_budget_rank(df).collect(), key=lambda r: r["rank"]
+        )
+        ref = sorted(rows, key=lambda r: (-r[3], r[0], r[1]))
+        total = sum(r[3] for r in rows)
+        run = 0
+        for i, (r, g) in enumerate(zip(ref, got)):
+            run += r[3]
+            assert (g["lang"], g["source"], g["rank"]) == (r[0], r[1], i + 1)
+            assert g["cum_tokens"] == run
+            assert abs(g["cum_share"] - round(run / total, 6)) < 1e-12
+            assert g["in_budget_80"] == (
+                (run - r[3]) < TOKEN_BUDGET_SHARE * total
+            )
