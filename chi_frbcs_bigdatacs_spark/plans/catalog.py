@@ -462,6 +462,85 @@ CROSS JOIN nt
 )
 
 register("rule_coverage", q_rule_coverage, _RULE_COVERAGE_SQL)
+# --- classifier calibration (reliability bins) ------------------------------
+# The standard post-hoc eval every scored classifier gets: bucket the
+# WINNING-rule confidence (mu * weight, the exact quantity WR ranks
+# by) into 10 bins and report per-bin accuracy — a well-calibrated
+# model's accuracy tracks its confidence. Only rule-fired examples
+# appear (default-class fallbacks carry no score; documented).
+# Parity: the winning score is the SAME double both engines already
+# rank identically in classify_wr, so floor(score * 10) (capped at
+# bin 9 for score == 1.0) is deterministic; counts are integers and
+# accuracy is one division, 6dp.
+CAL_BINS = 10
+
+
+def q_metrics_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = lineitem_clf(spark, sf_dir)
+    fz = R.fuzzify(df, P)
+    rules = R.build_rules(
+        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
+    )
+    scored = I._scored(fz, rules, P)
+    w = Window.partitionBy("id").orderBy(
+        F.col("score").desc(),
+        *[F.col(f"r_{a}").asc() for a in ANTS],
+        F.col("r_cls").asc(),
+    )
+    win = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "label", "r_cls", "score")
+    )
+    bin_ = F.least(
+        F.floor(F.col("score") * CAL_BINS), F.lit(CAL_BINS - 1)
+    ).cast("int")
+    return (
+        win.groupBy(bin_.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("r_cls") == F.col("label"), 1).otherwise(0)
+            ).alias("n_correct"),
+        )
+        .select(
+            "bin",
+            "n",
+            "n_correct",
+            F.round(
+                F.col("n_correct").cast("double") / F.col("n"), 6
+            ).alias("accuracy"),
+        )
+    )
+
+
+_CAL_R_ORDER = ", ".join(f"r_{a} ASC" for a in ANTS)
+_METRICS_CALIBRATION_SQL = (
+    oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    + f""",
+winscore AS (
+  SELECT id, label, r_cls, score FROM (
+    SELECT *, row_number() OVER (
+      PARTITION BY id
+      ORDER BY score DESC, {_CAL_R_ORDER}, r_cls ASC) AS rn
+    FROM scored) t
+  WHERE rn = 1
+)
+SELECT CAST(least(floor(score * {CAL_BINS}), {CAL_BINS - 1}) AS INT) AS bin,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN r_cls = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_correct,
+       round(CAST(sum(CASE WHEN r_cls = label THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS accuracy
+FROM winscore
+GROUP BY 1
+"""
+)
+
+register("metrics_calibration", q_metrics_calibration, _METRICS_CALIBRATION_SQL)
+
 
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
 # Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99

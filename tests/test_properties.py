@@ -169,3 +169,35 @@ def test_scoring_auto_mode_flips_at_budget_and_stays_bit_identical(spark):
     rows_b = sorted(map(tuple, model.transform(df, broadcast_rules=True).collect()))
     rows_s = sorted(map(tuple, model.transform(df, broadcast_rules=False).collect()))
     assert rows_b == rows_s
+
+
+def test_calibration_bins_account_for_all_fired_examples(spark):
+    """Bin counts must sum to the number of rule-fired examples (ids
+    with at least one matching positive-weight rule), per-bin accuracy
+    must recompute from the integer columns, and every bin id must be
+    in [0, CAL_BINS)."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.plans.catalog import (
+        CAL_BINS,
+        P,
+        q_metrics_calibration,
+    )
+    from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
+    from chi_frbcs_bigdatacs_spark.fuzzy import inference as I
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+    from tests.conftest import SF_SMALL
+
+    rows = q_metrics_calibration(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["bin"] < CAL_BINS
+        assert 0 <= r["n_correct"] <= r["n"]
+        assert abs(r["accuracy"] - round(r["n_correct"] / r["n"], 6)) < 1e-12
+    df = lineitem_clf(spark, SF_SMALL)
+    fz = R.fuzzify(df, P)
+    rules = R.build_rules(
+        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
+    )
+    n_fired = I._scored(fz, rules, P).select("id").distinct().count()
+    assert sum(r["n"] for r in rows) == n_fired
