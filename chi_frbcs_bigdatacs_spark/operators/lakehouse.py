@@ -310,8 +310,76 @@ FROM lineitem
 """
 
 
+# --- schema-evolution scan ----------------------------------------------------
+# The other table-format staple: a table whose newer files carry an
+# ADDED column must still read as ONE relation, with the old files
+# null-filling the new column (Delta/Iceberg "add column" semantics;
+# in plain Spark, parquet mergeSchema=true). The fixture stages two
+# parquet files DERIVED deterministically from documents — even
+# doc_ids in the v1 file (doc_id, lang, n_chars), odd doc_ids in the
+# v2 file with an added BIGINT quality_score = doc_id % 100 — so the
+# oracle recomputes the merged-read aggregate from the documents view
+# alone, proving the mergeSchema read neither drops rows, misaligns
+# columns, nor fabricates values. Scale: schema merge is a
+# footer-only planning step; the scan itself stays pushdown-pruned.
+
+
+def q_scan_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+
+    def build(d: str) -> None:
+        docs = load_table(spark, sf_dir, "documents")
+        v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "lang", "n_chars"
+        )
+        v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            (F.col("doc_id") % 100).alias("quality_score"),
+        )
+        v1.coalesce(1).write.parquet(f"{d}/v1")
+        v2.coalesce(1).write.parquet(f"{d}/v2")
+
+    src = staged_dir("schema_evo", sf_dir, build)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    return merged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("quality_score").isNull().cast("long")).alias(
+            "n_null_quality"
+        ),
+        F.sum(F.coalesce(F.col("quality_score"), F.lit(0))).alias(
+            "sum_quality"
+        ),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+SCAN_SCHEMA_EVOLUTION_SQL = """
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_quality,
+       CAST(sum(CASE WHEN doc_id % 2 = 1 THEN doc_id % 100 ELSE 0 END)
+            AS BIGINT) AS sum_quality,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+GROUP BY lang
+"""
+
+
+
 def register_all() -> None:
     register("merge_upsert", q_merge_upsert, MERGE_UPSERT_SQL)
+    register(
+        "scan_schema_evolution",
+        q_scan_schema_evolution,
+        SCAN_SCHEMA_EVOLUTION_SQL,
+    )
     register("maintenance_compact", q_maintenance_compact, MAINTENANCE_COMPACT_SQL)
     register("table_diff", q_table_diff, TABLE_DIFF_SQL)
     register("delete_cascade", q_delete_cascade, DELETE_CASCADE_SQL)

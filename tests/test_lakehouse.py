@@ -178,3 +178,34 @@ def test_discretize_approx_bins_are_near_equal_population(spark):
     total = sum(r["n"] for r in rows)
     for r in rows:
         assert abs(r["n"] - total / N_QBINS) <= total * 0.01, r
+
+
+def test_schema_evolution_nulls_only_v1_rows(spark):
+    """The merged read must null-fill quality_score for exactly the
+    v1 (even doc_id) rows and carry the v2 values through unchanged —
+    checked row-level, not just in aggregate."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
+    from tests.conftest import SF_SMALL
+
+    # reuse the staged dir the key built (memoized per sf_dir)
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        q_scan_schema_evolution,
+    )
+
+    q_scan_schema_evolution(spark, SF_SMALL).collect()  # ensure staged
+    src = staged_dir("schema_evo", SF_SMALL, lambda d: None)
+    merged = (
+        spark.read.option("mergeSchema", "true")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    bad_null = merged.filter(
+        (F.col("doc_id") % 2 == 0) & F.col("quality_score").isNotNull()
+    ).count()
+    bad_val = merged.filter(
+        (F.col("doc_id") % 2 == 1)
+        & (F.col("quality_score") != F.col("doc_id") % 100)
+    ).count()
+    assert bad_null == 0 and bad_val == 0
