@@ -104,10 +104,14 @@ CHECK_PRIORITY: list[str] = [
     # -- 50-slot cap: 33 new r8 keys (a) + 7 displaced r7 keys (b) +
     # 8 r2-stale text keys (c) = 48, so the cap lands here after the
     # first 2 of the 30 (d) r3-stale keys (the last entry in the
-    # window is rulegen_antecedent). Everything below is past-cap in
-    # r9 front-load order: the 28 remaining r3 keys, then the
-    # r4-checked backlog. NOTE: any key added later this round must
-    # be inserted into (a) and displace the tail of (d) one-for-one.
+    # window is rulegen_antecedent). R9 front-load order: (1) any new
+    # r9 keys, (2) the SEVEN late-r8 past-cap keys that have never
+    # been driver-checked (media_decode_wav, corpus_token_budget,
+    # stream_token_budget, join_asof_nearest, agg_daily_corr,
+    # metrics_calibration, scan_schema_evolution), (3) the 28
+    # remaining r3-stale keys below, then the r4-checked backlog.
+    # NOTE: any key added later this round must be inserted into (a)
+    # and displace the tail of (d) one-for-one.
     "agg_class_counts",
     "rulemerge_avg",
     "model_roundtrip",
