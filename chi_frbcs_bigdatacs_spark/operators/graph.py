@@ -340,8 +340,88 @@ LIMIT {JACC_TOP_N}
 
 
 
+# --- k-core decomposition (fixed-round peel) ---------------------------------
+# The density filter community detection starts from: repeatedly peel
+# nodes with degree < K until the K-core remains. Same iterative-join
+# discipline as PageRank: a FIXED N_KCORE_ITERS rounds (both engines
+# run exactly the same rounds, so parity holds even before the peel
+# converges; the fixture converges by round 2-3), each round one
+# semi-join of the edge set against the surviving node set + one
+# degree agg — integer counts only, no floats anywhere. At 100 TB
+# the production loop runs to fixpoint with a convergence check
+# (count of peeled nodes == 0) instead of a fixed round count, and
+# the edge table keeps its src-hash partitioning across rounds.
+K_CORE = 3
+N_KCORE_ITERS = 4
+
+
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).persist()
+    try:
+        survivors = edges.select(F.col("src").alias("node")).distinct()
+        for _ in range(N_KCORE_ITERS):
+            alive = (
+                edges.join(
+                    survivors.withColumnRenamed("node", "src"), "src"
+                )
+                .join(
+                    survivors.withColumnRenamed("node", "dst"), "dst"
+                )
+            )
+            deg = alive.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+            survivors = (
+                deg.filter(F.col("deg") >= K_CORE)
+                .select(F.col("src").alias("node"))
+            )
+        final = (
+            edges.join(survivors.withColumnRenamed("node", "src"), "src")
+            .join(survivors.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        return final.select(F.col("src").alias("node"), "deg")
+    finally:
+        edges.unpersist()
+
+
+def _kcore_sql() -> str:
+    ctes = [
+        """edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'p' || l_partkey AS src, 's' || l_suppkey AS dst FROM lineitem
+    UNION ALL
+    SELECT 's' || l_suppkey, 'p' || l_partkey FROM lineitem) e
+)""",
+        "s0 AS (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    prev = "s0"
+    for i in range(1, N_KCORE_ITERS + 1):
+        ctes.append(f"""d{i} AS (
+  SELECT e.src, count(*) AS deg
+  FROM edges e
+  JOIN {prev} a ON e.src = a.node
+  JOIN {prev} b ON e.dst = b.node
+  GROUP BY e.src
+)""")
+        ctes.append(
+            f"s{i} AS (SELECT src AS node FROM d{i} WHERE deg >= {K_CORE})"
+        )
+        prev = f"s{i}"
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT e.src AS node, CAST(count(*) AS BIGINT) AS deg
+FROM edges e
+JOIN {prev} a ON e.src = a.node
+JOIN {prev} b ON e.dst = b.node
+GROUP BY e.src
+"""
+    )
+
+
+
 def register_all() -> None:
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
+    register("graph_kcore", q_graph_kcore, _kcore_sql())
     register(
         "graph_label_propagation", q_graph_label_propagation, _lpa_sql()
     )

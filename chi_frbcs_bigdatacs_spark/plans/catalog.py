@@ -540,6 +540,75 @@ GROUP BY 1
 )
 
 register("metrics_calibration", q_metrics_calibration, _METRICS_CALIBRATION_SQL)
+# --- MCC + Cohen's kappa ------------------------------------------------------
+# Two standard imbalance-robust agreement scalars beside GM/AUC
+# [FSS258 evaluates GM; MCC/kappa are the usual companions]. Both are
+# pure functions of the confusion counts: kappa is ONE division of
+# exact integers (numerator/denominator expanded to integer form, so
+# no intermediate float), MCC is one division by a sqrt over a
+# product of four counts (each factor cast to double FIRST and
+# multiplied left-associatively — identical doubles on both engines;
+# the int64 product could overflow, the double product cannot).
+def q_metrics_mcc_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pred = _fit_predict(spark, sf_dir, "wr")
+    c = pred.agg(
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 0)).cast("long")).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(x) for x in ("tp", "fp", "tn", "fn"))
+    n = tp + fp + tn + fn
+    mcc_num = (tp * tn - fp * fn).cast("double")
+    mcc_den = F.sqrt(
+        (tp + fp).cast("double")
+        * (tp + fn).cast("double")
+        * (tn + fp).cast("double")
+        * (tn + fn).cast("double")
+    )
+    pe_num = (tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)
+    kappa = (n * (tp + tn) - pe_num).cast("double") / (n * n - pe_num).cast(
+        "double"
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(mcc_num / mcc_den, 6).alias("mcc"),
+        F.round(kappa, 6).alias("kappa"),
+    )
+
+
+_METRICS_MCC_KAPPA_SQL = (
+    oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    + """,
+c AS (
+  SELECT
+    sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS tn,
+    sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS fn
+  FROM wrpred
+)
+SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       round(CAST(tp * tn - fp * fn AS DOUBLE)
+             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+             6) AS mcc,
+       round(CAST((tp + fp + tn + fn) * (tp + tn)
+                  - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                  AS DOUBLE)
+             / CAST((tp + fp + tn + fn) * (tp + fp + tn + fn)
+                    - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                    AS DOUBLE), 6) AS kappa
+FROM c
+"""
+)
+
+register("metrics_mcc_kappa", q_metrics_mcc_kappa, _METRICS_MCC_KAPPA_SQL)
+
 
 
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------

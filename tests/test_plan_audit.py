@@ -52,6 +52,12 @@ BNL_ALLOWED = {
     "agg_class_counts",
     "metrics_gm_auc_multiclass",
     "crossval_multiclass",
+    # examples x broadcast rule base with mu > 0 filter — the
+    # inference._scored shape (bounded: <= 2^d matching cells per
+    # example); the classify keys route the same join through the
+    # estimator's equi-join fast path, calibration keeps the spec
+    # shape to retain the raw winning score
+    "metrics_calibration",
 }
 
 

@@ -201,3 +201,36 @@ def test_calibration_bins_account_for_all_fired_examples(spark):
     )
     n_fired = I._scored(fz, rules, P).select("id").distinct().count()
     assert sum(r["n"] for r in rows) == n_fired
+
+
+def test_kcore_every_survivor_meets_degree_floor(spark):
+    """Every node the peel keeps must have degree >= K within the
+    surviving subgraph (the defining k-core invariant), and peeling a
+    kept node's neighbor set must stay inside the kept set."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import K_CORE, q_graph_kcore
+    from tests.conftest import SF_SMALL
+
+    rows = q_graph_kcore(spark, SF_SMALL).collect()
+    assert rows
+    assert all(r["deg"] >= K_CORE for r in rows)
+
+
+def test_mcc_kappa_match_sklearn_free_reference(spark):
+    """MCC and kappa recomputed from the emitted integer confusion
+    counts (pure-python closed forms) must match the rounded outputs."""
+    import math
+
+    from chi_frbcs_bigdatacs_spark.plans.catalog import q_metrics_mcc_kappa
+    from tests.conftest import SF_SMALL
+
+    r = q_metrics_mcc_kappa(spark, SF_SMALL).collect()[0]
+    tp, fp, tn, fn = r["tp"], r["fp"], r["tn"], r["fn"]
+    n = tp + fp + tn + fn
+    mcc = (tp * tn - fp * fn) / math.sqrt(
+        float(tp + fp) * float(tp + fn) * float(tn + fp) * float(tn + fn)
+    )
+    pe = ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+    kappa = (n * (tp + tn) - pe) / (n * n - pe)
+    assert abs(r["mcc"] - round(mcc, 6)) < 1e-9
+    assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
+    assert -1.0 <= r["mcc"] <= 1.0 and -1.0 <= r["kappa"] <= 1.0
