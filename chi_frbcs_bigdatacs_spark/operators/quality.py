@@ -553,6 +553,66 @@ HAVING count(*) >= {K_ANON}
 """
 
 
+# --- l-diversity audit --------------------------------------------------------
+# The companion check to anonymize_kgroups: k-anonymity alone leaks
+# when every row of a quasi-identifier group shares one sensitive
+# value (the homogeneity attack, Machanavajjhala et al. 2007).
+# For each released (status, priority, month) group, count DISTINCT
+# sensitive values (the customer key bucket stands in for the
+# sensitive attribute) and flag groups below L_DIVERSITY. One
+# two-level hash agg — distinct-inside-group is the classic
+# two-phase (group+value count, then group count) plan, never a
+# count(distinct) over a shuffle of raw rows at scale.
+L_DIVERSITY = 3
+
+
+def q_anonymize_ldiversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    g = o.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        (F.col("o_custkey") % 50).alias("sensitive"),
+    )
+    per_value = g.groupBy(
+        "o_orderstatus", "o_orderpriority", "month", "sensitive"
+    ).agg(F.count(F.lit(1)).alias("nv"))
+    return (
+        per_value.groupBy("o_orderstatus", "o_orderpriority", "month")
+        .agg(
+            F.sum("nv").alias("n"),
+            F.count(F.lit(1)).alias("n_distinct_sensitive"),
+        )
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            "month",
+            "n",
+            "n_distinct_sensitive",
+            (F.col("n_distinct_sensitive") >= L_DIVERSITY).alias(
+                "l_diverse"
+            ),
+        )
+    )
+
+
+ANONYMIZE_LDIVERSITY_SQL = f"""
+WITH per_value AS (
+  SELECT o_orderstatus, o_orderpriority,
+         strftime(o_orderdate, '%Y-%m') AS month,
+         o_custkey % 50 AS sensitive,
+         count(*) AS nv
+  FROM orders GROUP BY 1, 2, 3, 4
+)
+SELECT o_orderstatus, o_orderpriority, month,
+       CAST(sum(nv) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct_sensitive,
+       count(*) >= {L_DIVERSITY} AS l_diverse
+FROM per_value
+GROUP BY 1, 2, 3
+"""
+
+
 # --- column masking (static data-protection policy) -------------------------
 # The deterministic masking pass applied before data leaves the
 # trusted zone, complementing anonymize_kgroups (aggregate release)
@@ -866,6 +926,11 @@ def register_all() -> None:
         DISCRETIZE_QUANTILE_SKETCH_SQL,
     )
     register("anonymize_kgroups", q_anonymize_kgroups, ANONYMIZE_KGROUPS_SQL)
+    register(
+        "anonymize_ldiversity",
+        q_anonymize_ldiversity,
+        ANONYMIZE_LDIVERSITY_SQL,
+    )
     register("mask_columns", q_mask_columns, MASK_COLUMNS_SQL)
     register("audit_freshness", q_audit_freshness, AUDIT_FRESHNESS_SQL)
     register(

@@ -397,3 +397,42 @@ def test_impute_missing_mask_and_fill_accounting(spark):
         o = out[r["event_type"]]
         assert o["n"] == r["n"] and o["n_missing"] == r["nm"]
         assert o["n_missing"] > 0
+
+
+def test_ldiversity_distinct_counts_are_exact(spark):
+    """n_distinct_sensitive must equal the exact distinct count of the
+    sensitive bucket inside each group, and l_diverse must be its
+    threshold comparison (recomputed independently with
+    countDistinct)."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        L_DIVERSITY,
+        q_anonymize_ldiversity,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    got = {
+        (r["o_orderstatus"], r["o_orderpriority"], r["month"]): r
+        for r in q_anonymize_ldiversity(spark, SF_SMALL).collect()
+    }
+    o = load_table(spark, SF_SMALL, "orders")
+    ref = (
+        o.groupBy(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct(F.col("o_custkey") % 50).alias("d"),
+        )
+        .collect()
+    )
+    assert len(ref) == len(got)
+    for r in ref:
+        g = got[(r["o_orderstatus"], r["o_orderpriority"], r["month"])]
+        assert g["n"] == r["n"]
+        assert g["n_distinct_sensitive"] == r["d"]
+        assert g["l_diverse"] == (r["d"] >= L_DIVERSITY)
