@@ -2001,6 +2001,102 @@ FROM ranked
 
 
 
+# --- composed release pipeline -------------------------------------------------
+# The end-to-end "cut a release corpus" DAG, composed from this
+# round's pieces exactly as a user would chain them: (1) keep only
+# documents passing the Gopher rule battery, (2) exact-dedup the
+# survivors on normalized text (survivor = min doc_id, the house
+# rule), (3) hand the surviving corpus to the token-budget planner.
+# Each stage is the ALREADY-ORACLED operator's logic applied to the
+# previous stage's output, and the oracle is the same chain in SQL —
+# so the composition itself (filter placement, dedup key, what feeds
+# the planner) is what this key verifies. Scale: stage 1-2 are one
+# scan + two hash aggs; stage 3 is the tiny-shard window.
+
+
+def q_pipeline_release_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gopher = q_quality_gopher(spark, sf_dir).filter(
+        F.col("passes_gopher")
+    ).select("doc_id")
+    d = load_table(spark, sf_dir, "documents").join(gopher, "doc_id")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "text",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), " +", " ")).alias(
+            "fp"
+        ),
+    )
+    survivor = keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id"))
+    kept = keyed.join(
+        survivor, (keyed["fp"] == survivor["fp"])
+        & (keyed["doc_id"] == survivor["keep_id"]),
+    ).select("doc_id", "lang", "source", "text")
+    shard = kept.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("n_tokens"),
+    )
+    return token_budget_rank(shard)
+
+
+PIPELINE_RELEASE_CORPUS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+per_word AS (
+  SELECT doc_id, w, count(*) AS c FROM toks WHERE w <> '' GROUP BY doc_id, w
+),
+per_doc AS (
+  SELECT doc_id,
+         sum(c) AS n_words,
+         sum(length(w) * c) AS n_word_chars,
+         max(c) AS top_n,
+         sum(CASE WHEN w IN ({_GOPHER_STOP_SQL}) THEN c ELSE 0 END) AS n_stop
+  FROM per_word GROUP BY doc_id
+),
+passing AS (
+  SELECT doc_id FROM per_doc
+  WHERE n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+    AND 3 * n_words <= n_word_chars AND n_word_chars <= 10 * n_words
+    AND n_stop >= {GOPHER_MIN_STOPWORDS}
+    AND top_n * 10 <= n_words * {10 * GOPHER_REP_MAX_TENTHS}
+),
+keyed AS (
+  SELECT d.doc_id, d.lang, d.source, d.text,
+         md5(regexp_replace(trim(d.text), ' +', ' ', 'g')) AS fp
+  FROM documents d JOIN passing p ON d.doc_id = p.doc_id
+),
+survivor AS (SELECT fp, min(doc_id) AS keep_id FROM keyed GROUP BY fp),
+kept AS (
+  SELECT k.doc_id, k.lang, k.source, k.text
+  FROM keyed k JOIN survivor s ON k.fp = s.fp AND k.doc_id = s.keep_id
+),
+shard AS (
+  SELECT lang, source, count(*) AS n_docs,
+         sum(len(string_split(text, ' '))) AS n_tokens
+  FROM kept GROUP BY lang, source
+),
+ranked AS (
+  SELECT lang, source, CAST(n_docs AS BIGINT) AS n_docs,
+         CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(row_number() OVER w AS INT) AS rank,
+         CAST(sum(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+  FROM shard
+  WINDOW w AS (ORDER BY n_tokens DESC, lang, source)
+)
+SELECT lang, source, n_docs, n_tokens, rank, cum_tokens,
+       round(CAST(cum_tokens AS DOUBLE) / total_tokens, 6) AS cum_share,
+       (CAST(cum_tokens - n_tokens AS DOUBLE)
+        < {TOKEN_BUDGET_SHARE} * total_tokens) AS in_budget_80
+FROM ranked
+"""
+
+
+
 def register_all() -> None:
     register("text_phrase_search", q_text_phrase_search, TEXT_PHRASE_SEARCH_SQL)
     register("text_posindex_build", q_text_posindex_build, TEXT_POSINDEX_BUILD_SQL)
@@ -2042,4 +2138,9 @@ def register_all() -> None:
     )
     register(
         "corpus_token_budget", q_corpus_token_budget, CORPUS_TOKEN_BUDGET_SQL
+    )
+    register(
+        "pipeline_release_corpus",
+        q_pipeline_release_corpus,
+        PIPELINE_RELEASE_CORPUS_SQL,
     )

@@ -519,3 +519,37 @@ def test_token_budget_rank_matches_reference_on_random_tables(spark):
             assert g["in_budget_80"] == (
                 (run - r[3]) < TOKEN_BUDGET_SHARE * total
             )
+
+
+def test_release_pipeline_stages_compose(spark):
+    """The composed release plan's total token mass must equal the
+    token mass of (gopher-passing, exact-deduped) documents computed
+    stage by stage — proves the filter runs BEFORE dedup and the
+    planner sees exactly the survivors."""
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        q_pipeline_release_corpus,
+        q_quality_gopher,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    out = q_pipeline_release_corpus(spark, SF_SMALL).collect()
+    assert out
+    total = max(r["cum_tokens"] for r in out)
+    passing = q_quality_gopher(spark, SF_SMALL).filter(
+        F.col("passes_gopher")
+    ).select("doc_id")
+    d = load_table(spark, SF_SMALL, "documents").join(passing, "doc_id")
+    keyed = d.select(
+        "doc_id",
+        "text",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), " +", " ")).alias("fp"),
+    )
+    kept = keyed.join(
+        keyed.groupBy("fp").agg(F.min("doc_id").alias("keep_id")),
+        "fp",
+    ).filter(F.col("doc_id") == F.col("keep_id"))
+    expect = kept.select(
+        F.sum(F.size(F.split(F.col("text"), " "))).alias("t")
+    ).first()["t"]
+    assert total == expect
+    assert sum(r["n_docs"] for r in out) == kept.count()
