@@ -1458,6 +1458,66 @@ FROM chosen
 
 
 
+# --- multiset set operations (ALL variants) ----------------------------------
+# EXCEPT ALL / INTERSECT ALL keep MULTIPLICITY (bag semantics:
+# max(m_a - m_b, 0) and min(m_a, m_b) copies respectively) — a
+# genuinely different operator from the DISTINCT set-ops above, and
+# the one dedup accounting actually needs ("how many EXTRA copies
+# does corpus A have"). Spark's exceptAll/intersectAll plan as a
+# count-aggregate + generator (no row-pair join); the aggregated
+# projection below keeps the oracle order-free. Scale: one hash agg
+# per side on the value key.
+
+
+def q_setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.select(F.col("l_partkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    return (
+        a.exceptAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_extra"))
+    )
+
+
+SETOP_EXCEPT_ALL_SQL = """
+WITH diff AS (
+  SELECT l_partkey AS k FROM lineitem
+  EXCEPT ALL
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_extra FROM diff GROUP BY k
+"""
+
+
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_linestatus") == "F").select(
+        F.col("l_partkey").alias("k")
+    )
+    b = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_partkey").alias("k")
+    )
+    return (
+        a.intersectAll(b)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+
+
+SETOP_INTERSECT_ALL_SQL = """
+WITH common AS (
+  SELECT l_partkey AS k FROM lineitem WHERE l_linestatus = 'F'
+  INTERSECT ALL
+  SELECT l_partkey AS k FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT k, CAST(count(*) AS BIGINT) AS n_common FROM common GROUP BY k
+"""
+
+
+
 def register_all() -> None:
     register("window_lag_lead", q_window_lag_lead, WINDOW_LAG_LEAD_SQL)
     register("window_range_frame", q_window_range_frame, WINDOW_RANGE_FRAME_SQL)
@@ -1470,6 +1530,10 @@ def register_all() -> None:
     register("window_distribution", q_window_distribution, WINDOW_DISTRIBUTION_SQL)
     register("agg_value_stats", q_agg_value_stats, AGG_VALUE_STATS_SQL)
     register("join_asof", q_join_asof, JOIN_ASOF_SQL)
+    register("setop_except_all", q_setop_except_all, SETOP_EXCEPT_ALL_SQL)
+    register(
+        "setop_intersect_all", q_setop_intersect_all, SETOP_INTERSECT_ALL_SQL
+    )
     register("join_asof_nearest", q_join_asof_nearest, JOIN_ASOF_NEAREST_SQL)
     register("agg_grouping_sets", _grouping_sets_query, AGG_GROUPING_SETS_SQL)
     register("window_session", q_window_session, WINDOW_SESSION_SQL)

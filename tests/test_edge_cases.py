@@ -199,3 +199,40 @@ def test_wav_codec_rejects_malformed_input():
     )
     with pytest.raises(ValueError):
         _decode_wav(bad)
+
+
+def test_multiset_setops_obey_bag_algebra(spark):
+    """Bag identities on the fixture: per key, n_extra = max(m_a -
+    m_b, 0) and n_common = min(m_a_f, m_b), recomputed from raw
+    multiplicities."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.relational import (
+        q_setop_except_all,
+        q_setop_intersect_all,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    m = (
+        li.groupBy(F.col("l_partkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("ma"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("mb"),
+            F.sum((F.col("l_linestatus") == "F").cast("long")).alias("mf"),
+        )
+        .collect()
+    )
+    mult = {r["k"]: r for r in m}
+    ex = {r["k"]: r["n_extra"] for r in q_setop_except_all(spark, SF_SMALL).collect()}
+    for k, r in mult.items():
+        expect = max(r["ma"] - r["mb"], 0)
+        assert ex.get(k, 0) == expect, (k, ex.get(k), expect)
+    inter = {
+        r["k"]: r["n_common"]
+        for r in q_setop_intersect_all(spark, SF_SMALL).collect()
+    }
+    for k, r in mult.items():
+        expect = min(r["mf"], r["mb"])
+        assert inter.get(k, 0) == expect, (k, inter.get(k), expect)
