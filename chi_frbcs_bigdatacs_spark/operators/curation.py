@@ -1641,13 +1641,9 @@ FROM conv GROUP BY channel
 # NULL on both engines.
 
 
-def q_agg_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
-
-    ev = load_events(spark, sf_dir)
-    daily = ev.groupBy(
-        F.to_date("ts").alias("day"), "event_type"
-    ).agg(F.count(F.lit(1)).alias("n"))
+def daily_corr_from_counts(daily: DataFrame) -> DataFrame:
+    """Pairwise Pearson over a (day, event_type, n) daily-count table
+    — the shared back half of the batch key and its streaming twin."""
     a = daily.select("day", F.col("event_type").alias("type_a"), F.col("n").alias("x"))
     b = daily.select("day", F.col("event_type").alias("type_b"), F.col("n").alias("y"))
     pairs = a.join(b, "day").filter(F.col("type_a") < F.col("type_b"))
@@ -1669,6 +1665,16 @@ def q_agg_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(num / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))), 6),
     )
     return s.select("type_a", "type_b", "n_days", corr.alias("corr_daily"))
+
+
+def q_agg_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return daily_corr_from_counts(daily)
 
 
 AGG_DAILY_CORR_SQL = """

@@ -105,13 +105,13 @@ CHECK_PRIORITY: list[str] = [
     # 8 r2-stale text keys (c) = 48, so the cap lands here after the
     # first 2 of the 30 (d) r3-stale keys (the last entry in the
     # window is rulegen_antecedent). R9 front-load order: (1) any new
-    # r9 keys, (2) the THIRTEEN late-r8 past-cap keys that have never
+    # r9 keys, (2) the FOURTEEN late-r8 past-cap keys that have never
     # been driver-checked (media_decode_wav, corpus_token_budget,
     # stream_token_budget, join_asof_nearest, agg_daily_corr,
     # metrics_calibration, scan_schema_evolution, graph_kcore,
     # metrics_mcc_kappa, anonymize_ldiversity,
     # pipeline_release_corpus, setop_except_all,
-    # setop_intersect_all), (3) the 28
+    # setop_intersect_all, stream_daily_corr), (3) the 28
     # remaining r3-stale keys below, then the r4-checked backlog.
     # NOTE: any key added later this round must be inserted into (a)
     # and displace the tail of (d) one-for-one.

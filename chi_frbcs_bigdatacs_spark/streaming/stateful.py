@@ -1578,6 +1578,85 @@ def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_rank(final)
 
 
+def q_stream_daily_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `agg_daily_corr` (curation.py): maintain
+    per-type (day -> count) tallies as events arrive (plain sums —
+    ARRIVAL-ORDER INVARIANT), then hand the final daily-count
+    snapshot to the SAME `daily_corr_from_counts` finisher, so the
+    integer-exact Pearson arithmetic is shared code. State keys on
+    event_type (constant catalog dimension); per-key state is one
+    counter per observed day — bounded by the retention window at
+    scale (a production deployment would age out closed days with a
+    state timeout). Day strings are computed ENGINE-side so no date
+    logic crosses into pandas. Strict oracle: AGG_DAILY_CORR_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        daily_corr_from_counts,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
+    )
+
+    ev = _events_stream_ordered(spark, sf_dir).select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        tally: dict[str, int] = {}
+        n_seen = 0
+        if state.exists:
+            days, counts, n0 = state.get
+            tally = dict(zip(days, (int(c) for c in counts)))
+            n_seen = int(n0)
+        for p in pdfs:
+            for d in p["day"]:
+                d = str(d)
+                tally[d] = tally.get(d, 0) + 1
+                n_seen += 1
+        ds = sorted(tally)
+        state.update((ds, [tally[d] for d in ds], n_seen))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]] * len(ds),
+                "day": ds,
+                "n": [tally[d] for d in ds],
+                "n_seen": [n_seen] * len(ds),
+            }
+        )
+
+    snaps = ev.groupBy("event_type").applyInPandasWithState(
+        update,
+        outputStructType="event_type string, day string, n long, n_seen long",
+        stateStructType="days array<string>, counts array<long>, n_seen long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_corr_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        snaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    last = sunk.groupBy(F.col("event_type").alias("et")).agg(
+        F.max("n_seen").alias("ns")
+    )
+    daily = (
+        sunk.join(
+            last,
+            (F.col("event_type") == F.col("et"))
+            & (F.col("n_seen") == F.col("ns")),
+        )
+        .select(F.to_date("day").alias("day"), "event_type", "n")
+    )
+    return daily_corr_from_counts(daily)
+
+
 def register_all() -> None:
     register("stream_stateful_count", q_stream_stateful_count, STREAM_STATEFUL_SQL)
     register("stream_rule_stats", q_stream_rule_stats, _rule_stats_oracle())
@@ -1626,3 +1705,6 @@ def register_all() -> None:
     )
 
     register("stream_token_budget", q_stream_token_budget, CORPUS_TOKEN_BUDGET_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import AGG_DAILY_CORR_SQL
+
+    register("stream_daily_corr", q_stream_daily_corr, AGG_DAILY_CORR_SQL)

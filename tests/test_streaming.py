@@ -291,3 +291,18 @@ def test_stream_token_budget_equals_batch(spark):
     batch = sorted(map(tuple, q_corpus_token_budget(spark, SF_SMALL).collect()))
     stream = sorted(map(tuple, q_stream_token_budget(spark, SF_SMALL).collect()))
     assert stream == batch
+
+
+def test_stream_daily_corr_equals_batch(spark):
+    """The correlation twin must equal the batch key row for row
+    (per-day tallies are order-free sums; the Pearson finisher is
+    shared code)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import q_agg_daily_corr
+    from chi_frbcs_bigdatacs_spark.streaming.stateful import (
+        q_stream_daily_corr,
+    )
+    from tests.conftest import SF_SMALL
+
+    batch = sorted(map(tuple, q_agg_daily_corr(spark, SF_SMALL).collect()))
+    stream = sorted(map(tuple, q_stream_daily_corr(spark, SF_SMALL).collect()))
+    assert stream == batch
