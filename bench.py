@@ -115,12 +115,16 @@ def main() -> None:
     warm = {k: round(median(v), 3) for k, v in warm_samples.items() if v}
     warm_best = {k: min(v) for k, v in warm_samples.items() if v}
 
-    # ext group: same cold + median-of-N protocol, separate fields
+    # ext group: same cold + median-of-N protocol, separate fields.
+    # Cold and warm error dicts stay SEPARATE (ADVICE r8): a key that
+    # fails only warm must be distinguishable from a cold failure in
+    # the artifact, matching the primary group's errs/warm_errs split.
     ext_timings, ext_errs = run_pass(HEADLINE_EXT)
     ext_samples: dict[str, list[float]] = {k: [] for k in HEADLINE_EXT}
+    ext_warm_errs: dict[str, str] = {}
     for _ in range(n_warm):
         w, we = run_pass(HEADLINE_EXT)
-        ext_errs.update(we)
+        ext_warm_errs.update(we)
         for k, v in w.items():
             ext_samples[k].append(v)
     ext_warm = {k: round(median(v), 3) for k, v in ext_samples.items() if v}
@@ -142,9 +146,20 @@ def main() -> None:
         "value_ext_warm": round(sum(ext_warm.values()), 3),
         "queries_ext_warm": ext_warm,
     }
-    if errs or warm_errs or ext_errs:
-        out["errors"] = {**warm_errs, **errs, **ext_errs}
-        out["n_failed"] = len({**warm_errs, **errs, **ext_errs})
+    if errs or warm_errs or ext_errs or ext_warm_errs:
+        # pass-qualified keys: "<key>" cold primary, "warm:<key>",
+        # "ext:<key>", "ext_warm:<key>" — which pass failed is never
+        # collapsed away (ADVICE r8).
+        merged = {
+            **{f"warm:{k}": v for k, v in warm_errs.items()},
+            **errs,
+            **{f"ext:{k}": v for k, v in ext_errs.items()},
+            **{f"ext_warm:{k}": v for k, v in ext_warm_errs.items()},
+        }
+        out["errors"] = merged
+        out["n_failed"] = len(
+            set(errs) | set(warm_errs) | set(ext_errs) | set(ext_warm_errs)
+        )
     print(json.dumps(out))
     spark.stop()
 

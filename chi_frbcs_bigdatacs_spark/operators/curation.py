@@ -1120,7 +1120,18 @@ def q_merge_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.unix_micros("ts")).alias("lo"),
         F.max(F.unix_micros("ts")).alias("hi"),
     ).collect()[0]
-    t0 = b["lo"] + (b["hi"] - b["lo"]) * MERGE_SCD2_SPLIT_NUM // MERGE_SCD2_SPLIT_DEN
+    if b["lo"] is None:
+        # empty SCD2 slice (a fixture without 'signup' events): both
+        # halves of the split are empty at t0=0 and the union-window
+        # below legitimately yields an empty chain with the full
+        # output schema, instead of a TypeError on None arithmetic
+        # (ADVICE r8).
+        t0 = 0
+    else:
+        t0 = (
+            b["lo"]
+            + (b["hi"] - b["lo"]) * MERGE_SCD2_SPLIT_NUM // MERGE_SCD2_SPLIT_DEN
+        )
     # the materialized dimension (stand-in for the stored table):
     # full SCD2 build over the pre-T0 log, then only the MERGE-
     # relevant columns survive as marks

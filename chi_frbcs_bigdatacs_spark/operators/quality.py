@@ -804,14 +804,21 @@ def q_feature_scale_standard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(stats), "event_type"
     )
     num = (F.col("c") * F.col("v") - F.col("s")).cast("double")
-    den = F.sqrt((F.col("c") * F.col("ss") - F.col("s") * F.col("s")).cast("double"))
+    den_arg = F.col("c") * F.col("ss") - F.col("s") * F.col("s")
+    den = F.sqrt(den_arg.cast("double"))
+    # zero-variance group (constant-valued event_type) => NULL z, not
+    # 0/0 NaN: the den>0 predicate on EXACT integers keeps both
+    # engines on the same branch (the agg_daily_corr zero-variance
+    # CASE; ADVICE r8 — NaN handling at the hash boundary is a latent
+    # cross-engine divergence).
+    z = F.when(den_arg > 0, F.round(num / den, 6))
     return (
         d.filter(F.col("event_id") % SCALE_SAMPLE_MOD == 0)
         .select(
             "event_id",
             "event_type",
             "value",
-            F.round(num / den, 6).alias("z"),
+            z.alias("z"),
         )
     )
 
@@ -827,8 +834,10 @@ stats AS (
   FROM v GROUP BY event_type
 )
 SELECT event_id, v.event_type, value,
-       round(CAST(c * v - s AS DOUBLE)
-             / sqrt(CAST(c * ss - s * s AS DOUBLE)), 6) AS z
+       CASE WHEN c * ss - s * s > 0 THEN
+         round(CAST(c * v - s AS DOUBLE)
+               / sqrt(CAST(c * ss - s * s AS DOUBLE)), 6)
+       END AS z
 FROM v JOIN stats ON v.event_type = stats.event_type
 WHERE event_id % {SCALE_SAMPLE_MOD} = 0
 """

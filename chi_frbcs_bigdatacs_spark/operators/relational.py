@@ -295,13 +295,24 @@ GROUP BY o_orderpriority
 # keys' planning, and a real cluster needs no conf change at all.
 # The injection is pinned in tests/test_plans.py; a bloom filter is
 # results-neutral by construction (might_contain has no false
-# negatives), which the DuckDB oracle hash-checks.
+# negatives), which the DuckDB oracle hash-checks. The lowered
+# thresholds live in a CLONED session (newSession: same SparkContext
+# + cached data, independent SQLConf), so a query planned
+# concurrently in the caller's session can never inherit them
+# (ADVICE r8 — the set/restore window was a silent race).
 def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders").filter(
+    s = spark.newSession()
+    s.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    o = load_table(s, sf_dir, "orders").filter(
         F.col("o_orderpriority") == "1-URGENT"
     )
-    li = load_table(spark, sf_dir, "lineitem")
-    df = (
+    li = load_table(s, sf_dir, "lineitem")
+    return (
         o.hint("merge")
         .join(li, o["o_orderkey"] == li["l_orderkey"])
         .groupBy("o_orderstatus")
@@ -310,20 +321,6 @@ def q_join_runtime_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_price"),
         )
     )
-    app_key = (
-        "spark.sql.optimizer.runtime.bloomFilter."
-        "applicationSideScanSizeThreshold"
-    )
-    bcast_key = "spark.sql.autoBroadcastJoinThreshold"
-    old_app, old_bcast = spark.conf.get(app_key), spark.conf.get(bcast_key)
-    try:
-        spark.conf.set(app_key, "1KB")
-        spark.conf.set(bcast_key, "-1")
-        df._jdf.queryExecution().executedPlan()  # freeze injected plan
-    finally:
-        spark.conf.set(app_key, old_app)
-        spark.conf.set(bcast_key, old_bcast)
-    return df
 
 
 JOIN_RUNTIME_BLOOM_SQL = """

@@ -570,13 +570,20 @@ def q_metrics_mcc_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     kappa = (n * (tp + tn) - pe_num).cast("double") / (n * n - pe_num).cast(
         "double"
     )
+    # degenerate-marginal guards (ADVICE r8, the feature_scale
+    # zero-variance pattern): a one-class prediction or label column
+    # zeroes an MCC marginal (0/0 NaN) and an all-agreeing constant
+    # pair zeroes kappa's denominator. Predicates are conjunctions of
+    # EXACT integer marginals (the n^4 product would overflow int64
+    # past ~55k rows), so both engines take the same NULL branch.
+    mcc_ok = (tp + fp > 0) & (tp + fn > 0) & (tn + fp > 0) & (tn + fn > 0)
     return c.select(
         "tp",
         "fp",
         "tn",
         "fn",
-        F.round(mcc_num / mcc_den, 6).alias("mcc"),
-        F.round(kappa, 6).alias("kappa"),
+        F.when(mcc_ok, F.round(mcc_num / mcc_den, 6)).alias("mcc"),
+        F.when(n * n - pe_num > 0, F.round(kappa, 6)).alias("kappa"),
     )
 
 
@@ -593,16 +600,22 @@ c AS (
 )
 SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
        CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
-       round(CAST(tp * tn - fp * fn AS DOUBLE)
-             / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
-                    * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
-             6) AS mcc,
-       round(CAST((tp + fp + tn + fn) * (tp + tn)
-                  - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
-                  AS DOUBLE)
-             / CAST((tp + fp + tn + fn) * (tp + fp + tn + fn)
+       CASE WHEN tp + fp > 0 AND tp + fn > 0
+             AND tn + fp > 0 AND tn + fn > 0 THEN
+         round(CAST(tp * tn - fp * fn AS DOUBLE)
+               / sqrt(CAST(tp + fp AS DOUBLE) * CAST(tp + fn AS DOUBLE)
+                      * CAST(tn + fp AS DOUBLE) * CAST(tn + fn AS DOUBLE)),
+               6)
+       END AS mcc,
+       CASE WHEN (tp + fp + tn + fn) * (tp + fp + tn + fn)
+              - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp)) > 0 THEN
+         round(CAST((tp + fp + tn + fn) * (tp + tn)
                     - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
-                    AS DOUBLE), 6) AS kappa
+                    AS DOUBLE)
+               / CAST((tp + fp + tn + fn) * (tp + fp + tn + fn)
+                      - ((tp + fp) * (tp + fn) + (tn + fn) * (tn + fp))
+                      AS DOUBLE), 6)
+       END AS kappa
 FROM c
 """
 )

@@ -1275,7 +1275,16 @@ def q_stream_sketch_kmv(
     # kmv_pair_estimates, and the sketch is bounded (langs x KMV_K
     # rows) by construction, so a driver round-trip is sketch-serving,
     # not a data move
-    final = spark.createDataFrame(final.toPandas(), schema=final.schema)
+    pdf = final.toPandas()
+    # loud bound check (ADVICE r8): if KMV_K or the lang cardinality
+    # is ever raised past sketch-sized, fail here instead of silently
+    # capping at driver memory
+    n_langs = int(pdf["lang"].nunique())
+    assert len(pdf) <= n_langs * KMV_K, (
+        f"KMV sketch exceeded its bound: {len(pdf)} rows > "
+        f"{n_langs} langs x KMV_K={KMV_K} — not driver-sized anymore"
+    )
+    final = spark.createDataFrame(pdf, schema=final.schema)
     return kmv_pair_estimates(final)
 
 
