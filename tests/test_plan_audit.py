@@ -52,12 +52,11 @@ BNL_ALLOWED = {
     "agg_class_counts",
     "metrics_gm_auc_multiclass",
     "crossval_multiclass",
-    # examples x broadcast rule base with mu > 0 filter — the
-    # inference._scored shape (bounded: <= 2^d matching cells per
-    # example); the classify keys route the same join through the
-    # estimator's equi-join fast path, calibration keeps the spec
-    # shape to retain the raw winning score
-    "metrics_calibration",
+    # (r9: metrics_calibration's BNLJ retired — it now routes the raw
+    # winning score through the estimator's cell equi-join, so the
+    # allowlist no longer carries any entry that grows with model
+    # size; inference._scored remains the documented spec shape for
+    # the library API only)
 }
 
 
