@@ -133,6 +133,28 @@ def test_simsearch_recall_is_nontrivial_and_monotone(spark):
     assert rows[max(RECALL_PROBES)] == 1.0 or max(RECALL_PROBES) < K_CLUSTERS
 
 
+def test_pq_recall_trained_beats_seeded(spark):
+    """The r9 trained-codebook criterion (VERDICT r8 #4): the PQ
+    recall key's value must SEPARATE trained from seeded codebooks —
+    Lloyd refinement has to buy measurable recall, and both variants
+    must be nontrivial (inside (0,1): a 0.0 means ADC is broken, a
+    1.0 means the probe can't distinguish codebooks at all)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        q_simsearch_pq_recall,
+    )
+
+    rows = {
+        r.codebook: r.recall_at_10
+        for r in q_simsearch_pq_recall(spark, SF_SMALL).collect()
+    }
+    assert set(rows) == {"seeded", "trained"}
+    assert 0.0 < rows["seeded"] < 1.0, f"seeded recall {rows} proves nothing"
+    assert 0.0 < rows["trained"] < 1.0
+    assert rows["trained"] > rows["seeded"], (
+        f"training bought no recall: {rows}"
+    )
+
+
 def test_timeseries_ewma_close_within_observed_band(spark):
     """The EWMA is a convex combination of the last K observations, so
     every emitted close must lie inside the global [min, max] value
