@@ -156,9 +156,9 @@ WHERE {_RHASH_SQL} < t.kth
 # ties to the lowest id) found by an equi self-join on the bucket key
 # + one struct-min aggregation — join volume is sum of bucket^2, not
 # minority^2, and buckets are bounded by the grid resolution. Rows
-# alone in their bucket yield no synthetic (documented approximation
-# of grid-local SMOTE; production widens the probe to adjacent cells
-# exactly like IVF probe-2).
+# alone in their bucket yield no synthetic under THIS key (the
+# documented grid-local approximation); `resample_smote_probe` below
+# widens the search to the 3x3 cell neighborhood so they do.
 #
 # Determinism: lambda = h(id)/M with the same integer row-hash ROS
 # uses, so both engines synthesize the SAME points; synthetic
@@ -249,6 +249,152 @@ pairs AS (
            + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
            + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
   FROM m a JOIN m b ON a.bq = b.bq AND a.bp = b.bp AND a.id <> b.id
+),
+mind AS (SELECT a_id, min(d2) AS d0 FROM pairs GROUP BY a_id),
+nid AS (
+  SELECT p.a_id, min(p.b_id) AS b0
+  FROM pairs p JOIN mind d ON p.a_id = d.a_id AND p.d2 = d.d0
+  GROUP BY p.a_id
+),
+near AS (
+  SELECT p.a_id, p.a_f1, p.a_f2, p.a_f3, p.a_f4,
+         p.b_id, p.b_f1, p.b_f2, p.b_f3, p.b_f4
+  FROM pairs p JOIN nid n ON p.a_id = n.a_id AND p.b_id = n.b0
+)
+SELECT a_id AS id, b_id AS nbr_id,
+       round(a_f1 + lam * (b_f1 - a_f1), 6) AS f1,
+       round(a_f2 + lam * (b_f2 - a_f2), 6) AS f2,
+       round(a_f3 + lam * (b_f3 - a_f3), 6) AS f3,
+       round(a_f4 + lam * (b_f4 - a_f4), 6) AS f4,
+       CAST((SELECT label FROM ml) AS INT) AS label
+FROM (
+  SELECT near.*,
+         CAST((CAST(a_id AS HUGEINT) * {RS_HASH_A}) % {RS_HASH_M} AS DOUBLE)
+           / {RS_HASH_M} AS lam
+  FROM near
+) t
+"""
+
+
+# --- SMOTE with adjacent-cell probe -------------------------------------------
+# The production widening VERDICT r8 #5 asked for: grid-local SMOTE
+# misses minority rows ALONE in their grid cell (no in-bucket
+# neighbor => no synthetic), exactly the boundary rows SMOTE exists
+# to reinforce. The probe variant searches the 3x3 cell neighborhood
+# (the IVF probe-2 recipe applied to a grid): each minority row
+# EXPLODES into its 9 probe keys — a constant 9x multiply of the
+# minority table, NOT of the data — and the same equi-join on the
+# probed key finds candidates; the nearest-neighbor argmin, lambda
+# draw, and interpolation are SMOTE's verbatim. Join volume is
+# 9 x sum(bucket_a x adjacent-bucket sizes) — still grid-bounded,
+# never minority^2, and the explode keys stay an equi-join (no
+# BETWEEN range join that would force a BNLJ at scale). Singleton-
+# bucket rows with any neighbor within one cell now synthesize
+# (property-pinned); output is a superset of grid-local SMOTE's rows
+# (same id set or larger; a row's chosen neighbor MAY move to a
+# strictly closer adjacent-cell candidate — that is the fix, not a
+# regression).
+SMOTE_PROBE_OFFSETS = [(db, dp) for db in (-1, 0, 1) for dp in (-1, 0, 1)]
+
+
+def q_resample_smote_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    counts = _class_counts(df)
+    min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    m = df.filter(F.col("label") == min_label).select(
+        "id",
+        *FEATURES,
+        F.col("f1").cast("int").alias("bq"),
+        F.floor(F.col("f2") / SMOTE_F2_BAND).cast("int").alias("bp"),
+    )
+    offs = F.array(
+        *[
+            F.struct(F.lit(db).alias("db"), F.lit(dp).alias("dp"))
+            for db, dp in SMOTE_PROBE_OFFSETS
+        ]
+    )
+    a = m.select(
+        F.col("id").alias("a_id"),
+        *[F.col(f).alias(f"a_{f}") for f in FEATURES],
+        F.explode(offs).alias("o"),
+        "bq",
+        "bp",
+    ).select(
+        "a_id",
+        *[f"a_{f}" for f in FEATURES],
+        (F.col("bq") + F.col("o.db")).alias("pbq"),
+        (F.col("bp") + F.col("o.dp")).alias("pbp"),
+    )
+    b = m.select(
+        F.col("id").alias("b_id"),
+        *[F.col(f).alias(f"b_{f}") for f in FEATURES],
+        F.col("bq").alias("pbq"),
+        F.col("bp").alias("pbp"),
+    )
+    pairs = a.join(b, ["pbq", "pbp"]).filter(F.col("a_id") != F.col("b_id"))
+    diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
+    d2 = (
+        diff["f1"] * diff["f1"]
+        + (diff["f2"] / 1000.0) * (diff["f2"] / 1000.0)
+        + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
+        + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
+    )
+    near = (
+        pairs.select(
+            "a_id",
+            *[f"a_{f}" for f in FEATURES],
+            d2.alias("d2"),
+            "b_id",
+            *[f"b_{f}" for f in FEATURES],
+        )
+        .groupBy("a_id", *[f"a_{f}" for f in FEATURES])
+        .agg(
+            F.min(
+                F.struct("d2", "b_id", *[f"b_{f}" for f in FEATURES])
+            ).alias("s")
+        )
+    )
+    lam = (
+        F.expr(
+            f"CAST((CAST(a_id AS DECIMAL(38,0)) * {RS_HASH_A}) % {RS_HASH_M} AS BIGINT)"
+        ).cast("double")
+        / RS_HASH_M
+    )
+    synth = [
+        F.round(
+            F.col(f"a_{f}") + lam * (F.col(f"s.b_{f}") - F.col(f"a_{f}")), 6
+        ).alias(f)
+        for f in FEATURES
+    ]
+    return near.select(
+        F.col("a_id").alias("id"),
+        F.col("s.b_id").alias("nbr_id"),
+        *synth,
+        F.lit(int(min_label)).cast("int").alias("label"),
+    )
+
+
+RESAMPLE_SMOTE_PROBE_SQL = f"""
+WITH clf AS ({LINEITEM_CLF_SQL}),
+cnt AS (SELECT label, count(*) AS n FROM clf GROUP BY label),
+ml AS (SELECT label FROM cnt ORDER BY n ASC, label ASC LIMIT 1),
+m AS (
+  SELECT id, f1, f2, f3, f4,
+         CAST(f1 AS INT) AS bq,
+         CAST(floor(f2 / {SMOTE_F2_BAND}) AS INT) AS bp
+  FROM clf WHERE label = (SELECT label FROM ml)
+),
+pairs AS (
+  SELECT a.id AS a_id, a.f1 AS a_f1, a.f2 AS a_f2, a.f3 AS a_f3, a.f4 AS a_f4,
+         b.id AS b_id, b.f1 AS b_f1, b.f2 AS b_f2, b.f3 AS b_f3, b.f4 AS b_f4,
+         (b.f1 - a.f1) * (b.f1 - a.f1)
+           + ((b.f2 - a.f2) / 1000.0) * ((b.f2 - a.f2) / 1000.0)
+           + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
+           + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
+  FROM m a JOIN m b
+    ON b.bq BETWEEN a.bq - 1 AND a.bq + 1
+   AND b.bp BETWEEN a.bp - 1 AND a.bp + 1
+   AND a.id <> b.id
 ),
 mind AS (SELECT a_id, min(d2) AS d0 FROM pairs GROUP BY a_id),
 nid AS (
@@ -391,4 +537,7 @@ def register_all() -> None:
     register("resample_ros", q_resample_ros, RESAMPLE_ROS_SQL)
     register("resample_rus", q_resample_rus, RESAMPLE_RUS_SQL)
     register("resample_smote", q_resample_smote, RESAMPLE_SMOTE_SQL)
+    register(
+        "resample_smote_probe", q_resample_smote_probe, RESAMPLE_SMOTE_PROBE_SQL
+    )
     register("resample_tomek", q_resample_tomek, RESAMPLE_TOMEK_SQL)

@@ -82,3 +82,54 @@ def test_ros_replication_is_per_row_bounded(spark):
         base = nmax // counts[r.label]
         assert r.k in (base, base + 1)
         assert r.mx == r.k  # copy indexes are dense 1..k
+
+
+def test_smote_probe_rescues_singleton_bucket_rows(spark):
+    """The r9 probe-widening criterion (VERDICT r8 #5): minority rows
+    ALONE in their grid cell emit no synthetic under grid-local SMOTE
+    but MUST emit under the 3x3 adjacent-cell probe whenever any
+    minority neighbor exists within one cell. Also pins the superset
+    contract: every grid-local id still emits under the probe."""
+    from chi_frbcs_bigdatacs_spark.operators.resample import (
+        SMOTE_F2_BAND,
+        _class_counts,
+        q_resample_smote,
+        q_resample_smote_probe,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    counts = _class_counts(df)
+    min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    m = df.filter(F.col("label") == min_label).select(
+        "id",
+        F.col("f1").cast("int").alias("bq"),
+        F.floor(F.col("f2") / SMOTE_F2_BAND).cast("int").alias("bp"),
+    )
+    base_ids = {r.id for r in q_resample_smote(spark, SF_SMALL).collect()}
+    probe_ids = {
+        r.id for r in q_resample_smote_probe(spark, SF_SMALL).collect()
+    }
+    assert base_ids <= probe_ids, "probe lost grid-local rows"
+    # singleton-bucket rows (absent from grid-local output) that have
+    # a minority neighbor within one cell in each direction
+    rows = m.collect()
+    buckets: dict[tuple, list] = {}
+    for r in rows:
+        buckets.setdefault((r.bq, r.bp), []).append(r.id)
+    rescued = []
+    for (bq, bp), ids in buckets.items():
+        if len(ids) > 1:
+            continue
+        has_adj = any(
+            (bq + db, bp + dp) in buckets
+            for db in (-1, 0, 1)
+            for dp in (-1, 0, 1)
+            if (db, dp) != (0, 0)
+        )
+        if has_adj:
+            rescued.extend(ids)
+    assert rescued, "fixture has no rescuable singleton — test is vacuous"
+    for rid in rescued:
+        assert rid not in base_ids, "singleton unexpectedly emitted by base"
+        assert rid in probe_ids, f"singleton {rid} still missing under probe"
