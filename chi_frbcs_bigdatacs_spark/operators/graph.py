@@ -419,6 +419,165 @@ GROUP BY e.src
 
 
 
+# --- run-to-convergence wrappers (VERDICT r8 #6) ------------------------------
+# The registry keys above run FIXED round counts — that is what makes
+# the cross-engine DuckDB oracle possible (the SQL mirrors the exact
+# unrolled CTE chain) and it stays the checked surface. Production
+# iterative jobs run to a FIXPOINT instead; these wrappers are that
+# API: same per-round plans, a driver-side convergence probe between
+# rounds, `localCheckpoint(eager=True)` after every round so lineage
+# stays flat no matter how many rounds run (the per-round persist
+# would otherwise chain O(rounds) joins into the returned plan).
+# Each returns (result, rounds_run, converged); they are oracle-
+# EXEMPT by design (round count is data-dependent) and pinned by
+# property tests instead: fixpoint reached => one more round is the
+# identity (tests/test_graph_convergence.py).
+#
+# Convergence criteria are exact, never float-tolerant:
+#   kcore    — survivor COUNT unchanged (peeling is monotone
+#              shrinking, so count equality == set equality);
+#   LPA      — zero nodes changed label (synchronous LPA can
+#              oscillate on bipartite graphs — this graph IS
+#              bipartite — so max_rounds is a real guard, and the
+#              honest converged=False is part of the contract);
+#   pagerank — max |rank_t - rank_{t-1}| == 0 in exact integer
+#              micro-units (no float epsilon to disagree about).
+
+
+def kcore_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CORE,
+    max_rounds: int = 100,
+) -> tuple[DataFrame, int, bool]:
+    """Peel to the true k-core. Returns (node+deg frame, rounds,
+    converged); converged is guaranteed within |V| rounds."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    survivors = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_prev = survivors.count()
+    rounds, converged = 0, False
+    while rounds < max_rounds:
+        nxt = (
+            edges.join(survivors.withColumnRenamed("node", "src"), "src")
+            .join(survivors.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select(F.col("src").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+        n = nxt.count()
+        rounds += 1
+        survivors = nxt
+        if n == n_prev:
+            converged = True
+            break
+        n_prev = n
+    final = (
+        edges.join(survivors.withColumnRenamed("node", "src"), "src")
+        .join(survivors.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("node"), "deg")
+    )
+    return final, rounds, converged
+
+
+def lpa_converged(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 30
+) -> tuple[DataFrame, int, bool]:
+    """Synchronous LPA to label-fixpoint (or max_rounds). Returns the
+    PER-NODE label frame (node, label) — finer than the registry
+    key's per-label histogram — plus (rounds, converged)."""
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    labels = (
+        nodes.withColumn("label", F.col("node")).localCheckpoint(eager=True)
+    )
+    rounds, converged = 0, False
+    while rounds < max_rounds:
+        nxt = (
+            labels.join(edges, labels["node"] == edges["src"])
+            .groupBy(F.col("dst").alias("n2"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("n2")
+            .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("s"))
+            .select(F.col("n2").alias("node"), F.col("s.label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        changed = (
+            nxt.join(
+                labels.withColumnRenamed("label", "prev"), "node"
+            )
+            .filter(F.col("label") != F.col("prev"))
+            .count()
+        )
+        labels = nxt
+        if changed == 0:
+            converged = True
+            break
+    return labels, rounds, converged
+
+
+def pagerank_converged(
+    spark: SparkSession,
+    sf_dir: str,
+    max_rounds: int = 60,
+    tol_micro: int = 0,
+) -> tuple[DataFrame, int, bool]:
+    """Integer-micro-unit PageRank to a fixpoint (or max_rounds).
+    Same damped update as q_graph_pagerank. Convergence is
+    max |rank_t - rank_{t-1}| <= tol_micro; the default 0 demands the
+    exact integer fixpoint (measured at sf0.001: the residual decays
+    ~0.85x/round — 980 micro at round 60, 277 at 70 — so exact-0
+    typically needs >100 rounds or parks in a tiny floor-division
+    cycle; production passes tol_micro ~ a few hundred micro, i.e.
+    <0.1% of PR_R0, and gets an honest converged flag either way)."""
+    edges = _edges(spark, sf_dir)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
+    nodes = (
+        edges.select(F.col("src").alias("node")).distinct()
+        .localCheckpoint(eager=True)
+    )
+    ranks = nodes.withColumn("rank", F.lit(PR_R0).cast("long")).localCheckpoint(
+        eager=True
+    )
+    rounds, converged = 0, False
+    while rounds < max_rounds:
+        contrib = (
+            ranks.join(ed, ranks["node"] == ed["src"])
+            .select("dst", F.expr("rank div deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        nxt = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left_outer")
+            .select(
+                "node",
+                (
+                    F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20")
+                ).cast("long").alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        resid = (
+            nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
+            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"))
+            .collect()[0]["mx"]
+        )
+        ranks = nxt
+        if resid is not None and resid <= tol_micro:
+            converged = True
+            break
+    return ranks, rounds, converged
+
+
 def register_all() -> None:
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
     register("graph_kcore", q_graph_kcore, _kcore_sql())

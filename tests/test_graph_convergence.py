@@ -1,0 +1,149 @@
+"""Fixpoint contracts for the run-to-convergence graph wrappers
+(VERDICT r8 #6). The registry keys stay fixed-round + DuckDB-oracled;
+these wrappers are the production API, and their correctness claim is
+the fixpoint property itself: once converged is reported, ONE MORE
+round of the same update must be the identity. Each test re-applies
+the update verbatim and compares exact sets — no epsilon anywhere
+(kcore/LPA are set/label-valued; pagerank is integer micro-units).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+
+
+def test_kcore_converged_is_fixpoint(spark):
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        K_CORE,
+        _edges,
+        kcore_converged,
+        q_graph_kcore,
+    )
+
+    final, rounds, converged = kcore_converged(spark, SF_SMALL)
+    assert converged, "peeling is monotone — must converge within |V| rounds"
+    assert rounds >= 1
+    survivors = {r.node for r in final.collect()}
+    # one more peel round over the reported fixpoint is the identity
+    edges = _edges(spark, SF_SMALL)
+    surv_df = final.select("node")
+    again = (
+        edges.join(surv_df.withColumnRenamed("node", "src"), "src")
+        .join(surv_df.withColumnRenamed("node", "dst"), "dst")
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .filter(F.col("deg") >= K_CORE)
+    )
+    assert {r.src for r in again.collect()} == survivors
+    # the converged core is a subset of any fixed-round prefix
+    fixed = {r.node for r in q_graph_kcore(spark, SF_SMALL).collect()}
+    assert survivors <= fixed
+
+
+def test_lpa_converged_flag_is_honest(spark):
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        _edges,
+        lpa_converged,
+    )
+
+    labels, rounds, converged = lpa_converged(spark, SF_SMALL, max_rounds=30)
+    got = {(r.node, r.label) for r in labels.collect()}
+    # every node keeps exactly one label
+    assert len(got) == len({n for n, _ in got})
+    if not converged:
+        # synchronous LPA may oscillate on this bipartite graph; the
+        # honest report is max_rounds with converged=False
+        assert rounds == 30
+        return
+    # converged => one more propagation round is the identity
+    edges = _edges(spark, SF_SMALL)
+    nxt = (
+        labels.join(edges, labels["node"] == edges["src"])
+        .groupBy(F.col("dst").alias("n2"), "label")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("n2")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), "label")).alias("s"))
+        .select(F.col("n2").alias("node"), F.col("s.label").alias("label"))
+    )
+    assert {(r.node, r.label) for r in nxt.collect()} == got
+
+
+def test_pagerank_converged_is_integer_fixpoint(spark):
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        PR_BASE,
+        _edges,
+        pagerank_converged,
+    )
+
+    ranks, rounds, converged = pagerank_converged(
+        spark, SF_SMALL, max_rounds=60
+    )
+    got = {(r.node, r.rank) for r in ranks.collect()}
+    assert all(rank >= PR_BASE for _, rank in got)
+    if not converged:
+        assert rounds == 60
+        return
+    # converged => one more damped update is the identity (exact
+    # integer arithmetic, so equality is legitimate)
+    edges = _edges(spark, SF_SMALL)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    contrib = (
+        ranks.join(ed, ranks["node"] == ed["src"])
+        .select("dst", F.expr("rank div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    nxt = nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left_outer"
+    ).select(
+        "node",
+        (F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20"))
+        .cast("long")
+        .alias("rank"),
+    )
+    assert {(r.node, r.rank) for r in nxt.collect()} == got
+
+
+def test_pagerank_tolerance_converges_and_bounds_residual(spark):
+    """With a nonzero tolerance the wrapper must stop early AND the
+    reported state must actually satisfy the criterion: one more
+    update moves no rank by more than tol_micro."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        PR_BASE,
+        _edges,
+        pagerank_converged,
+    )
+
+    TOL = 2000
+    ranks, rounds, converged = pagerank_converged(
+        spark, SF_SMALL, max_rounds=80, tol_micro=TOL
+    )
+    assert converged and rounds < 80
+    edges = _edges(spark, SF_SMALL)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    contrib = (
+        ranks.join(ed, ranks["node"] == ed["src"])
+        .select("dst", F.expr("rank div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    nxt = nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left_outer"
+    ).select(
+        "node",
+        (F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20"))
+        .cast("long")
+        .alias("rank"),
+    )
+    resid = (
+        nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"))
+        .collect()[0]["mx"]
+    )
+    assert resid <= TOL
