@@ -544,8 +544,196 @@ FROM s
 
 
 
+# --- compressed codec: RLE8 BMP ----------------------------------------------
+# The first VARIABLE-LENGTH decode path (VERDICT r8 #8): uncompressed
+# BMP/WAV decode fixed-size records; BI_RLE8 (the Windows run-length
+# BMP mode, comp=1, 8-bit palettized) requires walking a compressed
+# token stream — encoded runs (count, index), escapes 00 00 (end of
+# line) / 00 01 (end of bitmap) / 00 02 (delta; rejected) and
+# absolute mode (00 n + n literal indexes, word-aligned) — with the
+# output position advancing by DATA-dependent amounts. The fixture
+# image is built from closed-form RUNS so the compression is real:
+# pixel index at (x, y) is (d + 5y + 3*floor(x/run)) % 256 with run
+# length run = d % 3 + 2, palette color i -> (r=i, g=2i%256,
+# b=3i%256). Every emitted feature — geometry, the exact COMPRESSED
+# byte size (1078 header+palette + per-row token arithmetic), channel
+# mean, positional checksum — has a closed form the oracle recomputes
+# WITHOUT parsing bytes, so a decoder bug in run accounting, row
+# order, palette lookup, or escape handling hash-fails. Both stages
+# are map-only Arrow batches; decode cost scales per compressed byte.
+
+
+def _encode_bmp_rle8(width: int, height: int, d: int) -> bytes:
+    import struct
+
+    run = d % 3 + 2
+    pal = bytearray()
+    for i in range(256):  # RGBQUAD = (B, G, R, reserved)
+        pal += bytes(((3 * i) % 256, (2 * i) % 256, i, 0))
+    rle = bytearray()
+    for fr in range(height):  # file rows are bottom-up
+        y = height - 1 - fr
+        x = 0
+        while x < width:
+            cnt = min(run, width - x)
+            idx = (d + 5 * y + 3 * (x // run)) % 256
+            rle += bytes((cnt, idx))
+            x += cnt
+        rle += b"\x00\x00"  # end of line
+    rle += b"\x00\x01"  # end of bitmap
+    offset = 14 + 40 + 1024
+    header = struct.pack(
+        "<2sIHHI", b"BM", offset + len(rle), 0, 0, offset
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 8, 1, len(rle), 2835, 2835, 256, 0
+    )
+    return header + bytes(pal) + bytes(rle)
+
+
+def _decode_bmp_rle8(raw: bytes) -> tuple[int, int, int, int, int]:
+    """REAL RLE8 decoder -> (width, height, n_bytes, sum_rgb,
+    positional checksum). Walks the compressed token stream (encoded
+    runs, EOL/EOB escapes, absolute mode with word alignment),
+    resolves indexes through the palette, and reduces pixels exactly
+    like _decode_bmp. Raises on non-RLE8 input, the delta escape, a
+    run overflowing its row, or a missing end-of-bitmap."""
+    import struct
+
+    if raw[:2] != b"BM":
+        raise ValueError("not a BMP stream")
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    width, height = struct.unpack_from("<ii", raw, 18)
+    bpp = struct.unpack_from("<H", raw, 28)[0]
+    comp = struct.unpack_from("<I", raw, 30)[0]
+    if bpp != 8 or comp != 1 or height <= 0:
+        raise NotImplementedError("only RLE8-compressed 8-bit bottom-up BMP")
+    pal_off = 14 + 40
+    palette = [
+        tuple(raw[pal_off + 4 * i : pal_off + 4 * i + 3]) for i in range(256)
+    ]
+    grid = [[0] * width for _ in range(height)]
+    pos, fr, col = offset, 0, 0
+    done = False
+    while pos + 1 < len(raw):
+        n, v = raw[pos], raw[pos + 1]
+        pos += 2
+        if n > 0:  # encoded run: n copies of index v
+            if fr >= height or col + n > width:
+                raise ValueError("RLE run overflows row")
+            y = height - 1 - fr
+            for i in range(n):
+                grid[y][col + i] = v
+            col += n
+        elif v == 0:  # end of line
+            fr += 1
+            col = 0
+        elif v == 1:  # end of bitmap
+            done = True
+            break
+        elif v == 2:
+            raise NotImplementedError("RLE8 delta escape not supported")
+        else:  # absolute mode: v literal indexes, word-aligned
+            if fr >= height or col + v > width:
+                raise ValueError("absolute run overflows row")
+            y = height - 1 - fr
+            for i in range(v):
+                grid[y][col + i] = raw[pos + i]
+            col += v
+            pos += v + (v % 2)
+    if not done:
+        raise ValueError("missing end-of-bitmap escape")
+    total = 0
+    checksum = 0
+    for y in range(height):
+        for x in range(width):
+            b, g, r = palette[grid[y][x]]
+            total += r + g + b
+            checksum += (1 + x + width * y) * (r + 2 * g + 3 * b)
+    return width, height, len(raw), total, checksum
+
+
+def q_media_decode_rle_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
+        (F.col("doc_id") % BMP_MOD).cast("int").alias("seed"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_bmp_rle8(int(w), int(h), int(s))
+                        for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_bmp_rle8(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "bmp_w": [f[0] for f in feats],
+                    "bmp_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "n_bytes": [f[2] for f in feats],
+                    "mean_rgb": [f[3] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[4] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, bmp_w int, bmp_h int, n_px long, n_bytes long,"
+        " mean_rgb double, pos_checksum long",
+    ).withColumn("mean_rgb", F.round("mean_rgb", 6))
+
+
+# closed-form oracle: idx(x, y) = (d + 5y + 3*(x // run)) % 256,
+# channels (idx, 2*idx % 256, 3*idx % 256); compressed size =
+# 1078 header+palette bytes + 2 bytes per run token + 2 per EOL + 2
+# for EOB, runs per row = ceil(w / run).
+_RLE_IDX = "(d + 5 * y + 3 * (x // run)) % 256"
+MEDIA_DECODE_RLE_BMP_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 4 AS INT) AS w,
+         CAST(doc_id % 5 + 2 AS INT) AS h,
+         doc_id % {BMP_MOD} AS d,
+         doc_id % {BMP_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS bmp_w, h AS bmp_h, CAST(w * h AS BIGINT) AS n_px,
+       CAST(1078 + h * (2 * ((w + run - 1) // run) + 2) + 2 AS BIGINT)
+         AS n_bytes,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               {_RLE_IDX}
+             + (2 * ({_RLE_IDX})) % 256
+             + (3 * ({_RLE_IDX})) % 256 AS DOUBLE)))))
+         / (3 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * ({_RLE_IDX}
+                 + 2 * ((2 * ({_RLE_IDX})) % 256)
+                 + 3 * ((3 * ({_RLE_IDX})) % 256)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
+    register(
+        "media_decode_rle_bmp", q_media_decode_rle_bmp, MEDIA_DECODE_RLE_BMP_SQL
+    )
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)

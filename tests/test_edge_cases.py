@@ -160,6 +160,96 @@ def test_bmp_codec_roundtrip_and_rejections():
         _decode_bmp(bytes(bad))
 
 
+def test_rle8_bmp_codec_roundtrip_absolute_mode_and_rejections():
+    """The compressed codec: encode->decode must reproduce geometry,
+    exact compressed size, channel sum, and positional checksum over
+    every run-length residue (run in {2,3,4} x widths hitting full
+    and truncated final runs); a handcrafted ABSOLUTE-MODE stream
+    (which the encoder never emits) must decode to the same pixels
+    as its run-mode twin — proving the decoder walks the escape
+    grammar, not just the encoder's output; delta escapes, row
+    overflows, and truncated streams must be rejected."""
+    import struct
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_bmp_rle8,
+        _encode_bmp_rle8,
+    )
+
+    for w, h, d in [(4, 2, 0), (5, 3, 7), (6, 4, 17), (9, 5, 250), (12, 2, 123)]:
+        raw = _encode_bmp_rle8(w, h, d)
+        run = d % 3 + 2
+        got_w, got_h, n_bytes, total, ck = _decode_bmp_rle8(raw)
+        exp_bytes = 1078 + h * (2 * ((w + run - 1) // run) + 2) + 2
+        idx = lambda x, y: (d + 5 * y + 3 * (x // run)) % 256  # noqa: E731
+        exp_total = sum(
+            idx(x, y) + (2 * idx(x, y)) % 256 + (3 * idx(x, y)) % 256
+            for y in range(h)
+            for x in range(w)
+        )
+        exp_ck = sum(
+            (1 + x + w * y)
+            * (
+                idx(x, y)
+                + 2 * ((2 * idx(x, y)) % 256)
+                + 3 * ((3 * idx(x, y)) % 256)
+            )
+            for y in range(h)
+            for x in range(w)
+        )
+        assert (got_w, got_h, n_bytes, total, ck) == (
+            w, h, exp_bytes, exp_total, exp_ck,
+        )
+        assert n_bytes == len(raw)
+
+    # absolute-mode twin: rewrite each encoded run (cnt, v) of a tiny
+    # image as an absolute block (00, cnt, v*cnt, pad) and expect the
+    # identical decode
+    w, h, d = (3, 2, 5)
+    raw = _encode_bmp_rle8(w, h, d)
+    (offset,) = struct.unpack_from("<I", raw, 10)
+    body, pos, out = raw[offset:], 0, bytearray()
+    while pos + 1 < len(body):
+        n, v = body[pos], body[pos + 1]
+        pos += 2
+        if n > 0 and n >= 3:  # absolute mode requires count >= 3
+            out += bytes((0, n)) + bytes([v] * n) + b"\x00" * (n % 2)
+        else:
+            out += bytes((n, v))
+    abs_raw = bytearray(raw[:offset] + bytes(out))
+    struct.pack_into("<I", abs_raw, 2, len(abs_raw))
+    got_abs = _decode_bmp_rle8(bytes(abs_raw))
+    got_run = _decode_bmp_rle8(raw)
+    # identical pixels; only the stream length differs (absolute mode
+    # spends 2 extra bytes + padding per block)
+    assert got_abs[:2] == got_run[:2] and got_abs[3:] == got_run[3:]
+    assert got_abs[2] == len(abs_raw) > got_run[2]
+
+    with pytest.raises(ValueError):
+        _decode_bmp_rle8(b"PNG\x00garbage")
+    # uncompressed 24-bit header must route to the other decoder
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import _encode_bmp
+
+    with pytest.raises(NotImplementedError):
+        _decode_bmp_rle8(_encode_bmp(2, 2, 0))
+    # delta escape (00 02) rejected
+    bad = bytearray(raw)
+    bad[offset] = 0
+    bad[offset + 1] = 2
+    with pytest.raises(NotImplementedError):
+        _decode_bmp_rle8(bytes(bad))
+    # run overflowing its row rejected
+    bad = bytearray(raw)
+    bad[offset] = 255
+    with pytest.raises(ValueError):
+        _decode_bmp_rle8(bytes(bad))
+    # truncated stream (end-of-bitmap escape cut off) rejected
+    with pytest.raises(ValueError):
+        _decode_bmp_rle8(raw[:-2])
+
+
 def test_wav_codec_rejects_malformed_input():
     """The decoder must walk chunks properly (word alignment, unknown
     chunk skip) and reject non-RIFF, wrong-format and length-lying
