@@ -47,6 +47,8 @@ HEADLINE_EXT = [
     "agg_active_users_7d",       # coverage-explode windowed distinct
     "agg_market_basket",         # basket-key pair mining (late r8)
     "timeseries_interpolate",    # zero-join union-window resample (late r8)
+    "simsearch_pq_recall",       # Lloyd-trained PQ codebook + ADC recall (r9)
+    "resample_smote_probe",      # 3x3 adjacent-cell SMOTE (r9)
 ]
 
 

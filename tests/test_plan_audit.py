@@ -47,6 +47,7 @@ BNL_ALLOWED = {
     "simsearch_ivf_probe2",
     "simsearch_ivf_from_index",  # single query vector broadcast over one cell
     "simsearch_recall",
+    "simsearch_pq_recall",  # 16-row query batch broadcast for exact top-k
     "embed_neardup",
     "join_cross",
     "agg_class_counts",
