@@ -48,7 +48,9 @@ HEADLINE_EXT = [
     "agg_market_basket",         # basket-key pair mining (late r8)
     "timeseries_interpolate",    # zero-join union-window resample (late r8)
     "simsearch_pq_recall",       # Lloyd-trained PQ codebook + ADC recall (r9)
-    "resample_smote_probe",      # 3x3 adjacent-cell SMOTE (r9)
+    # resample_smote_probe deliberately NOT benched: 23s/pass at
+    # sf0.1 (345M grid-pair volume, measured r9 NOTES) would dominate
+    # the 6-pass protocol; it stays driver-hash-checked instead
 ]
 
 

@@ -160,6 +160,16 @@ WHERE {_RHASH_SQL} < t.kth
 # documented grid-local approximation); `resample_smote_probe` below
 # widens the search to the 3x3 cell neighborhood so they do.
 #
+# GRID RESOLUTION IS THE SCALE KNOB (r9 measurement): the fixture's
+# constants give a FIXED ~1050-cell grid, so bucket occupancy grows
+# linearly with the minority class and sum(bucket^2) grows
+# QUADRATICALLY — 0.4M pairs at sf0.01 vs 38M at sf0.1 (345M for the
+# 3x3 probe). Production bounds occupancy by scaling the band
+# constants with corpus size (exactly like LSH band tuning); the
+# fixture keeps them fixed so the oracle stays deterministic across
+# SFs. Execution note: the pair blowup happens POST-join, which AQE
+# cannot see from shuffle bytes — see the keyed repartition below.
+#
 # Determinism: lambda = h(id)/M with the same integer row-hash ROS
 # uses, so both engines synthesize the SAME points; synthetic
 # features round to 6dp after an identical-order expression.
@@ -188,7 +198,20 @@ def q_resample_smote(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq",
         "bp",
     )
-    pairs = a.join(b, ["bq", "bp"]).filter(F.col("a_id") != F.col("b_id"))
+    # PIN the join parallelism (r9 straggler fix, measured at sf0.1):
+    # the pre-join shuffles are minority-sized, so AQE coalesces them
+    # to ~3 partitions — and the pair BLOWUP happens pipelined inside
+    # those few tasks (AQE sizes on shuffle bytes, which cannot see a
+    # post-join explosion). An explicit keyed repartition at the
+    # session's shuffle-partition count is respected by AQE and
+    # spreads the pair volume across the cluster; per-KEY volume is
+    # bucket-bounded, so no single task can be hot.
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        a.repartition(n_shuffle, "bq", "bp")
+        .join(b, ["bq", "bp"])
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
     diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
     d2 = (
         diff["f1"] * diff["f1"]
@@ -331,7 +354,14 @@ def q_resample_smote_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bq").alias("pbq"),
         F.col("bp").alias("pbp"),
     )
-    pairs = a.join(b, ["pbq", "pbp"]).filter(F.col("a_id") != F.col("b_id"))
+    # same AQE-coalesce straggler fix as q_resample_smote: spread the
+    # post-join pair blowup across the full shuffle-partition count
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        a.repartition(n_shuffle, "pbq", "pbp")
+        .join(b, ["pbq", "pbp"])
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
     diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
     d2 = (
         diff["f1"] * diff["f1"]
