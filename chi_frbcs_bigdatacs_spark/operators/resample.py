@@ -493,7 +493,16 @@ def q_resample_tomek(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bq",
         "bp",
     )
-    pairs = a.join(b, ["bq", "bp"]).filter(F.col("a_id") != F.col("b_id"))
+    # same AQE-coalesce straggler fix as q_resample_smote — and worse
+    # here: Tomek buckets the FULL table, so the post-join pair
+    # volume is corpus-sized-squared-over-grid, all of which would
+    # otherwise run inside the ~3 AQE-coalesced tasks
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pairs = (
+        a.repartition(n_shuffle, "bq", "bp")
+        .join(b, ["bq", "bp"])
+        .filter(F.col("a_id") != F.col("b_id"))
+    )
     diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
     d2 = (
         diff["f1"] * diff["f1"]

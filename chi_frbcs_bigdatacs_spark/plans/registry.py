@@ -65,16 +65,17 @@ CHECK_PRIORITY: list[str] = [
     "setop_intersect_all",
     "stream_daily_corr",
     # (c) plans changed in r9 (BNLJ retirement already covers
-    # metrics_calibration above; these six carry the other r9 plan/
+    # metrics_calibration above; these seven carry the other r9 plan/
     # guard changes: AQE-picked basket joins, zero-variance guards,
     # cloned-session bloom conf scoping, empty-slice guard, KMV bound
-    # assert, SMOTE keyed-repartition straggler fix)
+    # assert, SMOTE + Tomek keyed-repartition straggler fix)
     "agg_market_basket",
     "feature_scale_standard",
     "join_runtime_bloom",
     "merge_scd2",
     "stream_sketch_kmv",
     "resample_smote",
+    "resample_tomek",
     # (d) r3-stale backlog (last driver check: round 3),
     # longest-unchecked-first
     "agg_class_counts",
@@ -103,15 +104,15 @@ CHECK_PRIORITY: list[str] = [
     "classify_holdout",
     "crossval_gm_auc",
     "classify_wr_nominal",
-    "metrics_gm_auc_multiclass",
     # -- 50-slot cap: 3 new r9 keys (a) + 14 late-r8 keys (b) +
-    # 6 changed-plan keys (c) = 23, so the cap consumes the first 27
+    # 7 changed-plan keys (c) = 24, so the cap consumes the first 26
     # of the 33 (d) r3-stale keys and lands here (the last entry in
-    # the window is metrics_gm_auc_multiclass). R10 front-load order:
-    # (1) any new r10 keys, (2) the six r3-stale keys below that
+    # the window is classify_wr_nominal). R10 front-load order:
+    # (1) any new r10 keys, (2) the seven r3-stale keys below that
     # missed this window, (3) the r4-checked backlog. NOTE: any key
     # added later this round must be inserted into (a) and displace
     # the tail of (d) one-for-one.
+    "metrics_gm_auc_multiclass",
     "crossval_multiclass",
     "agg_value_stats",
     "join_asof",
