@@ -1511,27 +1511,23 @@ def _pq_d2_list(a: str, b: str) -> str:
     )
 
 
-def _pq_recall_sql() -> str:
-    d2_full = (
-        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, {DIM} + 1), j -> "
-        f"(CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE))"
-        f" * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE)))), "
-        f"(acc, x) -> acc + x)"
-    )
-
-    def assign_cte(name: str, cb: str) -> str:
-        return f"""{name} AS (
+def _pq_assign_cte(name: str, cb: str, sub: str = "sub") -> str:
+    """Argmin code assignment CTE (ties -> lowest k), mirroring
+    _pq_assign's struct-min."""
+    return f"""{name} AS (
   SELECT vec_id, m, k AS code FROM (
     SELECT s.vec_id, s.m, c.k,
            row_number() OVER (PARTITION BY s.vec_id, s.m
              ORDER BY {_pq_d2_list('s.svec', 'c.cvec')} ASC, c.k ASC) AS rn
-    FROM sub s JOIN {cb} c ON s.m = c.m) t
+    FROM {sub} s JOIN {cb} c ON s.m = c.m) t
   WHERE rn = 1
 )"""
 
-    def means_cte(name: str, asg: str) -> str:
-        return f"""{name} AS (
+
+def _pq_means_cte(name: str, asg: str) -> str:
+    """Per-(m, k, dim) 6dp-rounded mean CTE, mirroring the trainer's
+    round(sum/n, 6) discipline. Always trains over the full `sub`."""
+    return f"""{name} AS (
   SELECT m, k, list(c ORDER BY j) AS cvec FROM (
     SELECT s.m, a.code AS k, d.j, round(avg(s.svec[d.j]), 6) AS c
     FROM sub s JOIN {asg} a ON s.vec_id = a.vec_id AND s.m = a.m
@@ -1540,6 +1536,29 @@ def _pq_recall_sql() -> str:
     GROUP BY s.m, a.code, d.j) t
   GROUP BY m, k
 )"""
+
+
+def _pq_lloyd_ctes() -> tuple[str, str]:
+    """The per-subspace Lloyd chain (seeds are the cb0 CTE the caller
+    provides): returns (joined CTE SQL, name of the trained codebook
+    CTE). Mirrors _pq_codebook_trained round for round."""
+    ctes = []
+    prev = "cb0"
+    for r in range(1, PQ_LLOYD + 1):
+        ctes.append(_pq_assign_cte(f"a_l{r}", prev))
+        ctes.append(_pq_means_cte(f"cb_l{r}", f"a_l{r}"))
+        prev = f"cb_l{r}"
+    return ",\n".join(ctes), prev
+
+
+def _pq_recall_sql() -> str:
+    d2_full = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), j -> "
+        f"(CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE))"
+        f" * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
 
     def serve_ctes(v: str, cb: str, codes: str) -> str:
         return f"""lut_{v} AS (
@@ -1560,13 +1579,7 @@ ap_{v} AS (
   WHERE rn <= {PQ_RECALL_K}
 )"""
 
-    lloyd = []
-    prev = "cb0"
-    for r in range(1, PQ_LLOYD + 1):
-        lloyd.append(assign_cte(f"a_l{r}", prev))
-        lloyd.append(means_cte(f"cb_l{r}", f"a_l{r}"))
-        prev = f"cb_l{r}"
-    lloyd_sql = ",\n".join(lloyd)
+    lloyd_sql, prev = _pq_lloyd_ctes()
     denom = float(PQ_RECALL_K * N_PQ_QUERIES)
     return f"""
 WITH ms AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
@@ -1617,10 +1630,124 @@ FROM ap_t a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
 """
 
 
+# --- IVFADC with the TRAINED codebook ----------------------------------------
+# The full production serving stack: `simsearch_ivf_pq` keeps the
+# seeded codebook (one-pass encode); this key swaps in the Lloyd-
+# trained per-subspace codebook (_pq_codebook_trained) — train
+# OFFLINE over the full corpus, route the query to its coarse cell,
+# ADC-score only that cell's codes. Same integer micro-unit ADC
+# discipline; the oracle derives the trained codebook with the exact
+# Lloyd CTE chain and must match bit-for-bit. At 100 TB: training
+# cost is bounded per round (one broadcast assign + one 128-row
+# agg), serving still touches one cell's codes.
+
+
+def q_simsearch_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", _bucket_col("embedding")
+    )
+    q = (
+        emb.orderBy(F.col("vec_id").asc())
+        .limit(1)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").alias("qemb"),
+            F.col("bucket").alias("qbucket"),
+        )
+    )
+    cand = emb.join(F.broadcast(q), emb["bucket"] == q["qbucket"]).select(
+        "vec_id", "bucket", "embedding"
+    )
+    cb = _pq_codebook_trained(spark, load_table(spark, sf_dir, "embeddings"))
+    codes = _pq_assign(_pq_subvectors(cand, "vec_id", "svec"), cb)
+    qsub = _pq_subvectors(
+        q.select(F.lit(0).alias("qid"), F.col("qemb").alias("embedding")),
+        "qid",
+        "qsub",
+    )
+    lut = cb.join(F.broadcast(qsub), "m").select(
+        "m",
+        "k",
+        F.round(_pq_dist2("qsub", "cvec") * 1e6, 0).cast("long").alias(
+            "ld_micro"
+        ),
+    )
+    adc = (
+        codes.join(
+            F.broadcast(lut),
+            (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("ld_micro").alias("adc_micro"))
+    )
+    return (
+        adc.join(cand.select("vec_id", "bucket"), "vec_id")
+        .select(
+            "vec_id", "bucket", F.col("adc_micro").cast("long").alias("adc_micro")
+        )
+        .orderBy(F.col("adc_micro").asc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+def _ivf_pq_trained_sql() -> str:
+    lloyd_sql, cbt = _pq_lloyd_ctes()
+    return f"""
+WITH ms AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
+sub AS (
+  SELECT e.vec_id, ms.m,
+         list_transform(range(1, {PQ_SUB} + 1),
+           j -> CAST(e.embedding[ms.m * {PQ_SUB} + j] AS DOUBLE)) AS svec
+  FROM embeddings e CROSS JOIN ms
+),
+cb0 AS (
+  SELECT m, CAST(vec_id AS INT) AS k, svec AS cvec
+  FROM sub WHERE vec_id < {PQ_K}
+),
+{lloyd_sql},
+eb AS (
+  SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS qid, embedding AS qemb, bucket AS qbucket
+      FROM eb ORDER BY vec_id ASC LIMIT 1),
+cand AS (
+  SELECT e.vec_id, e.bucket FROM eb e JOIN q ON e.bucket = q.qbucket
+),
+sub_cand AS (
+  SELECT s.vec_id, s.m, s.svec FROM sub s JOIN cand c ON s.vec_id = c.vec_id
+),
+{_pq_assign_cte('codes', cbt, 'sub_cand')},
+qsub AS (
+  SELECT s.m, s.svec AS qv FROM sub s JOIN q ON s.vec_id = q.qid
+),
+lut AS (
+  SELECT c.m, c.k,
+         CAST(round({_pq_d2_list('q.qv', 'c.cvec')} * 1e6, 0) AS BIGINT)
+           AS ld
+  FROM qsub q JOIN {cbt} c ON q.m = c.m
+),
+adc AS (
+  SELECT c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc_micro
+  FROM codes c JOIN lut l ON c.m = l.m AND c.code = l.k
+  GROUP BY c.vec_id
+)
+SELECT adc.vec_id, cand.bucket, adc.adc_micro
+FROM adc JOIN cand ON adc.vec_id = cand.vec_id
+ORDER BY adc.adc_micro ASC, adc.vec_id ASC
+LIMIT 10
+"""
+
+
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("simsearch_ivf_pq", q_simsearch_ivf_pq, _ivf_pq_sql())
     register("simsearch_pq_recall", q_simsearch_pq_recall, _pq_recall_sql())
+    register(
+        "simsearch_ivf_pq_trained",
+        q_simsearch_ivf_pq_trained,
+        _ivf_pq_trained_sql(),
+    )
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
