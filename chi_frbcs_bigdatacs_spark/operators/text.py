@@ -1342,6 +1342,55 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- CCNet-style perplexity bucketing ----------------------------------------
+# The canonical LM-based quality split (Wenzek et al. 2020, CCNet
+# §4.3): score each document with a language model and cut the corpus
+# into head / middle / tail terciles PER LANGUAGE — downstream
+# training mixes sample by bucket. The LM here is the engine's own
+# add-one bigram model (q_text_bigram_lm's exact pipeline, so the
+# per-doc avg_logprob is the already-oracled quantity), and the
+# tercile cut is ntile(3) over (avg_logprob DESC, doc_id) within each
+# lang — identical floor-split semantics on both engines, fully
+# deterministic via the doc_id tie-break. At 100 TB the per-lang
+# global sort behind ntile would be replaced by approx-quantile
+# THRESHOLDS (the discretize_quantile_sketch recipe: two boundary
+# scalars per lang, then a map-only bucket assign); the fixture keeps
+# exact ntile so the oracle stays cut-point-exact.
+
+
+def q_quality_perplexity_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    lm = q_text_bigram_lm(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    scored = lm.join(d, "doc_id").withColumn("t", F.ntile(3).over(w))
+    bucket = (
+        F.when(F.col("t") == 1, "head")
+        .when(F.col("t") == 2, "middle")
+        .otherwise("tail")
+    )
+    return scored.select(
+        "doc_id", "lang", "n_bigrams", "avg_logprob", bucket.alias("bucket")
+    )
+
+
+def _perplexity_buckets_sql() -> str:
+    return f"""
+SELECT lm.doc_id, d.lang, lm.n_bigrams, lm.avg_logprob,
+       CASE ntile(3) OVER (PARTITION BY d.lang
+                           ORDER BY lm.avg_logprob DESC, lm.doc_id ASC)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+       END AS bucket
+FROM ({TEXT_BIGRAM_LM_SQL}) lm
+JOIN documents d ON d.doc_id = lm.doc_id
+"""
+
+
 TEXT_BIGRAM_LM_SQL = """
 WITH toks AS (
   SELECT doc_id, pos, w1 FROM (
@@ -2115,6 +2164,11 @@ def register_all() -> None:
     register("sketch_kmv_overlap", q_sketch_kmv_overlap, SKETCH_KMV_OVERLAP_SQL)
     register("text_keyword_rake", q_text_keyword_rake, _rake_sql())
     register("text_bigram_lm", q_text_bigram_lm, TEXT_BIGRAM_LM_SQL)
+    register(
+        "quality_perplexity_buckets",
+        q_quality_perplexity_buckets,
+        _perplexity_buckets_sql(),
+    )
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
     register("filter_length_band", q_filter_length_band, FILTER_LENGTH_BAND_SQL)

@@ -50,6 +50,7 @@ CHECK_PRIORITY: list[str] = [
     "resample_smote_probe",
     "media_decode_rle_bmp",
     "simsearch_ivf_pq_trained",
+    "quality_perplexity_buckets",
     # (b) late-r8 keys past the r8 cap -- never driver-checked
     "media_decode_wav",
     "corpus_token_budget",
@@ -103,15 +104,15 @@ CHECK_PRIORITY: list[str] = [
     "classify_wr_multiclass",
     "metrics_confusion_multiclass",
     "classify_holdout",
-    "crossval_gm_auc",
-    # -- 50-slot cap: 4 new r9 keys (a) + 14 late-r8 keys (b) +
-    # 7 changed-plan keys (c) = 25, so the cap consumes the first 25
+    # -- 50-slot cap: 5 new r9 keys (a) + 14 late-r8 keys (b) +
+    # 7 changed-plan keys (c) = 26, so the cap consumes the first 24
     # of the 33 (d) r3-stale keys and lands here (the last entry in
-    # the window is crossval_gm_auc). R10 front-load order:
-    # (1) any new r10 keys, (2) the eight r3-stale keys below that
+    # the window is classify_holdout). R10 front-load order:
+    # (1) any new r10 keys, (2) the nine r3-stale keys below that
     # missed this window, (3) the r4-checked backlog. NOTE: any key
     # added later this round must be inserted into (a) and displace
     # the tail of (d) one-for-one.
+    "crossval_gm_auc",
     "classify_wr_nominal",
     "metrics_gm_auc_multiclass",
     "crossval_multiclass",
