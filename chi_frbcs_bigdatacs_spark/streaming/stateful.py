@@ -1518,6 +1518,138 @@ def q_stream_rfm(
     return rfm_score(per_user)
 
 
+def q_stream_funnel(
+    spark: SparkSession, sf_dir: str, n_files: int | None = None
+) -> DataFrame:
+    """Streaming twin of `window_funnel` (curation.py): maintain each
+    user's (first view, first qualifying click, first qualifying
+    purchase) micros as state while events arrive. Replay is
+    time-ordered (`_events_stream_ordered`; ts globally unique per
+    the testdata contract), so stage gating degenerates to "set once,
+    in order": when a click arrives, the user's FINAL t_view is
+    already known if it exists at all (any later view could not be
+    the min), and strict ts uniqueness gives ts_click > t_view for
+    free — the batch key's `ts > t_view` predicate verbatim. Stage-0
+    users (events of other types only) are tracked too, matching the
+    batch DISTINCT-user spine. State shards on the CONSTANT
+    user_id % 64 key; each batch appends a shard snapshot tagged with
+    the shard's running event count and "final" = the max-count
+    emission (the stream_rfm recipe). Strict oracle:
+    WINDOW_FUNNEL_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        WINDOW_FUNNEL_SQL as _,  # noqa: F401  (documents the pairing)
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        _events_stream_ordered,
+    )
+
+    src = (
+        _events_stream_ordered(spark, sf_dir)
+        if n_files is None
+        else _events_stream_ordered(spark, sf_dir, n_files)
+    )
+    ev = src.select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_type",
+        (F.col("user_id") % 64).alias("shard"),
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        # per user: [t_view, t_click, t_purchase] in micros, -1 unset
+        acc: dict[int, list] = {}
+        n_seen = 0
+        if state.exists:
+            users, vs, cs, ps, n0 = state.get
+            for u, v, c, p in zip(users, vs, cs, ps):
+                acc[int(u)] = [int(v), int(c), int(p)]
+            n_seen = int(n0)
+        for pdf in pdfs:
+            for u, t, et in zip(pdf["user_id"], pdf["ts_us"], pdf["event_type"]):
+                u, t = int(u), int(t)
+                n_seen += 1
+                a = acc.setdefault(u, [-1, -1, -1])
+                if et == "view":
+                    if a[0] < 0:
+                        a[0] = t
+                elif et == "click":
+                    if a[1] < 0 and a[0] >= 0:
+                        a[1] = t
+                elif et == "purchase":
+                    if a[2] < 0 and a[1] >= 0:
+                        a[2] = t
+        us = sorted(acc)
+        state.update(
+            (
+                us,
+                [acc[u][0] for u in us],
+                [acc[u][1] for u in us],
+                [acc[u][2] for u in us],
+                n_seen,
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": us,
+                "v_us": [acc[u][0] for u in us],
+                "c_us": [acc[u][1] for u in us],
+                "p_us": [acc[u][2] for u in us],
+                "n_seen": [n_seen] * len(us),
+                "shard": [key[0]] * len(us),
+            }
+        )
+
+    snaps = ev.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, v_us long, c_us long, p_us long,"
+            " n_seen long, shard long"
+        ),
+        stateStructType=(
+            "users array<long>, vs array<long>, cs array<long>,"
+            " ps array<long>, n_seen long"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_funnel_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        snaps.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    last = sunk.groupBy(F.col("shard").alias("sh")).agg(
+        F.max("n_seen").alias("ns")
+    )
+    final = sunk.join(
+        last,
+        (F.col("shard") == F.col("sh")) & (F.col("n_seen") == F.col("ns")),
+    )
+    stage = (
+        F.when(F.col("p_us") >= 0, 3)
+        .when(F.col("c_us") >= 0, 2)
+        .when(F.col("v_us") >= 0, 1)
+        .otherwise(0)
+    )
+
+    def ts_or_null(c: str):
+        return F.when(F.col(c) >= 0, F.timestamp_micros(F.col(c)))
+
+    return final.select(
+        "user_id",
+        stage.cast("long").alias("funnel_stage"),
+        ts_or_null("v_us").alias("t_view"),
+        ts_or_null("c_us").alias("t_click"),
+        ts_or_null("p_us").alias("t_purchase"),
+    )
+
+
 def q_stream_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming twin of `corpus_token_budget` (text.py): maintain
     per-(lang, source) running (docs, tokens) sums as documents
@@ -1709,6 +1841,9 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import EVENTS_RFM_SQL
 
     register("stream_rfm", q_stream_rfm, EVENTS_RFM_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.curation import WINDOW_FUNNEL_SQL
+
+    register("stream_funnel", q_stream_funnel, WINDOW_FUNNEL_SQL)
     from chi_frbcs_bigdatacs_spark.operators.text import (
         CORPUS_TOKEN_BUDGET_SQL,
     )
