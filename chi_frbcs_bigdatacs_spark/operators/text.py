@@ -1342,6 +1342,89 @@ def q_text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- n-gram novelty scoring ----------------------------------------------------
+# The curation signal between exact dedup and quality filtering: how
+# much of a document is NEW to the corpus? Per doc, the occurrence-
+# weighted fraction of its word trigrams whose FIRST corpus
+# occurrence (min doc_id — ids are arrival order in the fixture) is
+# this document. Near-duplicates of earlier docs score ~0, fresh
+# content ~1 — the score drives curriculum ordering and incremental-
+# crawl keep/drop decisions. Shape: one trigram explode (the
+# text_bigram_lm lead-window construction, one more lead), ONE
+# shuffle on the trigram for the min-doc agg, and a term-pushed join
+# back — the dedup_ngram_jaccard scale story. Ratio is one division
+# of exact integers, 6dp.
+
+
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias(
+            "pos", "w1"
+        ),
+    ).filter(F.col("w1") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    tri = toks.select(
+        "doc_id",
+        "w1",
+        F.lead("w1", 1).over(w).alias("w2"),
+        F.lead("w1", 2).over(w).alias("w3"),
+    ).filter(F.col("w3").isNotNull()).select(
+        "doc_id", F.concat_ws(" ", "w1", "w2", "w3").alias("tg")
+    )
+    first = tri.groupBy("tg").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        tri.join(first, "tg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum(
+                (F.col("doc_id") == F.col("first_doc")).cast("long")
+            ).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_trigrams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
+TEXT_NGRAM_NOVELTY_SQL = """
+WITH toks AS (
+  SELECT doc_id, pos, w1 FROM (
+    SELECT doc_id,
+           unnest(string_split_regex(lower(text), '[^a-z]+')) AS w1,
+           generate_subscripts(string_split_regex(lower(text), '[^a-z]+'), 1) AS pos
+    FROM documents) t
+  WHERE w1 <> ''
+),
+tri AS (
+  SELECT doc_id, w1 || ' ' || w2 || ' ' || w3 AS tg FROM (
+    SELECT doc_id, w1,
+           lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2,
+           lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w3
+    FROM toks) t
+  WHERE w3 IS NOT NULL
+),
+first AS (SELECT tg, min(doc_id) AS first_doc FROM tri GROUP BY tg)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(sum(CASE WHEN t.doc_id = f.first_doc THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN t.doc_id = f.first_doc THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM tri t JOIN first f ON t.tg = f.tg
+GROUP BY t.doc_id
+"""
+
+
 # --- CCNet-style perplexity bucketing ----------------------------------------
 # The canonical LM-based quality split (Wenzek et al. 2020, CCNet
 # §4.3): score each document with a language model and cut the corpus
@@ -2168,6 +2251,9 @@ def register_all() -> None:
         "quality_perplexity_buckets",
         q_quality_perplexity_buckets,
         _perplexity_buckets_sql(),
+    )
+    register(
+        "text_ngram_novelty", q_text_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL
     )
     register("text_repetition", q_text_repetition, TEXT_REPETITION_SQL)
     register("corpus_report", q_corpus_report, CORPUS_REPORT_SQL)
