@@ -1518,6 +1518,113 @@ def q_stream_rfm(
     return rfm_score(per_user)
 
 
+def q_stream_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of `text_ngram_novelty` (text.py) — novelty is
+    INHERENTLY an arrival-order operator (first corpus occurrence =
+    lowest doc_id = arrival order), so the streaming form is the
+    natural one: documents replay in doc_id order
+    (`_documents_idorder_stream`), trigrams are built with PURE array
+    expressions (transform over a sequence — the window-based batch
+    construction is illegal in streaming, and after the empty-token
+    filter both constructions yield identical trigrams), and state
+    keyed on trigram-hash shards carries each trigram's FIRST-seen
+    doc_id. An occurrence is novel iff its trigram is unseen OR was
+    first seen by the SAME document (the batch key counts every
+    occurrence in the introducing doc as novel — a plain seen-set
+    would miss repeats). Within a batch, rows process in doc_id
+    order (stable sort), preserving the min-doc semantics. Emissions
+    are per-(shard, doc) INCREMENTS, so the finisher is one sum —
+    no max-snapshot dance. State is the exact distinct-trigram
+    dictionary (fixture-sized); the 100 TB swap is a bloom filter
+    per shard (constant state, approximate novelty — documented
+    trade). Strict oracle: TEXT_NGRAM_NOVELTY_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        TEXT_NGRAM_NOVELTY_SQL as _,  # noqa: F401  (documents the pairing)
+    )
+
+    src = _documents_idorder_stream(spark, sf_dir)
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z]+"), lambda x: x != ""
+    )
+    d = src.select("doc_id", ws.alias("ws"))
+    tgs = F.when(
+        F.size("ws") >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size("ws") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(F.col("ws"), i),
+                F.element_at(F.col("ws"), i + 1),
+                F.element_at(F.col("ws"), i + 2),
+            ),
+        ),
+    ).otherwise(F.array())
+    tri = d.select("doc_id", F.explode(tgs).alias("tg")).select(
+        "doc_id", "tg", F.pmod(F.xxhash64("tg"), F.lit(64)).alias("shard")
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: dict[str, int] = {}
+        if state.exists:
+            tgs_s, fdocs = state.get
+            seen = {t: int(fd) for t, fd in zip(tgs_s, fdocs)}
+        counts: dict[int, list] = {}  # doc -> [n_tri, n_novel]
+        for pdf in pdfs:
+            pdf = pdf.sort_values("doc_id", kind="mergesort")
+            for doc, tg in zip(pdf["doc_id"], pdf["tg"]):
+                doc = int(doc)
+                c = counts.setdefault(doc, [0, 0])
+                c[0] += 1
+                fd = seen.setdefault(tg, doc)
+                if fd == doc:
+                    c[1] += 1
+        ts = sorted(seen)
+        state.update((ts, [seen[t] for t in ts]))
+        docs = sorted(counts)
+        yield pd.DataFrame(
+            {
+                "doc_id": docs,
+                "n_tri": [counts[d][0] for d in docs],
+                "n_novel": [counts[d][1] for d in docs],
+            }
+        )
+
+    incs = tri.groupBy("shard").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, n_tri long, n_novel long",
+        stateStructType="tgs array<string>, fdocs array<long>",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_novelty_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        incs.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sunk = spark.table(name)
+    return (
+        sunk.groupBy("doc_id")
+        .agg(
+            F.sum("n_tri").alias("n_trigrams"),
+            F.sum("n_novel").alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_trigrams",
+            "n_novel",
+            F.round(
+                F.col("n_novel").cast("double") / F.col("n_trigrams"), 6
+            ).alias("novelty"),
+        )
+    )
+
+
 def q_stream_funnel(
     spark: SparkSession, sf_dir: str, n_files: int | None = None
 ) -> DataFrame:
@@ -1844,6 +1951,13 @@ def register_all() -> None:
     from chi_frbcs_bigdatacs_spark.operators.curation import WINDOW_FUNNEL_SQL
 
     register("stream_funnel", q_stream_funnel, WINDOW_FUNNEL_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.text import (
+        TEXT_NGRAM_NOVELTY_SQL,
+    )
+
+    register(
+        "stream_ngram_novelty", q_stream_ngram_novelty, TEXT_NGRAM_NOVELTY_SQL
+    )
     from chi_frbcs_bigdatacs_spark.operators.text import (
         CORPUS_TOKEN_BUDGET_SQL,
     )
