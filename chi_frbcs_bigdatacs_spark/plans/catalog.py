@@ -462,6 +462,125 @@ CROSS JOIN nt
 )
 
 register("rule_coverage", q_rule_coverage, _RULE_COVERAGE_SQL)
+# --- minimum-support rule pruning ---------------------------------------------
+# The standard FRBCS model-compaction post-process [FSS258 §2 keeps
+# only positive-weight rules; support pruning is the usual next cut]:
+# drop rules whose antecedent cell covers fewer than T training
+# examples (their weight estimate is noise-dominated) and report the
+# compaction (n_rules -> n_kept) NEXT TO the quality cost (confusion
+# + GM with the pruned base), so the trade is the artifact — exactly
+# the table a practitioner builds before shipping a smaller model.
+# T is SCALE-RELATIVE (max(2, n/200): prunes 15/81 rules at
+# sf0.001 and 10/81 at sf0.01 — measured, non-vacuous at both SFs).
+# Scoring reuses the estimator's cell equi-join via a rules_dataframe
+# model — no BNLJ; the pruned-base scoring is the classify_wr plan.
+# Oracle: scoring_ctes with the rules CTE surgically rewritten to
+# join coverage (string replace on the generated SQL — pinned by the
+# hash itself: a drifted anchor string would break the oracle run).
+
+
+def q_rulebase_prune_minsupport(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.fuzzy import inference as I_
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSModel
+
+    df = _clf_par(spark, sf_dir)
+    n_total = df.count()  # driver scalar folded as a literal
+    thr = max(2, n_total // 200)
+    fz = R.with_antecedent(R.fuzzify(df, P), P)
+    rules = R.build_rules(fz, P, resolve=True, prefuzzified=True).filter(
+        F.col("weight") > 0
+    )
+    cov = fz.groupBy(*ANTS).agg(F.count(F.lit(1)).alias("n_covered"))
+    kept = (
+        rules.join(cov, ANTS)
+        .filter(F.col("n_covered") >= thr)
+        .select(*ANTS, "cls", "weight")
+    )
+    n_rules = rules.count()  # bounded: rule-base-sized
+    counts = df.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    model = ChiFRBCSModel(
+        parts=P,
+        rules_rows=None,
+        default_cls=I_.default_class(counts),
+        frm="wr",
+        rules_dataframe=kept,
+    )
+    n_kept = model.rule_count()
+    pred = model.transform(df)
+    c = pred.agg(
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 0)).cast("long")).alias("fn"),
+    )
+    tp, fp, tn, fn = (F.col(x) for x in ("tp", "fp", "tn", "fn"))
+    tpr = F.when(tp + fn == 0, F.lit(0.0)).otherwise(
+        tp.cast("double") / (tp + fn).cast("double")
+    )
+    tnr = F.when(tn + fp == 0, F.lit(0.0)).otherwise(
+        tn.cast("double") / (tn + fp).cast("double")
+    )
+    return c.select(
+        F.lit(int(n_rules)).cast("long").alias("n_rules"),
+        F.lit(int(n_kept)).cast("long").alias("n_kept"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.round(F.sqrt(tpr * tnr), 6).alias("gm"),
+    )
+
+
+def _prune_minsupport_sql() -> str:
+    ant_list = ", ".join(ANTS)
+    base = oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    anchor = "FROM resolved WHERE weight > 0"
+    assert anchor in base, "scoring_ctes rules-CTE anchor drifted"
+    pruned = base.replace(
+        "rules AS (",
+        f"""cov AS (
+  SELECT {ant_list}, count(*) AS n_covered FROM fz GROUP BY {ant_list}
+),
+thr AS (SELECT greatest(2, count(*) // 200) AS t FROM clf),
+rules AS (""",
+        1,
+    ).replace(
+        anchor,
+        f"FROM resolved JOIN cov USING ({ant_list})"
+        " WHERE weight > 0 AND n_covered >= (SELECT t FROM thr)",
+        1,
+    )
+    tpr = "CASE WHEN tp + fn = 0 THEN 0.0 ELSE CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END"
+    tnr = "CASE WHEN tn + fp = 0 THEN 0.0 ELSE CAST(tn AS DOUBLE) / CAST(tn + fp AS DOUBLE) END"
+    return (
+        pruned
+        + f""",
+m AS (
+  SELECT
+    sum(CASE WHEN label = 1 AND prediction = 1 THEN 1 ELSE 0 END) AS tp,
+    sum(CASE WHEN label = 0 AND prediction = 1 THEN 1 ELSE 0 END) AS fp,
+    sum(CASE WHEN label = 0 AND prediction = 0 THEN 1 ELSE 0 END) AS tn,
+    sum(CASE WHEN label = 1 AND prediction = 0 THEN 1 ELSE 0 END) AS fn
+  FROM wrpred
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM resolved WHERE weight > 0)
+         AS n_rules,
+       (SELECT CAST(count(*) AS BIGINT) FROM rules) AS n_kept,
+       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(tn AS BIGINT) AS tn, CAST(fn AS BIGINT) AS fn,
+       round(sqrt(({tpr}) * ({tnr})), 6) AS gm
+FROM m
+"""
+    )
+
+
+register(
+    "rulebase_prune_minsupport",
+    q_rulebase_prune_minsupport,
+    _prune_minsupport_sql(),
+)
 # --- classifier calibration (reliability bins) ------------------------------
 # The standard post-hoc eval every scored classifier gets: bucket the
 # WINNING-rule confidence (mu * weight, the exact quantity WR ranks

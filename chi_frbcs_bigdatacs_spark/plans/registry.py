@@ -54,6 +54,7 @@ CHECK_PRIORITY: list[str] = [
     "stream_funnel",
     "text_ngram_novelty",
     "stream_ngram_novelty",
+    "rulebase_prune_minsupport",
     # (b) late-r8 keys past the r8 cap -- never driver-checked
     "media_decode_wav",
     "corpus_token_budget",
@@ -103,15 +104,15 @@ CHECK_PRIORITY: list[str] = [
     "simsearch_topk_batch",
     "embed_neardup",
     "embed_neardup_lsh",
-    "classify_wr_plain",
-    # -- 50-slot cap: 8 new r9 keys (a) + 14 late-r8 keys (b) +
-    # 7 changed-plan keys (c) = 29, so the cap consumes the first 21
+    # -- 50-slot cap: 9 new r9 keys (a) + 14 late-r8 keys (b) +
+    # 7 changed-plan keys (c) = 30, so the cap consumes the first 20
     # of the 33 (d) r3-stale keys and lands here (the last entry in
-    # the window is classify_wr_plain). R10 front-load order:
-    # (1) any new r10 keys, (2) the twelve r3-stale keys below that
+    # the window is embed_neardup_lsh). R10 front-load order:
+    # (1) any new r10 keys, (2) the thirteen r3-stale keys below that
     # missed this window, (3) the r4-checked backlog. NOTE: any key
     # added later this round must be inserted into (a) and displace
     # the tail of (d) one-for-one.
+    "classify_wr_plain",
     "classify_wr_multiclass",
     "metrics_confusion_multiclass",
     "classify_holdout",
