@@ -635,6 +635,8 @@ def _decode_bmp_rle8(raw: bytes) -> tuple[int, int, int, int, int]:
         else:  # absolute mode: v literal indexes, word-aligned
             if fr >= height or col + v > width:
                 raise ValueError("absolute run overflows row")
+            if pos + v > len(raw):
+                raise ValueError("absolute run overflows stream")
             y = height - 1 - fr
             for i in range(v):
                 grid[y][col + i] = raw[pos + i]

@@ -1280,10 +1280,13 @@ def q_stream_sketch_kmv(
     # is ever raised past sketch-sized, fail here instead of silently
     # capping at driver memory
     n_langs = int(pdf["lang"].nunique())
-    assert len(pdf) <= n_langs * KMV_K, (
-        f"KMV sketch exceeded its bound: {len(pdf)} rows > "
-        f"{n_langs} langs x KMV_K={KMV_K} — not driver-sized anymore"
-    )
+    if len(pdf) > n_langs * KMV_K:
+        # explicit raise, not assert: assert compiles out under -O and
+        # this guard must survive optimized production runs
+        raise RuntimeError(
+            f"KMV sketch exceeded its bound: {len(pdf)} rows > "
+            f"{n_langs} langs x KMV_K={KMV_K} — not driver-sized anymore"
+        )
     final = spark.createDataFrame(pdf, schema=final.schema)
     return kmv_pair_estimates(final)
 
@@ -1571,9 +1574,16 @@ def q_stream_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             tgs_s, fdocs = state.get
             seen = {t: int(fd) for t, fd in zip(tgs_s, fdocs)}
         counts: dict[int, list] = {}  # doc -> [n_tri, n_novel]
-        for pdf in pdfs:
-            pdf = pdf.sort_values("doc_id", kind="mergesort")
-            for doc, tg in zip(pdf["doc_id"], pdf["tg"]):
+        # Concat ALL Arrow chunks before the one stable sort: a shard
+        # group larger than maxRecordsPerBatch arrives as multiple
+        # chunks in arbitrary relative order, and a per-chunk sort
+        # could credit a higher doc_id as a trigram's first_doc.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            b = pd.concat(chunks, ignore_index=True).sort_values(
+                "doc_id", kind="mergesort"
+            )
+            for doc, tg in zip(b["doc_id"], b["tg"]):
                 doc = int(doc)
                 c = counts.setdefault(doc, [0, 0])
                 c[0] += 1
@@ -1659,6 +1669,7 @@ def q_stream_funnel(
         "user_id",
         F.unix_micros(F.col("ts")).alias("ts_us"),
         "event_type",
+        "event_id",
         (F.col("user_id") % 64).alias("shard"),
     )
 
@@ -1673,7 +1684,21 @@ def q_stream_funnel(
             for u, v, c, p in zip(users, vs, cs, ps):
                 acc[int(u)] = [int(v), int(c), int(p)]
             n_seen = int(n0)
-        for pdf in pdfs:
+        # The set-once stage gating is order-dependent: a click only
+        # counts if the user's view is already recorded. Intra-group
+        # row order after the shard shuffle is NOT ts order, so
+        # concat all chunks and replay in (ts_us, event_id) order —
+        # the same discipline as q_stream_attribution/TWAP/OHLC.
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        for pdf in (
+            [
+                pd.concat(chunks, ignore_index=True).sort_values(
+                    ["ts_us", "event_id"], kind="mergesort"
+                )
+            ]
+            if chunks
+            else []
+        ):
             for u, t, et in zip(pdf["user_id"], pdf["ts_us"], pdf["event_type"]):
                 u, t = int(u), int(t)
                 n_seen += 1

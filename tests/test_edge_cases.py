@@ -248,6 +248,15 @@ def test_rle8_bmp_codec_roundtrip_absolute_mode_and_rejections():
     # truncated stream (end-of-bitmap escape cut off) rejected
     with pytest.raises(ValueError):
         _decode_bmp_rle8(raw[:-2])
+    # stream truncated INSIDE an absolute block: must raise the
+    # decoder's documented ValueError, never IndexError (ADVICE r9)
+    (abs_off,) = struct.unpack_from("<I", bytes(abs_raw), 10)
+    # abs_raw's first token is an absolute block (00, cnt, ...): cut
+    # the stream mid-literals
+    assert abs_raw[abs_off] == 0 and abs_raw[abs_off + 1] >= 3
+    cut = bytes(abs_raw[: abs_off + 3])
+    with pytest.raises(ValueError, match="overflows stream"):
+        _decode_bmp_rle8(cut)
 
 
 def test_wav_codec_rejects_malformed_input():
