@@ -361,3 +361,26 @@ def test_ivf_pq_serves_from_broadcasts(spark):
     p = _plan(spark, "simsearch_ivf_pq")
     assert "BroadcastHashJoin" in p
     assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+
+
+def test_perplexity_buckets_sketch_has_no_per_lang_sort(spark):
+    """quality_perplexity_buckets_sketch is the 100 TB path: tercile
+    THRESHOLDS from a mergeable approx_percentile sketch (two scalars
+    per lang, broadcast) + a map-only bucket assign. The plan must
+    contain NO window/ntile (the exact key's per-lang global sort)
+    and the threshold join must be a broadcast, never an exchange of
+    the document-sized side on lang."""
+    import re
+
+    p = _plan(spark, "quality_perplexity_buckets_sketch")
+    # word-bounded: 'approx_percentile' legitimately contains 'ntile'
+    assert not re.search(r"(?<![a-z_])ntile\(", p.lower()), (
+        "per-lang ntile sort reappeared"
+    )
+    # the bigram LM's per-doc lead() windows are fine (doc-partitioned,
+    # bounded by document length); what must NOT appear is any window
+    # partitioned by lang — that's the data-sized skewed sort
+    assert "windowspecdefinition(lang" not in p, (
+        "per-lang window (global per-lang sort) in sketch plan"
+    )
+    assert "BroadcastHashJoin" in p, p[:800]
