@@ -98,6 +98,10 @@ def test_smote_probe_rescues_singleton_bucket_rows(spark):
     )
     from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
 
+    # pin the FINE reference band explicitly: the auto-derived
+    # occupancy-constant band is deliberately coarse at sf0.001
+    # (~20 rows/cell leaves no singleton buckets), and this property
+    # is about the probe's escape mechanics, which need singletons
     df = lineitem_clf(spark, SF_SMALL)
     counts = _class_counts(df)
     min_label = min(counts, key=lambda r: (r.n, r.label)).label
@@ -106,9 +110,15 @@ def test_smote_probe_rescues_singleton_bucket_rows(spark):
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / SMOTE_F2_BAND).cast("int").alias("bp"),
     )
-    base_ids = {r.id for r in q_resample_smote(spark, SF_SMALL).collect()}
+    base_ids = {
+        r.id
+        for r in q_resample_smote(spark, SF_SMALL, band=SMOTE_F2_BAND).collect()
+    }
     probe_ids = {
-        r.id for r in q_resample_smote_probe(spark, SF_SMALL).collect()
+        r.id
+        for r in q_resample_smote_probe(
+            spark, SF_SMALL, band=SMOTE_F2_BAND
+        ).collect()
     }
     assert base_ids <= probe_ids, "probe lost grid-local rows"
     # singleton-bucket rows (absent from grid-local output) that have
