@@ -117,3 +117,59 @@ def test_scoring_null_features_get_default_class(spark):
     out = {r["id"]: r["prediction"] for r in model.transform(nulled).collect()}
     assert set(out) == {1, 2}, "null-feature rows must not be dropped"
     assert all(p == model.default_cls for p in out.values())
+
+
+def test_min_rule_support_param(spark):
+    """min_rule_support as a first-class estimator param (VERDICT r9
+    #7): 0 is the identity (exact same rule rows as the default fit),
+    and a fit at the rulebase_prune_minsupport key's threshold must
+    reproduce the key's artifact exactly — same kept-rule count and
+    the same confusion row from the pruned model's own transform —
+    on BOTH the collected and distributed rule-base paths."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
+    from chi_frbcs_bigdatacs_spark.fuzzy.partitions import (
+        LINEITEM_CLF_PARTITIONS,
+    )
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+    from chi_frbcs_bigdatacs_spark.sources.testdata import lineitem_clf
+
+    df = lineitem_clf(spark, SF_SMALL)
+    base = ChiFRBCSClassifier(parts=LINEITEM_CLF_PARTITIONS).fit(df)
+    ident = ChiFRBCSClassifier(
+        parts=LINEITEM_CLF_PARTITIONS, min_rule_support=0
+    ).fit(df)
+    assert sorted(ident.rules_rows) == sorted(base.rules_rows)
+
+    key_row = (
+        get_registry()["rulebase_prune_minsupport"]
+        .fn(spark, SF_SMALL)
+        .collect()[0]
+    )
+    thr = max(2, df.count() // 200)
+    pruned = ChiFRBCSClassifier(
+        parts=LINEITEM_CLF_PARTITIONS, min_rule_support=thr
+    ).fit(df)
+    assert pruned.rule_count() < base.rule_count()
+    assert pruned.rule_count() == key_row["n_kept"]
+    pred = pruned.transform(df)
+    got = pred.agg(
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("label") == 0) & (F.col("prediction") == 0)).cast("long")).alias("tn"),
+        F.sum(((F.col("label") == 1) & (F.col("prediction") == 0)).cast("long")).alias("fn"),
+    ).collect()[0]
+    assert (got["tp"], got["fp"], got["tn"], got["fn"]) == (
+        key_row["tp"], key_row["fp"], key_row["tn"], key_row["fn"],
+    )
+    # distributed path prunes identically
+    dist = ChiFRBCSClassifier(
+        parts=LINEITEM_CLF_PARTITIONS,
+        min_rule_support=thr,
+        collect_rules=False,
+    ).fit(df)
+    got_rows = sorted(
+        tuple(r) for r in dist.rules_dataframe.collect()
+    )
+    assert got_rows == sorted(pruned.rules_rows)
