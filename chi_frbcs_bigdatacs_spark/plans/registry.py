@@ -48,6 +48,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 CHECK_PRIORITY: list[str] = [
     # (a) new r10 keys -- never driver-checked (inserted as built)
     "quality_perplexity_buckets_sketch",
+    "media_decode_png",
     # (b) the thirteen keys the r9 cap displaced (8 r3-stale + the 5
     # oldest r4 keys; r9-judge-verified at sf0.01)
     "classify_wr_plain",
@@ -104,15 +105,15 @@ CHECK_PRIORITY: list[str] = [
     "simsearch_range",
     "sql_exists",
     "sql_recursive_cte",
-    "agg_string_concat",
-    # -- 50-slot cap: 1 new r10 key (a) + 13 displaced keys (b) +
-    # 6 changed-plan keys (c) = 20, so the cap consumes the first 30
+    # -- 50-slot cap: 2 new r10 keys (a) + 13 displaced keys (b) +
+    # 6 changed-plan keys (c) = 21, so the cap consumes the first 29
     # of the 39 (d) r4-backlog keys and lands here (the last entry in
-    # the window is agg_string_concat). R11 front-load order: (1) any
-    # new r11 keys, (2) the nine r4 keys below, (3) whatever is oldest
+    # the window is sql_recursive_cte). R11 front-load order: (1) any
+    # new r11 keys, (2) the ten r4 keys below, (3) whatever is oldest
     # after that (the r5 cohort). NOTE: any key added later this round
     # must be inserted into (a) and displace the tail of (d)
     # one-for-one, moving this marker up.
+    "agg_string_concat",
     "scalar_bitwise_funcs",
     "scalar_conditional_funcs",
     "sample_systematic",

@@ -335,3 +335,97 @@ def test_multiset_setops_obey_bag_algebra(spark):
     for k, r in mult.items():
         expect = min(r["mf"], r["mb"])
         assert inter.get(k, 0) == expect, (k, inter.get(k), expect)
+
+
+def test_png_fixed_huffman_codec_roundtrip_and_rejections():
+    """The entropy-coded codec (r10): our deflate stream must inflate
+    identically through BOTH our own bit-reader and stdlib zlib (the
+    independent public oracle), PNG round-trips reproduce the closed-
+    form features over every run-length residue, and the decoder
+    rejects: bad signature, a flipped CRC bit, a corrupted Adler-32,
+    stored/dynamic deflate blocks (documented NotImplementedError),
+    non-RGB8 IHDR, nonzero filter bytes, and truncation."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _adler32,
+        _crc32,
+        _decode_png,
+        _deflate_fixed,
+        _encode_png,
+        _inflate_fixed,
+    )
+
+    # checksums match the public implementations bit-for-bit
+    for payload in (b"", b"a", b"hello world" * 9, bytes(range(256))):
+        assert _crc32(payload) == zlib.crc32(payload)
+        assert _adler32(payload) == zlib.adler32(payload)
+    # deflate: stdlib and our inflater agree on every stream shape —
+    # empty, no-match literals, uniform run, periodic run, 9-bit
+    # literals (>= 144), match-length clamping at 258
+    cases = [
+        b"", b"abc", b"a" * 300, b"abc" * 200,
+        bytes(range(140, 256)) * 4, bytes([7, 250]) * 400,
+    ]
+    for raw in cases:
+        d = _deflate_fixed(raw)
+        assert zlib.decompress(d, wbits=-15) == raw
+        assert _inflate_fixed(d) == raw
+    # geometry/feature round trip across run residues
+    for w, h, d in [(4, 2, 0), (5, 3, 7), (12, 6, 238), (9, 5, 100)]:
+        raw = _encode_png(w, h, d)
+        run = d % 3 + 2
+        gw, gh, total, ck = _decode_png(raw)
+        idx = lambda x, y: (d + 5 * y + 3 * (x // run)) % 256  # noqa: E731
+        assert (gw, gh) == (w, h)
+        assert total == sum(
+            idx(x, y) + (2 * idx(x, y)) % 256 + (3 * idx(x, y)) % 256
+            for y in range(h) for x in range(w)
+        )
+        assert ck == sum(
+            (1 + x + w * y) * (
+                idx(x, y)
+                + 2 * ((2 * idx(x, y)) % 256)
+                + 3 * ((3 * idx(x, y)) % 256)
+            )
+            for y in range(h) for x in range(w)
+        )
+
+    raw = _encode_png(5, 3, 7)
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png(b"BM" + raw[2:])
+    # flip one bit inside IHDR payload -> CRC must catch it
+    bad = bytearray(raw)
+    bad[16] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(bad))
+    # corrupt the Adler trailer (inside IDAT, so fix the chunk CRC to
+    # isolate the zlib-level check)
+    (ihdr_len,) = struct.unpack_from(">I", raw, 8)
+    idat_off = 8 + 12 + ihdr_len
+    (idat_len,) = struct.unpack_from(">I", raw, idat_off)
+    bad = bytearray(raw)
+    bad[idat_off + 8 + idat_len - 1] ^= 0xFF
+    payload = bytes(bad[idat_off + 4 : idat_off + 8 + idat_len])
+    struct.pack_into(">I", bad, idat_off + 8 + idat_len, _crc32(payload))
+    with pytest.raises(ValueError, match="Adler"):
+        _decode_png(bytes(bad))
+    # stored and dynamic deflate block types are the documented gap
+    for btype_stream in (b"\x01\x05\x00\xfa\xffhello", b"\x05"):
+        with pytest.raises(NotImplementedError):
+            _inflate_fixed(btype_stream)
+    # non-RGB8 IHDR routes to NotImplementedError (grayscale ctype=0)
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0)
+    chunk = (
+        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _crc32(b"IHDR" + ihdr))
+    )
+    with pytest.raises(NotImplementedError):
+        _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+    # truncation anywhere is a ValueError, never IndexError
+    for cut in (10, idat_off + 10, len(raw) - 6):
+        with pytest.raises(ValueError):
+            _decode_png(raw[:cut])
