@@ -49,6 +49,7 @@ CHECK_PRIORITY: list[str] = [
     # (a) new r10 keys -- never driver-checked (inserted as built)
     "quality_perplexity_buckets_sketch",
     "media_decode_png",
+    "media_decode_png_dynamic",
     # (b) the thirteen keys the r9 cap displaced (8 r3-stale + the 5
     # oldest r4 keys; r9-judge-verified at sf0.01)
     "classify_wr_plain",
@@ -104,15 +105,15 @@ CHECK_PRIORITY: list[str] = [
     "embed_centroid_by_label",
     "simsearch_range",
     "sql_exists",
-    "sql_recursive_cte",
-    # -- 50-slot cap: 2 new r10 keys (a) + 13 displaced keys (b) +
-    # 6 changed-plan keys (c) = 21, so the cap consumes the first 29
+    # -- 50-slot cap: 3 new r10 keys (a) + 13 displaced keys (b) +
+    # 6 changed-plan keys (c) = 22, so the cap consumes the first 28
     # of the 39 (d) r4-backlog keys and lands here (the last entry in
-    # the window is sql_recursive_cte). R11 front-load order: (1) any
-    # new r11 keys, (2) the ten r4 keys below, (3) whatever is oldest
+    # the window is sql_exists). R11 front-load order: (1) any new
+    # r11 keys, (2) the eleven r4 keys below, (3) whatever is oldest
     # after that (the r5 cohort). NOTE: any key added later this round
     # must be inserted into (a) and displace the tail of (d)
     # one-for-one, moving this marker up.
+    "sql_recursive_cte",
     "agg_string_concat",
     "scalar_bitwise_funcs",
     "scalar_conditional_funcs",

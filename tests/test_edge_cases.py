@@ -343,8 +343,10 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     independent public oracle), PNG round-trips reproduce the closed-
     form features over every run-length residue, and the decoder
     rejects: bad signature, a flipped CRC bit, a corrupted Adler-32,
-    stored/dynamic deflate blocks (documented NotImplementedError),
-    non-RGB8 IHDR, nonzero filter bytes, and truncation."""
+    the reserved deflate block type, non-RGB8 IHDR, and truncation.
+    The inflater is COMPLETE (stored/fixed/dynamic): it must decode
+    stdlib zlib.compress output at every level, including level 0
+    (pure stored blocks) and level 9 (dynamic-Huffman blocks)."""
     import struct
     import zlib
 
@@ -356,7 +358,7 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
         _decode_png,
         _deflate_fixed,
         _encode_png,
-        _inflate_fixed,
+        _inflate,
     )
 
     # checksums match the public implementations bit-for-bit
@@ -373,7 +375,15 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     for raw in cases:
         d = _deflate_fixed(raw)
         assert zlib.decompress(d, wbits=-15) == raw
-        assert _inflate_fixed(d) == raw
+        assert _inflate(d) == raw
+    # the other direction: OUR inflater must decode the PUBLIC
+    # encoder's streams at every level — 0 emits stored blocks, 1
+    # mostly fixed, 9 dynamic-Huffman on repetitive data
+    for raw in cases + [bytes((i * 37 + 11) % 256 for i in range(5000))]:
+        for level in (0, 1, 6, 9):
+            assert _inflate(zlib.compress(raw, level)[2:-4]) == raw, (
+                f"inflate mismatch vs zlib level {level}"
+            )
     # geometry/feature round trip across run residues
     for w, h, d in [(4, 2, 0), (5, 3, 7), (12, 6, 238), (9, 5, 100)]:
         raw = _encode_png(w, h, d)
@@ -413,10 +423,11 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     struct.pack_into(">I", bad, idat_off + 8 + idat_len, _crc32(payload))
     with pytest.raises(ValueError, match="Adler"):
         _decode_png(bytes(bad))
-    # stored and dynamic deflate block types are the documented gap
-    for btype_stream in (b"\x01\x05\x00\xfa\xffhello", b"\x05"):
-        with pytest.raises(NotImplementedError):
-            _inflate_fixed(btype_stream)
+    # reserved block type (11) and stored LEN/NLEN mismatch rejected
+    with pytest.raises(ValueError, match="reserved"):
+        _inflate(b"\x07")
+    with pytest.raises(ValueError, match="LEN/NLEN"):
+        _inflate(b"\x01\x05\x00\x00\x00hello")
     # non-RGB8 IHDR routes to NotImplementedError (grayscale ctype=0)
     ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0)
     chunk = (
