@@ -1063,21 +1063,50 @@ def _inflate(data: bytes) -> bytes:
             return bytes(out)
 
 
-def _encode_png(width: int, height: int, d: int, level: int | None = None) -> bytes:
+def _encode_png(
+    width: int,
+    height: int,
+    d: int,
+    level: int | None = None,
+    filter_cycle: bool = False,
+) -> bytes:
     """level=None compresses with OUR fixed-Huffman deflate; an int
     delegates to stdlib zlib.compress at that level (the public
     reference encoder — level 9 chooses dynamic-Huffman blocks on
     fixture-sized images, which is exactly what the _dynamic key
-    wants the decoder to face)."""
+    wants the decoder to face). filter_cycle=True filters row y with
+    type y % 5 — None/Sub/Up/Average/Paeth — so a single image
+    exercises the whole reconstruction grammar."""
     import struct
 
     run = d % 3 + 2
     raw = bytearray()
+    prev = bytes(3 * width)
     for y in range(height):
-        raw.append(0)  # filter type 0 (None)
+        cur = bytearray()
         for x in range(width):
             idx = (d + 5 * y + 3 * (x // run)) % 256
-            raw += bytes((idx, (2 * idx) % 256, (3 * idx) % 256))
+            cur += bytes((idx, (2 * idx) % 256, (3 * idx) % 256))
+        ftype = y % 5 if filter_cycle else 0
+        raw.append(ftype)
+        if ftype == 0:
+            raw += cur
+        else:
+            for x in range(len(cur)):
+                a = cur[x - 3] if x >= 3 else 0
+                b = prev[x]
+                c = prev[x - 3] if x >= 3 else 0
+                pred = (
+                    a
+                    if ftype == 1
+                    else b
+                    if ftype == 2
+                    else (a + b) // 2
+                    if ftype == 3
+                    else _paeth(a, b, c)
+                )
+                raw.append((cur[x] - pred) & 0xFF)
+        prev = bytes(cur)
     if level is None:
         deflated = _deflate_fixed(bytes(raw))
         zdata = (
@@ -1147,15 +1176,50 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
         raise ValueError("decompressed size does not match geometry")
     total = 0
     checksum = 0
+    prev = bytes(3 * width)  # the spec's zero row above the image
     for y in range(height):
         row = body[y * stride : (y + 1) * stride]
-        if row[0] != 0:
-            raise NotImplementedError("only filter type 0 supported")
+        line = _unfilter_row(row[0], bytearray(row[1:]), prev)
         for x in range(width):
-            r_, g, b = row[1 + 3 * x : 4 + 3 * x]
+            r_, g, b = line[3 * x : 3 * x + 3]
             total += r_ + g + b
             checksum += (1 + x + width * y) * (r_ + 2 * g + 3 * b)
+        prev = line
     return width, height, total, checksum
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (the spec's exact tie-break order)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter_row(ftype: int, line: bytearray, prev: bytes) -> bytes:
+    """Reconstruct one scanline per the PNG filter spec (bpp=3).
+    a = left reconstructed byte, b = above, c = upper-left."""
+    if ftype > 4:
+        raise ValueError(f"invalid PNG filter type {ftype}")
+    for x in range(len(line)):
+        a = line[x - 3] if x >= 3 else 0
+        b = prev[x]
+        c = prev[x - 3] if x >= 3 else 0
+        if ftype == 0:
+            pred = 0
+        elif ftype == 1:  # Sub
+            pred = a
+        elif ftype == 2:  # Up
+            pred = b
+        elif ftype == 3:  # Average
+            pred = (a + b) // 2
+        else:  # Paeth
+            pred = _paeth(a, b, c)
+        line[x] = (line[x] + pred) & 0xFF
+    return bytes(line)
 
 
 def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1253,12 +1317,91 @@ def q_media_decode_png_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("mean_rgb", F.round("mean_rgb", 6))
 
 
+def q_media_decode_png_filtered(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The predictive-filter certification key: row y is filtered
+    with type y % 5, so every image (h >= 5 by construction)
+    exercises the ENTIRE PNG filter grammar — None, Sub (left), Up
+    (above), Average (floor mean), Paeth (the spec's tie-broken
+    predictor) — before the deflate stage, and the decoder must
+    reconstruct through the running left/above/upper-left state. The
+    closed-form oracle is filter-blind (it recomputes pixels, never
+    bytes), so any predictor, tie-break, or byte-order bug in either
+    direction hash-mismatches."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 10 + 6).cast("int").alias("w"),
+        (F.col("doc_id") % 7 + 5).cast("int").alias("h"),
+        (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_png(int(w), int(h), int(s), filter_cycle=True)
+                        for w, h, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_png(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "png_w": [f[0] for f in feats],
+                    "png_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_rgb": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, png_w int, png_h int, n_px long,"
+        " mean_rgb double, pos_checksum long",
+    ).withColumn("mean_rgb", F.round("mean_rgb", 6))
+
+
 _PNG_IDX = "(d + 5 * y + 3 * (x // run)) % 256"
 MEDIA_DECODE_PNG_SQL = f"""
 WITH px AS (
   SELECT doc_id,
          CAST(doc_id % 9 + 4 AS INT) AS w,
          CAST(doc_id % 5 + 2 AS INT) AS h,
+         doc_id % {PNG_MOD} AS d,
+         doc_id % {PNG_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               {_PNG_IDX}
+             + (2 * ({_PNG_IDX})) % 256
+             + (3 * ({_PNG_IDX})) % 256 AS DOUBLE)))))
+         / (3 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * ({_PNG_IDX}
+                 + 2 * ((2 * ({_PNG_IDX})) % 256)
+                 + 3 * ((3 * ({_PNG_IDX})) % 256)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
+
+MEDIA_DECODE_PNG_FILTERED_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 10 + 6 AS INT) AS w,
+         CAST(doc_id % 7 + 5 AS INT) AS h,
          doc_id % {PNG_MOD} AS d,
          doc_id % {PNG_MOD} % 3 + 2 AS run
   FROM documents
@@ -1315,6 +1458,11 @@ def register_all() -> None:
         "media_decode_png_dynamic",
         q_media_decode_png_dynamic,
         MEDIA_DECODE_PNG_DYNAMIC_SQL,
+    )
+    register(
+        "media_decode_png_filtered",
+        q_media_decode_png_filtered,
+        MEDIA_DECODE_PNG_FILTERED_SQL,
     )
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)

@@ -50,6 +50,7 @@ CHECK_PRIORITY: list[str] = [
     "quality_perplexity_buckets_sketch",
     "media_decode_png",
     "media_decode_png_dynamic",
+    "media_decode_png_filtered",
     # (b) the thirteen keys the r9 cap displaced (8 r3-stale + the 5
     # oldest r4 keys; r9-judge-verified at sf0.01)
     "classify_wr_plain",
@@ -104,15 +105,15 @@ CHECK_PRIORITY: list[str] = [
     "token_freq_topn",
     "embed_centroid_by_label",
     "simsearch_range",
-    "sql_exists",
-    # -- 50-slot cap: 3 new r10 keys (a) + 13 displaced keys (b) +
-    # 6 changed-plan keys (c) = 22, so the cap consumes the first 28
+    # -- 50-slot cap: 4 new r10 keys (a) + 13 displaced keys (b) +
+    # 6 changed-plan keys (c) = 23, so the cap consumes the first 27
     # of the 39 (d) r4-backlog keys and lands here (the last entry in
-    # the window is sql_exists). R11 front-load order: (1) any new
-    # r11 keys, (2) the eleven r4 keys below, (3) whatever is oldest
-    # after that (the r5 cohort). NOTE: any key added later this round
-    # must be inserted into (a) and displace the tail of (d)
-    # one-for-one, moving this marker up.
+    # the window is simsearch_range). R11 front-load order: (1) any
+    # new r11 keys, (2) the twelve r4 keys below, (3) whatever is
+    # oldest after that (the r5 cohort). NOTE: any key added later
+    # this round must be inserted into (a) and displace the tail of
+    # (d) one-for-one, moving this marker up.
+    "sql_exists",
     "sql_recursive_cte",
     "agg_string_concat",
     "scalar_bitwise_funcs",

@@ -428,6 +428,39 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
         _inflate(b"\x07")
     with pytest.raises(ValueError, match="LEN/NLEN"):
         _inflate(b"\x01\x05\x00\x00\x00hello")
+    # the full filter grammar: filter_cycle images (h >= 5 hits all
+    # of None/Sub/Up/Average/Paeth) must reconstruct to the same
+    # pixels as their unfiltered twins
+    for w, h, d in [(6, 5, 0), (15, 11, 238), (8, 7, 100)]:
+        plain = _encode_png(w, h, d)
+        filt = _encode_png(w, h, d, filter_cycle=True)
+        assert _decode_png(filt)[2:] == _decode_png(plain)[2:]
+    # filter type > 4 is a ValueError, not a silent mis-decode: craft
+    # a stream whose first filter byte is 5 with all checksums valid
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _deflate_fixed as _df,
+    )
+
+    w, h = 2, 1
+    body = bytes([5]) + bytes(6)
+    zdata = (
+        b"\x78\x01" + _df(body) + struct.pack(">I", _adler32(body))
+    )
+
+    def _chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + typ + payload
+            + struct.pack(">I", _crc32(typ + payload))
+        )
+
+    bad_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zdata)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="filter type"):
+        _decode_png(bad_png)
     # non-RGB8 IHDR routes to NotImplementedError (grayscale ctype=0)
     ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0)
     chunk = (
