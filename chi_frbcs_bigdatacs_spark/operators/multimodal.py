@@ -338,6 +338,12 @@ def q_media_decode_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 4 + 2).cast("int").alias("h"),
         (F.col("doc_id") % BMP_MOD).cast("int").alias("seed"),
     )
+    # the fixture parquet is single-row-group (unsplittable): without
+    # an explicit spread the Arrow decode stage inherits ONE partition
+    # and the whole codec runs single-threaded (the _clf_par lesson).
+    # The descriptor frame is 4 narrow columns — repartitioning it is
+    # free next to the per-byte decode work it parallelizes.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -473,6 +479,9 @@ def q_media_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 32 + 16).cast("int").alias("n"),
         (F.col("doc_id") % WAV_MOD).cast("int").alias("seed"),
     )
+    # single-row-group fixture: spread the decode stage (see the BMP
+    # keys' note) — descriptor-only repartition, output order-free
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -661,6 +670,12 @@ def q_media_decode_rle_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
         (F.col("doc_id") % BMP_MOD).cast("int").alias("seed"),
     )
+    # the fixture parquet is single-row-group (unsplittable): without
+    # an explicit spread the Arrow decode stage inherits ONE partition
+    # and the whole codec runs single-threaded (the _clf_par lesson).
+    # The descriptor frame is 4 narrow columns — repartitioning it is
+    # free next to the per-byte decode work it parallelizes.
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1229,6 +1244,9 @@ def q_media_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 5 + 2).cast("int").alias("h"),
         (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
     )
+    # single-row-group fixture: spread the decode stage (see the BMP
+    # keys' note) — descriptor-only repartition, output order-free
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1281,6 +1299,9 @@ def q_media_decode_png_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 6 + 2).cast("int").alias("h"),
         (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
     )
+    # single-row-group fixture: spread the decode stage (see the BMP
+    # keys' note) — descriptor-only repartition, output order-free
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1335,6 +1356,9 @@ def q_media_decode_png_filtered(
         (F.col("doc_id") % 7 + 5).cast("int").alias("h"),
         (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
     )
+    # single-row-group fixture: spread the decode stage (see the BMP
+    # keys' note) — descriptor-only repartition, output order-free
+    d = d.repartition(spark.sparkContext.defaultParallelism)
 
     def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -69,10 +69,13 @@ CHECK_PRIORITY: list[str] = [
     # (c) plans changed in r10: arrival-order replay fixes in the
     # funnel + ngram-novelty twins (ADVICE r9 high/medium), guard
     # hardening in the RLE8 decoder + KMV bound, SMOTE band
-    # auto-scaling
+    # auto-scaling, decode-stage repartition in the media codecs
+    # (single-row-group fixture ran the whole codec in ONE task)
     "stream_funnel",
     "stream_ngram_novelty",
     "media_decode_rle_bmp",
+    "media_decode_bmp",
+    "media_decode_wav",
     "stream_sketch_kmv",
     "resample_smote",
     "resample_smote_probe",
@@ -103,16 +106,16 @@ CHECK_PRIORITY: list[str] = [
     "join_interval",
     "text_dedup_soft",
     "token_freq_topn",
-    "embed_centroid_by_label",
-    "simsearch_range",
     # -- 50-slot cap: 4 new r10 keys (a) + 13 displaced keys (b) +
-    # 6 changed-plan keys (c) = 23, so the cap consumes the first 27
+    # 8 changed-plan keys (c) = 25, so the cap consumes the first 25
     # of the 39 (d) r4-backlog keys and lands here (the last entry in
-    # the window is simsearch_range). R11 front-load order: (1) any
-    # new r11 keys, (2) the twelve r4 keys below, (3) whatever is
+    # the window is token_freq_topn). R11 front-load order: (1) any
+    # new r11 keys, (2) the fourteen r4 keys below, (3) whatever is
     # oldest after that (the r5 cohort). NOTE: any key added later
     # this round must be inserted into (a) and displace the tail of
     # (d) one-for-one, moving this marker up.
+    "embed_centroid_by_label",
+    "simsearch_range",
     "sql_exists",
     "sql_recursive_cte",
     "agg_string_concat",
