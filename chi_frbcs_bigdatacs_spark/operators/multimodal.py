@@ -1180,7 +1180,11 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             break
     if width < 0 or not idat:
         raise ValueError("missing IHDR or IDAT")
-    if idat[0] & 0x0F != 8 or (idat[0] << 8 | idat[1]) % 31 != 0:
+    if (
+        idat[0] & 0x0F != 8
+        or idat[1] & 0x20  # FDICT: preset dictionaries are not deflate data
+        or (idat[0] << 8 | idat[1]) % 31 != 0
+    ):
         raise ValueError("bad zlib header")
     body = _inflate(bytes(idat[2:-4]))
     (adler,) = struct.unpack(">I", bytes(idat[-4:]))

@@ -200,11 +200,13 @@ def tomek_f2_band(n_total: int) -> int:
     return max(F2_BAND_MIN, TOMEK_BAND_NUMER // max(1, n_total))
 
 
+# GREATEST(1, count(*)) mirrors the Spark side's max(1, n) guard so the
+# two formulas stay in textual lockstep even on a degenerate empty input.
 _SMOTE_BAND_SQL = f"""GREATEST({F2_BAND_MIN},
-    {SMOTE_BAND_NUMER} // (SELECT count(*) FROM clf
-                           WHERE label = (SELECT label FROM ml)))"""
+    {SMOTE_BAND_NUMER} // GREATEST(1, (SELECT count(*) FROM clf
+                           WHERE label = (SELECT label FROM ml))))"""
 _TOMEK_BAND_SQL = f"""GREATEST({F2_BAND_MIN},
-    {TOMEK_BAND_NUMER} // (SELECT count(*) FROM clf))"""
+    {TOMEK_BAND_NUMER} // GREATEST(1, (SELECT count(*) FROM clf)))"""
 
 
 def q_resample_smote(

@@ -281,7 +281,11 @@ def _events_tsorder_src(
 
         df = (
             pd.read_parquet(f"{sf_dir}/events.parquet")
-            .sort_values("ts", kind="mergesort")
+            # (ts, event_id), not ts alone: equal-ts rows must not be
+            # split across file boundaries in raw parquet order, or the
+            # replay's tie order diverges from the (ts, event_id)-ordered
+            # batch oracle.
+            .sort_values(["ts", "event_id"], kind="mergesort")
             .reset_index(drop=True)
         )
         step = -(-len(df) // n_files)

@@ -384,3 +384,32 @@ def test_perplexity_buckets_sketch_has_no_per_lang_sort(spark):
         "per-lang window (global per-lang sort) in sketch plan"
     )
     assert "BroadcastHashJoin" in p, p[:800]
+
+
+def test_perplexity_sketch_fixture_populates_all_buckets(spark):
+    """The sketch key's DuckDB oracle HARDCODES n_buckets=3 and
+    within_tol=true (operators/text.py _perplexity_buckets_sketch_sql).
+    That is only valid while every fixture lang has enough docs — and a
+    non-degenerate avg_logprob distribution (qs[1] != qs[2]) — to
+    populate all three tercile buckets. If the fixture ever drifts to a
+    tiny or constant-score lang, THIS test names the cause instead of
+    an opaque parity hash mismatch."""
+    from tests.conftest import SF_SMALL
+
+    from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
+
+    rows = get_registry()["quality_perplexity_buckets_sketch"].fn(
+        spark, SF_SMALL
+    ).collect()
+    assert rows, "no langs in fixture"
+    for r in rows:
+        assert r["n_docs"] >= 9, (
+            f"lang {r['lang']}: only {r['n_docs']} docs — too few to "
+            "guarantee 3 populated tercile buckets; the hardcoded "
+            "oracle (n_buckets=3) is no longer valid for this fixture"
+        )
+        assert r["n_buckets"] == 3, (
+            f"lang {r['lang']}: {r['n_buckets']} buckets — degenerate "
+            "avg_logprob terciles (qs[1]==qs[2]?); hardcoded oracle invalid"
+        )
+        assert r["within_tol"], f"lang {r['lang']}: bucket spread out of tol"
