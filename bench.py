@@ -48,9 +48,7 @@ HEADLINE_EXT = [
     "agg_market_basket",         # basket-key pair mining (late r8)
     "timeseries_interpolate",    # zero-join union-window resample (late r8)
     "simsearch_pq_recall",       # Lloyd-trained PQ codebook + ADC recall (r9)
-    # resample_smote_probe deliberately NOT benched: 23s/pass at
-    # sf0.1 (345M grid-pair volume, measured r9 NOTES) would dominate
-    # the 6-pass protocol; it stays driver-hash-checked instead
+    "resample_smote_probe",      # SMOTE grid-pair probe (r10 band fix: 2.5s)
 ]
 
 

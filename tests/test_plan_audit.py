@@ -48,6 +48,7 @@ BNL_ALLOWED = {
     "simsearch_ivf_from_index",  # single query vector broadcast over one cell
     "simsearch_recall",
     "simsearch_pq_recall",  # 16-row query batch broadcast for exact top-k
+    "simsearch_ivf_pq_nprobe",  # same 16-row query batch, exact ground truth
     "embed_neardup",
     "join_cross",
     "agg_class_counts",
