@@ -473,3 +473,79 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     for cut in (10, idat_off + 10, len(raw) - 6):
         with pytest.raises(ValueError):
             _decode_png(raw[:cut])
+
+
+def test_jpeg_baseline_codec_roundtrip_and_rejections():
+    """The transform-domain codec (r11): flat-block fixture images
+    round-trip BIT-EXACTLY (a constant block quantizes to a lone DC,
+    so IDCT + rounding is the identity), random TEXTURED images drive
+    the full AC run/size grammar (ZRL, EOB, multi-category sizes)
+    with reconstruction error bounded by the quant=1 coefficient
+    rounding alone, and the decoder rejects: missing SOI, progressive
+    SOF2, marker-in-scan corruption, truncation, invalid Huffman
+    prefixes, and an AC run overflowing the block."""
+    import random
+    import struct
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg_gray,
+        _encode_jpeg_gray,
+        _jpeg_fixture_pixels,
+    )
+
+    # 1. flat-block fixture: EXACT round trip of both feature sums
+    for bw, bh, seed in [(1, 1, 0), (3, 2, 123), (2, 1, 250), (3, 1, 17)]:
+        px = _jpeg_fixture_pixels(bw, bh, seed)
+        w, h, total, chk = _decode_jpeg_gray(_encode_jpeg_gray(px))
+        assert (w, h) == (8 * bw, 8 * bh)
+        assert total == sum(sum(r) for r in px)
+        assert chk == sum(
+            (1 + x + w * y) * px[y][x] for y in range(h) for x in range(w)
+        )
+
+    # 2. textured images: the AC entropy path end-to-end; per-pixel
+    # mean drift bounded well under 1 grey level (quant=1 rounding)
+    rng = random.Random(2026)
+    for _ in range(12):
+        w8, h8 = rng.randint(1, 4), rng.randint(1, 3)
+        img = [
+            [rng.randint(0, 255) for _ in range(8 * w8)]
+            for _ in range(8 * h8)
+        ]
+        w, h, total, _chk = _decode_jpeg_gray(_encode_jpeg_gray(img))
+        true_total = sum(sum(r) for r in img)
+        assert abs(total - true_total) / (w * h) <= 1.0
+
+    # 3. a smooth gradient (long zero runs + EOB mix) is LOSSLESS in
+    # the sum: linear ramps land on exactly representable coefficients
+    img = [[(x * 3 + y * 5) % 256 for x in range(32)] for y in range(16)]
+    w, h, total, _ = _decode_jpeg_gray(_encode_jpeg_gray(img))
+    assert total == sum(sum(r) for r in img)
+
+    raw = _encode_jpeg_gray(_jpeg_fixture_pixels(2, 2, 40))
+    with pytest.raises(ValueError, match="SOI"):
+        _decode_jpeg_gray(b"\x00\x00" + raw[2:])
+    # progressive SOF2 must be a clean NotImplementedError
+    prog = bytearray(raw)
+    sof_at = raw.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        _decode_jpeg_gray(bytes(prog))
+    # corrupt a scan byte into a bare 0xFF marker prefix
+    sos_at = raw.find(b"\xff\xda")
+    (sos_len,) = struct.unpack_from(">H", raw, sos_at + 2)
+    scan_at = sos_at + 2 + sos_len
+    bad = bytearray(raw)
+    bad[scan_at] = 0xFF
+    bad[scan_at + 1] = 0x01  # not a stuffed zero, not EOI
+    with pytest.raises(ValueError):
+        _decode_jpeg_gray(bytes(bad))
+    # truncation anywhere raises ValueError/IndexError never silence
+    for cut in (4, sof_at + 3, scan_at + 1, len(raw) - 2):
+        with pytest.raises((ValueError, IndexError)):
+            _decode_jpeg_gray(raw[:cut])
+    # dims not multiples of 8 are refused at encode time
+    with pytest.raises(ValueError, match="multiple-of-8"):
+        _encode_jpeg_gray([[0] * 12] * 8)
