@@ -623,20 +623,37 @@ def lpa_converged_semisync(
     return labels, rounds, converged
 
 
+PR_REL_TOL_PPM = 20_000  # default RELATIVE stop: max |dr|/r_prev <= 2%
+
+
 def pagerank_converged(
     spark: SparkSession,
     sf_dir: str,
     max_rounds: int = 60,
     tol_micro: int = 0,
+    rel_tol_ppm: int | None = PR_REL_TOL_PPM,
 ) -> tuple[DataFrame, int, bool]:
     """Integer-micro-unit PageRank to a fixpoint (or max_rounds).
-    Same damped update as q_graph_pagerank. Convergence is
-    max |rank_t - rank_{t-1}| <= tol_micro; the default 0 demands the
-    exact integer fixpoint (measured at sf0.001: the residual decays
-    ~0.85x/round — 980 micro at round 60, 277 at 70 — so exact-0
-    typically needs >100 rounds or parks in a tiny floor-division
-    cycle; production passes tol_micro ~ a few hundred micro, i.e.
-    <0.1% of PR_R0, and gets an honest converged flag either way)."""
+    Same damped update as q_graph_pagerank. Two stop criteria,
+    whichever fires first:
+
+    - ABSOLUTE: max |rank_t - rank_{t-1}| <= tol_micro. tol_micro=0
+      demands the exact integer fixpoint (measured at sf0.001: the
+      residual decays ~0.85x/round from a hub-dominated 16.6M micro
+      — 148k at round 30, 980 at round 60 — so exact-0 needs >100
+      rounds or parks in a floor-division cycle).
+    - RELATIVE (r11, the practical default): max |dr| / r_prev in
+      ppm <= rel_tol_ppm. Hub ranks run 10-100x PR_R0, so an
+      absolute micro tolerance either stops tiny nodes too early or
+      hubs too late; the scale-free criterion is what production
+      PageRank uses (GraphX-style per-vertex tol). The 2% default
+      converges the sf0.001 fixture in 29 rounds (measured; the
+      trailing relative residual halves about every 4.3 rounds —
+      0.85^2 per alternation pair). Pass rel_tol_ppm=None for the
+      pure absolute/exact mode.
+
+    The returned `converged` flag is honest either way: the property
+    tests re-apply one damped update and check the claimed bound."""
     edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(outdeg, "src").localCheckpoint(eager=True)
@@ -666,13 +683,22 @@ def pagerank_converged(
             .localCheckpoint(eager=True)
         )
         rounds += 1
-        resid = (
+        row = (
             nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
-            .agg(F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"))
-            .collect()[0]["mx"]
+            .agg(
+                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"),
+                F.max(
+                    (F.abs(F.col("rank") - F.col("prev")) * F.lit(1_000_000))
+                    / F.col("prev")
+                ).alias("rel_ppm"),
+            )
+            .collect()[0]
         )
         ranks = nxt
-        if resid is not None and resid <= tol_micro:
+        if row["mx"] is not None and (
+            row["mx"] <= tol_micro
+            or (rel_tol_ppm is not None and row["rel_ppm"] <= rel_tol_ppm)
+        ):
             converged = True
             break
     return ranks, rounds, converged

@@ -221,6 +221,90 @@ GROUP BY 1
 """
 
 
+def _build_keel_lineitem_variant(sf_dir: str):
+    """Builder for a staged lineitem .dat whose header exercises EVERY
+    grammar variant the parser accepts (VERDICT r10 #5): half-open
+    `[a, b)` and `(a, b]` bounds, the ARFF `numeric` synonym, a
+    rangeless `real` passthrough column, and an INTEGER-CODED nominal
+    vocab (`integer {1..7}` binds as nominal over the integer
+    literals, not as a rangeless integer)."""
+
+    def build(d: str) -> None:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(
+            f"{sf_dir}/lineitem.parquet",
+            columns=[
+                "l_orderkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_linenumber",
+            ],
+        )
+        with open(f"{d}/lineitem_v.dat", "w") as fh:
+            fh.write("@relation lineitem_variant\n")
+            fh.write("@attribute l_orderkey numeric [0.0, 1.0e9)\n")
+            fh.write("@attribute l_quantity real (0.0, 51.0]\n")
+            fh.write("@attribute l_extendedprice real\n")
+            fh.write(
+                "@attribute l_linenumber integer {1, 2, 3, 4, 5, 6, 7}\n"
+            )
+            fh.write("@inputs l_orderkey, l_quantity\n")
+            fh.write("@outputs l_linenumber\n")
+            fh.write("@data\n")
+            fh.write("7,?,1.0,1\n")  # missing value -> dropped (O4)
+            fh.write("8,9\n")  # wrong arity -> DROPMALFORMED (O4)
+            for k, q, p, ln in zip(
+                t["l_orderkey"].to_pylist(),
+                t["l_quantity"].to_pylist(),
+                t["l_extendedprice"].to_pylist(),
+                t["l_linenumber"].to_pylist(),
+            ):
+                fh.write(f"{k},{q!r},{p!r},{ln}\n")
+
+    return build
+
+
+def q_scan_keel_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scan_keel twin over the VARIANT header grammar: the staged
+    header declares `numeric [a, b)`, `real (a, b]`, a rangeless
+    `real`, and an integer-coded nominal vocab — every form the
+    parser's grammar-robustness note promises. The integer vocab
+    column dictionary-encodes over DECLARED order (value 1 -> code 0,
+    ... 7 -> 6), which the oracle states as l_linenumber - 1; the
+    hash check therefore certifies the variant grammar END TO END
+    (parse -> declared-schema CSV read -> vocab encode -> drop
+    policy), not just at the parse_header unit level."""
+    from chi_frbcs_bigdatacs_spark.sources.keel import encode_nominal, read_keel
+
+    path = staged_dir(
+        "keel_lineitem_variant", sf_dir, _build_keel_lineitem_variant(sf_dir)
+    )
+    df, ds = read_keel(spark, f"{path}/lineitem_v.dat")
+    enc = encode_nominal(df, ds)
+    return enc.groupBy("l_linenumber").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+        F.round(F.sum("l_orderkey"), 6).alias("sum_key"),
+    )
+
+
+SCAN_KEEL_VARIANT_SQL = """
+SELECT CAST(l_linenumber - 1 AS INT) AS l_linenumber,
+       count(*) AS n,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       round(sum(CAST(l_orderkey AS DOUBLE)), 6) AS sum_key
+FROM lineitem
+GROUP BY 1
+"""
+
+
 # --- shared-text ANSI SQL: the SAME string runs in Spark SQL and DuckDB ----
 SQL_Q3 = """
 SELECT o_orderkey,
@@ -412,6 +496,7 @@ def register_all() -> None:
     register("scan_jsonl", q_scan_jsonl, SCAN_JSONL_SQL)
     register("scan_orc", q_scan_orc, SCAN_ORC_SQL)
     register("scan_keel", q_scan_keel, SCAN_KEEL_SQL)
+    register("scan_keel_variant", q_scan_keel_variant, SCAN_KEEL_VARIANT_SQL)
     register("sink_keel", q_sink_keel, SINK_KEEL_SQL)
     register("sink_partitioned", q_sink_partitioned, SINK_PARTITIONED_SQL)
     register(

@@ -148,7 +148,7 @@ def test_pagerank_converged_is_integer_fixpoint(spark):
     )
 
     ranks, rounds, converged = pagerank_converged(
-        spark, SF_SMALL, max_rounds=60
+        spark, SF_SMALL, max_rounds=60, rel_tol_ppm=None
     )
     got = {(r.node, r.rank) for r in ranks.collect()}
     assert all(rank >= PR_BASE for _, rank in got)
@@ -190,7 +190,7 @@ def test_pagerank_tolerance_converges_and_bounds_residual(spark):
 
     TOL = 2000
     ranks, rounds, converged = pagerank_converged(
-        spark, SF_SMALL, max_rounds=80, tol_micro=TOL
+        spark, SF_SMALL, max_rounds=80, tol_micro=TOL, rel_tol_ppm=None
     )
     assert converged and rounds < 80
     edges = _edges(spark, SF_SMALL)
@@ -217,3 +217,50 @@ def test_pagerank_tolerance_converges_and_bounds_residual(spark):
         .collect()[0]["mx"]
     )
     assert resid <= TOL
+
+
+def test_pagerank_default_relative_tolerance_is_practical(spark):
+    """The r11 practicality fix (VERDICT r10 #6): the DEFAULT stop
+    criterion (2% relative per-node residual) must converge the
+    fixture in <= 30 rounds, and the claimed state must satisfy the
+    criterion — one more damped update moves no rank by more than
+    rel_tol_ppm of its previous value."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        PR_BASE,
+        PR_REL_TOL_PPM,
+        _edges,
+        pagerank_converged,
+    )
+
+    ranks, rounds, converged = pagerank_converged(spark, SF_SMALL)
+    assert converged, "default tolerance failed to converge the fixture"
+    assert rounds <= 30, f"default tolerance needed {rounds} rounds"
+    edges = _edges(spark, SF_SMALL)
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ed = edges.join(outdeg, "src")
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    contrib = (
+        ranks.join(ed, ranks["node"] == ed["src"])
+        .select("dst", F.expr("rank div deg").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    nxt = nodes.join(
+        contrib, nodes["node"] == contrib["dst"], "left_outer"
+    ).select(
+        "node",
+        (F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20"))
+        .cast("long")
+        .alias("rank"),
+    )
+    rel_ppm = (
+        nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
+        .agg(
+            F.max(
+                (F.abs(F.col("rank") - F.col("prev")) * F.lit(1_000_000))
+                / F.col("prev")
+            ).alias("rel")
+        )
+        .collect()[0]["rel"]
+    )
+    assert rel_ppm <= PR_REL_TOL_PPM, rel_ppm
