@@ -34,86 +34,46 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their latest green CORRECTNESS_r{N} row plus the local parity suite
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
-# re-hashes). Round-10 ordering (VERDICT r9 "Next round" #1 + the r9
-# front-load note): (a) ALL new r10 keys (never driver-checked),
-# (b) the thirteen keys the r9 cap displaced — the eight r3-stale
-# keys plus the five oldest r4 keys (all 13 verified at sf0.01 by the
-# r9 judge), (c) keys whose PLANS changed this round (r9-green
-# hashes, re-verified at sf0.01 locally after the change — external
-# certification of the new plans), (d) the r4-checked backlog (last
-# driver check: round 4), in CORRECTNESS_r04 artifact order. The
-# single "cap lands here" marker below is the ONLY position comment —
-# count list entries against it; entries past the marker are the r11
-# front-load order.
+# re-hashes). Round-11 ordering (VERDICT r10 "Next round" #1 + the
+# r10 front-load note): (a) ALL new r11 keys (never driver-checked),
+# (b) keys whose PLANS/ORACLES changed this round (r≤10-green hashes,
+# re-verified at sf0.01 locally after the change — external
+# certification of the new behavior): the SMOTE/Tomek band-SQL
+# GREATEST-guard lockstep (ADVICE r10), the PNG decoder's FDICT
+# rejection guard (shared by all three PNG keys), and the NINE
+# replay twins whose staged source now splits equal-ts rows by
+# (ts, event_id) instead of raw parquet order (ADVICE r10 tie-order
+# fix: every consumer of _events_tsorder_src/_events_stream_ordered),
+# (c) the fourteen r4-stale keys (the external-check floor rises to
+# r5 once these land), in the r10 list's order, (d) the OLDEST r5
+# keys, in CORRECTNESS_r05 artifact order. The single "cap lands
+# here" marker below is the ONLY position comment — count list
+# entries against it; entries past the marker are the r12 front-load
+# order.
 CHECK_PRIORITY: list[str] = [
-    # (a) new r10 keys -- never driver-checked (inserted as built)
-    "quality_perplexity_buckets_sketch",
+    # (a) new r11 keys -- never driver-checked (inserted as built)
+    "simsearch_ivf_pq_nprobe",
+    "media_decode_jpeg",
+    "scan_keel_variant",
+    "stream_late_data_accounting",
+    # (b) plans/oracles changed in r11
+    "resample_smote",
+    "resample_smote_probe",
+    "resample_tomek",
     "media_decode_png",
     "media_decode_png_dynamic",
     "media_decode_png_filtered",
-    # (b) the thirteen keys the r9 cap displaced (8 r3-stale + the 5
-    # oldest r4 keys; r9-judge-verified at sf0.01)
-    "classify_wr_plain",
-    "classify_wr_multiclass",
-    "metrics_confusion_multiclass",
-    "classify_holdout",
-    "crossval_gm_auc",
-    "classify_wr_nominal",
-    "metrics_gm_auc_multiclass",
-    "crossval_multiclass",
-    "agg_value_stats",
-    "join_asof",
-    "join_range",
-    "window_running",
-    "json_extract",
-    # (c) plans changed in r10: arrival-order replay fixes in the
-    # funnel + ngram-novelty twins (ADVICE r9 high/medium), guard
-    # hardening in the RLE8 decoder + KMV bound, SMOTE band
-    # auto-scaling, decode-stage repartition in the media codecs
-    # (single-row-group fixture ran the whole codec in ONE task)
     "stream_funnel",
-    "stream_ngram_novelty",
-    "media_decode_rle_bmp",
-    "media_decode_bmp",
-    "media_decode_wav",
-    "stream_sketch_kmv",
-    "resample_smote",
-    "resample_smote_probe",
-    # (d) r4-checked backlog (last driver check: round 4), in
-    # CORRECTNESS_r04 artifact order
-    "window_lag_lead",
-    "window_range_frame",
-    "join_nullsafe",
-    "sql_q6",
-    "agg_grouping_sets",
-    "window_session",
-    "stream_dedup",
-    "stream_join_static",
-    "stream_sink_files",
-    "text_pii_scrub",
-    "dedup_url",
-    "sql_q3",
-    "sql_q5",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_session",
-    "stream_stateful_count",
-    "schema_fingerprint",
-    "agg_stats_moments",
-    "agg_histogram",
-    "window_ntile",
-    "sql_q13",
-    "join_interval",
-    "text_dedup_soft",
-    "token_freq_topn",
-    # -- 50-slot cap: 4 new r10 keys (a) + 13 displaced keys (b) +
-    # 8 changed-plan keys (c) = 25, so the cap consumes the first 25
-    # of the 39 (d) r4-backlog keys and lands here (the last entry in
-    # the window is token_freq_topn). R11 front-load order: (1) any
-    # new r11 keys, (2) the fourteen r4 keys below, (3) whatever is
-    # oldest after that (the r5 cohort). NOTE: any key added later
-    # this round must be inserted into (a) and displace the tail of
-    # (d) one-for-one, moving this marker up.
+    "stream_stream_join",
+    "stream_path_transitions",
+    "stream_twap",
+    "stream_anomaly_detect",
+    "stream_scd2_maintain",
+    "stream_attribution",
+    "stream_rfm",
+    "stream_daily_corr",
+    # (c) the r4-stale backlog -- after this lands, no registry key's
+    # last external check is older than round 5
     "embed_centroid_by_label",
     "simsearch_range",
     "sql_exists",
@@ -128,6 +88,64 @@ CHECK_PRIORITY: list[str] = [
     "stream_latest_event",
     "media_dedup",
     "window_funnel",
+    # (d) oldest r5 keys, CORRECTNESS_r05 artifact order
+    "resample_ros",
+    "resample_rus",
+    "dedup_decontaminate",
+    "text_bm25_topk",
+    "rulebuild_partitioned_globalcost",
+    "sql_q10",
+    "sql_q14",
+    "sql_q18",
+    "sql_q19",
+    "sql_q22",
+    "doc_pack_sequences",
+    "split_stratified",
+    "corpus_mix_sqrt",
+    "text_unigram_surprisal",
+    "sql_q7",
+    "sql_q11",
+    "sql_q15",
+    # -- 50-slot cap: 4 new r11 keys (a) + 15 changed keys (b) + 14
+    # r4-stale keys (c) = 33, so the cap takes the first 17 of the 49
+    # r5-stale keys and lands here (the last entry in the window is
+    # sql_q15). R12 front-load order: (1) any new r12 keys, (2) the
+    # remaining r5 cohort below, in CORRECTNESS_r05 artifact order.
+    # NOTE: any key added later this round must be inserted into (a)
+    # and displace the tail of (d) one-for-one, moving this marker up.
+    "sql_q17",
+    # (stream_stream_join would be next in r05 artifact order but is
+    # already in this round's (b) group above.)
+    "hyperparam_sweep",
+    "rule_coverage",
+    "scan_partition_pruned",
+    "stream_pack_sequences",
+    "sql_q4",
+    "sql_q8",
+    "sql_q21",
+    "scalar_regexp_funcs",
+    "scalar_try_funcs",
+    "join_fuzzy_match",
+    "timeseries_gapfill",
+    "classify_wr",
+    "metrics_gm_auc",
+    "rulemerge_max",
+    "doc_chunking",
+    "dedup_containment",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "scan_keel",
+    "sink_keel",
+    "rulebuild_partitioned",
+    "ruleweight_pcfcs",
+    "stream_rule_stats",
+    "dedup_minhash",
+    "dedup_minhash_keep",
+    "simsearch_topk",
+    "date_bucket",
+    "dedup_simhash",
+    "rule_conflict_resolve",
+    "rule_conflict_resolve_l5",
 ]
 
 
