@@ -461,8 +461,9 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     )
     with pytest.raises(ValueError, match="filter type"):
         _decode_png(bad_png)
-    # non-RGB8 IHDR routes to NotImplementedError (grayscale ctype=0)
-    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 0, 0, 0, 0)
+    # unsupported IHDR routes to NotImplementedError (RGBA ctype=6;
+    # grayscale/palette/Adam7 are REAL since r11 — see the variant test)
+    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0)
     chunk = (
         struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", _crc32(b"IHDR" + ihdr))
@@ -549,3 +550,63 @@ def test_jpeg_baseline_codec_roundtrip_and_rejections():
     # dims not multiples of 8 are refused at encode time
     with pytest.raises(ValueError, match="multiple-of-8"):
         _encode_jpeg_gray([[0] * 12] * 8)
+
+
+def test_png_palette_gray_and_adam7_roundtrip():
+    """The r11 color-type/interlace extensions: palette (PLTE
+    indirection), grayscale, and Adam7 seven-pass interlace must all
+    reconstruct the SAME features as the RGB formula (palette entry i
+    IS the RGB triple; gray maps v -> (v,v,v)), across filter cycling
+    and stdlib zlib level-9 streams; malformed palette inputs reject
+    cleanly."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    def expect(w, h, d):
+        run = d % 3 + 2
+        idx = lambda x, y: (d + 5 * y + 3 * (x // run)) % 256  # noqa: E731
+        t = sum(
+            idx(x, y) + (2 * idx(x, y)) % 256 + (3 * idx(x, y)) % 256
+            for y in range(h) for x in range(w)
+        )
+        c = sum(
+            (1 + x + w * y) * (
+                idx(x, y)
+                + 2 * ((2 * idx(x, y)) % 256)
+                + 3 * ((3 * idx(x, y)) % 256)
+            )
+            for y in range(h) for x in range(w)
+        )
+        return (w, h, t, c)
+
+    for w, h, d in [(4, 2, 0), (5, 3, 7), (12, 6, 238), (1, 1, 13), (16, 9, 201)]:
+        assert _decode_png(_encode_png(w, h, d, ctype=3)) == expect(w, h, d)
+        assert _decode_png(
+            _encode_png(w, h, d, interlace=1, filter_cycle=True)
+        ) == expect(w, h, d)
+        assert _decode_png(
+            _encode_png(w, h, d, ctype=3, interlace=1, level=9)
+        ) == expect(w, h, d)
+        run = d % 3 + 2
+        idx = lambda x, y: (d + 5 * y + 3 * (x // run)) % 256  # noqa: E731
+        tg = sum(3 * idx(x, y) for y in range(h) for x in range(w))
+        cg = sum(
+            (1 + x + w * y) * 6 * idx(x, y)
+            for y in range(h) for x in range(w)
+        )
+        assert _decode_png(
+            _encode_png(w, h, d, ctype=0, interlace=1, filter_cycle=True)
+        ) == (w, h, tg, cg)
+    # palette image missing its PLTE chunk -> clean rejection
+    raw = bytearray(_encode_png(5, 3, 7, ctype=3))
+    plte_at = bytes(raw).find(b"PLTE") - 4
+    import struct
+
+    (plte_len,) = struct.unpack_from(">I", raw, plte_at)
+    del raw[plte_at : plte_at + 12 + plte_len]
+    with pytest.raises(ValueError, match="without PLTE"):
+        _decode_png(bytes(raw))
