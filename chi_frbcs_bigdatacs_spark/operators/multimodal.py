@@ -1871,87 +1871,128 @@ def _jpeg_category(v: int) -> int:
     return n
 
 
-def _encode_jpeg_gray(pixels: list[list[int]]) -> bytes:
-    """Real baseline JFIF encoder for an 8-bit grayscale image whose
-    dimensions are multiples of 8. Pipeline per T.81: level shift,
-    FDCT, quantize (all-ones table), zigzag, DC differential + AC
-    run/size Huffman, byte-stuffed scan inside the full marker
-    grammar."""
+def _jpeg_encode_block(
+    bw: "_JpegBitWriter",
+    block: list[list[float]],
+    prev_dc: int,
+    dc_tab: dict[int, tuple[int, int]],
+    ac_tab: dict[int, tuple[int, int]],
+) -> int:
+    """FDCT -> quantize -> zigzag -> DC diff + AC run/size Huffman for
+    ONE 8x8 block (block indexed [x][y]); returns the new DC predictor."""
+    coef = _fdct8x8(block)
+    q = [
+        int(round(coef[u][v] / _JPEG_QUANT[8 * u + v]))
+        for u in range(8)
+        for v in range(8)
+    ]
+    zz = [q[i] for i in _ZIGZAG]
+    diff = zz[0] - prev_dc
+    cat = _jpeg_category(diff)
+    code, ln = dc_tab[cat]
+    bw.write(code, ln)
+    if cat:
+        bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+    run = 0
+    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+    for i in range(1, last_nz + 1):
+        if zz[i] == 0:
+            run += 1
+            continue
+        while run > 15:
+            zc, zl = ac_tab[0xF0]  # ZRL
+            bw.write(zc, zl)
+            run -= 16
+        size = _jpeg_category(zz[i])
+        if size > 10:
+            # T.81 baseline limits AC magnitude categories to 10
+            raise ValueError("AC coefficient out of baseline range")
+        code, ln = ac_tab[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << size) - 1, size)
+        run = 0
+    if last_nz < 63:
+        ec, el = ac_tab[0x00]  # EOB
+        bw.write(ec, el)
+    return zz[0]
+
+
+def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
+    """Real baseline JFIF encoder for 1 (grayscale) or 3 (4:4:4
+    interleaved) components of an 8-bit image whose dimensions are
+    multiples of 8. Pipeline per T.81: level shift, FDCT, quantize
+    (all-ones table), zigzag, per-component DC differential + AC
+    run/size Huffman (shared table 0, legal in baseline), byte-
+    stuffed scan inside the full marker grammar. With 3 components
+    each MCU interleaves one block per component in SOF order."""
     import struct
 
-    h, w = len(pixels), len(pixels[0])
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("baseline encoder supports 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
     if h % 8 or w % 8:
         raise ValueError("baseline fixture requires multiple-of-8 dims")
+    if any(len(p) != h or len(p[0]) != w for p in planes):
+        raise ValueError("component geometry mismatch")
     dc_tab = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_tab = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     for by in range(h // 8):
         for bx in range(w // 8):
-            block = [
-                [float(pixels[8 * by + y][8 * bx + x]) - 128.0 for y in range(8)]
-                for x in range(8)
-            ]
-            # NB _fdct8x8 takes block[x][y]; built transposed above
-            coef = _fdct8x8(block)
-            q = [
-                int(round(coef[u][v] / _JPEG_QUANT[8 * u + v]))
-                for u in range(8)
-                for v in range(8)
-            ]
-            zz = [q[i] for i in _ZIGZAG]
-            diff = zz[0] - prev_dc
-            prev_dc = zz[0]
-            cat = _jpeg_category(diff)
-            code, ln = dc_tab[cat]
-            bw.write(code, ln)
-            if cat:
-                bw.write(diff if diff > 0 else diff + (1 << cat) - 1, cat)
-            run = 0
-            last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-            for i in range(1, last_nz + 1):
-                if zz[i] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    zc, zl = ac_tab[0xF0]  # ZRL
-                    bw.write(zc, zl)
-                    run -= 16
-                size = _jpeg_category(zz[i])
-                if size > 10:
-                    # T.81 baseline limits AC magnitude categories to 10
-                    raise ValueError("AC coefficient out of baseline range")
-                code, ln = ac_tab[(run << 4) | size]
-                bw.write(code, ln)
-                bw.write(zz[i] if zz[i] > 0 else zz[i] + (1 << size) - 1, size)
-                run = 0
-            if last_nz < 63:
-                ec, el = ac_tab[0x00]  # EOB
-                bw.write(ec, el)
+            for c, plane in enumerate(planes):
+                block = [
+                    [
+                        float(plane[8 * by + y][8 * bx + x]) - 128.0
+                        for y in range(8)
+                    ]
+                    for x in range(8)
+                ]
+                # NB _fdct8x8 takes block[x][y]; built transposed above
+                prev_dc[c] = _jpeg_encode_block(
+                    bw, block, prev_dc[c], dc_tab, ac_tab
+                )
     scan = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QUANT[i] for i in _ZIGZAG))
-    sof = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp)),
+    )
     dht = seg(
         0xFFC4,
         bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
         + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
     )
-    sos = seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    sos = seg(
+        0xFFDA,
+        bytes([ncomp])
+        + b"".join(bytes([c + 1, 0x00]) for c in range(ncomp))
+        + bytes([0, 63, 0]),
+    )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     return (
         b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
     )
 
 
-def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, int, int]:
+def _encode_jpeg_gray(pixels: list[list[int]]) -> bytes:
+    return _encode_jpeg([pixels])
+
+
+def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
     """Parse + validate the full baseline marker grammar, build the
-    Huffman tables FROM the DHT segment, entropy-decode, dequantize,
-    inverse-zigzag, IDCT and level-shift. Returns (w, h, pixel_sum,
-    positional_checksum) with checksum = sum (1 + x + w*y) * px."""
+    Huffman tables FROM the DHT segment, entropy-decode (interleaved
+    MCUs, per-component DC predictors), dequantize, inverse-zigzag,
+    IDCT and level-shift. Returns (w, h, channel_sum,
+    positional_checksum) with checksum = sum over pixels of
+    (1 + x + w*y) * sum_c (c+1) * v_c — for grayscale that reduces
+    to the r11 single-component formula unchanged."""
     import struct
 
     if raw[:2] != b"\xff\xd8":
@@ -1961,6 +2002,7 @@ def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, int, int]:
     dc_rd: dict[tuple[int, int], int] | None = None
     ac_rd: dict[tuple[int, int], int] | None = None
     w = h = -1
+    ncomp = -1
     while pos < len(raw):
         if pos + 4 > len(raw):
             raise ValueError("truncated segment header")
@@ -1985,8 +2027,13 @@ def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("invalid quantization table")
         elif marker == 0xFFC0:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body)
-            if prec != 8 or ncomp != 1 or body[7] != 0x11:
-                raise NotImplementedError("only 8-bit single-component 1x1")
+            if prec != 8 or ncomp not in (1, 3):
+                raise NotImplementedError("only 8-bit 1- or 3-component")
+            if any(
+                body[6 + 3 * c + 1] != 0x11 or body[6 + 3 * c + 2] != 0
+                for c in range(ncomp)
+            ):
+                raise NotImplementedError("only 1x1 sampling, quant table 0")
             if w % 8 or h % 8:
                 raise NotImplementedError("partial MCUs unsupported")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
@@ -2012,10 +2059,16 @@ def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, int, int]:
                     ac_rd = rd
                 p += 17 + nv
         elif marker == 0xFFDA:
-            if body[0] != 1 or body[2] != 0x00:
-                raise NotImplementedError("single-scan grayscale only")
-            if quant is None or dc_rd is None or ac_rd is None or w < 0:
-                raise ValueError("SOS before DQT/SOF/DHT")
+            if w < 0:
+                raise ValueError("SOS before SOF")
+            if body[0] != ncomp or any(
+                body[1 + 2 * c + 1] != 0x00 for c in range(ncomp)
+            ):
+                raise NotImplementedError(
+                    "single interleaved scan with tables 0/0 only"
+                )
+            if quant is None or dc_rd is None or ac_rd is None:
+                raise ValueError("SOS before DQT/DHT")
             break
         elif 0xFFE0 <= marker <= 0xFFEF or marker == 0xFFFE:
             continue  # APPn / COM
@@ -2025,48 +2078,54 @@ def _decode_jpeg_gray(raw: bytes) -> tuple[int, int, int, int]:
         raise ValueError("no SOS segment")
     rd = _JpegBitReader(raw, pos)
     total = checksum = 0
-    prev_dc = 0
+    prev_dc = [0] * ncomp
     for by in range(h // 8):
         for bx in range(w // 8):
-            cat = rd.decode(dc_rd)
-            diff = 0
-            if cat:
-                v = rd.read_bits(cat)
-                diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-            prev_dc += diff
-            zz = [0] * 64
-            zz[0] = prev_dc
-            i = 1
-            while i < 64:
-                sym = rd.decode(ac_rd)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0x0F
-                if size == 0:
-                    if run != 15:
-                        raise ValueError("invalid AC symbol")
-                    i += 16  # ZRL
-                    continue
-                i += run
-                if i >= 64:
-                    raise ValueError("AC run overflows block")
-                v = rd.read_bits(size)
-                zz[i] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                i += 1
-            coef = [[0.0] * 8 for _ in range(8)]
-            for zi, nat in enumerate(_ZIGZAG):
-                coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
-            out = _idct8x8(coef)
-            for x in range(8):
-                for y in range(8):
-                    px = int(round(out[x][y] + 128.0))
-                    px = 0 if px < 0 else 255 if px > 255 else px
-                    gx, gy = 8 * bx + x, 8 * by + y
-                    total += px
-                    checksum += (1 + gx + w * gy) * px
+            for c in range(ncomp):
+                cat = rd.decode(dc_rd)
+                diff = 0
+                if cat:
+                    v = rd.read_bits(cat)
+                    diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+                prev_dc[c] += diff
+                zz = [0] * 64
+                zz[0] = prev_dc[c]
+                i = 1
+                while i < 64:
+                    sym = rd.decode(ac_rd)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0x0F
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError("invalid AC symbol")
+                        i += 16  # ZRL
+                        continue
+                    i += run
+                    if i >= 64:
+                        raise ValueError("AC run overflows block")
+                    v = rd.read_bits(size)
+                    zz[i] = (
+                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+                    )
+                    i += 1
+                coef = [[0.0] * 8 for _ in range(8)]
+                for zi, nat in enumerate(_ZIGZAG):
+                    coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
+                out = _idct8x8(coef)
+                for x in range(8):
+                    for y in range(8):
+                        px = int(round(out[x][y] + 128.0))
+                        px = 0 if px < 0 else 255 if px > 255 else px
+                        gx, gy = 8 * bx + x, 8 * by + y
+                        total += px
+                        checksum += (1 + gx + w * gy) * (c + 1) * px
     if raw[rd.pos : rd.pos + 2] != b"\xff\xd9":
         raise ValueError("missing EOI after scan")
     return w, h, total, checksum
+
+
+_decode_jpeg_gray = _decode_jpeg  # r11 name kept for the gray key/tests
 
 
 JPEG_MOD = 251
@@ -2159,9 +2218,117 @@ FROM px
 """
 
 
+# --- interleaved 3-component baseline JPEG (4:4:4) ---------------------------
+# The color half of the baseline surface: three components interleave
+# one block each per MCU in SOF order, each with its OWN DC predictor
+# chain (three independent differential walks through the shared
+# Huffman table — a real grammar surface the grayscale key cannot
+# reach). Component c of block (bx, by) is constant at
+# (s + 17*by + 23*bx + 41*c) % 256, so every block is DC-only and the
+# decode is bit-exact; checksum weights channels 1/2/3 (the PNG keys'
+# convention), so a swapped component order or crossed DC predictor
+# flips the hash.
+
+
+def q_media_decode_jpeg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).cast("int").alias("bw"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("bh"),
+        (F.col("doc_id") % JPEG_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_jpeg(
+                            [
+                                [
+                                    [
+                                        (
+                                            int(s)
+                                            + 17 * (y // 8)
+                                            + 23 * (x // 8)
+                                            + 41 * c
+                                        )
+                                        % 256
+                                        for x in range(8 * int(a))
+                                    ]
+                                    for y in range(8 * int(b))
+                                ]
+                                for c in range(3)
+                            ]
+                        )
+                        for a, b, s in zip(pdf["bw"], pdf["bh"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_jpeg(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "jpeg_w": [f[0] for f in feats],
+                    "jpeg_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_px": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, jpeg_w int, jpeg_h int, n_px long,"
+        " mean_px double, pos_checksum long",
+    ).withColumn("mean_px", F.round("mean_px", 6))
+
+
+MEDIA_DECODE_JPEG_COLOR_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 1 AS INT) AS bw,
+         CAST(doc_id % 2 + 1 AS INT) AS bh,
+         doc_id % {JPEG_MOD} AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * bw AS INT) AS jpeg_w,
+       CAST(8 * bh AS INT) AS jpeg_h,
+       CAST(64 * bw * bh AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(bh), by ->
+           list_transform(range(bw), bx -> CAST(
+               64 * ((s + 17 * by + 23 * bx) % 256
+                     + (s + 17 * by + 23 * bx + 41) % 256
+                     + (s + 17 * by + 23 * bx + 82) % 256) AS DOUBLE)))))
+         / (3 * 64 * bw * bh), 6) AS mean_px,
+       CAST(list_sum(flatten(list_transform(range(bh), by ->
+           list_transform(range(bw), bx -> CAST(
+               ((s + 17 * by + 23 * bx) % 256
+                + 2 * ((s + 17 * by + 23 * bx + 41) % 256)
+                + 3 * ((s + 17 * by + 23 * bx + 82) % 256))
+               * (64 + 8 * (64 * bx + 28)
+                  + 8 * (8 * bw) * (64 * by + 28)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
     register("media_decode_jpeg", q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL)
+    register(
+        "media_decode_jpeg_color",
+        q_media_decode_jpeg_color,
+        MEDIA_DECODE_JPEG_COLOR_SQL,
+    )
     register(
         "media_decode_rle_bmp", q_media_decode_rle_bmp, MEDIA_DECODE_RLE_BMP_SQL
     )

@@ -610,3 +610,50 @@ def test_png_palette_gray_and_adam7_roundtrip():
     del raw[plte_at : plte_at + 12 + plte_len]
     with pytest.raises(ValueError, match="without PLTE"):
         _decode_png(bytes(raw))
+
+
+def test_jpeg_color_interleave_roundtrip():
+    """3-component 4:4:4 baseline: flat per-component blocks decode
+    bit-exactly through three INDEPENDENT DC predictor chains; random
+    textured components drive the interleaved AC path with the same
+    quant=1 error bound; component-count mismatches reject cleanly."""
+    import random
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    for bw, bh, s in [(1, 1, 3), (3, 2, 99), (2, 2, 250)]:
+        w, h = 8 * bw, 8 * bh
+        planes = [
+            [
+                [(s + 17 * (y // 8) + 23 * (x // 8) + 41 * c) % 256
+                 for x in range(w)]
+                for y in range(h)
+            ]
+            for c in range(3)
+        ]
+        gw, gh, total, chk = _decode_jpeg(_encode_jpeg(planes))
+        assert (gw, gh) == (w, h)
+        assert total == sum(sum(sum(r) for r in p) for p in planes)
+        assert chk == sum(
+            (1 + x + w * y) * sum((c + 1) * planes[c][y][x] for c in range(3))
+            for y in range(h) for x in range(w)
+        )
+    rng = random.Random(7)
+    for _ in range(6):
+        w8, h8 = rng.randint(1, 3), rng.randint(1, 2)
+        planes = [
+            [[rng.randint(0, 255) for _ in range(8 * w8)] for _ in range(8 * h8)]
+            for _ in range(3)
+        ]
+        w, h, total, _chk = _decode_jpeg(_encode_jpeg(planes))
+        true_total = sum(sum(sum(r) for r in p) for p in planes)
+        assert abs(total - true_total) / (3 * w * h) <= 1.0
+    with pytest.raises(ValueError, match="1 or 3 components"):
+        _encode_jpeg([[[0] * 8] * 8] * 2)
+    with pytest.raises(ValueError, match="geometry mismatch"):
+        _encode_jpeg([[[0] * 8] * 8, [[0] * 8] * 8, [[0] * 16] * 8])
