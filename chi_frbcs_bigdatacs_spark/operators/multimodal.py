@@ -1854,7 +1854,7 @@ class _JpegBitReader:
 
     def decode(self, table: dict[tuple[int, int], int]) -> int:
         code, ln = 0, 0
-        while ln <= 16:
+        while ln < 16:  # max JPEG code length is 16 bits
             code = (code << 1) | self.read_bit()
             ln += 1
             sym = table.get((code, ln))
@@ -1933,7 +1933,9 @@ def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
     h, w = len(planes[0]), len(planes[0][0])
     if h % 8 or w % 8:
         raise ValueError("baseline fixture requires multiple-of-8 dims")
-    if any(len(p) != h or len(p[0]) != w for p in planes):
+    if any(
+        len(p) != h or any(len(row) != w for row in p) for p in planes
+    ):
         raise ValueError("component geometry mismatch")
     dc_tab = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
     ac_tab = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)

@@ -1810,17 +1810,24 @@ def q_simsearch_ivf_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = s + (a[i] - b[i]) * (a[i] - b[i])
         return s
 
+    # tag each (qid, cell) with the cell's RANK once at the max probe
+    # level — level-L candidates are exactly rank <= L, and ADC is
+    # level-independent, so the expensive codes/LUT joins and the ADC
+    # aggregation run ONCE over the max-level candidate set instead of
+    # once per level (levels 1 and 4 are subsets of 8: ~62% of the
+    # per-level join volume would be redundant recompute)
     probe_rows = []
     for qid, qv in qrows:
         ranked = sorted(cent, key=lambda kv: (sqdist(qv, kv[1]), kv[0]))
-        for np_ in NPROBE_LEVELS:
-            for cell, _vec in ranked[:np_]:
-                probe_rows.append((np_, qid, cell))
-    probes = spark.createDataFrame(probe_rows, "n_probe int, qid long, k int")
+        for rank, (cell, _vec) in enumerate(
+            ranked[: max(NPROBE_LEVELS)], start=1
+        ):
+            probe_rows.append((qid, cell, rank))
+    probes = spark.createDataFrame(probe_rows, "qid long, k int, rank int")
     cand = (
         a2.select("vec_id", "k")
         .join(F.broadcast(probes), "k")
-        .select("n_probe", "qid", "vec_id")
+        .select("qid", "vec_id", "rank")
     )
     # trained PQ codebook over the full corpus; codes join cand on
     # vec_id (equi, co-partitionable with the assignment at scale)
@@ -1838,14 +1845,18 @@ def q_simsearch_ivf_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     adc = (
         cand.join(codes, "vec_id")
         .join(F.broadcast(lut), ["qid", "m", "code"])
-        .groupBy("n_probe", "qid", "vec_id")
+        .groupBy("qid", "vec_id", "rank")
         .agg(F.sum("ld").alias("adc"))
+    )
+    levels = spark.createDataFrame(
+        [(p,) for p in NPROBE_LEVELS], "n_probe int"
     )
     ws = Window.partitionBy("n_probe", "qid").orderBy(
         F.col("adc").asc(), F.col("vec_id").asc()
     )
     short = (
-        adc.withColumn("rn", F.row_number().over(ws))
+        adc.join(F.broadcast(levels), adc["rank"] <= levels["n_probe"])
+        .withColumn("rn", F.row_number().over(ws))
         .filter(F.col("rn") <= ADC_SHORTLIST)
         .select("n_probe", "qid", "vec_id")
     )

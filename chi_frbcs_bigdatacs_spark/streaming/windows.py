@@ -400,7 +400,9 @@ def _recovery_phase(
     import os
     import shutil as _sh
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from chi_frbcs_bigdatacs_spark.sources.testdata import read_events_raw
+
+    batch = read_events_raw(spark, sf_dir)
     full = _events_tsorder_src(spark, sf_dir, N_RECOVERY_FILES)
     src, sink, ckpt = f"{work}/src", f"{work}/data", f"{work}/ckpt"
     os.makedirs(src, exist_ok=True)
@@ -541,9 +543,12 @@ def _events_late_src(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+    from chi_frbcs_bigdatacs_spark.sources.testdata import (
+        load_events,
+        read_events_raw,
+    )
 
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = read_events_raw(spark, sf_dir)
     src = _events_late_src(spark, sf_dir)
     stream = (
         spark.readStream.schema(batch.schema)
@@ -583,13 +588,20 @@ def q_stream_late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_staged_closed"))
     )
+    # left join FROM staged: if fixture drift ever made every closed
+    # row of a type a straggler, the stream emits nothing for it and
+    # an inner join would silently drop the type — the oracle still
+    # emits (type, 0, 0, N), so keep failure modes loud instead
     return (
-        acc.join(staged, "event_type")
+        staged.join(acc, "event_type", "left_outer")
         .select(
             "event_type",
-            "n_windows",
-            "n_accepted",
-            (F.col("n_staged_closed") - F.col("n_accepted"))
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_accepted", F.lit(0)).cast("long").alias("n_accepted"),
+            (
+                F.col("n_staged_closed")
+                - F.coalesce("n_accepted", F.lit(0))
+            )
             .cast("long")
             .alias("n_dropped_late"),
         )
