@@ -1713,8 +1713,173 @@ FROM s
 """
 
 
+# --- HyperLogLog distinct-count sketch (r11) ----------------------------------
+# The mergeable-sketch family had KMV (stream_sketch_kmv) and
+# approx-percentile (discretize_quantile_sketch); HLL is the canonical
+# third member and the one every 100 TB distinct-count runs on. The
+# engines' built-ins (Spark HLL++ vs DuckDB's approx_count_distinct)
+# are NOT hash-compatible, so this key builds the sketch itself from
+# the repo's md5 idiom — both engines compute the IDENTICAL registers:
+#   h     = 60-bit int from md5('hll:' || user_id)   [dedup_near idiom]
+#   reg   = h % 256, w = h div 256 (52 bits)
+#   rho   = leading-zero rank = 53 - bitlength(w)  (53 if w = 0)
+# and the estimator's denominator is kept in EXACT INTEGER space —
+# sum over registers of 2^(53 - max_rho) plus 2^53 per empty register
+# (max 2^61, fits BIGINT) — so no float-sum ordering can ever drift;
+# the only float ops are one division, the alpha_256*m^2 scale, and
+# the small-range ln() correction, all in pinned textual order and
+# rounded to 4dp. Output per event type: exact distinct, estimate,
+# relative error (the artifact shows the sketch's real accuracy), and
+# a 3-sigma acceptance flag (sigma ~= 1.04/sqrt(256) = 6.5%).
+# Scale shape: ONE hash-agg by (type, register) with map-side combine
+# (<= types x 256 rows), then a tiny per-type fold — the map-only
+# mergeable shape HLL exists for. The exact count lives beside it for
+# the error column (at 100 TB you would drop that branch).
+HLL_M = 256
+HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)  # alpha_256, same literal in SQL
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    hashed = ev.select(
+        "event_type",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("hll:"), F.col("user_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    regs = (
+        hashed.select(
+            "event_type",
+            (F.col("h") % HLL_M).alias("reg"),
+            F.expr("h div 256").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(53)).otherwise(
+                F.lit(53) - F.length(F.expr("bin(w)"))
+            ),
+        )
+        .groupBy("event_type", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+    folded = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)")).alias("s_obs"),
+        F.count(F.lit(1)).alias("n_obs"),
+    )
+    est = folded.select(
+        "event_type",
+        (
+            F.col("s_obs")
+            + (F.lit(HLL_M) - F.col("n_obs"))
+            * F.expr("shiftleft(CAST(1 AS BIGINT), 53)")
+        ).alias("denom"),
+        (F.lit(HLL_M) - F.col("n_obs")).alias("v_empty"),
+    ).select(
+        "event_type",
+        F.when(
+            (
+                F.lit(HLL_ALPHA * HLL_M * HLL_M)
+                * (F.lit(9007199254740992.0) / F.col("denom"))
+                <= F.lit(2.5 * HLL_M)
+            )
+            & (F.col("v_empty") > 0),
+            F.lit(float(HLL_M))
+            * F.log(F.lit(float(HLL_M)) / F.col("v_empty")),
+        )
+        .otherwise(
+            F.lit(HLL_ALPHA * HLL_M * HLL_M)
+            * (F.lit(9007199254740992.0) / F.col("denom"))
+        )
+        .alias("e"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_exact")
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_exact",
+            F.round(F.col("e"), 4).alias("hll_estimate"),
+            F.round(
+                F.abs(F.col("e") - F.col("n_exact"))
+                / F.col("n_exact")
+                * F.lit(100.0),
+                4,
+            ).alias("rel_err_pct"),
+            (
+                F.abs(F.col("e") - F.col("n_exact")) / F.col("n_exact")
+                <= F.lit(3.0 * 1.04) / F.lit(16.0)
+            ).alias("within_3_sigma"),
+        )
+    )
+
+
+def _sketch_hll_sql() -> str:
+    hexv = (
+        "list_sum(list_transform(range(0, 15), "
+        "i -> (CAST(strpos('0123456789abcdef', "
+        "substr(md5('hll:' || CAST(user_id AS VARCHAR)), i + 1, 1)) AS BIGINT)"
+        " - 1) << (4 * (14 - i))))"
+    )
+    return f"""
+WITH h AS (
+  SELECT event_type, {hexv} AS h FROM events
+),
+regs AS (
+  SELECT event_type, h % {HLL_M} AS reg,
+         max(CASE WHEN h // 256 = 0 THEN 53
+                  ELSE 53 - length(bin(h // 256)) END) AS mx
+  FROM h GROUP BY 1, 2
+),
+folded AS (
+  SELECT event_type,
+         sum(CAST(1 AS BIGINT) << (53 - mx)) AS s_obs,
+         count(*) AS n_obs
+  FROM regs GROUP BY 1
+),
+est AS (
+  SELECT event_type,
+         CASE WHEN {HLL_ALPHA * HLL_M * HLL_M!r}
+                   * (9007199254740992.0 /
+                      (s_obs + ({HLL_M} - n_obs)
+                               * (CAST(1 AS BIGINT) << 53)))
+                   <= {2.5 * HLL_M!r}
+               AND ({HLL_M} - n_obs) > 0
+              THEN {float(HLL_M)!r}
+                   * ln({float(HLL_M)!r} / ({HLL_M} - n_obs))
+              ELSE {HLL_ALPHA * HLL_M * HLL_M!r}
+                   * (9007199254740992.0 /
+                      (s_obs + ({HLL_M} - n_obs)
+                               * (CAST(1 AS BIGINT) << 53)))
+         END AS e
+  FROM folded
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY 1
+)
+SELECT x.event_type, x.n_exact,
+       round(e.e, 4) AS hll_estimate,
+       round(abs(e.e - x.n_exact) / x.n_exact * 100.0, 4) AS rel_err_pct,
+       abs(e.e - x.n_exact) / x.n_exact <= 3.0 * 1.04 / 16.0
+           AS within_3_sigma
+FROM exact x JOIN est e ON x.event_type = e.event_type
+"""
+
+
 def register_all() -> None:
     register("timeseries_gapfill", q_timeseries_gapfill, TIMESERIES_GAPFILL_SQL)
+    register("sketch_hll_distinct", q_sketch_hll_distinct, _sketch_hll_sql())
     register("agg_active_users_7d", q_agg_active_users_7d, AGG_ACTIVE_USERS_7D_SQL)
     register(
         "window_retention_cohorts",

