@@ -147,6 +147,17 @@ def main() -> None:
         "queries_ext": ext_timings,
         "value_ext_warm": round(sum(ext_warm.values()), 3),
         "queries_ext_warm": ext_warm,
+        # r11 added resample_smote_probe as the 11th ext key; these
+        # subtotals exclude it so the ext series stays comparable with
+        # the 10-key BASELINE_BENCH/BENCH_r09-r10 artifacts.
+        "value_ext_baseline10": round(
+            sum(v for k, v in ext_timings.items() if k != "resample_smote_probe"),
+            3,
+        ),
+        "value_ext_warm_baseline10": round(
+            sum(v for k, v in ext_warm.items() if k != "resample_smote_probe"),
+            3,
+        ),
     }
     if errs or warm_errs or ext_errs or ext_warm_errs:
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",
