@@ -1739,10 +1739,10 @@ HLL_M = 256
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)  # alpha_256, same literal in SQL
 
 
-def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
-
-    ev = load_events(spark, sf_dir)
+def hll_registers(ev: DataFrame) -> DataFrame:
+    """The sketch STATE: (event_type, reg, mx) — at most HLL_M rows
+    per type, max-mergeable. Factored so tests can pin the bound the
+    100 TB mergeability claim rests on."""
     hashed = ev.select(
         "event_type",
         F.conv(
@@ -1757,7 +1757,7 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("h"),
     )
-    regs = (
+    return (
         hashed.select(
             "event_type",
             (F.col("h") % HLL_M).alias("reg"),
@@ -1772,6 +1772,13 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "reg")
         .agg(F.max("rho").alias("mx"))
     )
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    regs = hll_registers(ev)
     folded = regs.groupBy("event_type").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)")).alias("s_obs"),
         F.count(F.lit(1)).alias("n_obs"),

@@ -437,7 +437,15 @@ def _recovery_phase(
 def q_stream_checkpoint_recovery(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    work = staged_dir("events_recovery", sf_dir, lambda d: None)
+    import uuid as _uuid
+
+    # a FRESH work dir per invocation (unique staged_dir kind, cleaned
+    # at exit): staged_dir's build-once memoization would otherwise
+    # hand a second call in the same process the completed checkpoint,
+    # and the "recovery" measured would be a plain parquet re-read
+    work = staged_dir(
+        f"events_recovery_{_uuid.uuid4().hex[:8]}", sf_dir, lambda d: None
+    )
     _recovery_phase(spark, sf_dir, work, RECOVERY_PHASE1)  # then terminate
     _recovery_phase(spark, sf_dir, work, N_RECOVERY_FILES)  # SAME checkpoint
     return spark.read.parquet(f"{work}/data")

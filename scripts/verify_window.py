@@ -33,6 +33,7 @@ def main() -> int:
 
     from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
     from chi_frbcs_bigdatacs_spark.session import get_spark
+    from chi_frbcs_bigdatacs_spark.sources.testdata import TABLES
     from tests.parity import compare
 
     spark = get_spark()
@@ -40,10 +41,7 @@ def main() -> int:
     reg = get_registry()
     window = list(reg)[:n]
     con = duckdb.connect()
-    for t in (
-        "region", "nation", "customer", "supplier", "part",
-        "orders", "lineitem", "events", "documents", "embeddings",
-    ):
+    for t in TABLES:  # stays in lockstep with tests/conftest.py's views
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
         )

@@ -618,8 +618,22 @@ def test_hll_sketch_is_accurate_and_register_bounded(spark):
     for r in rows:
         assert r.within_3_sigma, f"{r.event_type}: rel_err {r.rel_err_pct}%"
         assert r.hll_estimate > 0
-    # register-boundedness: the per-type register table cannot exceed m
+    # register-boundedness: the ACTUAL sketch state (hll_registers) is
+    # capped at HLL_M rows per type with reg in [0, m) and rho in
+    # [1, 53] — the mergeable-state bound the 100 TB claim rests on
+    from chi_frbcs_bigdatacs_spark.operators.curation import hll_registers
     from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
 
-    n_types = load_events(spark, SF_SMALL).select("event_type").distinct().count()
-    assert n_types * HLL_M >= n_types  # sanity; the fold input is <= types*m
+    regs = hll_registers(load_events(spark, SF_SMALL))
+    per_type = {
+        r.event_type: r.n
+        for r in regs.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert per_type and all(0 < n <= HLL_M for n in per_type.values()), per_type
+    bad = regs.filter(
+        (F.col("reg") < 0) | (F.col("reg") >= HLL_M)
+        | (F.col("mx") < 1) | (F.col("mx") > 53)
+    ).count()
+    assert bad == 0
