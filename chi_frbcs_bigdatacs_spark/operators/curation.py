@@ -1774,11 +1774,11 @@ def hll_registers(ev: DataFrame) -> DataFrame:
     )
 
 
-def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
-
-    ev = load_events(spark, sf_dir)
-    regs = hll_registers(ev)
+def hll_estimate(regs: DataFrame, ev: DataFrame) -> DataFrame:
+    """Finisher shared by the batch key and the streaming twin: fold
+    the register table (integer-exact denominator), apply the
+    small-range correction, and join the exact distinct count for the
+    artifact's accuracy columns."""
     folded = regs.groupBy("event_type").agg(
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mx)")).alias("s_obs"),
         F.count(F.lit(1)).alias("n_obs"),
@@ -1830,6 +1830,13 @@ def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_3_sigma"),
         )
     )
+
+
+def q_sketch_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    ev = load_events(spark, sf_dir)
+    return hll_estimate(hll_registers(ev), ev)
 
 
 def _sketch_hll_sql() -> str:

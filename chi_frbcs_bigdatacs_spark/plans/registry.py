@@ -61,6 +61,7 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_jpeg_color",
     "stream_checkpoint_recovery",
     "sketch_hll_distinct",
+    "stream_sketch_hll",
     # (b) plans/oracles changed in r11
     "resample_smote",
     "resample_smote_probe",
@@ -105,18 +106,18 @@ CHECK_PRIORITY: list[str] = [
     "sql_q19",
     "sql_q22",
     "doc_pack_sequences",
-    "split_stratified",
-    # -- 50-slot cap: 9 new r11 keys (a) + 15 changed keys (b) + 14
-    # r4-stale keys (c) = 38, so the cap takes the first 12 of the 49
+    # -- 50-slot cap: 10 new r11 keys (a) + 15 changed keys (b) + 14
+    # r4-stale keys (c) = 39, so the cap takes the first 11 of the 49
     # r5-stale keys and lands here (the last entry in the window is
-    # split_stratified; the late-added PNG palette/interlaced, JPEG
-    # color, checkpoint-recovery and HLL keys displaced
-    # corpus_mix_sqrt/text_unigram_surprisal/sql_q7/q11/q15
-    # one-for-one).
+    # doc_pack_sequences; the late-added PNG palette/interlaced, JPEG
+    # color, checkpoint-recovery and both HLL keys displaced
+    # split_stratified/corpus_mix_sqrt/text_unigram_surprisal/
+    # sql_q7/q11/q15 one-for-one).
     # R12 front-load order: (1) any new r12 keys, (2) the remaining
     # r5 cohort below, in CORRECTNESS_r05 artifact order.
     # NOTE: any key added later this round must be inserted into (a)
     # and displace the tail of (d) one-for-one, moving this marker up.
+    "split_stratified",
     "corpus_mix_sqrt",
     "text_unigram_surprisal",
     "sql_q7",

@@ -372,6 +372,37 @@ WHERE cts >= vts AND cts < vts + INTERVAL {ATTRIB_WINDOW_MIN} MINUTE
 """
 
 
+# --- streaming HLL: the sketch IS the streaming state -------------------------
+# The streaming twin of sketch_hll_distinct, and the cleanest possible
+# demonstration that an HLL is mergeable state: the register table is
+# a plain groupBy(event_type, reg).max(rho), which Structured
+# Streaming maintains INCREMENTALLY as rows arrive — state is capped
+# at |types| x HLL_M keys no matter how much data streams through
+# (the defining sketch property; contrast a streaming exact
+# count-distinct, whose state grows with cardinality). max is
+# commutative/associative/idempotent, so the final registers are
+# arrival-order invariant and bit-equal to the batch build; the
+# finisher (integer-exact fold + small-range correction + accuracy
+# columns) is SHARED CODE with the batch key, and the oracle is the
+# same closed-form SQL.
+
+
+def q_stream_sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        hll_estimate,
+        hll_registers,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_events
+
+    # 6-file staged source -> 6 micro-batches: the register state is
+    # genuinely MAINTAINED across batches, not built in one shot
+    ev = _events_stream_ordered(spark, sf_dir).select(
+        "event_type", "user_id"
+    )
+    regs = _run_to_memory(hll_registers(ev), mode="complete")
+    return hll_estimate(regs, load_events(spark, sf_dir))
+
+
 # --- checkpoint recovery: stateful restart is exactly-once -------------------
 # The durability story no other key proves: a STATEFUL query (tumbling
 # window count under a watermark) is run in TWO sessions against the
@@ -650,6 +681,9 @@ def register_all() -> None:
         q_stream_checkpoint_recovery,
         STREAM_CHECKPOINT_RECOVERY_SQL,
     )
+    from chi_frbcs_bigdatacs_spark.operators.curation import _sketch_hll_sql
+
+    register("stream_sketch_hll", q_stream_sketch_hll, _sketch_hll_sql())
     register("stream_tumbling", q_stream_tumbling, STREAM_TUMBLING_SQL)
     register("stream_sliding", q_stream_sliding, STREAM_SLIDING_SQL)
     register("stream_session", q_stream_session, STREAM_SESSION_SQL)

@@ -407,3 +407,21 @@ def test_checkpoint_recovery_really_restores_state(spark, tmp_path):
     p2_keys = set(f_map) - set(p1_map)
     straddlers = [k for k in p2_keys if pd.Timestamp(k[0]) < t_boundary]
     assert straddlers, "no phase-2 window straddles the restart boundary"
+
+
+def test_stream_hll_equals_batch_sketch(spark):
+    """The streaming HLL twin must equal the batch key row for row:
+    max-merge registers are arrival-order invariant, and the finisher
+    is shared code — any divergence means the incremental state
+    maintenance corrupted a register."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        q_sketch_hll_distinct,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.windows import (
+        q_stream_sketch_hll,
+    )
+    from tests.conftest import SF_SMALL
+
+    batch = sorted(map(tuple, q_sketch_hll_distinct(spark, SF_SMALL).collect()))
+    stream = sorted(map(tuple, q_stream_sketch_hll(spark, SF_SMALL).collect()))
+    assert stream == batch
