@@ -1,0 +1,148 @@
+"""Hypothesis property tests for the pure-Python media codecs.
+
+The example-based codec tests (test_edge_cases.py) pin known shapes;
+these sweep RANDOMIZED geometry/content so the wire-format corners the
+examples never chose — odd widths per Adam7 pass, filter/ctype/level
+combinations, JPEG AC patterns near the category boundaries — are
+machine-generated every CI run. Pure-Python, no Spark session.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _png_expect(w: int, h: int, d: int) -> tuple[int, int, int, int]:
+    run = d % 3 + 2
+
+    def idx(x: int, y: int) -> int:
+        return (d + 5 * y + 3 * (x // run)) % 256
+
+    t = sum(
+        idx(x, y) + (2 * idx(x, y)) % 256 + (3 * idx(x, y)) % 256
+        for y in range(h)
+        for x in range(w)
+    )
+    c = sum(
+        (1 + x + w * y)
+        * (
+            idx(x, y)
+            + 2 * ((2 * idx(x, y)) % 256)
+            + 3 * ((3 * idx(x, y)) % 256)
+        )
+        for y in range(h)
+        for x in range(w)
+    )
+    return (w, h, t, c)
+
+
+@settings(max_examples=80, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    d=st.integers(min_value=0, max_value=238),
+    ctype=st.sampled_from([0, 2, 3]),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 1, 9]),
+)
+def test_png_all_wire_formats_roundtrip(w, h, d, ctype, interlace, filter_cycle, level):
+    """EVERY combination of color type x interlace x filter cycling x
+    compressor (our fixed-Huffman or stdlib zlib at stored/fixed/
+    dynamic levels) must decode to the closed-form features — palette
+    and RGB identically, grayscale to the (v,v,v) mapping."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=ctype, interlace=interlace,
+    )
+    got = _decode_png(raw)
+    if ctype in (2, 3):
+        assert got == _png_expect(w, h, d)
+    else:
+        run = d % 3 + 2
+
+        def idx(x: int, y: int) -> int:
+            return (d + 5 * y + 3 * (x // run)) % 256
+
+        tg = sum(3 * idx(x, y) for y in range(h) for x in range(w))
+        cg = sum(
+            (1 + x + w * y) * 6 * idx(x, y)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert got == (w, h, tg, cg)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=2),
+    data=st.data(),
+    ncomp=st.sampled_from([1, 3]),
+)
+def test_jpeg_random_images_bounded_drift(bw, bh, data, ncomp):
+    """Random textured images through the REAL transform pipeline:
+    with the all-ones quant table, reconstruction drift is bounded by
+    coefficient rounding alone — mean per-pixel error must stay under
+    one grey level for every geometry and component count."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    planes = [
+        [
+            [data.draw(st.integers(min_value=0, max_value=255)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        for _ in range(ncomp)
+    ]
+    gw, gh, total, _chk = _decode_jpeg(_encode_jpeg(planes))
+    assert (gw, gh) == (w, h)
+    true_total = sum(sum(sum(r) for r in p) for p in planes)
+    assert abs(total - true_total) / (ncomp * w * h) <= 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=12, max_size=12
+    ),
+    ncomp=st.sampled_from([1, 3]),
+)
+def test_jpeg_flat_blocks_always_bit_exact(bw, bh, vals, ncomp):
+    """ANY per-block-constant image (not just the fixture formula)
+    must survive the DCT round trip bit-exactly — DC-only blocks are
+    the codec's exactness contract, and the per-component DC
+    differential chains must never cross."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    planes = [
+        [
+            [vals[(c * 4 + (y // 8) * bw + (x // 8)) % 12] for x in range(w)]
+            for y in range(h)
+        ]
+        for c in range(ncomp)
+    ]
+    gw, gh, total, chk = _decode_jpeg(_encode_jpeg(planes))
+    assert (gw, gh) == (w, h)
+    assert total == sum(sum(sum(r) for r in p) for p in planes)
+    assert chk == sum(
+        (1 + x + w * y)
+        * sum((c + 1) * planes[c][y][x] for c in range(ncomp))
+        for y in range(h)
+        for x in range(w)
+    )
