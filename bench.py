@@ -48,7 +48,7 @@ HEADLINE_EXT = [
     "agg_market_basket",         # basket-key pair mining (late r8)
     "timeseries_interpolate",    # zero-join union-window resample (late r8)
     "simsearch_pq_recall",       # Lloyd-trained PQ codebook + ADC recall (r9)
-    "resample_smote_probe",      # SMOTE grid-pair probe (r10 band fix: 2.5s)
+    "resample_smote_probe",      # SMOTE grid-pair probe (warm 5.8-6.5s, NOTES r11)
 ]
 
 

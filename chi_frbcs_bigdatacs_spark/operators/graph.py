@@ -625,13 +625,19 @@ def lpa_converged_semisync(
 
 PR_REL_TOL_PPM = 20_000  # default RELATIVE stop: max |dr|/r_prev <= 2%
 
+# Sentinel so the relative criterion only kicks in when the caller did
+# NOT ask for a specific absolute tolerance (ADVICE r11: OR-ing the 2%
+# relative stop onto an explicit tol_micro silently loosened existing
+# callers of the documented tol_micro idiom).
+_REL_TOL_DEFAULT = object()
+
 
 def pagerank_converged(
     spark: SparkSession,
     sf_dir: str,
     max_rounds: int = 60,
     tol_micro: int = 0,
-    rel_tol_ppm: int | None = PR_REL_TOL_PPM,
+    rel_tol_ppm: int | None | object = _REL_TOL_DEFAULT,
 ) -> tuple[DataFrame, int, bool]:
     """Integer-micro-unit PageRank to a fixpoint (or max_rounds).
     Same damped update as q_graph_pagerank. Two stop criteria,
@@ -652,8 +658,14 @@ def pagerank_converged(
       0.85^2 per alternation pair). Pass rel_tol_ppm=None for the
       pure absolute/exact mode.
 
+    The relative default applies ONLY when tol_micro is at its 0
+    default: an explicit tol_micro means the caller chose the absolute
+    idiom, and the relative stop must then be opted into explicitly.
+
     The returned `converged` flag is honest either way: the property
     tests re-apply one damped update and check the claimed bound."""
+    if rel_tol_ppm is _REL_TOL_DEFAULT:
+        rel_tol_ppm = PR_REL_TOL_PPM if tol_micro == 0 else None
     edges = _edges(spark, sf_dir)
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     ed = edges.join(outdeg, "src").localCheckpoint(eager=True)

@@ -55,7 +55,10 @@ def main() -> int:
                 compare(spec.fn(spark, sf), con.execute(spec.sql).df())
                 status = "OK"
             else:
-                assert spec.fn(spark, sf).count() >= 0
+                # Execution IS the check for SQL-less keys; count()
+                # can't be negative, so no assert (ADVICE r11: the old
+                # `>= 0` assert implied a check it didn't perform).
+                spec.fn(spark, sf).count()
                 status = "rows-only OK"
         except Exception as exc:  # noqa: BLE001
             fails.append((key, str(exc)[:200]))

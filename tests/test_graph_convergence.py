@@ -189,8 +189,10 @@ def test_pagerank_tolerance_converges_and_bounds_residual(spark):
     )
 
     TOL = 2000
+    # No rel_tol_ppm opt-out needed (r12): an explicit tol_micro now
+    # disables the relative default, restoring the documented idiom.
     ranks, rounds, converged = pagerank_converged(
-        spark, SF_SMALL, max_rounds=80, tol_micro=TOL, rel_tol_ppm=None
+        spark, SF_SMALL, max_rounds=80, tol_micro=TOL
     )
     assert converged and rounds < 80
     edges = _edges(spark, SF_SMALL)
