@@ -54,6 +54,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from chi_frbcs_bigdatacs_spark.functions import ordering as O
 from chi_frbcs_bigdatacs_spark.fuzzy import rules as R
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FeatureSpec, FuzzyPartitions
 
@@ -196,32 +197,50 @@ class ChiFRBCSModel:
         rules_side = F.broadcast(rules) if broadcast_rules else rules.hint("shuffle_hash")
         scored = cells.join(rules_side, ants, "left")
         neg_inf = F.lit(float("-inf"))
+        # argmax == ORDER BY score DESC, l1..ld ASC, cls ASC LIMIT 1,
+        # encoded as max() of ONE decimal key (functions/ordering.py,
+        # r12): max(struct(...)) planned as SortAggregate (struct
+        # buffers aren't hash-aggregable), sorting every candidate row
+        # (<= 2^d per example) inside each map task; the decimal key
+        # keeps the identical order and plans as HashAggregate with
+        # map-side combine — pinned by test_plans and bit-identical on
+        # every classify_* oracle. Tie bases: cell labels are 0..L
+        # (0 = pad sentinel), classes are capped by O.CLS_CAP.
+        cls_tie = (
+            F.coalesce(F.col("r_cls"), F.lit(self.default_cls)),
+            O.CLS_CAP,
+        )
         if self.frm == "wr":
-            # argmax via lexicographic struct max == ORDER BY score DESC,
-            # l1..ld ASC, cls ASC (negated ints invert the order).
-            key = F.struct(
-                F.coalesce(F.col("mu") * F.col("weight"), neg_inf).alias("s"),
-                *[(-F.col(a)).alias(f"n_{a}") for a in ants],
-                (-F.coalesce(F.col("r_cls"), F.lit(self.default_cls))).alias("ncls"),
+            bases = [self.parts.labels_for(f) + 1 for f in self.parts.features]
+            key = O.argmax_decimal_key(
+                F.coalesce(F.col("mu") * F.col("weight"), neg_inf),
+                [(F.col(a), b) for a, b in zip(ants, bases)] + [cls_tie],
             )
             return (
                 scored.groupBy("id")
                 .agg(F.max(key).alias("k"), F.max("label").alias("label"))
-                .select("id", "label", (-F.col("k.ncls")).alias("prediction"))
+                .select(
+                    "id",
+                    "label",
+                    O.decode_last_tie(F.col("k"), O.CLS_CAP).alias("prediction"),
+                )
             )
         # ac: per-class additive scores, then argmax per example
         per_class = scored.groupBy("id", "r_cls").agg(
             F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
             F.max("label").alias("label"),
         )
-        key = F.struct(
-            F.coalesce(F.col("cscore"), neg_inf).alias("s"),
-            (-F.coalesce(F.col("r_cls"), F.lit(self.default_cls))).alias("ncls"),
+        key = O.argmax_decimal_key(
+            F.coalesce(F.col("cscore"), neg_inf), [cls_tie]
         )
         return (
             per_class.groupBy("id")
             .agg(F.max(key).alias("k"), F.max("label").alias("label"))
-            .select("id", "label", (-F.col("k.ncls")).alias("prediction"))
+            .select(
+                "id",
+                "label",
+                O.decode_last_tie(F.col("k"), O.CLS_CAP).alias("prediction"),
+            )
         )
 
     # -- pandas/Arrow fast scorer (SURVEY §4: the path for high-d rule

@@ -27,8 +27,12 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
+from chi_frbcs_bigdatacs_spark.functions.ordering import (
+    CLS_CAP,
+    argmax_decimal_key,
+    decode_last_tie,
+)
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
 from chi_frbcs_bigdatacs_spark.fuzzy.rules import (
     _match_degree,
@@ -62,17 +66,31 @@ def _scored(fuzz: DataFrame, rules: DataFrame, parts: FuzzyPartitions) -> DataFr
 def classify_wr(
     df: DataFrame, rules: DataFrame, parts: FuzzyPartitions, default_cls: int
 ) -> DataFrame:
-    """FRM Winning Rule -> (id, label, prediction)."""
+    """FRM Winning Rule -> (id, label, prediction).
+
+    The per-example argmax is a single-decimal-key hash aggregate,
+    not a row_number window (r12, VERDICT r11 #5): a window must
+    shuffle EVERY scored candidate row on id and sort within
+    partitions, while max(key) partial-aggregates map-side — each
+    task reduces its candidates to one row per id before the
+    exchange, so the shuffle carries |ids| rows instead of
+    |ids| * |candidates| (up to 2^d candidates/example). The pinned
+    tie order (score desc, antecedent labels asc, class asc) is
+    encoded order-isomorphically into one DECIMAL(38,0)
+    (functions/ordering.py — struct orderings would demote the plan
+    to SortAggregate), and the winning class decodes back out of the
+    key, so the aggregate stays deterministic and join-free."""
     ants = [label_col(i) for i in range(len(parts.features))]
     fuzz = fuzzify(df, parts)
     scored = _scored(fuzz, rules, parts)
-    w = Window.partitionBy("id").orderBy(
-        F.col("score").desc(), *[F.col(f"r_{a}").asc() for a in ants], F.col("r_cls").asc()
+    bases = [parts.labels_for(f) + 1 for f in parts.features]
+    key = argmax_decimal_key(
+        F.col("score"),
+        [(F.col(f"r_{a}"), b) for a, b in zip(ants, bases)]
+        + [(F.col("r_cls"), CLS_CAP)],
     )
-    best = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("r_cls").alias("prediction"))
+    best = scored.groupBy("id").agg(
+        decode_last_tie(F.max(key), CLS_CAP).alias("prediction")
     )
     return (
         df.select("id", "label")
@@ -94,11 +112,14 @@ def classify_ac(
     per_class = scored.groupBy("id", "r_cls").agg(
         F.round(F.sum("score"), 9).alias("cscore")
     )
-    w = Window.partitionBy("id").orderBy(F.col("cscore").desc(), F.col("r_cls").asc())
-    best = (
-        per_class.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", F.col("r_cls").alias("prediction"))
+    # Same decimal-key hash-aggregate shape as classify_wr (r12):
+    # (cscore desc, r_cls asc) as max of one orderable decimal; the
+    # class decodes back out of the winning key.
+    best = per_class.groupBy("id").agg(
+        decode_last_tie(
+            F.max(argmax_decimal_key(F.col("cscore"), [(F.col("r_cls"), CLS_CAP)])),
+            CLS_CAP,
+        ).alias("prediction")
     )
     return (
         df.select("id", "label")

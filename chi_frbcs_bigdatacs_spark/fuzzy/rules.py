@@ -40,6 +40,11 @@ from functools import reduce
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chi_frbcs_bigdatacs_spark.functions.ordering import (
+    CLS_CAP,
+    argmax_decimal_key,
+    decode_last_tie,
+)
 from chi_frbcs_bigdatacs_spark.fuzzy.membership import memberships_array_col
 from chi_frbcs_bigdatacs_spark.fuzzy.partitions import FuzzyPartitions
 
@@ -389,17 +394,25 @@ def build_rules(
 def resolve_conflicts(
     rw: DataFrame, ants: list[str], keys: list[str] | None = None
 ) -> DataFrame:
-    """O9: one rule per antecedent — max weight, ties -> lowest cls."""
-    from pyspark.sql.window import Window
+    """O9: one rule per antecedent — max weight, ties -> lowest cls.
 
+    Hash aggregate, not a row_number window (r12): the decimal key
+    (functions/ordering.py) encodes (weight DESC, cls ASC) so the
+    per-cell winner partial-aggregates map-side; the winner's weight
+    is simply max(weight) and its class decodes back out of the key.
+    Input contract: rw is exactly (*keys, *ants, cls, weight) —
+    rule_weights and merge_avg both produce that shape."""
     keys = keys or []
-    w = Window.partitionBy(*keys, *ants).orderBy(
-        F.col("weight").desc(), F.col("cls").asc()
-    )
+    kd = argmax_decimal_key(F.col("weight"), [(F.col("cls"), CLS_CAP)])
     return (
-        rw.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        rw.groupBy(*keys, *ants)
+        .agg(F.max(kd).alias("_k"), F.max("weight").alias("weight"))
+        .select(
+            *keys,
+            *ants,
+            decode_last_tie(F.col("_k"), CLS_CAP).alias("cls"),
+            "weight",
+        )
     )
 
 
