@@ -56,12 +56,38 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
+    from pyspark.sql import functions as F
+
     from chi_frbcs_bigdatacs_spark.session import get_spark
     from chi_frbcs_bigdatacs_spark.plans.registry import get_registry
 
     spark = get_spark(app_name="chi-frbcs-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
     reg = get_registry()
+
+    def calibrate() -> float:
+        """Fixed calibration probe (VERDICT r11 #1a): a pure parquet
+        scan + group-agg over the fact table — no UDFs, no joins, no
+        iteration — so its wall-clock tracks HOST TENANCY (cpu steal,
+        page cache, JVM scheduling) and nothing about this repo's
+        operators. Every query is reported both raw and divided by
+        the calibration median, making cross-session comparisons
+        meaningful on a box with ±40-50%% tenancy swings (judge's r11
+        A/B data): calibrated units cancel the shared host factor."""
+        t0 = time.perf_counter()
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sq"),
+                F.sum("l_extendedprice").alias("sp"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        return round(time.perf_counter() - t0, 4)
 
     # warmup: run the flagship pipeline once at the smallest sf so JVM
     # JIT + whole-stage codegen are warm before any timed query (the
@@ -93,6 +119,8 @@ def main() -> None:
                 errs[key] = repr(exc)[:500]
         return t, errs
 
+    cal_samples: list[float] = [calibrate()]  # first: post-warmup, pre-cold
+
     timings, errs = run_pass()  # cold-ish: first planning/compile
 
     # Steady state: N_WARM full passes (default 5) so the artifact
@@ -104,6 +132,7 @@ def main() -> None:
     warm_samples: dict[str, list[float]] = {k: [] for k in HEADLINE}
     warm_errs: dict[str, str] = {}
     for _ in range(n_warm):
+        cal_samples.append(calibrate())  # interleaved: one per warm pass
         w, we = run_pass()
         warm_errs.update(we)
         for k, v in w.items():
@@ -130,6 +159,10 @@ def main() -> None:
         for k, v in w.items():
             ext_samples[k].append(v)
     ext_warm = {k: round(median(v), 3) for k, v in ext_samples.items() if v}
+
+    cal = median(cal_samples)
+    warm_cal = {k: round(v / cal, 2) for k, v in warm.items()}
+    ext_warm_cal = {k: round(v / cal, 2) for k, v in ext_warm.items()}
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -158,6 +191,21 @@ def main() -> None:
             sum(v for k, v in ext_warm.items() if k != "resample_smote_probe"),
             3,
         ),
+        # Calibrated units (r12, VERDICT r11 #1a): each warm median
+        # divided by the calibration median. The probe is a fixed
+        # parquet scan+group-agg on the fact table, sampled once
+        # post-warmup and once before every warm pass — its samples
+        # measure host tenancy, so dividing by it cancels the shared
+        # host factor and makes cross-session comparisons meaningful.
+        "calibration": {
+            "probe": "lineitem parquet scan + groupBy(flag,status) 3-agg",
+            "samples": cal_samples,
+            "median": round(cal, 4),
+        },
+        "queries_warm_calibrated": warm_cal,
+        "value_warm_calibrated": round(sum(warm_cal.values()), 2),
+        "queries_ext_warm_calibrated": ext_warm_cal,
+        "value_ext_warm_calibrated": round(sum(ext_warm_cal.values()), 2),
     }
     if errs or warm_errs or ext_errs or ext_warm_errs:
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",

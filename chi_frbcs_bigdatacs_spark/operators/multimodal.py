@@ -1110,16 +1110,22 @@ def _encode_png(
     (i, 2i%256, 3i%256) triple the RGB fixture formula produces, so
     all three color types decode to identical features). interlace=1
     emits the seven Adam7 passes, each filtered against its own
-    zero row."""
+    zero row. ctype=6 (r12) is RGBA: the RGB fixture triple plus
+    alpha (5*idx+11)%256 — a 4th channel whose bytes-per-pixel
+    shifts every filter predictor offset."""
     import struct
 
     run = d % 3 + 2
-    bpp = 3 if ctype == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
 
     def sample(x: int, y: int) -> bytes:
         idx = (d + 5 * y + 3 * (x // run)) % 256
         if ctype == 2:
             return bytes((idx, (2 * idx) % 256, (3 * idx) % 256))
+        if ctype == 6:
+            return bytes(
+                (idx, (2 * idx) % 256, (3 * idx) % 256, (5 * idx + 11) % 256)
+            )
         return bytes((idx,))
 
     raw = bytearray()
@@ -1217,9 +1223,9 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             width, height, depth, ctype, _comp, _filt, interlace = (
                 struct.unpack_from(">IIBBBBB", data)
             )
-            if depth != 8 or ctype not in (0, 2, 3) or interlace > 1:
+            if depth != 8 or ctype not in (0, 2, 3, 6) or interlace > 1:
                 raise NotImplementedError(
-                    "only 8-bit grayscale/RGB/palette PNG supported"
+                    "only 8-bit grayscale/RGB/palette/RGBA PNG supported"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 768:
@@ -1243,7 +1249,7 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
     (adler,) = struct.unpack(">I", bytes(idat[-4:]))
     if adler != _adler32(body):
         raise ValueError("Adler-32 mismatch")
-    bpp = 3 if ctype == 2 else 1
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
     passes = (
         [(0, 0, 1, 1)] if interlace == 0 else _ADAM7  # (x0, y0, dx, dy)
     )
@@ -1271,8 +1277,11 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             off += stride
             line = _unfilter_row(row[0], bytearray(row[1:]), prev, bpp)
             for i, gx in enumerate(xs):
+                a_ = None
                 if ctype == 2:
                     r_, g, b = line[bpp * i : bpp * i + 3]
+                elif ctype == 6:
+                    r_, g, b, a_ = line[bpp * i : bpp * i + 4]
                 elif ctype == 0:
                     r_ = g = b = line[i]
                 else:
@@ -1280,8 +1289,13 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                     if e + 3 > len(palette):
                         raise ValueError("palette index out of range")
                     r_, g, b = palette[e : e + 3]
-                total += r_ + g + b
-                checksum += (1 + gx + width * gy) * (r_ + 2 * g + 3 * b)
+                # alpha extends the channel-weight convention (1,2,3)
+                # with weight 4, so a dropped/crossed 4th channel
+                # flips the hash the same way a swapped RGB would
+                total += r_ + g + b + (a_ or 0)
+                checksum += (1 + gx + width * gy) * (
+                    r_ + 2 * g + 3 * b + 4 * (a_ or 0)
+                )
             prev = line
     return width, height, total, checksum
 
@@ -1502,6 +1516,7 @@ def _q_png_variant(
     woff: int,
     hmod: int,
     hoff: int,
+    channels: int = 3,
     **enc_kwargs,
 ) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
@@ -1535,7 +1550,9 @@ def _q_png_variant(
                     "png_w": [f[0] for f in feats],
                     "png_h": [f[1] for f in feats],
                     "n_px": [f[0] * f[1] for f in feats],
-                    "mean_rgb": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "mean_rgb": [
+                        f[2] / (channels * f[0] * f[1]) for f in feats
+                    ],
                     "pos_checksum": [f[3] for f in feats],
                 }
             )
@@ -1549,6 +1566,16 @@ def _q_png_variant(
 
 def q_media_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_png_variant(spark, sf_dir, 8, 5, 6, 3, ctype=3)
+
+
+def q_media_decode_png_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RGBA + the full filter cycle: bpp=4 moves every Sub/Average/
+    # Paeth predictor offset, so a bpp mistake corrupts reconstruction
+    # (not just the feature sum); level 9 keeps dynamic-Huffman IDAT
+    return _q_png_variant(
+        spark, sf_dir, 10, 4, 7, 3, channels=4, ctype=6,
+        filter_cycle=True, level=9,
+    )
 
 
 def q_media_decode_png_interlaced(
@@ -1587,6 +1614,35 @@ SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
 FROM px
 """.replace("{idx}", _PNG_IDX)
 
+
+# RGBA oracle: the RGB variant's sums plus the alpha channel
+# (5*idx+11)%256 at channel weight 4 and a 4-channel mean denominator.
+MEDIA_DECODE_PNG_ALPHA_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 10 + 4 AS INT) AS w,
+         CAST(doc_id % 7 + 3 AS INT) AS h,
+         doc_id % {PNG_MOD} AS d,
+         doc_id % {PNG_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               {_PNG_IDX}
+             + (2 * ({_PNG_IDX})) % 256
+             + (3 * ({_PNG_IDX})) % 256
+             + (5 * ({_PNG_IDX}) + 11) % 256 AS DOUBLE)))))
+         / (4 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * ({_PNG_IDX}
+                 + 2 * ((2 * ({_PNG_IDX})) % 256)
+                 + 3 * ((3 * ({_PNG_IDX})) % 256)
+                 + 4 * ((5 * ({_PNG_IDX}) + 11) % 256)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
 
 MEDIA_DECODE_PNG_SQL = f"""
 WITH px AS (
@@ -1987,6 +2043,89 @@ def _encode_jpeg_gray(pixels: list[list[int]]) -> bytes:
     return _encode_jpeg([pixels])
 
 
+def _encode_jpeg_420(
+    y: list[list[int]], cb: list[list[int]], cr: list[list[int]]
+) -> bytes:
+    """Baseline JFIF encoder with 4:2:0 chroma subsampling — the
+    dominant real-world layout (VERDICT r11 #3). Y carries sampling
+    factor 2x2 and Cb/Cr 1x1, so one MCU covers 16x16 luma pixels:
+    four Y blocks (raster order within the MCU per T.81 A.2.3) then
+    one Cb and one Cr block. `y` is the full-resolution h x w plane
+    (multiples of 8); `cb`/`cr` are the SUBSAMPLED planes at
+    (8*ceil(h/16)) x (8*ceil(w/16)) — exactly the chroma MCU grid.
+    Partial edge MCUs (w or h not a multiple of 16) are encoded by
+    EDGE-BLOCK CLAMPING: the out-of-image Y blocks replicate the last
+    in-image block column/row, as real encoders pad, and the decoder
+    crops them away against the true SOF dimensions."""
+    import struct
+
+    h, w = len(y), len(y[0])
+    if h % 8 or w % 8:
+        raise ValueError("420 fixture requires multiple-of-8 luma dims")
+    mcx, mcy = (w + 15) // 16, (h + 15) // 16
+    if len(cb) != 8 * mcy or len(cb[0]) != 8 * mcx:
+        raise ValueError("chroma plane must match the MCU grid")
+    if len(cr) != 8 * mcy or len(cr[0]) != 8 * mcx:
+        raise ValueError("chroma plane must match the MCU grid")
+    dc_tab = _jpeg_canonical(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_tab = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _JpegBitWriter()
+    prev_dc = [0, 0, 0]
+
+    def y_px(px: int, pyy: int) -> int:
+        # edge clamp: replicate the last in-image pixel row/column
+        return y[min(pyy, h - 1)][min(px, w - 1)]
+
+    for my in range(mcy):
+        for mx in range(mcx):
+            for b in range(4):  # Y blocks, raster within the MCU
+                oy, ox = 16 * my + 8 * (b // 2), 16 * mx + 8 * (b % 2)
+                block = [
+                    [float(y_px(ox + xx, oy + yy)) - 128.0 for yy in range(8)]
+                    for xx in range(8)
+                ]  # _fdct8x8 takes block[x][y]
+                prev_dc[0] = _jpeg_encode_block(
+                    bw, block, prev_dc[0], dc_tab, ac_tab
+                )
+            for c, plane in ((1, cb), (2, cr)):
+                block = [
+                    [
+                        float(plane[8 * my + yy][8 * mx + xx]) - 128.0
+                        for yy in range(8)
+                    ]
+                    for xx in range(8)
+                ]
+                prev_dc[c] = _jpeg_encode_block(
+                    bw, block, prev_dc[c], dc_tab, ac_tab
+                )
+    scan = bw.finish()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QUANT[i] for i in _ZIGZAG))
+    sof = seg(
+        0xFFC0,
+        struct.pack(">BHHB", 8, h, w, 3)
+        + bytes([1, 0x22, 0])  # Y: H=2, V=2
+        + bytes([2, 0x11, 0])
+        + bytes([3, 0x11, 0]),
+    )
+    dht = seg(
+        0xFFC4,
+        bytes([0x00]) + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(
+        0xFFDA,
+        bytes([3])
+        + b"".join(bytes([c + 1, 0x00]) for c in range(3))
+        + bytes([0, 63, 0]),
+    )
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
     """Parse + validate the full baseline marker grammar, build the
     Huffman tables FROM the DHT segment, entropy-decode (interleaved
@@ -2031,13 +2170,20 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body)
             if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError("only 8-bit 1- or 3-component")
-            if any(
-                body[6 + 3 * c + 1] != 0x11 or body[6 + 3 * c + 2] != 0
+            if any(body[6 + 3 * c + 2] != 0 for c in range(ncomp)):
+                raise NotImplementedError("only quant table 0")
+            samp = [
+                (body[6 + 3 * c + 1] >> 4, body[6 + 3 * c + 1] & 0x0F)
                 for c in range(ncomp)
-            ):
-                raise NotImplementedError("only 1x1 sampling, quant table 0")
+            ]
+            if samp == [(2, 2), (1, 1), (1, 1)]:
+                subsampled = True  # 4:2:0 — partial edge MCUs allowed
+            elif all(s == (1, 1) for s in samp):
+                subsampled = False
+            else:
+                raise NotImplementedError("only 1x1 or 4:2:0 sampling")
             if w % 8 or h % 8:
-                raise NotImplementedError("partial MCUs unsupported")
+                raise NotImplementedError("partial 8x8 blocks unsupported")
         elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
             raise NotImplementedError("only baseline sequential (SOF0)")
         elif marker == 0xFFC4:
@@ -2079,49 +2225,90 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
     else:
         raise ValueError("no SOS segment")
     rd = _JpegBitReader(raw, pos)
-    total = checksum = 0
     prev_dc = [0] * ncomp
-    for by in range(h // 8):
-        for bx in range(w // 8):
-            for c in range(ncomp):
-                cat = rd.decode(dc_rd)
-                diff = 0
-                if cat:
-                    v = rd.read_bits(cat)
-                    diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
-                prev_dc[c] += diff
-                zz = [0] * 64
-                zz[0] = prev_dc[c]
-                i = 1
-                while i < 64:
-                    sym = rd.decode(ac_rd)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0x0F
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError("invalid AC symbol")
-                        i += 16  # ZRL
-                        continue
-                    i += run
-                    if i >= 64:
-                        raise ValueError("AC run overflows block")
-                    v = rd.read_bits(size)
-                    zz[i] = (
-                        v if v >= (1 << (size - 1)) else v - (1 << size) + 1
-                    )
-                    i += 1
-                coef = [[0.0] * 8 for _ in range(8)]
-                for zi, nat in enumerate(_ZIGZAG):
-                    coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
-                out = _idct8x8(coef)
-                for x in range(8):
-                    for y in range(8):
-                        px = int(round(out[x][y] + 128.0))
-                        px = 0 if px < 0 else 255 if px > 255 else px
-                        gx, gy = 8 * bx + x, 8 * by + y
-                        total += px
-                        checksum += (1 + gx + w * gy) * (c + 1) * px
+
+    def read_block(c: int) -> list[list[float]]:
+        """Entropy-decode one 8x8 block of component c; returns the
+        spatial-domain block indexed [x][y] (pre level-shift)."""
+        cat = rd.decode(dc_rd)
+        diff = 0
+        if cat:
+            v = rd.read_bits(cat)
+            diff = v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+        prev_dc[c] += diff
+        zz = [0] * 64
+        zz[0] = prev_dc[c]
+        i = 1
+        while i < 64:
+            sym = rd.decode(ac_rd)
+            if sym == 0x00:  # EOB
+                break
+            run, size = sym >> 4, sym & 0x0F
+            if size == 0:
+                if run != 15:
+                    raise ValueError("invalid AC symbol")
+                i += 16  # ZRL
+                continue
+            i += run
+            if i >= 64:
+                raise ValueError("AC run overflows block")
+            v = rd.read_bits(size)
+            zz[i] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            i += 1
+        coef = [[0.0] * 8 for _ in range(8)]
+        for zi, nat in enumerate(_ZIGZAG):
+            coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
+        return _idct8x8(coef)
+
+    def clamp8(v: float) -> int:
+        px = int(round(v + 128.0))
+        return 0 if px < 0 else 255 if px > 255 else px
+
+    total = checksum = 0
+    if not subsampled:
+        for by in range(h // 8):
+            for bx in range(w // 8):
+                for c in range(ncomp):
+                    out = read_block(c)
+                    for x in range(8):
+                        for y in range(8):
+                            px = clamp8(out[x][y])
+                            gx, gy = 8 * bx + x, 8 * by + y
+                            total += px
+                            checksum += (1 + gx + w * gy) * (c + 1) * px
+    else:
+        # 4:2:0 (r12): one MCU = 4 Y blocks (raster within MCU, T.81
+        # A.2.3) + 1 Cb + 1 Cr; the MCU grid CEILS w/16 x h/16 so edge
+        # MCUs can extend past the image — decode them fully (the DC
+        # predictor chain runs through padding blocks too), then crop
+        # against the true SOF dims; chroma upsamples 2x2 nearest.
+        mcx, mcy = (w + 15) // 16, (h + 15) // 16
+        ypl = [[0] * (16 * mcx) for _ in range(16 * mcy)]
+        cpl = [
+            [[0] * (8 * mcx) for _ in range(8 * mcy)] for _ in range(2)
+        ]
+        for my in range(mcy):
+            for mx in range(mcx):
+                for b in range(4):
+                    out = read_block(0)
+                    oy, ox = 16 * my + 8 * (b // 2), 16 * mx + 8 * (b % 2)
+                    for x in range(8):
+                        for y in range(8):
+                            ypl[oy + y][ox + x] = clamp8(out[x][y])
+                for c in (1, 2):
+                    out = read_block(c)
+                    for x in range(8):
+                        for y in range(8):
+                            cpl[c - 1][8 * my + y][8 * mx + x] = clamp8(
+                                out[x][y]
+                            )
+        for gy in range(h):
+            for gx in range(w):
+                vy = ypl[gy][gx]
+                vcb = cpl[0][gy // 2][gx // 2]
+                vcr = cpl[1][gy // 2][gx // 2]
+                total += vy + vcb + vcr
+                checksum += (1 + gx + w * gy) * (vy + 2 * vcb + 3 * vcr)
     if raw[rd.pos : rd.pos + 2] != b"\xff\xd9":
         raise ValueError("missing EOI after scan")
     return w, h, total, checksum
@@ -2323,8 +2510,147 @@ FROM px
 """
 
 
+# --- 4:2:0 chroma-subsampled baseline JPEG (r12, VERDICT r11 #3) -------------
+# The dominant real-world JPEG layout: Y at 2x2 sampling, Cb/Cr at
+# 1x1, MCU = 16x16 luma with 4 Y blocks + 1 Cb + 1 Cr. The fixture
+# keeps w,h at 8-multiples but NOT 16-multiples (bw in {1,3}, bh=1),
+# so edge MCUs are PARTIAL: the encoder clamp-pads Y past the image
+# edge and the decoder crops against the true SOF dims — both real
+# grammar surfaces the 4:4:4 keys cannot reach. Luma block (bx,by) is
+# constant (s+17by+23bx)%256 (the gray key's form); chroma is constant
+# PER MCU ((s+29my+31mx)%256 / (s+37my+43mx+7)%256) so the subsampled
+# blocks are DC-only and the decode is bit-exact; upsampling is 2x2
+# nearest, giving the closed pixel form vcb(x,y)=cb(x//16, y//16).
+
+
+def q_media_decode_jpeg_420(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).cast("int").alias("bw"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("bh"),
+        (F.col("doc_id") % JPEG_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(bw_: int, bh_: int, s: int) -> bytes:
+            w, h = 8 * bw_, 8 * bh_
+            mcx, mcy = (w + 15) // 16, (h + 15) // 16
+            y = [
+                [(s + 17 * (yy // 8) + 23 * (xx // 8)) % 256 for xx in range(w)]
+                for yy in range(h)
+            ]
+            cb = [
+                [
+                    (s + 29 * (yy // 8) + 31 * (xx // 8)) % 256
+                    for xx in range(8 * mcx)
+                ]
+                for yy in range(8 * mcy)
+            ]
+            cr = [
+                [
+                    (s + 37 * (yy // 8) + 43 * (xx // 8) + 7) % 256
+                    for xx in range(8 * mcx)
+                ]
+                for yy in range(8 * mcy)
+            ]
+            return _encode_jpeg_420(y, cb, cr)
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        one(int(a), int(b), int(s))
+                        for a, b, s in zip(pdf["bw"], pdf["bh"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_jpeg(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "jpeg_w": [f[0] for f in feats],
+                    "jpeg_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_px": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, jpeg_w int, jpeg_h int, n_px long,"
+        " mean_px double, pos_checksum long",
+    ).withColumn("mean_px", F.round("mean_px", 6))
+
+
+# Chroma closed form: MCU (mx,my) covers in-image x in [16mx, 16mx+nx)
+# with nx = least(16, w-16mx) (ny likewise); sum of (1+x+w*y) over the
+# region is nx*ny + ny*SX + w*nx*SY with SX = nx*16*mx + nx*(nx-1)/2.
+MEDIA_DECODE_JPEG_420_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 3 + 1 AS INT) AS bw,
+         CAST(doc_id % 2 + 1 AS INT) AS bh,
+         doc_id % {JPEG_MOD} AS s
+  FROM documents
+), dims AS (
+  SELECT doc_id, bw, bh, s, 8 * bw AS w, 8 * bh AS h,
+         (bw + 1) // 2 AS mcx, (bh + 1) // 2 AS mcy
+  FROM px
+)
+SELECT doc_id,
+       CAST(w AS INT) AS jpeg_w,
+       CAST(h AS INT) AS jpeg_h,
+       CAST(64 * bw * bh AS BIGINT) AS n_px,
+       round((
+         list_sum(flatten(list_transform(range(bh), by ->
+             list_transform(range(bw), bx -> CAST(
+                 64 * ((s + 17 * by + 23 * bx) % 256) AS DOUBLE)))))
+         + list_sum(flatten(list_transform(range(mcy), my ->
+             list_transform(range(mcx), mx -> CAST(
+                 least(16, w - 16 * mx) * least(16, h - 16 * my)
+                 * ((s + 29 * my + 31 * mx) % 256
+                    + (s + 37 * my + 43 * mx + 7) % 256) AS DOUBLE)))))
+       ) / (3 * 64 * bw * bh), 6) AS mean_px,
+       CAST((
+         list_sum(flatten(list_transform(range(bh), by ->
+             list_transform(range(bw), bx -> CAST(
+                 ((s + 17 * by + 23 * bx) % 256)
+                 * (64 + 8 * (64 * bx + 28)
+                    + 8 * w * (64 * by + 28)) AS DOUBLE)))))
+         + list_sum(flatten(list_transform(range(mcy), my ->
+             list_transform(range(mcx), mx -> CAST(
+                 (2 * ((s + 29 * my + 31 * mx) % 256)
+                  + 3 * ((s + 37 * my + 43 * mx + 7) % 256))
+                 * (least(16, w - 16 * mx) * least(16, h - 16 * my)
+                    + least(16, h - 16 * my)
+                      * (least(16, w - 16 * mx) * 16 * mx
+                         + least(16, w - 16 * mx)
+                           * (least(16, w - 16 * mx) - 1) // 2)
+                    + w * least(16, w - 16 * mx)
+                      * (least(16, h - 16 * my) * 16 * my
+                         + least(16, h - 16 * my)
+                           * (least(16, h - 16 * my) - 1) // 2))
+                 AS DOUBLE)))))
+       ) AS BIGINT) AS pos_checksum
+FROM dims
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
+    register(
+        "media_decode_jpeg_420",
+        q_media_decode_jpeg_420,
+        MEDIA_DECODE_JPEG_420_SQL,
+    )
     register("media_decode_jpeg", q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL)
     register(
         "media_decode_jpeg_color",
@@ -2339,6 +2665,11 @@ def register_all() -> None:
         "media_decode_png_palette",
         q_media_decode_png_palette,
         _png_variant_sql(8, 5, 6, 3),
+    )
+    register(
+        "media_decode_png_alpha",
+        q_media_decode_png_alpha,
+        MEDIA_DECODE_PNG_ALPHA_SQL,
     )
     register(
         "media_decode_png_interlaced",

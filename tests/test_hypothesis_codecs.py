@@ -146,3 +146,110 @@ def test_jpeg_flat_blocks_always_bit_exact(bw, bh, vals, ncomp):
         for y in range(h)
         for x in range(w)
     )
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    d=st.integers(min_value=0, max_value=238),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 1, 9]),
+)
+def test_png_rgba_roundtrip(w, h, d, interlace, filter_cycle, level):
+    """ctype 6 (r12): the 4-byte pixel moves every Sub/Average/Paeth
+    predictor offset, so each filter/interlace/compressor combination
+    must reconstruct the closed-form RGBA features exactly."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=6, interlace=interlace,
+    )
+    run = d % 3 + 2
+
+    def idx(x: int, y: int) -> int:
+        return (d + 5 * y + 3 * (x // run)) % 256
+
+    def chans(x: int, y: int) -> tuple[int, int, int, int]:
+        i = idx(x, y)
+        return i, (2 * i) % 256, (3 * i) % 256, (5 * i + 11) % 256
+
+    t = sum(sum(chans(x, y)) for y in range(h) for x in range(w))
+    c = sum(
+        (1 + x + w * y)
+        * sum((k + 1) * v for k, v in enumerate(chans(x, y)))
+        for y in range(h)
+        for x in range(w)
+    )
+    assert _decode_png(raw) == (w, h, t, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=2),
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=16, max_size=16
+    ),
+)
+def test_jpeg_420_flat_blocks_bit_exact(bw, bh, vals):
+    """4:2:0 (r12): ANY per-Y-block / per-MCU-chroma constant image
+    round-trips bit-exactly through the subsampled MCU grammar —
+    including partial edge MCUs (bw/bh odd), where the encoder's
+    clamp-padded blocks must decode and then crop away without
+    corrupting the three DC predictor chains."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_420,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    mcx, mcy = (w + 15) // 16, (h + 15) // 16
+    y = [[vals[((yy // 8) * bw + xx // 8) % 16] for xx in range(w)] for yy in range(h)]
+    cb = [
+        [vals[(8 + (yy // 8) * mcx + xx // 8) % 16] for xx in range(8 * mcx)]
+        for yy in range(8 * mcy)
+    ]
+    cr = [
+        [vals[(12 + (yy // 8) * mcx + xx // 8) % 16] for xx in range(8 * mcx)]
+        for yy in range(8 * mcy)
+    ]
+    gw, gh, total, chk = _decode_jpeg(_encode_jpeg_420(y, cb, cr))
+    assert (gw, gh) == (w, h)
+    et = ec = 0
+    for gy in range(h):
+        for gx in range(w):
+            vy, vb, vr = y[gy][gx], cb[gy // 2][gx // 2], cr[gy // 2][gx // 2]
+            et += vy + vb + vr
+            ec += (1 + gx + w * gy) * (vy + 2 * vb + 3 * vr)
+    assert (total, chk) == (et, ec)
+
+
+def test_jpeg_sampling_rejection_guards():
+    """Unsupported sampling layouts must be rejected BY NAME (the
+    wire-format guard convention): 4:2:2 and 4:1:1 SOFs raise
+    NotImplementedError rather than silently mis-decoding."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_420,
+    )
+
+    y = [[7] * 16 for _ in range(16)]
+    c8 = [[9] * 8 for _ in range(8)]
+    raw = bytearray(_encode_jpeg_420(y, c8, c8))
+    i = raw.find(b"\xff\xc0")
+    # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
+    # [id, sampling, qtab] per component -> comp-1 sampling at i+11
+    assert i > 0 and raw[i + 11] == 0x22
+    for bad in (0x21, 0x12, 0x41):  # 4:2:2 / 2:4 / 4:1:1
+        patched = bytearray(raw)
+        patched[i + 11] = bad
+        with pytest.raises(NotImplementedError, match="sampling"):
+            _decode_jpeg(bytes(patched))
