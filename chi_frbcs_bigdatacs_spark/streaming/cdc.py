@@ -65,6 +65,79 @@ def _cdc_src(spark: SparkSession, sf_dir: str) -> str:
     return staged_dir("merge_cdc", sf_dir, build)
 
 
+def _cdc_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """The shared per-shard merge-state update (module-level since r12
+    so the checkpoint-recovery key runs the IDENTICAL operator across
+    its two StreamingQueries — checkpoint compatibility requires the
+    restarted plan to match)."""
+    # shard state: key -> [has_base, bstat, bprice, opcode, ostat, oprice]
+    rows: dict[int, list] = {}
+    if state.exists:
+        keys, hasb, bstat, bprice, opc, ostat, oprice = state.get
+        for i, k in enumerate(keys):
+            rows[int(k)] = [
+                bool(hasb[i]),
+                bstat[i],
+                float(bprice[i]),
+                opc[i],
+                ostat[i],
+                float(oprice[i]),
+            ]
+    touched: set[int] = set()
+    for pdf in pdfs:
+        for r in pdf.itertuples(index=False):
+            k = int(r.o_orderkey)
+            st = rows.setdefault(k, [False, "", 0.0, "", "", 0.0])
+            if r.op == "B":
+                st[0], st[1], st[2] = True, r.c_status, float(r.c_price)
+            else:
+                st[3], st[4], st[5] = r.op, r.c_status, float(r.c_price)
+            touched.add(k)
+    out = {
+        "o_orderkey": [],
+        "n_seen": [],
+        "o_orderstatus": [],
+        "o_totalprice": [],
+        "merge_action": [],
+        "present": [],
+    }
+    for k in sorted(touched):
+        hasb, bstat, bprice, opc, ostat, oprice = rows[k]
+        n_seen = int(hasb) + int(opc != "")
+        if opc == "D":
+            present, status, price, action = False, "", 0.0, "delete"
+        elif opc == "I":
+            present, status, price, action = True, ostat, oprice, "insert"
+        elif opc == "U":
+            # an update needs its base row; until it arrives the
+            # key has no merged row yet (corrected on arrival)
+            present, status, price, action = hasb, ostat, oprice, "update"
+        else:
+            present, status, price, action = hasb, bstat, bprice, "keep"
+        out["o_orderkey"].append(k)
+        out["n_seen"].append(n_seen)
+        out["o_orderstatus"].append(status)
+        out["o_totalprice"].append(price)
+        out["merge_action"].append(action)
+        out["present"].append(present)
+    ks = sorted(rows)
+    state.update(
+        (
+            ks,
+            [rows[k][0] for k in ks],
+            [rows[k][1] for k in ks],
+            [rows[k][2] for k in ks],
+            [rows[k][3] for k in ks],
+            [rows[k][4] for k in ks],
+            [rows[k][5] for k in ks],
+        )
+    )
+    if out["o_orderkey"]:
+        yield pd.DataFrame(out)
+
+
 def q_stream_merge_upsert(
     spark: SparkSession, sf_dir: str, staged_src: str | None = None
 ) -> DataFrame:
@@ -79,76 +152,8 @@ def q_stream_merge_upsert(
         .withColumn("shard", F.col("o_orderkey") % N_CDC_SHARDS)
     )
 
-    def update(
-        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-    ) -> Iterator[pd.DataFrame]:
-        # shard state: key -> [has_base, bstat, bprice, opcode, ostat, oprice]
-        rows: dict[int, list] = {}
-        if state.exists:
-            keys, hasb, bstat, bprice, opc, ostat, oprice = state.get
-            for i, k in enumerate(keys):
-                rows[int(k)] = [
-                    bool(hasb[i]),
-                    bstat[i],
-                    float(bprice[i]),
-                    opc[i],
-                    ostat[i],
-                    float(oprice[i]),
-                ]
-        touched: set[int] = set()
-        for pdf in pdfs:
-            for r in pdf.itertuples(index=False):
-                k = int(r.o_orderkey)
-                st = rows.setdefault(k, [False, "", 0.0, "", "", 0.0])
-                if r.op == "B":
-                    st[0], st[1], st[2] = True, r.c_status, float(r.c_price)
-                else:
-                    st[3], st[4], st[5] = r.op, r.c_status, float(r.c_price)
-                touched.add(k)
-        out = {
-            "o_orderkey": [],
-            "n_seen": [],
-            "o_orderstatus": [],
-            "o_totalprice": [],
-            "merge_action": [],
-            "present": [],
-        }
-        for k in sorted(touched):
-            hasb, bstat, bprice, opc, ostat, oprice = rows[k]
-            n_seen = int(hasb) + int(opc != "")
-            if opc == "D":
-                present, status, price, action = False, "", 0.0, "delete"
-            elif opc == "I":
-                present, status, price, action = True, ostat, oprice, "insert"
-            elif opc == "U":
-                # an update needs its base row; until it arrives the
-                # key has no merged row yet (corrected on arrival)
-                present, status, price, action = hasb, ostat, oprice, "update"
-            else:
-                present, status, price, action = hasb, bstat, bprice, "keep"
-            out["o_orderkey"].append(k)
-            out["n_seen"].append(n_seen)
-            out["o_orderstatus"].append(status)
-            out["o_totalprice"].append(price)
-            out["merge_action"].append(action)
-            out["present"].append(present)
-        ks = sorted(rows)
-        state.update(
-            (
-                ks,
-                [rows[k][0] for k in ks],
-                [rows[k][1] for k in ks],
-                [rows[k][2] for k in ks],
-                [rows[k][3] for k in ks],
-                [rows[k][4] for k in ks],
-                [rows[k][5] for k in ks],
-            )
-        )
-        if out["o_orderkey"]:
-            yield pd.DataFrame(out)
-
     merged = cdc.groupBy("shard").applyInPandasWithState(
-        update,
+        _cdc_update,
         outputStructType=(
             "o_orderkey long, n_seen int, o_orderstatus string,"
             " o_totalprice double, merge_action string, present boolean"
@@ -193,5 +198,145 @@ def q_stream_merge_upsert(
     )
 
 
+# --- checkpoint recovery for CUSTOM state (r12, VERDICT r11 #7) --------------
+# r11's stream_checkpoint_recovery proved restart for BUILT-IN window
+# state; this key proves it for applyInPandasWithState, where the
+# state store contract is easiest to get wrong (user-defined state
+# schema, Arrow round trips). The CDC stream is staged so every BASE
+# row arrives in phase 1 and every changeset op in phase 2, run as
+# TWO StreamingQueries against the SAME checkpoint:
+#   (a) state restore is LOAD-BEARING: an 'U' op arriving in phase 2
+#       merges only if the key's pending base half survived the
+#       restart — lost state makes every updated key vanish from the
+#       final table (present=false), a hash mismatch, not a flake;
+#   (b) source offsets resume: phase-1 files must not reprocess, or
+#       the sink gains duplicate n_seen=1 emissions (asserted by the
+#       phase-by-phase test, exactly-once on row counts);
+#   (c) the parquet sink is append-exactly-once across the restart.
+# Final output = max-n_seen emission per key, batch-equivalent to
+# merge_upsert — the SAME oracle (MERGE_UPSERT_SQL) certifies it.
+CDC_RECOVERY_FILES = 4  # files 0-1: all base rows; files 2-3: all ops
+CDC_RECOVERY_PHASE1 = 2
+
+
+def _cdc_recovery_src(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        import os
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        base = _target(o).select(
+            "o_orderkey",
+            F.lit("B").alias("op"),
+            F.col("o_orderstatus").alias("c_status"),
+            F.col("o_totalprice").alias("c_price"),
+        ).toPandas()
+        chg = (
+            _changeset(o)
+            .select("o_orderkey", "op", "c_status", "c_price")
+            .toPandas()
+        )
+        parts = [
+            base[base["o_orderkey"] % 2 == 0],
+            base[base["o_orderkey"] % 2 == 1],
+            chg[chg["o_orderkey"] % 2 == 0],
+            chg[chg["o_orderkey"] % 2 == 1],
+        ]
+        t0 = 1_700_000_000
+        for i, p in enumerate(parts):
+            fp = f"{d}/part-{i:02d}.parquet"
+            p.reset_index(drop=True).to_parquet(fp, index=False)
+            os.utime(fp, (t0 + 60 * i, t0 + 60 * i))
+
+    return staged_dir("merge_cdc_recovery", sf_dir, build)
+
+
+def _cdc_recovery_phase(
+    spark: SparkSession, sf_dir: str, work: str, upto: int
+) -> None:
+    """Copy the first `upto` staged CDC files into work/src and run
+    ONE availableNow stateful query against work/ckpt appending to
+    the parquet sink work/data. Continuity across calls lives ONLY in
+    the checkpoint — each call is a brand-new StreamingQuery."""
+    import os
+    import shutil as _sh
+
+    full = _cdc_recovery_src(spark, sf_dir)
+    src, sink, ckpt = f"{work}/src", f"{work}/data", f"{work}/ckpt"
+    os.makedirs(src, exist_ok=True)
+    for f in sorted(os.listdir(full))[:upto]:
+        if not os.path.exists(f"{src}/{f}"):
+            _sh.copy2(f"{full}/{f}", f"{src}/{f}")
+    schema = "o_orderkey long, op string, c_status string, c_price double"
+    cdc = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("shard", F.col("o_orderkey") % N_CDC_SHARDS)
+    )
+    merged = cdc.groupBy("shard").applyInPandasWithState(
+        _cdc_update,
+        outputStructType=(
+            "o_orderkey long, n_seen int, o_orderstatus string,"
+            " o_totalprice double, merge_action string, present boolean"
+        ),
+        stateStructType=(
+            "keys array<long>, hasb array<boolean>, bstat array<string>,"
+            " bprice array<double>, opc array<string>,"
+            " ostat array<string>, oprice array<double>"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        merged.writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def q_stream_checkpoint_recovery_stateful(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # fresh work dir per invocation (same reasoning as the r11 key:
+    # staged_dir memoizes builds, and a reused checkpoint would turn
+    # the measured "recovery" into a no-op re-read)
+    work = staged_dir(
+        f"cdc_recovery_{uuid.uuid4().hex[:8]}", sf_dir, lambda d: None
+    )
+    _cdc_recovery_phase(spark, sf_dir, work, CDC_RECOVERY_PHASE1)
+    _cdc_recovery_phase(spark, sf_dir, work, CDC_RECOVERY_FILES)
+    emitted = spark.read.parquet(f"{work}/data")
+    final = (
+        emitted.groupBy("o_orderkey")
+        .agg(
+            F.max(
+                F.struct(
+                    "n_seen",
+                    "present",
+                    "o_orderstatus",
+                    "o_totalprice",
+                    "merge_action",
+                )
+            ).alias("s")
+        )
+        .filter(F.col("s.present"))
+    )
+    return final.select(
+        "o_orderkey",
+        F.col("s.o_orderstatus").alias("o_orderstatus"),
+        F.col("s.o_totalprice").alias("o_totalprice"),
+        F.col("s.merge_action").alias("merge_action"),
+    )
+
+
 def register_all() -> None:
     register("stream_merge_upsert", q_stream_merge_upsert, MERGE_UPSERT_SQL)
+    register(
+        "stream_checkpoint_recovery_stateful",
+        q_stream_checkpoint_recovery_stateful,
+        MERGE_UPSERT_SQL,
+    )

@@ -425,3 +425,52 @@ def test_stream_hll_equals_batch_sketch(spark):
     batch = sorted(map(tuple, q_sketch_hll_distinct(spark, SF_SMALL).collect()))
     stream = sorted(map(tuple, q_stream_sketch_hll(spark, SF_SMALL).collect()))
     assert stream == batch
+
+
+def test_cdc_checkpoint_recovery_restores_custom_state(spark, tmp_path):
+    """r12 (VERDICT r11 #7): the applyInPandasWithState recovery key's
+    claims, phase by phase in a private dir. The staging puts every
+    base row in phase 1 and every changeset op in phase 2, so:
+    (a) offsets resume + exactly-once sink: phase 1 emits exactly one
+        n_seen=1 'keep' row per base key, and phase 2 adds exactly one
+        row per changeset key — any base-file reprocessing would
+        duplicate phase-1 emissions;
+    (b) CUSTOM state restore is load-bearing: every 'U' op arrives
+        AFTER the restart, and its emitted row is present=true with
+        n_seen=2 — possible only if the key's pending base half came
+        back out of the restored state store."""
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import _changeset, _target
+    from chi_frbcs_bigdatacs_spark.streaming.cdc import (
+        CDC_RECOVERY_FILES,
+        CDC_RECOVERY_PHASE1,
+        _cdc_recovery_phase,
+    )
+    from tests.conftest import SF_SMALL
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    n_base = _target(o).count()
+    chg = _changeset(o)
+    n_chg = chg.count()
+    upd_keys = {
+        r.o_orderkey for r in chg.filter(F.col("op") == "U").collect()
+    }
+    assert upd_keys, "fixture has no U ops - the state-restore claim is vacuous"
+
+    work = str(tmp_path / "cdcrec")
+    _cdc_recovery_phase(spark, SF_SMALL, work, CDC_RECOVERY_PHASE1)
+    p1 = spark.read.parquet(f"{work}/data").collect()
+    assert len(p1) == n_base, (len(p1), n_base)
+    assert all(r.n_seen == 1 and r.merge_action == "keep" for r in p1)
+
+    _cdc_recovery_phase(spark, SF_SMALL, work, CDC_RECOVERY_FILES)
+    final = spark.read.parquet(f"{work}/data").collect()
+    # exactly-once: phase 2 appended one emission per changeset key,
+    # and phase-1 rows were not re-emitted (offset resume)
+    assert len(final) == n_base + n_chg, (len(final), n_base, n_chg)
+    p2 = [r for r in final if r.n_seen >= 2 or r.merge_action != "keep"]
+    assert len(p2) == n_chg
+    # state restore: every post-restart update merged against its
+    # phase-1 base half
+    upd_rows = [r for r in final if r.merge_action == "update"]
+    assert {r.o_orderkey for r in upd_rows} == upd_keys
+    assert all(r.present and r.n_seen == 2 for r in upd_rows)
