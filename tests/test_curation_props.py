@@ -180,6 +180,52 @@ def test_ivf_pq_nprobe_recall_monotone_and_reaches_070(spark):
     )
 
 
+def test_adaptive_nprobe_picks_cheapest_meeting_target(spark):
+    """r12 (VERDICT r11 #8): the adaptive key must serve each recall
+    target at the CHEAPEST measured probe level — candidate cost
+    strictly increasing in n_probe, each chosen level meets its
+    target, and no cheaper measured level does; unreachable targets
+    fall back to the max level (best effort, never under-probe)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        ADAPTIVE_RECALL_TARGETS_PCT,
+        NPROBE_LEVELS,
+        adaptive_nprobe,
+        q_simsearch_ivf_pq_adaptive,
+        q_simsearch_ivf_pq_nprobe,
+    )
+
+    curve = sorted(
+        (int(r.n_probe), float(r.recall_at_10), int(r.n_candidates))
+        for r in q_simsearch_ivf_pq_nprobe(spark, SF_SMALL).collect()
+    )
+    costs = [c for _, _, c in curve]
+    assert costs == sorted(costs) and len(set(costs)) == len(costs), (
+        f"candidate cost must strictly increase with n_probe: {curve}"
+    )
+    picked = {
+        r.target_pct: (int(r.chosen_n_probe), float(r.achieved_recall))
+        for r in q_simsearch_ivf_pq_adaptive(spark, SF_SMALL).collect()
+    }
+    assert set(picked) == set(ADAPTIVE_RECALL_TARGETS_PCT)
+    by_level = {n: rec for n, rec, _ in curve}
+    for pct, (n, rec) in picked.items():
+        assert rec == by_level[n]
+        if rec >= pct / 100.0:
+            cheaper = [m for m in NPROBE_LEVELS if m < n]
+            assert all(by_level[m] < pct / 100.0 for m in cheaper), (
+                f"target {pct}%: {n} chosen but a cheaper level sufficed"
+            )
+        else:
+            assert n == max(NPROBE_LEVELS), (
+                f"unreachable target {pct}% must fall back to max level"
+            )
+    # the pure helper agrees with both engines' pick rule
+    for pct in ADAPTIVE_RECALL_TARGETS_PCT:
+        assert adaptive_nprobe(curve, pct / 100.0) == picked[pct][0]
+    # unreachable target -> max level
+    assert adaptive_nprobe(curve, 2.0) == max(NPROBE_LEVELS)
+
+
 def test_timeseries_ewma_close_within_observed_band(spark):
     """The EWMA is a convex combination of the last K observations, so
     every emitted close must lie inside the global [min, max] value
