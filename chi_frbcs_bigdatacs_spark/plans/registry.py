@@ -34,89 +34,43 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # their latest green CORRECTNESS_r{N} row plus the local parity suite
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
-# re-hashes). Round-11 ordering (VERDICT r10 "Next round" #1 + the
-# r10 front-load note): (a) ALL new r11 keys (never driver-checked),
-# (b) keys whose PLANS/ORACLES changed this round (r≤10-green hashes,
-# re-verified at sf0.01 locally after the change — external
-# certification of the new behavior): the SMOTE/Tomek band-SQL
-# GREATEST-guard lockstep (ADVICE r10), the PNG decoder's FDICT
-# rejection guard (shared by all three PNG keys), and the NINE
-# replay twins whose staged source now splits equal-ts rows by
-# (ts, event_id) instead of raw parquet order (ADVICE r10 tie-order
-# fix: every consumer of _events_tsorder_src/_events_stream_ordered),
-# (c) the fourteen r4-stale keys (the external-check floor rises to
-# r5 once these land), in the r10 list's order, (d) the OLDEST r5
-# keys, in CORRECTNESS_r05 artifact order. The single "cap lands
-# here" marker below is the ONLY position comment — count list
-# entries against it; entries past the marker are the r12 front-load
-# order.
+# re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
+# list below IS the 50-key window, exactly — (a) 4 new r12 keys,
+# (b) 9 changed-plan/oracle keys, (c) the ENTIRE remaining 37-key
+# r5-stale cohort, so the external-check floor rises from r5 to r6
+# this round. R13 front-load order: (1) new r13 keys, (2) the
+# changed-but-identical-output r12 classify keys listed in the (b)
+# comment, (3) oldest r6 keys in CORRECTNESS_r06 artifact order.
+# NOTE: any key added later this round must displace the tail of (c)
+# one-for-one (the displaced keys then lead r13's group (3) — they'd
+# stay r5-stale, so prefer displacing (b) entries first).
 CHECK_PRIORITY: list[str] = [
-    # (a) new r11 keys -- never driver-checked (inserted as built)
+    # (a) new r12 keys -- never driver-checked
+    "media_decode_jpeg_420",
+    "media_decode_png_alpha",
+    "stream_checkpoint_recovery_stateful",
+    "simsearch_ivf_pq_adaptive",
+    # (b) plans/oracles changed in r12 and not already inside (c):
+    # simsearch_ivf_pq_nprobe gained the n_candidates column (output
+    # schema changed); the classify/rule keys below moved to the
+    # decimal-key HashAggregate argmax (outputs bit-identical, locally
+    # re-swept -- external certification of the new plans). The other
+    # changed-plan keys (classify_wr_plain/holdout/multiclass metrics,
+    # calibration, mcc_kappa, crossval_multiclass, model_roundtrip)
+    # are r6+-green with identical outputs and rotate in r13.
     "simsearch_ivf_pq_nprobe",
-    "media_decode_jpeg",
-    "scan_keel_variant",
-    "stream_late_data_accounting",
-    "media_decode_png_palette",
-    "media_decode_png_interlaced",
-    "media_decode_jpeg_color",
-    "stream_checkpoint_recovery",
-    "sketch_hll_distinct",
-    "stream_sketch_hll",
-    # (b) plans/oracles changed in r11
-    "resample_smote",
-    "resample_smote_probe",
-    "resample_tomek",
-    "media_decode_png",
-    "media_decode_png_dynamic",
-    "media_decode_png_filtered",
-    "stream_funnel",
-    "stream_stream_join",
-    "stream_path_transitions",
-    "stream_twap",
-    "stream_anomaly_detect",
-    "stream_scd2_maintain",
-    "stream_attribution",
-    "stream_rfm",
-    "stream_daily_corr",
-    # (c) the r4-stale backlog -- after this lands, no registry key's
-    # last external check is older than round 5
-    "embed_centroid_by_label",
-    "simsearch_range",
-    "sql_exists",
-    "sql_recursive_cte",
-    "agg_string_concat",
-    "scalar_bitwise_funcs",
-    "scalar_conditional_funcs",
-    "sample_systematic",
-    "token_doc_freq",
-    "dedup_latest_event",
-    "embed_quantize",
-    "stream_latest_event",
-    "media_dedup",
-    "window_funnel",
-    # (d) oldest r5 keys, CORRECTNESS_r05 artifact order
-    "resample_ros",
-    "resample_rus",
-    "dedup_decontaminate",
-    "text_bm25_topk",
-    "rulebuild_partitioned_globalcost",
-    "sql_q10",
-    "sql_q14",
-    "sql_q18",
-    "sql_q19",
-    "sql_q22",
-    "doc_pack_sequences",
-    # -- 50-slot cap: 10 new r11 keys (a) + 15 changed keys (b) + 14
-    # r4-stale keys (c) = 39, so the cap takes the first 11 of the 49
-    # r5-stale keys and lands here (the last entry in the window is
-    # doc_pack_sequences; the late-added PNG palette/interlaced, JPEG
-    # color, checkpoint-recovery and both HLL keys displaced
-    # split_stratified/corpus_mix_sqrt/text_unigram_surprisal/
-    # sql_q7/q11/q15 one-for-one).
-    # R12 front-load order: (1) any new r12 keys, (2) the remaining
-    # r5 cohort below, in CORRECTNESS_r05 artifact order.
-    # NOTE: any key added later this round must be inserted into (a)
-    # and displace the tail of (d) one-for-one, moving this marker up.
+    "classify_ac",
+    "classify_wr_bigmodel",
+    "classify_wr_nominal",
+    "classify_wr_multiclass",
+    "rulemerge_avg",
+    "rule_conflict_resolve_d8",
+    "rulebase_prune_minsupport",
+    "metrics_confusion",
+    # (c) the ENTIRE remaining r5-stale cohort (37 keys, CORRECTNESS_r05
+    # artifact order) -- after this round lands, no registry key's last
+    # external check is older than round 6 (VERDICT r11 #2's floor).
+    # 4 + 9 + 37 = 50: the cap lands exactly on the last entry.
     "split_stratified",
     "corpus_mix_sqrt",
     "text_unigram_surprisal",
@@ -124,8 +78,6 @@ CHECK_PRIORITY: list[str] = [
     "sql_q11",
     "sql_q15",
     "sql_q17",
-    # (stream_stream_join would be next in r05 artifact order but is
-    # already in this round's (b) group above.)
     "hyperparam_sweep",
     "rule_coverage",
     "scan_partition_pruned",
