@@ -461,15 +461,17 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     )
     with pytest.raises(ValueError, match="filter type"):
         _decode_png(bad_png)
-    # unsupported IHDR routes to NotImplementedError (RGBA ctype=6;
-    # grayscale/palette/Adam7 are REAL since r11 — see the variant test)
-    ihdr = struct.pack(">IIBBBBB", 5, 3, 8, 6, 0, 0, 0)
-    chunk = (
-        struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
-        + struct.pack(">I", _crc32(b"IHDR" + ihdr))
-    )
-    with pytest.raises(NotImplementedError):
-        _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
+    # unsupported IHDR routes to NotImplementedError (gray+alpha
+    # ctype=4 and 16-bit depth; RGBA ctype=6 became REAL in r12 —
+    # see test_png_rgba_roundtrip)
+    for depth, ctype in ((8, 4), (16, 2)):
+        ihdr = struct.pack(">IIBBBBB", 5, 3, depth, ctype, 0, 0, 0)
+        chunk = (
+            struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+            + struct.pack(">I", _crc32(b"IHDR" + ihdr))
+        )
+        with pytest.raises(NotImplementedError):
+            _decode_png(b"\x89PNG\r\n\x1a\n" + chunk)
     # truncation anywhere is a ValueError, never IndexError
     for cut in (10, idat_off + 10, len(raw) - 6):
         with pytest.raises(ValueError):
