@@ -1875,7 +1875,15 @@ class _JpegBitWriter:
             self.out.append(self.acc)
             if self.acc == 0xFF:
                 self.out.append(0x00)
+            self.acc, self.nbits = 0, 0
         return bytes(self.out)
+
+    def restart(self, m: int) -> None:
+        """T.81 E.1.4: byte-align with 1-fill (stuffed like any data
+        byte) then emit the RSTm marker — markers live OUTSIDE the
+        entropy coding, so no stuffing after the 0xFF prefix."""
+        self.finish()
+        self.out += bytes((0xFF, 0xD0 + (m % 8)))
 
 
 class _JpegBitReader:
@@ -1917,6 +1925,19 @@ class _JpegBitReader:
             if sym is not None:
                 return sym
         raise ValueError("invalid Huffman code in entropy data")
+
+    def sync_restart(self, m: int) -> None:
+        """Discard the current byte's padding bits and consume the
+        expected RSTm marker; a wrong modulo-8 sequence number means
+        lost MCUs and must fail loudly (T.81 E.1.4)."""
+        self.acc, self.nbits = 0, 0
+        if (
+            self.pos + 1 >= len(self.data)
+            or self.data[self.pos] != 0xFF
+            or self.data[self.pos + 1] != 0xD0 + (m % 8)
+        ):
+            raise ValueError(f"expected RST{m % 8} restart marker")
+        self.pos += 2
 
 
 def _jpeg_category(v: int) -> int:
@@ -1973,14 +1994,20 @@ def _jpeg_encode_block(
     return zz[0]
 
 
-def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
+def _encode_jpeg(
+    planes: list[list[list[int]]], restart_interval: int = 0
+) -> bytes:
     """Real baseline JFIF encoder for 1 (grayscale) or 3 (4:4:4
     interleaved) components of an 8-bit image whose dimensions are
     multiples of 8. Pipeline per T.81: level shift, FDCT, quantize
     (all-ones table), zigzag, per-component DC differential + AC
     run/size Huffman (shared table 0, legal in baseline), byte-
     stuffed scan inside the full marker grammar. With 3 components
-    each MCU interleaves one block per component in SOF order."""
+    each MCU interleaves one block per component in SOF order.
+    restart_interval > 0 (r12) emits a DRI segment and an RST0..7
+    marker after every `restart_interval` MCUs, resetting all DC
+    predictors — the resilience/parallel-decode surface real encoders
+    emit by default."""
     import struct
 
     ncomp = len(planes)
@@ -1997,6 +2024,8 @@ def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
     ac_tab = _jpeg_canonical(_JPEG_AC_BITS, _JPEG_AC_VALS)
     bw = _JpegBitWriter()
     prev_dc = [0] * ncomp
+    n_mcus = (h // 8) * (w // 8)
+    mcu = rst = 0
     for by in range(h // 8):
         for bx in range(w // 8):
             for c, plane in enumerate(planes):
@@ -2011,11 +2040,25 @@ def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
                 prev_dc[c] = _jpeg_encode_block(
                     bw, block, prev_dc[c], dc_tab, ac_tab
                 )
+            mcu += 1
+            if (
+                restart_interval
+                and mcu % restart_interval == 0
+                and mcu < n_mcus
+            ):
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0] * ncomp
     scan = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     dqt = seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QUANT[i] for i in _ZIGZAG))
     sof = seg(
         0xFFC0,
@@ -2035,7 +2078,7 @@ def _encode_jpeg(planes: list[list[list[int]]]) -> bytes:
     )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     return (
-        b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
     )
 
 
@@ -2044,7 +2087,10 @@ def _encode_jpeg_gray(pixels: list[list[int]]) -> bytes:
 
 
 def _encode_jpeg_420(
-    y: list[list[int]], cb: list[list[int]], cr: list[list[int]]
+    y: list[list[int]],
+    cb: list[list[int]],
+    cr: list[list[int]],
+    restart_interval: int = 0,
 ) -> bytes:
     """Baseline JFIF encoder with 4:2:0 chroma subsampling — the
     dominant real-world layout (VERDICT r11 #3). Y carries sampling
@@ -2076,6 +2122,7 @@ def _encode_jpeg_420(
         # edge clamp: replicate the last in-image pixel row/column
         return y[min(pyy, h - 1)][min(px, w - 1)]
 
+    mcu = rst = 0
     for my in range(mcy):
         for mx in range(mcx):
             for b in range(4):  # Y blocks, raster within the MCU
@@ -2098,6 +2145,15 @@ def _encode_jpeg_420(
                 prev_dc[c] = _jpeg_encode_block(
                     bw, block, prev_dc[c], dc_tab, ac_tab
                 )
+            mcu += 1
+            if (
+                restart_interval
+                and mcu % restart_interval == 0
+                and mcu < mcx * mcy
+            ):
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = [0, 0, 0]
     scan = bw.finish()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -2122,8 +2178,15 @@ def _encode_jpeg_420(
         + b"".join(bytes([c + 1, 0x00]) for c in range(3))
         + bytes([0, 63, 0]),
     )
+    dri = (
+        seg(0xFFDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return (
+        b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + scan + b"\xff\xd9"
+    )
 
 
 def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
@@ -2144,6 +2207,7 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
     ac_rd: dict[tuple[int, int], int] | None = None
     w = h = -1
     ncomp = -1
+    restart_interval = 0
     while pos < len(raw):
         if pos + 4 > len(raw):
             raise ValueError("truncated segment header")
@@ -2218,6 +2282,10 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
             if quant is None or dc_rd is None or ac_rd is None:
                 raise ValueError("SOS before DQT/DHT")
             break
+        elif marker == 0xFFDD:
+            if ln != 4:
+                raise ValueError("bad DRI length")
+            (restart_interval,) = struct.unpack_from(">H", body)
         elif 0xFFE0 <= marker <= 0xFFEF or marker == 0xFFFE:
             continue  # APPn / COM
         else:
@@ -2264,8 +2332,26 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
         px = int(round(v + 128.0))
         return 0 if px < 0 else 255 if px > 255 else px
 
+    # restart handling shared by both layouts: after every
+    # restart_interval MCUs (except the last) byte-align, consume the
+    # modulo-8-sequenced RSTn, and reset every DC predictor chain
+    mcu_done = [0]
+    rst_seq = [0]
+
+    def maybe_restart(n_mcus: int) -> None:
+        mcu_done[0] += 1
+        if (
+            restart_interval
+            and mcu_done[0] % restart_interval == 0
+            and mcu_done[0] < n_mcus
+        ):
+            rd.sync_restart(rst_seq[0])
+            rst_seq[0] = (rst_seq[0] + 1) % 8
+            prev_dc[:] = [0] * ncomp
+
     total = checksum = 0
     if not subsampled:
+        n_mcus = (h // 8) * (w // 8)
         for by in range(h // 8):
             for bx in range(w // 8):
                 for c in range(ncomp):
@@ -2276,6 +2362,7 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
                             gx, gy = 8 * bx + x, 8 * by + y
                             total += px
                             checksum += (1 + gx + w * gy) * (c + 1) * px
+                maybe_restart(n_mcus)
     else:
         # 4:2:0 (r12): one MCU = 4 Y blocks (raster within MCU, T.81
         # A.2.3) + 1 Cb + 1 Cr; the MCU grid CEILS w/16 x h/16 so edge
@@ -2302,6 +2389,7 @@ def _decode_jpeg(raw: bytes) -> tuple[int, int, int, int]:
                             cpl[c - 1][8 * my + y][8 * mx + x] = clamp8(
                                 out[x][y]
                             )
+                maybe_restart(mcx * mcy)
         for gy in range(h):
             for gx in range(w):
                 vy = ypl[gy][gx]
@@ -2405,6 +2493,69 @@ SELECT doc_id,
          AS BIGINT) AS pos_checksum
 FROM px
 """
+
+
+# --- restart-interval JPEG (r12) ---------------------------------------------
+# DRI/RSTn: the resilience surface real encoders emit by default —
+# after every DRI-declared number of MCUs the scan byte-aligns, emits
+# a modulo-8-sequenced RST marker, and resets every DC predictor
+# chain. The decoder must consume the markers at exactly the right
+# MCU boundaries AND reset its predictors, or every value after the
+# first restart drifts by the lost DC delta — the same per-block
+# fixture and closed-form oracle as the plain grayscale key therefore
+# pin the whole mechanism (interval 2 over up to 6 MCUs: multiple
+# restarts, a tail shorter than the interval, and wrong-sequence /
+# missing-marker rejection covered by unit + hypothesis tests).
+JPEG_RESTART_INTERVAL = 2
+
+
+def q_media_decode_jpeg_restart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 3 + 1).cast("int").alias("bw"),
+        (F.col("doc_id") % 2 + 1).cast("int").alias("bh"),
+        (F.col("doc_id") % JPEG_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_jpeg(
+                            [_jpeg_fixture_pixels(int(a), int(b), int(s))],
+                            restart_interval=JPEG_RESTART_INTERVAL,
+                        )
+                        for a, b, s in zip(pdf["bw"], pdf["bh"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_jpeg(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "jpeg_w": [f[0] for f in feats],
+                    "jpeg_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_px": [f[2] / (f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, jpeg_w int, jpeg_h int, n_px long,"
+        " mean_px double, pos_checksum long",
+    ).withColumn("mean_px", F.round("mean_px", 6))
 
 
 # --- interleaved 3-component baseline JPEG (4:4:4) ---------------------------
@@ -2650,6 +2801,13 @@ def register_all() -> None:
         "media_decode_jpeg_420",
         q_media_decode_jpeg_420,
         MEDIA_DECODE_JPEG_420_SQL,
+    )
+    # same features as the plain grayscale key: DRI/RSTn changes only
+    # the wire format, so the shared closed-form oracle pins it
+    register(
+        "media_decode_jpeg_restart",
+        q_media_decode_jpeg_restart,
+        MEDIA_DECODE_JPEG_SQL,
     )
     register("media_decode_jpeg", q_media_decode_jpeg, MEDIA_DECODE_JPEG_SQL)
     register(

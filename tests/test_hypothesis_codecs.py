@@ -253,3 +253,68 @@ def test_jpeg_sampling_rejection_guards():
         patched[i + 11] = bad
         with pytest.raises(NotImplementedError, match="sampling"):
             _decode_jpeg(bytes(patched))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=12, max_size=12
+    ),
+    ncomp=st.sampled_from([1, 3]),
+    interval=st.integers(min_value=1, max_value=5),
+)
+def test_jpeg_restart_markers_bit_exact(bw, bh, vals, ncomp, interval):
+    """r12 DRI/RSTn: any restart interval (including 1, and intervals
+    longer than the MCU count) must decode IDENTICALLY to the plain
+    stream — the DC predictor resets on both sides must line up at
+    exactly the declared MCU boundaries or the values after the first
+    restart drift by the lost delta."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    planes = [
+        [
+            [vals[(c * 4 + (y // 8) * bw + (x // 8)) % 12] for x in range(w)]
+            for y in range(h)
+        ]
+        for c in range(ncomp)
+    ]
+    plain = _decode_jpeg(_encode_jpeg(planes))
+    with_rst = _decode_jpeg(_encode_jpeg(planes, restart_interval=interval))
+    assert with_rst == plain
+
+
+def test_jpeg_restart_rejection_guards():
+    """A wrong RST sequence number (lost MCUs) and a missing marker
+    must both fail by name, never silently mis-decode."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg,
+        _jpeg_fixture_pixels,
+    )
+
+    raw = bytearray(
+        _encode_jpeg([_jpeg_fixture_pixels(3, 2, 10)], restart_interval=1)
+    )
+    i = raw.find(b"\xff\xd0")
+    assert i > 0
+    bad = bytearray(raw)
+    bad[i + 1] = 0xD4  # out-of-sequence RST4 where RST0 is due
+    with pytest.raises(ValueError, match="RST"):
+        _decode_jpeg(bytes(bad))
+    # DRI declared but markers absent: strip DRI's promise by doubling
+    # the interval in the segment -> decoder expects the marker later
+    # than the encoder emitted it -> marker lands inside entropy data
+    j = raw.find(b"\xff\xdd")
+    assert j > 0
+    bad2 = bytearray(raw)
+    bad2[j + 4 : j + 6] = (2).to_bytes(2, "big")  # encoder used 1
+    with pytest.raises(ValueError, match="marker inside entropy data"):
+        _decode_jpeg(bytes(bad2))
