@@ -1098,6 +1098,7 @@ def _encode_png(
     filter_cycle: bool = False,
     ctype: int = 2,
     interlace: int = 0,
+    depth: int = 8,
 ) -> bytes:
     """level=None compresses with OUR fixed-Huffman deflate; an int
     delegates to stdlib zlib.compress at that level (the public
@@ -1112,11 +1113,17 @@ def _encode_png(
     emits the seven Adam7 passes, each filtered against its own
     zero row. ctype=6 (r12) is RGBA: the RGB fixture triple plus
     alpha (5*idx+11)%256 — a 4th channel whose bytes-per-pixel
-    shifts every filter predictor offset."""
+    shifts every filter predictor offset. depth=16 (r12, grayscale
+    only) writes big-endian u16 samples idx*257 (hi == lo == idx, the
+    exact 8->16 scaling the spec recommends); filters then run at
+    bpp=2, so hi bytes predict from lo bytes and vice versa — a wrong
+    byte offset corrupts reconstruction, not just a feature sum."""
     import struct
 
+    if depth not in (8, 16) or (depth == 16 and ctype != 0):
+        raise ValueError("depth 16 supported for grayscale only")
     run = d % 3 + 2
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
 
     def sample(x: int, y: int) -> bytes:
         idx = (d + 5 * y + 3 * (x // run)) % 256
@@ -1126,6 +1133,8 @@ def _encode_png(
             return bytes(
                 (idx, (2 * idx) % 256, (3 * idx) % 256, (5 * idx + 11) % 256)
             )
+        if depth == 16:
+            return bytes((idx, idx))  # idx*257 big-endian: hi == lo
         return bytes((idx,))
 
     raw = bytearray()
@@ -1177,7 +1186,9 @@ def _encode_png(
             + struct.pack(">I", _crc32(typ + payload))
         )
 
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, ctype, 0, 0, interlace)
+    ihdr = struct.pack(
+        ">IIBBBBB", width, height, depth, ctype, 0, 0, interlace
+    )
     plte = (
         chunk(
             b"PLTE",
@@ -1223,9 +1234,15 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             width, height, depth, ctype, _comp, _filt, interlace = (
                 struct.unpack_from(">IIBBBBB", data)
             )
-            if depth != 8 or ctype not in (0, 2, 3, 6) or interlace > 1:
+            if (
+                ctype not in (0, 2, 3, 6)
+                or interlace > 1
+                or depth not in (8, 16)
+                or (depth == 16 and ctype != 0)
+            ):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/RGB/palette/RGBA PNG supported"
+                    "only 8-bit grayscale/RGB/palette/RGBA or 16-bit"
+                    " grayscale PNG supported"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 768:
@@ -1249,7 +1266,7 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
     (adler,) = struct.unpack(">I", bytes(idat[-4:]))
     if adler != _adler32(body):
         raise ValueError("Adler-32 mismatch")
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype]
+    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
     passes = (
         [(0, 0, 1, 1)] if interlace == 0 else _ADAM7  # (x0, y0, dx, dy)
     )
@@ -1283,7 +1300,11 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                 elif ctype == 6:
                     r_, g, b, a_ = line[bpp * i : bpp * i + 4]
                 elif ctype == 0:
-                    r_ = g = b = line[i]
+                    # depth 16: the most-significant byte is the 8-bit
+                    # rendering (sample // 257 for the idx*257 fixture);
+                    # the lo byte still participates in filtering, so a
+                    # byte-offset bug upstream corrupts THIS value too
+                    r_ = g = b = line[bpp * i]
                 else:
                     e = line[i] * 3
                     if e + 3 > len(palette):
@@ -1568,6 +1589,18 @@ def q_media_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_png_variant(spark, sf_dir, 8, 5, 6, 3, ctype=3)
 
 
+def q_media_decode_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 16-bit grayscale (r12): big-endian u16 samples at idx*257 (the
+    # spec's 8->16 scaling), filters at bpp=2 so hi and lo bytes
+    # predict from each other under the full filter cycle; decode
+    # renders the most-significant byte (== idx), giving the gray
+    # closed form (v,v,v) the oracle states
+    return _q_png_variant(
+        spark, sf_dir, 11, 4, 8, 3, ctype=0, depth=16,
+        filter_cycle=True, level=9,
+    )
+
+
 def q_media_decode_png_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     # RGBA + the full filter cycle: bpp=4 moves every Sub/Average/
     # Paeth predictor offset, so a bpp mistake corrupts reconstruction
@@ -1614,6 +1647,30 @@ SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
 FROM px
 """.replace("{idx}", _PNG_IDX)
 
+
+# 16-bit grayscale oracle: decode renders the most-significant byte
+# (== idx for the idx*257 fixture), so the gray (v,v,v) closed form
+# applies: channel sum 3*idx, checksum weight (1+2+3)*idx.
+MEDIA_DECODE_PNG_16BIT_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 11 + 4 AS INT) AS w,
+         CAST(doc_id % 8 + 3 AS INT) AS h,
+         doc_id % {PNG_MOD} AS d,
+         doc_id % {PNG_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               3 * ({_PNG_IDX}) AS DOUBLE)))))
+         / (3 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * 6 * ({_PNG_IDX}) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
 
 # RGBA oracle: the RGB variant's sums plus the alpha channel
 # (5*idx+11)%256 at channel weight 4 and a 4-channel mean denominator.
@@ -2828,6 +2885,11 @@ def register_all() -> None:
         "media_decode_png_alpha",
         q_media_decode_png_alpha,
         MEDIA_DECODE_PNG_ALPHA_SQL,
+    )
+    register(
+        "media_decode_png_16bit",
+        q_media_decode_png_16bit,
+        MEDIA_DECODE_PNG_16BIT_SQL,
     )
     register(
         "media_decode_png_interlaced",

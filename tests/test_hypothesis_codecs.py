@@ -318,3 +318,37 @@ def test_jpeg_restart_rejection_guards():
     bad2[j + 4 : j + 6] = (2).to_bytes(2, "big")  # encoder used 1
     with pytest.raises(ValueError, match="marker inside entropy data"):
         _decode_jpeg(bytes(bad2))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    d=st.integers(min_value=0, max_value=238),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 1, 9]),
+)
+def test_png_16bit_gray_roundtrip(w, h, d, interlace, filter_cycle, level):
+    """depth 16 (r12): u16 big-endian samples filter at bpp=2, hi and
+    lo bytes predicting from each other — every filter/interlace/
+    compressor combination must render the MSB closed form exactly."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=0, depth=16, interlace=interlace,
+    )
+    run = d % 3 + 2
+
+    def idx(x: int, y: int) -> int:
+        return (d + 5 * y + 3 * (x // run)) % 256
+
+    t = sum(3 * idx(x, y) for y in range(h) for x in range(w))
+    c = sum(
+        (1 + x + w * y) * 6 * idx(x, y) for y in range(h) for x in range(w)
+    )
+    assert _decode_png(raw) == (w, h, t, c)
