@@ -1099,6 +1099,7 @@ def _encode_png(
     ctype: int = 2,
     interlace: int = 0,
     depth: int = 8,
+    trns: int = 0,
 ) -> bytes:
     """level=None compresses with OUR fixed-Huffman deflate; an int
     delegates to stdlib zlib.compress at that level (the public
@@ -1117,11 +1118,16 @@ def _encode_png(
     only) writes big-endian u16 samples idx*257 (hi == lo == idx, the
     exact 8->16 scaling the spec recommends); filters then run at
     bpp=2, so hi bytes predict from lo bytes and vice versa — a wrong
-    byte offset corrupts reconstruction, not just a feature sum."""
+    byte offset corrupts reconstruction, not just a feature sum.
+    trns=N > 0 (r12, palette only) emits a tRNS chunk giving alpha
+    (7*i+13)%256 to the FIRST N palette entries — entries past the
+    chunk are opaque per the spec's short-chunk rule."""
     import struct
 
     if depth not in (8, 16) or (depth == 16 and ctype != 0):
         raise ValueError("depth 16 supported for grayscale only")
+    if trns and ctype != 3:
+        raise ValueError("tRNS fixture supported for palette only")
     run = d % 3 + 2
     bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
 
@@ -1199,10 +1205,16 @@ def _encode_png(
         if ctype == 3
         else b""
     )
+    trns_chunk = (
+        chunk(b"tRNS", bytes((7 * i + 13) % 256 for i in range(trns)))
+        if trns
+        else b""
+    )
     return (
         b"\x89PNG\r\n\x1a\n"
         + chunk(b"IHDR", ihdr)
         + plte
+        + trns_chunk
         + chunk(b"IDAT", zdata)
         + chunk(b"IEND", b"")
     )
@@ -1217,7 +1229,7 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
     if raw[:8] != b"\x89PNG\r\n\x1a\n":
         raise ValueError("not a PNG stream")
     pos, width, height, idat = 8, -1, -1, bytearray()
-    ctype, interlace, palette = -1, 0, None
+    ctype, interlace, palette, trns = -1, 0, None, None
     while pos < len(raw):
         if pos + 8 > len(raw):
             raise ValueError("truncated chunk header")
@@ -1248,6 +1260,12 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             if ln % 3 or ln > 768:
                 raise ValueError("invalid PLTE length")
             palette = bytes(data)
+        elif typ == b"tRNS":
+            if ctype != 3:
+                raise NotImplementedError("tRNS only supported for palette")
+            if ln > 256:
+                raise ValueError("invalid tRNS length")
+            trns = bytes(data)
         elif typ == b"IDAT":
             idat += data
         elif typ == b"IEND":
@@ -1310,6 +1328,11 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                     if e + 3 > len(palette):
                         raise ValueError("palette index out of range")
                     r_, g, b = palette[e : e + 3]
+                    if trns is not None:
+                        # spec short-chunk rule: entries past the tRNS
+                        # chunk are fully opaque; 255 stays out of the
+                        # weighted sums only when the chunk is absent
+                        a_ = trns[line[i]] if line[i] < len(trns) else 255
                 # alpha extends the channel-weight convention (1,2,3)
                 # with weight 4, so a dropped/crossed 4th channel
                 # flips the hash the same way a swapped RGB would
@@ -1589,6 +1612,21 @@ def q_media_decode_png_palette(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _q_png_variant(spark, sf_dir, 8, 5, 6, 3, ctype=3)
 
 
+PNG_TRNS_LEN = 128
+
+
+def q_media_decode_png_trns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # palette transparency (r12): tRNS gives alpha (7*i+13)%256 to the
+    # first 128 palette entries; entries past the chunk are opaque per
+    # the spec's short-chunk rule — both branches of that rule land in
+    # the weighted feature sums (alpha at channel weight 4, the RGBA
+    # convention), so a missing/mis-indexed tRNS lookup flips the hash
+    return _q_png_variant(
+        spark, sf_dir, 9, 5, 7, 4, channels=4, ctype=3,
+        trns=PNG_TRNS_LEN, filter_cycle=True, level=9,
+    )
+
+
 def q_media_decode_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 16-bit grayscale (r12): big-endian u16 samples at idx*257 (the
     # spec's 8->16 scaling), filters at bpp=2 so hi and lo bytes
@@ -1647,6 +1685,39 @@ SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
 FROM px
 """.replace("{idx}", _PNG_IDX)
 
+
+# tRNS palette oracle: RGB triple from the palette identity mapping,
+# alpha (7*i+13)%256 below the 128-entry chunk and 255 above it.
+MEDIA_DECODE_PNG_TRNS_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 5 AS INT) AS w,
+         CAST(doc_id % 7 + 4 AS INT) AS h,
+         doc_id % {PNG_MOD} AS d,
+         doc_id % {PNG_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               {_PNG_IDX}
+             + (2 * ({_PNG_IDX})) % 256
+             + (3 * ({_PNG_IDX})) % 256
+             + CASE WHEN ({_PNG_IDX}) < {PNG_TRNS_LEN}
+                    THEN (7 * ({_PNG_IDX}) + 13) % 256 ELSE 255 END
+               AS DOUBLE)))))
+         / (4 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * ({_PNG_IDX}
+                 + 2 * ((2 * ({_PNG_IDX})) % 256)
+                 + 3 * ((3 * ({_PNG_IDX})) % 256)
+                 + 4 * (CASE WHEN ({_PNG_IDX}) < {PNG_TRNS_LEN}
+                        THEN (7 * ({_PNG_IDX}) + 13) % 256
+                        ELSE 255 END)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
 
 # 16-bit grayscale oracle: decode renders the most-significant byte
 # (== idx for the idx*257 fixture), so the gray (v,v,v) closed form
@@ -2890,6 +2961,11 @@ def register_all() -> None:
         "media_decode_png_16bit",
         q_media_decode_png_16bit,
         MEDIA_DECODE_PNG_16BIT_SQL,
+    )
+    register(
+        "media_decode_png_trns",
+        q_media_decode_png_trns,
+        MEDIA_DECODE_PNG_TRNS_SQL,
     )
     register(
         "media_decode_png_interlaced",

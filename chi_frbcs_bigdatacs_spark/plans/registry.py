@@ -35,8 +35,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 6 new r12 keys,
-# (b) 7 changed-plan/oracle keys, (c) the ENTIRE remaining 37-key
+# list below IS the 50-key window, exactly — (a) 7 new r12 keys,
+# (b) 6 changed-plan/oracle keys, (c) the ENTIRE remaining 37-key
 # r5-stale cohort, so the external-check floor rises from r5 to r6
 # this round. R13 front-load order: (1) new r13 keys, (2) the
 # changed-but-identical-output r12 classify keys listed in the (b)
@@ -49,6 +49,7 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_jpeg_420",
     "media_decode_jpeg_restart",
     "media_decode_png_16bit",
+    "media_decode_png_trns",
     "media_decode_png_alpha",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
@@ -66,15 +67,15 @@ CHECK_PRIORITY: list[str] = [
     "classify_wr_nominal",
     "classify_wr_multiclass",
     "rulemerge_avg",
-    "rule_conflict_resolve_d8",
-    # (metrics_confusion and rulebase_prune_minsupport displaced
-    # one-for-one by the late-added media_decode_jpeg_restart and
-    # media_decode_png_16bit -- both changed-plan/identical-output,
-    # r9-green; they lead r13's group (2) with the classify keys)
+    # (metrics_confusion, rulebase_prune_minsupport and
+    # rule_conflict_resolve_d8 displaced one-for-one by the late-added
+    # media_decode_jpeg_restart / media_decode_png_16bit /
+    # media_decode_png_trns -- all changed-plan/identical-output and
+    # externally green; they lead r13's group (2) with the classify keys)
     # (c) the ENTIRE remaining r5-stale cohort (37 keys, CORRECTNESS_r05
     # artifact order) -- after this round lands, no registry key's last
     # external check is older than round 6 (VERDICT r11 #2's floor).
-    # 6 + 7 + 37 = 50: the cap lands exactly on the last entry.
+    # 7 + 6 + 37 = 50: the cap lands exactly on the last entry.
     "split_stratified",
     "corpus_mix_sqrt",
     "text_unigram_surprisal",

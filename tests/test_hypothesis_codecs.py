@@ -352,3 +352,45 @@ def test_png_16bit_gray_roundtrip(w, h, d, interlace, filter_cycle, level):
         (1 + x + w * y) * 6 * idx(x, y) for y in range(h) for x in range(w)
     )
     assert _decode_png(raw) == (w, h, t, c)
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    d=st.integers(min_value=0, max_value=238),
+    trns_len=st.integers(min_value=1, max_value=256),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 9]),
+)
+def test_png_trns_palette_roundtrip(
+    w, h, d, trns_len, interlace, filter_cycle, level
+):
+    """tRNS (r12) at ANY chunk length 1..256: entries below the chunk
+    take (7*i+13)%256, entries at or past it are opaque 255 — both
+    branches of the spec's short-chunk rule land in the features."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=3, trns=trns_len, interlace=interlace,
+    )
+    run = d % 3 + 2
+
+    def chans(x: int, y: int) -> tuple[int, int, int, int]:
+        i = (d + 5 * y + 3 * (x // run)) % 256
+        a = (7 * i + 13) % 256 if i < trns_len else 255
+        return i, (2 * i) % 256, (3 * i) % 256, a
+
+    t = sum(sum(chans(x, y)) for y in range(h) for x in range(w))
+    c = sum(
+        (1 + x + w * y)
+        * sum((k + 1) * v for k, v in enumerate(chans(x, y)))
+        for y in range(h)
+        for x in range(w)
+    )
+    assert _decode_png(raw) == (w, h, t, c)
