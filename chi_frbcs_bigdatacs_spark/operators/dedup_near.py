@@ -660,6 +660,158 @@ WHERE round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
 """
 
 
+# --- exact substring-span dedup (r12) ----------------------------------------
+# The remaining first-class dedup mode from the LLM-pipeline
+# literature: EXACT duplicated substrings ("Deduplicating Training
+# Data Makes Language Models Better", Lee et al. 2022 — their
+# ExactSubstr). Instead of doc-level verdicts, it finds every
+# character span of length >= K that occurs more than once ANYWHERE
+# in the corpus (across docs or repeated within one doc) and accounts
+# for it per document: how many maximal duplicated regions, how many
+# duplicated characters, what fraction of the doc is duplicated —
+# the numbers a curation pipeline thresholds on before trimming.
+#
+# Spark shape: enumerate all K-grams (explode(sequence) + substring,
+# whole-stage codegen, no Python), mark grams with a global
+# occurrence count > 1 via ONE count window partitioned by the gram
+# (same shuffle a groupBy would pay, but no second join back), then
+# merge overlapping spans per doc with a classic gaps-and-islands
+# running-max window and aggregate. Two shuffles total: by gram, then
+# by doc.
+#
+# 100 TB: Lee et al. use a suffix array; the k-gram shuffle is the
+# distributed equivalent and its volume is len(text) rows per doc —
+# at corpus scale you (a) hash each gram to 128 bits before the
+# exchange so shuffle rows are fixed-width, (b) stride the enumeration
+# and re-expand matches locally, and (c) let AQE split the skewed
+# buckets that boilerplate grams create. Spans stay per-doc local
+# either way.
+
+SUBSTR_K = 30  # minimum duplicated-run length in characters
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    grams = (
+        docs.where(F.col("n_chars") >= SUBSTR_K)
+        .select(
+            "doc_id",
+            "text",
+            F.explode(
+                F.sequence(
+                    F.lit(1), (F.col("n_chars") - SUBSTR_K + 1).cast("int")
+                )
+            ).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"substring(text, pos, {SUBSTR_K})").alias("g"),
+        )
+    )
+    hits = (
+        grams.withColumn(
+            "n_occ", F.count("*").over(Window.partitionBy("g"))
+        )
+        .where(F.col("n_occ") > 1)
+        .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        hits.withColumn(
+            "ni",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return (
+        docs.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+            F.round(
+                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+            ).alias("dup_frac"),
+        )
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text, length(text) AS n_chars FROM documents
+),
+grams AS (
+  SELECT doc_id, pos, substring(text, CAST(pos AS INT), {SUBSTR_K}) AS g
+  FROM (
+    SELECT doc_id, text,
+           unnest(range(1, n_chars - {SUBSTR_K} + 2)) AS pos
+    FROM docs WHERE n_chars >= {SUBSTR_K}
+  )
+),
+hits AS (
+  SELECT doc_id, pos, pos + {SUBSTR_K} - 1 AS e
+  FROM (
+    SELECT doc_id, pos, count(*) OVER (PARTITION BY g) AS n_occ
+    FROM grams
+  )
+  WHERE n_occ > 1
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN pos > coalesce(max(e) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS ni
+  FROM hits
+),
+spans AS (
+  SELECT doc_id, island, min(pos) AS s, max(e) AS e
+  FROM (
+    SELECT doc_id, pos, e,
+           sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+    FROM isl
+  )
+  GROUP BY doc_id, island
+),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_dup_spans,
+         CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
+  FROM spans GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(d.n_chars AS BIGINT) AS n_chars,
+       coalesce(p.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(p.dup_chars, 0) AS dup_chars,
+       round(coalesce(p.dup_chars, 0) / d.n_chars, 6) AS dup_frac
+FROM docs d LEFT JOIN per_doc p USING (doc_id)
+"""
+
+
 def register_all() -> None:
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
     register("dedup_minhash_keep", q_dedup_minhash_keep, _minhash_keep_sql())
@@ -668,3 +820,4 @@ def register_all() -> None:
     register("dedup_decontaminate", q_dedup_decontaminate, DEDUP_DECONTAMINATE_SQL)
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
+    register("dedup_substring", q_dedup_substring, DEDUP_SUBSTRING_SQL)

@@ -2089,8 +2089,160 @@ FROM sel WHERE rn = 1
     )
 
 
+# --- SQ8 scalar quantization + asymmetric serve (r12) ------------------------
+# The OTHER standard vector-compression family (FAISS's SQ8 /
+# ScalarQuantizer): instead of PQ's codebook, each DIMENSION is
+# quantized independently to 8 bits against per-dim [min, max] bounds
+# trained on the corpus — 64 floats -> 64 bytes with no training
+# beyond one bounds pass, and decode is a multiply-add. Serving is
+# asymmetric like ADC: the full-precision query scores against each
+# vector's RECONSTRUCTION, top-SQ8_SHORTLIST shortlist by quantized
+# distance, exact re-rank to top-10.
+#
+# Exactness discipline (the repo's integer idiom): embeddings go to
+# micro-unit BIGINTs first (round(x*1e6) — the same rounding both
+# engines produce bit-equally), bounds/codes/reconstructions stay
+# integers throughout — code = (xm-mn)*255 div rng, recon scaled by
+# 255 so it needs no division — and distances are integer sums
+# (order-free): |255*q - recon| < 2^28 per dim, so the 64-dim squared
+# sum < 2^63 with headroom.
+#
+# Scale shape (100 TB): bounds = ONE map-side-combinable min/max agg
+# (the posexplode is a constant 64x row fan with tiny rows); the
+# bounds/query collects are scalar headers (128 + 64 ints — the
+# centroid convention); serve = scan + per-row constant work with the
+# quantize/score expression entirely in whole-stage codegen, then
+# TakeOrdered(20) — no shuffle of anything vector-sized, no window.
+SQ8_LEVELS = 255
+SQ8_SHORTLIST = 20
+SQ8_K = 10
+MICRO = 1_000_000
+
+
+def _micros_col() -> Column:
+    return F.transform(
+        F.col("embedding"),
+        lambda x: F.round(x.cast("double") * F.lit(float(MICRO)), 0).cast(
+            "long"
+        ),
+    )
+
+
+def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", _micros_col().alias("xm"))
+    bounds = {
+        int(r["dim"]): (int(r["mn"]), int(r["mx"]))
+        for r in m.select(F.posexplode("xm").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    qm = [
+        int(v)
+        for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
+    ]
+    params = F.array(
+        *[
+            F.struct(
+                F.lit(bounds[i][0]).cast("long").alias("mn"),
+                F.lit(bounds[i][1] - bounds[i][0]).cast("long").alias("rng"),
+                F.lit(SQ8_LEVELS * qm[i]).cast("long").alias("q255"),
+                F.lit(qm[i]).cast("long").alias("q"),
+            )
+            for i in range(DIM)
+        ]
+    )
+    scored = m.withColumn("p", params).select(
+        "vec_id",
+        F.expr(
+            f"""aggregate(
+              zip_with(xm, p, (x, pp) ->
+                pp.q255 - ({SQ8_LEVELS} * pp.mn + CASE WHEN pp.rng > 0
+                  THEN ((x - pp.mn) * {SQ8_LEVELS} div pp.rng) * pp.rng
+                  ELSE 0L END)),
+              0L, (acc, d) -> acc + d * d)"""
+        ).alias("sq_dist255"),
+        F.expr(
+            """aggregate(
+              zip_with(xm, p, (x, pp) -> pp.q - x),
+              0L, (acc, d) -> acc + d * d)"""
+        ).alias("exact_d2_micro"),
+    )
+    short = scored.orderBy(
+        F.col("sq_dist255").asc(), F.col("vec_id").asc()
+    ).limit(SQ8_SHORTLIST)
+    from pyspark.sql.window import Window
+
+    return (
+        short.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("exact_d2_micro").asc(), F.col("vec_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= SQ8_K)
+        .select("rank", "vec_id", "sq_dist255", "exact_d2_micro")
+        .orderBy("rank")
+    )
+
+
+SIMSEARCH_SQ8_SQL = f"""
+WITH dims AS (
+  SELECT unnest(range({DIM})) AS dim
+),
+m AS (
+  SELECT vec_id, dim,
+         CAST(round(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS xm
+  FROM embeddings CROSS JOIN dims
+),
+b AS (
+  SELECT dim, min(xm) AS mn, max(xm) - min(xm) AS rng
+  FROM m GROUP BY dim
+),
+q AS (
+  SELECT dim, xm AS qm FROM m
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+d AS (
+  SELECT m.vec_id,
+         {SQ8_LEVELS} * q.qm
+           - ({SQ8_LEVELS} * b.mn + CASE WHEN b.rng > 0
+                THEN ((m.xm - b.mn) * {SQ8_LEVELS} // b.rng) * b.rng
+                ELSE 0 END) AS dd,
+         q.qm - m.xm AS de
+  FROM m JOIN b USING (dim) JOIN q USING (dim)
+),
+agg AS (
+  SELECT vec_id,
+         CAST(sum(dd * dd) AS BIGINT) AS sq_dist255,
+         CAST(sum(de * de) AS BIGINT) AS exact_d2_micro
+  FROM d GROUP BY vec_id
+),
+short AS (
+  SELECT * FROM agg
+  ORDER BY sq_dist255 ASC, vec_id ASC LIMIT {SQ8_SHORTLIST}
+)
+SELECT rank, vec_id, sq_dist255, exact_d2_micro
+FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY exact_d2_micro ASC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, sq_dist255, exact_d2_micro
+  FROM short
+)
+WHERE rank <= {SQ8_K}
+ORDER BY rank
+"""
+
+
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
+    register("simsearch_sq8", q_simsearch_sq8, SIMSEARCH_SQ8_SQL)
     register(
         "simsearch_ivf_pq_nprobe",
         q_simsearch_ivf_pq_nprobe,

@@ -51,6 +51,10 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_png_16bit",
     "media_decode_png_trns",
     "media_decode_png_alpha",
+    "media_decode_jpeg_progressive",
+    "dedup_substring",
+    "simsearch_sq8",
+    "media_decode_jpeg_422",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -63,10 +67,11 @@ CHECK_PRIORITY: list[str] = [
     # are r6+-green with identical outputs and rotate in r13.
     "simsearch_ivf_pq_nprobe",
     "classify_ac",
-    "classify_wr_bigmodel",
-    "classify_wr_nominal",
-    "classify_wr_multiclass",
-    "rulemerge_avg",
+    # (rulemerge_avg, classify_wr_multiclass, classify_wr_nominal and
+    # classify_wr_bigmodel displaced one-for-one by the late-added
+    # media_decode_jpeg_progressive, dedup_substring, simsearch_sq8
+    # and media_decode_jpeg_422: changed-plan/identical-output and
+    # externally green -- they join r13's group (2))
     # (metrics_confusion, rulebase_prune_minsupport and
     # rule_conflict_resolve_d8 displaced one-for-one by the late-added
     # media_decode_jpeg_restart / media_decode_png_16bit /

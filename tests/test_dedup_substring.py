@@ -1,0 +1,64 @@
+"""Closed-form contract for dedup_substring (Lee et al. ExactSubstr
+semantics): every character span of length >= SUBSTR_K occurring more
+than once anywhere in the corpus is accounted per doc, overlapping
+spans merged, within-doc repetition included, sub-K docs untouched."""
+
+from __future__ import annotations
+
+import random
+
+
+def _rand_unique(seed: int, n: int) -> str:
+    # independent seeded streams over a 26-letter alphabet: a repeated
+    # 30-gram across streams is impossible in practice and the strings
+    # are deterministic, so the expectations below are stable
+    rnd = random.Random(seed)
+    return "".join(rnd.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(n))
+
+
+def test_substring_dedup_closed_form(spark, tmp_path):
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        SUBSTR_K,
+        q_dedup_substring,
+    )
+
+    assert SUBSTR_K == 30  # the expectations below are written for K=30
+    s_shared = _rand_unique(1, 50).upper()  # 50 chars shared by docs 1+2
+    s2 = _rand_unique(2, 35).upper()        # 35 chars shared by docs 5+6
+    s3 = _rand_unique(3, 30).upper()        # 30 chars shared by docs 5+6
+    docs = [
+        # within-doc repetition: every 30-gram of A*100 is the same
+        (0, "A" * 100),
+        # one shared run mid-doc / at doc start
+        (1, _rand_unique(4, 40) + s_shared + _rand_unique(5, 40)),
+        (2, s_shared + _rand_unique(6, 60)),
+        # fully unique, above K
+        (3, _rand_unique(7, 50)),
+        # below K: no grams at all
+        (4, _rand_unique(8, 20)),
+        # two separated shared runs -> two islands, order swapped
+        (5, s2 + _rand_unique(9, 40) + s3),
+        (6, s3 + _rand_unique(10, 45) + s2),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in q_dedup_substring(spark, str(tmp_path)).collect()
+    }
+    assert len(out) == 7
+
+    def spans(i):
+        return (out[i]["n_dup_spans"], out[i]["dup_chars"])
+
+    assert spans(0) == (1, 100) and out[0]["dup_frac"] == 1.0
+    assert spans(1) == (1, 50)   # span [41, 90]
+    assert spans(2) == (1, 50)   # span [1, 50]
+    assert spans(3) == (0, 0) and out[3]["dup_frac"] == 0.0
+    assert spans(4) == (0, 0)
+    assert spans(5) == (2, 65)   # [1,35] + [76,105]
+    assert spans(6) == (2, 65)   # [1,30] + [76,110]
+    assert out[5]["dup_frac"] == round(65 / 105, 6)

@@ -232,8 +232,9 @@ def test_jpeg_420_flat_blocks_bit_exact(bw, bh, vals):
 
 def test_jpeg_sampling_rejection_guards():
     """Unsupported sampling layouts must be rejected BY NAME (the
-    wire-format guard convention): 4:2:2 and 4:1:1 SOFs raise
-    NotImplementedError rather than silently mis-decoding."""
+    wire-format guard convention): 2:4 and 4:1:1 SOFs raise
+    NotImplementedError rather than silently mis-decoding. (4:2:2 —
+    0x21 — graduated from this list to a real decode path in r12.)"""
     import pytest
 
     from chi_frbcs_bigdatacs_spark.operators.multimodal import (
@@ -248,7 +249,7 @@ def test_jpeg_sampling_rejection_guards():
     # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, sampling, qtab] per component -> comp-1 sampling at i+11
     assert i > 0 and raw[i + 11] == 0x22
-    for bad in (0x21, 0x12, 0x41):  # 4:2:2 / 2:4 / 4:1:1
+    for bad in (0x12, 0x41):  # 2:4 / 4:1:1
         patched = bytearray(raw)
         patched[i + 11] = bad
         with pytest.raises(NotImplementedError, match="sampling"):
@@ -394,3 +395,158 @@ def test_png_trns_palette_roundtrip(
         for x in range(w)
     )
     assert _decode_png(raw) == (w, h, t, c)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=4),
+    bh=st.integers(min_value=1, max_value=3),
+    data=st.data(),
+)
+def test_jpeg_progressive_equals_baseline_bit_exact(bw, bh, data):
+    """The progressive exactness contract (r12): with the all-ones
+    quant table the 5-scan script (DC/AC first at Al=1, then full
+    refinement to Al=0) restores every coefficient exactly, so the
+    SOF2 decode of ANY random image must be BIT-IDENTICAL to the
+    baseline SOF0 decode of the same pixels — this pins spectral
+    selection, EOB runs, ZRL-in-refinement, and the G.1.2.3
+    correction-bit interleave all at once."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_jpeg_progressive,
+        _encode_jpeg_gray,
+        _encode_jpeg_progressive,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    px = [
+        [data.draw(st.integers(min_value=0, max_value=255)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    assert _decode_jpeg_progressive(
+        _encode_jpeg_progressive(px)
+    ) == _decode_jpeg(_encode_jpeg_gray(px))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    freqs=st.dictionaries(
+        st.integers(min_value=0, max_value=255),
+        st.integers(min_value=1, max_value=10_000),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_jpeg_optimal_table_is_legal_huffman(freqs):
+    """T.81 K.2 table construction: every symbol coded, lengths within
+    the 16-bit DHT limit, the code set strictly Kraft-incomplete (the
+    reserved codepoint guarantees no all-ones code word), and the
+    canonical expansion prefix-free."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _jpeg_canonical,
+        _jpeg_optimal_table,
+    )
+
+    bits, vals = _jpeg_optimal_table(freqs)
+    assert len(bits) == 16
+    assert sorted(vals) == sorted(freqs)
+    assert sum(bits) == len(freqs)
+    kraft = sum(n / (1 << (i + 1)) for i, n in enumerate(bits))
+    assert kraft < 1.0  # reserved all-ones codepoint removed
+    tab = _jpeg_canonical(bits, vals)
+    codes = sorted((ln, code) for code, ln in tab.values())
+    for i in range(len(codes) - 1):
+        l1, c1 = codes[i]
+        l2, c2 = codes[i + 1]
+        assert (c2 >> (l2 - l1)) != c1  # prefix-free
+    for ln, code in codes:
+        assert code != (1 << ln) - 1  # all-ones reserved
+
+
+def test_jpeg_progressive_rejection_guards():
+    """Grammar violations fail by name: baseline/progressive streams
+    are not interchangeable, AC scans cannot precede DC, successive
+    approximation must step Al by exactly one, DRI is rejected."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators import multimodal as mm
+
+    px = mm._jpeg_fixture_pixels(2, 2, 77)
+    prog = mm._encode_jpeg_progressive(px)
+    base = mm._encode_jpeg_gray(px)
+    with pytest.raises(NotImplementedError, match="SOF0"):
+        mm._decode_jpeg(prog)
+    with pytest.raises(ValueError, match="SOF2 decoder"):
+        mm._decode_jpeg_progressive(base)
+
+    orig = mm._JPEG_PROG_SCANS[:]
+    try:
+        # AC scan first: the decoder must refuse to start the band
+        mm._JPEG_PROG_SCANS[:] = [("ac_first", 1, 63, 0, 0)]
+        bad = mm._encode_jpeg_progressive(px)
+        with pytest.raises(ValueError, match="AC scan before DC"):
+            mm._decode_jpeg_progressive(bad)
+        # refinement that skips a precision level
+        mm._JPEG_PROG_SCANS[:] = [
+            ("dc_first", 0, 0, 0, 2),
+            ("dc_refine", 0, 0, 2, 0),
+        ]
+        bad = mm._encode_jpeg_progressive(px)
+        with pytest.raises(ValueError, match="step Al by 1"):
+            mm._decode_jpeg_progressive(bad)
+    finally:
+        mm._JPEG_PROG_SCANS[:] = orig
+    # a DC-only scan script decodes to the DC approximation (legal
+    # stream: progressive viewers render exactly this between scans)
+    try:
+        mm._JPEG_PROG_SCANS[:] = [
+            ("dc_first", 0, 0, 0, 1),
+            ("dc_refine", 0, 0, 1, 0),
+        ]
+        dc_only = mm._encode_jpeg_progressive(px)
+        w, h, total, chk = mm._decode_jpeg_progressive(dc_only)
+        assert (w, h) == (16, 16)
+        # fixture blocks are constant -> DC alone reconstructs exactly
+        assert total == sum(sum(r) for r in px)
+    finally:
+        mm._JPEG_PROG_SCANS[:] = orig
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=3),
+    vals=st.lists(
+        st.integers(min_value=0, max_value=255), min_size=16, max_size=16
+    ),
+)
+def test_jpeg_422_flat_blocks_bit_exact(bw, bh, vals):
+    """4:2:2 (r12): per-Y-block / per-MCU-chroma constant images
+    round-trip bit-exactly through the 2x1 MCU grammar — partial
+    RIGHT-edge MCUs (bw odd) clamp-pad and crop, every MCU row is full
+    height, and chroma upsamples horizontally only."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _encode_jpeg_422,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    mcx, mcy = (w + 15) // 16, h // 8
+    y = [[vals[((yy // 8) * bw + xx // 8) % 16] for xx in range(w)] for yy in range(h)]
+    cb = [
+        [vals[(8 + (yy // 8) * mcx + xx // 8) % 16] for xx in range(8 * mcx)]
+        for yy in range(8 * mcy)
+    ]
+    cr = [
+        [vals[(12 + (yy // 8) * mcx + xx // 8) % 16] for xx in range(8 * mcx)]
+        for yy in range(8 * mcy)
+    ]
+    gw, gh, total, chk = _decode_jpeg(_encode_jpeg_422(y, cb, cr))
+    assert (gw, gh) == (w, h)
+    et = ec = 0
+    for gy in range(h):
+        for gx in range(w):
+            vy, vb, vr = y[gy][gx], cb[gy][gx // 2], cr[gy][gx // 2]
+            et += vy + vb + vr
+            ec += (1 + gx + w * gy) * (vy + 2 * vb + 3 * vr)
+    assert (total, chk) == (et, ec)

@@ -1,0 +1,39 @@
+"""Quality contract for SQ8 scalar quantization: the 8-bit-per-dim
+shortlist must recover (nearly) the exact L2 top-10 — scalar
+quantization at 8 bits is a high-fidelity code, so anything below
+9/10 recall means the quantize/reconstruct arithmetic is wrong, not
+merely lossy."""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def test_sq8_shortlist_recalls_exact_topk(spark, duck):
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        MICRO,
+        SQ8_K,
+        q_simsearch_sq8,
+    )
+
+    got = q_simsearch_sq8(spark, SF_SMALL).collect()
+    assert [r["rank"] for r in got] == list(range(1, SQ8_K + 1))
+    # rank 1 must be the query vector itself at exact distance 0
+    assert got[0]["exact_d2_micro"] == 0
+    exact = duck.execute(
+        f"""
+        WITH q AS (
+          SELECT embedding AS qv FROM embeddings
+          ORDER BY vec_id LIMIT 1
+        )
+        SELECT vec_id FROM embeddings CROSS JOIN q
+        ORDER BY list_sum(list_transform(range(1, len(embedding) + 1),
+          j -> (CAST(round(CAST(embedding[j] AS DOUBLE) * {MICRO}, 0)
+                     AS BIGINT)
+              - CAST(round(CAST(qv[j] AS DOUBLE) * {MICRO}, 0) AS BIGINT))
+             ** 2)) ASC, vec_id ASC
+        LIMIT {SQ8_K}
+        """
+    ).df()["vec_id"]
+    overlap = len({r["vec_id"] for r in got} & set(int(v) for v in exact))
+    assert overlap >= SQ8_K - 1, f"SQ8 recall@10 too low: {overlap}/10"
