@@ -690,12 +690,12 @@ WHERE round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
 SUBSTR_K = 30  # minimum duplicated-run length in characters
 
 
-def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _dup_spans(docs: DataFrame) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, island, s, e) with
+    1-based inclusive char bounds — the shared core of the accounting
+    and trimming keys."""
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
-    )
     grams = (
         docs.where(F.col("n_chars") >= SUBSTR_K)
         .select(
@@ -730,7 +730,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("pos")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    spans = (
+    return (
         hits.withColumn(
             "ni",
             (
@@ -742,6 +742,13 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "island")
         .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
     )
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    spans = _dup_spans(docs)
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
@@ -760,8 +767,7 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_SUBSTRING_SQL = f"""
-WITH docs AS (
+_SUBSTR_SPANS_CTES = f"""docs AS (
   SELECT doc_id, text, length(text) AS n_chars FROM documents
 ),
 grams AS (
@@ -797,7 +803,10 @@ spans AS (
     FROM isl
   )
   GROUP BY doc_id, island
-),
+)"""
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH {_SUBSTR_SPANS_CTES},
 per_doc AS (
   SELECT doc_id, count(*) AS n_dup_spans,
          CAST(sum(e - s + 1) AS BIGINT) AS dup_chars
@@ -812,6 +821,111 @@ FROM docs d LEFT JOIN per_doc p USING (doc_id)
 """
 
 
+def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CONSUMING side of exact substring dedup: emit each doc with
+    every duplicated span REMOVED (the aggressive-trim policy — a
+    curation pipeline that instead keeps one canonical occurrence
+    runs the accounting key first and whitelists one doc per gram).
+    The complement segments are rebuilt with a lag window over the
+    span list plus a per-doc tail, concatenated in position order —
+    string surgery stays per-doc local, so the only shuffles are the
+    span computation's own two."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    spans = _dup_spans(docs)
+    w = Window.partitionBy("doc_id").orderBy("s")
+    segs = spans.select(
+        "doc_id",
+        (F.coalesce(F.lag("e").over(w), F.lit(0)) + 1).alias("b"),
+        (F.col("s") - 1).alias("f"),
+    )
+    tails = (
+        spans.groupBy("doc_id")
+        .agg((F.max("e") + 1).alias("b"))
+        .join(docs.select("doc_id", F.col("n_chars").alias("f")), "doc_id")
+    )
+    pieces = (
+        segs.unionByName(tails)
+        .where(F.col("f") >= F.col("b"))
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select(
+            "doc_id",
+            "b",
+            F.expr("substring(text, CAST(b AS INT), CAST(f - b + 1 AS INT))")
+            .alias("seg"),
+        )
+    )
+    clean = pieces.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("b", "seg"))),
+                lambda x: x["seg"],
+            ),
+            "",
+        ).alias("ct")
+    )
+    span_docs = spans.select("doc_id").distinct().withColumn(
+        "has_spans", F.lit(1)
+    )
+    return (
+        docs.join(span_docs, "doc_id", "left")
+        .join(clean, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("has_spans").isNull(), F.col("text"))
+            .otherwise(F.coalesce(F.col("ct"), F.lit("")))
+            .alias("clean_text"),
+        )
+        .withColumn(
+            "clean_chars", F.length("clean_text").cast("long")
+        )
+        .select("doc_id", "clean_chars", "clean_text")
+    )
+
+
+DEDUP_SUBSTRING_TRIM_SQL = f"""
+WITH {_SUBSTR_SPANS_CTES},
+segs AS (
+  SELECT doc_id,
+         coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS b,
+         s - 1 AS f
+  FROM spans
+),
+tails AS (
+  SELECT sp.doc_id, max(sp.e) + 1 AS b, max(d.n_chars) AS f
+  FROM spans sp JOIN docs d USING (doc_id)
+  GROUP BY sp.doc_id
+),
+pieces AS (
+  SELECT a.doc_id, a.b,
+         substring(d.text, CAST(a.b AS INT), CAST(a.f - a.b + 1 AS INT)) AS seg
+  FROM (
+    SELECT * FROM segs WHERE f >= b
+    UNION ALL
+    SELECT * FROM tails WHERE f >= b
+  ) a
+  JOIN docs d USING (doc_id)
+),
+clean AS (
+  SELECT doc_id, string_agg(seg, '' ORDER BY b) AS ct
+  FROM pieces GROUP BY doc_id
+),
+span_docs AS (SELECT DISTINCT doc_id FROM spans)
+SELECT d.doc_id,
+       CAST(length(CASE WHEN sd.doc_id IS NULL THEN d.text
+                        ELSE coalesce(c.ct, '') END) AS BIGINT)
+         AS clean_chars,
+       CASE WHEN sd.doc_id IS NULL THEN d.text
+            ELSE coalesce(c.ct, '') END AS clean_text
+FROM docs d
+LEFT JOIN span_docs sd USING (doc_id)
+LEFT JOIN clean c ON c.doc_id = d.doc_id
+"""
+
+
 def register_all() -> None:
     register("dedup_minhash", q_dedup_minhash, _minhash_sql())
     register("dedup_minhash_keep", q_dedup_minhash_keep, _minhash_keep_sql())
@@ -821,3 +935,8 @@ def register_all() -> None:
     register("dedup_simhash", q_dedup_simhash, DEDUP_SIMHASH_SQL)
     register("dedup_ngram_jaccard", q_dedup_ngram_jaccard, DEDUP_NGRAM_JACCARD_SQL)
     register("dedup_substring", q_dedup_substring, DEDUP_SUBSTRING_SQL)
+    register(
+        "dedup_substring_trim",
+        q_dedup_substring_trim,
+        DEDUP_SUBSTRING_TRIM_SQL,
+    )

@@ -3691,6 +3691,311 @@ FROM px
 """
 
 
+# --- GIF (LZW) codec (r12) ----------------------------------------------------
+# The fourth and last classic compression family the codec taxonomy
+# lacked: DICTIONARY coding. GIF's LZW (GIF87a Appendix F / the 89a
+# spec) is run-length (RLE8) -> entropy (DEFLATE) -> transform (DCT)
+# -> dictionary's canonical representative: variable-width codes
+# (9..12 bits for 8-bit pixels) packed LSB-first into 255-byte
+# sub-blocks, a CLEAR code that resets the string table, an EOI code,
+# the KwKwK corner (a code equal to the next unassigned slot), and
+# the width-growth handshake — the encoder grows one code EARLIER
+# than the decoder assigns (encoder bumps at next_code == 2^w + 1
+# after its add-ahead insert, decoder at next_code == 2^w), the
+# classic off-by-one every LZW implementation must get right. Table
+# full (4096) resets via CLEAR. Pixels are palette indices through a
+# 256-entry global color table whose entry i is the SAME
+# (i, 2i%256, 3i%256) triple as the PNG palette keys, so the
+# closed-form oracle is shared; GIF's own 4-pass row interlace
+# (8/8, 8/8+4, 4/4+2, 2/2+1) alternates in by doc parity.
+
+GIF_CLEAR_BASE = 256  # 8-bit pixels: CLEAR=256, EOI=257
+
+
+def _lzw_encode(data: bytes, min_code: int) -> bytes:
+    """GIF-flavor LZW: emits CLEAR, codes the byte string with an
+    add-ahead table, resets via CLEAR when the table hits 4096, ends
+    with EOI. Returns the LSB-first-packed code bytes (no sub-block
+    framing)."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code + 1
+    emit(clear, width)
+    if data:
+        cur = data[:1]
+        for b in data[1:]:
+            nxt = cur + bytes([b])
+            if nxt in table:
+                cur = nxt
+                continue
+            emit(table[cur], width)
+            if next_code < 4096:
+                table[nxt] = next_code
+                next_code += 1
+                if next_code > (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                table = {bytes([i]): i for i in range(clear)}
+                next_code = eoi + 1
+                width = min_code + 1
+            cur = bytes([b])
+        emit(table[cur], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode(codes: bytes, min_code: int, n_expected: int) -> bytes:
+    """Inverse of _lzw_encode, with the KwKwK special case and the
+    decoder-side width growth (next_code == 2^width). Refuses streams
+    without EOI or with codes beyond the assigned table."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    pos = nbits = acc = 0
+
+    def read(width: int) -> int:
+        nonlocal pos, nbits, acc
+        while nbits < width:
+            if pos >= len(codes):
+                raise ValueError("LZW stream ended before EOI")
+            acc |= codes[pos] << nbits
+            pos += 1
+            nbits += 8
+        v = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return v
+
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code + 1
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # KwKwK
+        else:
+            raise ValueError("LZW code beyond assigned table")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+        if len(out) > n_expected:
+            raise ValueError("LZW output exceeds image size")
+    return bytes(out)
+
+
+_GIF_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))  # (first row, step)
+
+
+def _encode_gif(w: int, h: int, d: int, interlace: int = 0) -> bytes:
+    """GIF89a writer: logical screen descriptor, 256-entry global
+    color table (entry i = (i, 2i%256, 3i%256) — the PNG palette
+    convention), one image descriptor (4-pass row interlace when
+    requested), LZW min-code 8 with 255-byte sub-block framing, a
+    skippable comment extension, trailer."""
+    import struct
+
+    run = d % 3 + 2
+    rows = [
+        bytes((d + 5 * y + 3 * (x // run)) % 256 for x in range(w))
+        for y in range(h)
+    ]
+    if interlace:
+        order = [
+            y for first, step in _GIF_PASSES for y in range(first, h, step)
+        ]
+        rows = [rows[y] for y in order]
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)  # GCT, 8-bit, 256
+    for i in range(256):
+        out += bytes((i, (2 * i) % 256, (3 * i) % 256))
+    out += b"\x21\xfe\x04span\x00"  # comment extension (skippable)
+    out += b"\x2c" + struct.pack(
+        "<HHHHB", 0, 0, w, h, 0x40 if interlace else 0
+    )
+    out.append(8)  # LZW minimum code size
+    codes = _lzw_encode(b"".join(rows), 8)
+    for i in range(0, len(codes), 255):
+        chunk = codes[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"
+    return bytes(out)
+
+
+def _decode_gif(raw: bytes) -> tuple[int, int, int, int]:
+    """Full GIF grammar: header version check, screen descriptor with
+    a mandatory 256-entry global color table, extension blocks
+    skipped by sub-block framing, image descriptor (de-interlacing
+    the 4-pass row order when flagged), LZW decode, palette mapping.
+    Returns the (w, h, rgb_sum, positional_checksum) tuple the PNG
+    palette keys share."""
+    import struct
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    if not packed & 0x80:
+        raise NotImplementedError("GIF without global color table")
+    if packed & 0x07 != 7:
+        raise NotImplementedError("only 256-entry color tables")
+    pos = 13
+    gct = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(256)]
+    pos += 768
+    pixels: bytes | None = None
+    interlaced = False
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:  # trailer
+            pos += 1
+            break
+        if b == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            if pos >= len(raw):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+        elif b == 0x2C:
+            if pixels is not None:
+                raise NotImplementedError("multi-frame GIF")
+            left, top, iw, ih, ipack = struct.unpack_from(
+                "<HHHHB", raw, pos + 1
+            )
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("sub-rectangle frames")
+            if ipack & 0x80:
+                raise NotImplementedError("local color tables")
+            interlaced = bool(ipack & 0x40)
+            pos += 10
+            min_code = raw[pos]
+            pos += 1
+            if min_code != 8:
+                raise NotImplementedError("only 8-bit LZW pixels")
+            codes = bytearray()
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("truncated GIF sub-blocks")
+                ln = raw[pos]
+                if ln == 0:
+                    pos += 1
+                    break
+                if pos + 1 + ln > len(raw):
+                    raise ValueError("truncated GIF sub-blocks")
+                codes += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pixels = _lzw_decode(bytes(codes), min_code, w * h)
+            if len(pixels) != w * h:
+                raise ValueError("LZW pixel count mismatch")
+        else:
+            raise ValueError(f"unexpected GIF block {b:#04x}")
+    else:
+        raise ValueError("missing GIF trailer")
+    if pixels is None:
+        raise ValueError("no image block before trailer")
+    rows = [pixels[y * w : (y + 1) * w] for y in range(h)]
+    if interlaced:
+        out_rows: list[bytes | None] = [None] * h
+        i = 0
+        for first, step in _GIF_PASSES:
+            for y in range(first, h, step):
+                out_rows[y] = rows[i]
+                i += 1
+        rows = out_rows  # type: ignore[assignment]
+    total = checksum = 0
+    for y in range(h):
+        for x in range(w):
+            r, g, bl = gct[rows[y][x]]
+            total += r + g + bl
+            checksum += (1 + x + w * y) * (r + 2 * g + 3 * bl)
+    return w, h, total, checksum
+
+
+def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 13 + 5).cast("int").alias("w"),
+        (F.col("doc_id") % 8 + 4).cast("int").alias("h"),
+        (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
+        (F.col("doc_id") % 2).cast("int").alias("il"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_gif(int(w), int(hh), int(s), int(i))
+                        for w, hh, s, i in zip(
+                            pdf["w"], pdf["h"], pdf["seed"], pdf["il"]
+                        )
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_gif(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "gif_w": [f[0] for f in feats],
+                    "gif_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_rgb": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, gif_w int, gif_h int, n_px long,"
+        " mean_rgb double, pos_checksum long",
+    ).withColumn("mean_rgb", F.round("mean_rgb", 6))
+
+
+def _gif_sql() -> str:
+    # interlace is a pure row permutation: the feature sums are those
+    # of the de-interlaced image, so the shared PNG-palette closed
+    # form applies verbatim — only the column names differ
+    inner = _png_variant_sql(13, 5, 8, 4)
+    return f"""
+SELECT doc_id, png_w AS gif_w, png_h AS gif_h,
+       n_px, mean_rgb, pos_checksum
+FROM ({inner})
+"""
+
+
 def register_all() -> None:
     register("media_meta", q_media_meta, MEDIA_META_SQL)
     register(
@@ -3760,6 +4065,7 @@ def register_all() -> None:
         q_media_decode_png_filtered,
         MEDIA_DECODE_PNG_FILTERED_SQL,
     )
+    register("media_decode_gif", q_media_decode_gif, _gif_sql())
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)

@@ -35,15 +35,19 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 7 new r12 keys,
-# (b) 6 changed-plan/oracle keys, (c) the ENTIRE remaining 37-key
-# r5-stale cohort, so the external-check floor rises from r5 to r6
-# this round. R13 front-load order: (1) new r13 keys, (2) the
-# changed-but-identical-output r12 classify keys listed in the (b)
-# comment, (3) oldest r6 keys in CORRECTNESS_r06 artifact order.
-# NOTE: any key added later this round must displace the tail of (c)
-# one-for-one (the displaced keys then lead r13's group (3) — they'd
-# stay r5-stale, so prefer displacing (b) entries first).
+# list below IS the 50-key window, exactly — (a) 13 new r12 keys,
+# (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
+# n_candidates), (c) 36 of the 37 remaining r5-stale keys. The
+# session-2 additions (progressive JPEG, 4:2:2, substring dedup +
+# trim, SQ8, GIF) displaced the five changed-plan-but-identical-
+# output classify keys and finally rule_conflict_resolve_l5 (the one
+# r5-stale key left out — the floor fully reaches r6 only when it is
+# re-checked in r13). R13 front-load order: (1)
+# rule_conflict_resolve_l5 FIRST, (2) new r13 keys, (3) the displaced
+# classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
+# _bigmodel, classify_ac) plus classify_wr_plain/holdout/metrics
+# multiclass/calibration/mcc_kappa/crossval_multiclass/
+# model_roundtrip, (4) oldest r6 keys in CORRECTNESS_r06 order.
 CHECK_PRIORITY: list[str] = [
     # (a) new r12 keys -- never driver-checked
     "media_decode_jpeg_420",
@@ -55,6 +59,8 @@ CHECK_PRIORITY: list[str] = [
     "dedup_substring",
     "simsearch_sq8",
     "media_decode_jpeg_422",
+    "dedup_substring_trim",
+    "media_decode_gif",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -66,12 +72,13 @@ CHECK_PRIORITY: list[str] = [
     # calibration, mcc_kappa, crossval_multiclass, model_roundtrip)
     # are r6+-green with identical outputs and rotate in r13.
     "simsearch_ivf_pq_nprobe",
-    "classify_ac",
-    # (rulemerge_avg, classify_wr_multiclass, classify_wr_nominal and
-    # classify_wr_bigmodel displaced one-for-one by the late-added
-    # media_decode_jpeg_progressive, dedup_substring, simsearch_sq8
-    # and media_decode_jpeg_422: changed-plan/identical-output and
-    # externally green -- they join r13's group (2))
+    # (rulemerge_avg, classify_wr_multiclass, classify_wr_nominal,
+    # classify_wr_bigmodel and classify_ac displaced one-for-one by
+    # the late-added media_decode_jpeg_progressive, dedup_substring,
+    # simsearch_sq8, media_decode_jpeg_422 and dedup_substring_trim:
+    # changed-plan/identical-output (the new decimal-key argmax is
+    # swept bit-identical locally every CI run) and externally green
+    # -- they lead r13's group (2))
     # (metrics_confusion, rulebase_prune_minsupport and
     # rule_conflict_resolve_d8 displaced one-for-one by the late-added
     # media_decode_jpeg_restart / media_decode_png_16bit /
@@ -117,7 +124,10 @@ CHECK_PRIORITY: list[str] = [
     "date_bucket",
     "dedup_simhash",
     "rule_conflict_resolve",
-    "rule_conflict_resolve_l5",
+    # (rule_conflict_resolve_l5 displaced off the cap by the (b) pool
+    # running dry when media_decode_gif landed -- the ONE remaining
+    # r5-stale key; it MUST lead r13's window so the floor finishes
+    # rising to r6 next round)
 ]
 
 

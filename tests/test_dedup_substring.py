@@ -62,3 +62,23 @@ def test_substring_dedup_closed_form(spark, tmp_path):
     assert spans(5) == (2, 65)   # [1,35] + [76,105]
     assert spans(6) == (2, 65)   # [1,30] + [76,110]
     assert out[5]["dup_frac"] == round(65 / 105, 6)
+
+    # the consuming side: trim must cut EXACTLY the accounted spans
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        q_dedup_substring_trim,
+    )
+
+    trimmed = {
+        r["doc_id"]: r
+        for r in q_dedup_substring_trim(spark, str(tmp_path)).collect()
+    }
+    texts = dict(docs)
+    assert trimmed[0]["clean_text"] == ""           # whole doc duplicated
+    assert trimmed[1]["clean_text"] == texts[1][:40] + texts[1][90:]
+    assert trimmed[2]["clean_text"] == texts[2][50:]
+    assert trimmed[3]["clean_text"] == texts[3]     # untouched
+    assert trimmed[4]["clean_text"] == texts[4]     # below K: untouched
+    assert trimmed[5]["clean_text"] == texts[5][35:75]   # middle kept
+    assert trimmed[6]["clean_text"] == texts[6][30:75]
+    for i, r in trimmed.items():
+        assert r["clean_chars"] == len(r["clean_text"])

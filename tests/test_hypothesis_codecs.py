@@ -550,3 +550,91 @@ def test_jpeg_422_flat_blocks_bit_exact(bw, bh, vals):
             et += vy + vb + vr
             ec += (1 + gx + w * gy) * (vy + 2 * vb + 3 * vr)
     assert (total, chk) == (et, ec)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    data=st.binary(min_size=0, max_size=3000),
+    alphabet=st.integers(min_value=1, max_value=256),
+)
+def test_lzw_roundtrip_any_bytes(data, alphabet):
+    """GIF-flavor LZW over arbitrary byte strings: the add-ahead
+    encoder and the one-behind decoder must agree on every width
+    transition, the KwKwK corner, and the CLEAR-on-full reset (small
+    alphabets fill the 4096-entry table quickly)."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    data = bytes(b % alphabet for b in data)
+    assert _lzw_decode(_lzw_encode(data, 8), 8, len(data)) == data
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=23),
+    h=st.integers(min_value=1, max_value=14),
+    d=st.integers(min_value=0, max_value=238),
+    interlace=st.sampled_from([0, 1]),
+)
+def test_gif_roundtrip_closed_form(w, h, d, interlace):
+    """GIF (r12): every geometry x interlace combination decodes to
+    the shared palette closed form — entry i = (i, 2i%256, 3i%256)
+    through the global color table, rows restored from the 4-pass
+    interlace permutation."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_gif,
+        _encode_gif,
+    )
+
+    run = d % 3 + 2
+
+    def chans(x: int, y: int) -> tuple[int, int, int]:
+        i = (d + 5 * y + 3 * (x // run)) % 256
+        return i, (2 * i) % 256, (3 * i) % 256
+
+    t = sum(sum(chans(x, y)) for y in range(h) for x in range(w))
+    c = sum(
+        (1 + x + w * y)
+        * sum((k + 1) * v for k, v in enumerate(chans(x, y)))
+        for y in range(h)
+        for x in range(w)
+    )
+    assert _decode_gif(_encode_gif(w, h, d, interlace)) == (w, h, t, c)
+
+
+def test_gif_rejection_guards():
+    """GIF grammar violations fail by name: wrong magic, missing
+    global color table, local color tables, sub-rectangle frames,
+    truncated LZW, codes beyond the assigned table."""
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators import multimodal as mm
+
+    raw = bytearray(mm._encode_gif(9, 6, 42))
+    with pytest.raises(ValueError, match="not a GIF"):
+        mm._decode_gif(b"JIF89a" + bytes(raw[6:]))
+    nogct = bytearray(raw)
+    nogct[10] &= 0x7F  # clear the GCT flag
+    with pytest.raises(NotImplementedError, match="global color table"):
+        mm._decode_gif(bytes(nogct))
+    i = raw.index(0x2C, 13 + 768)  # image descriptor after the GCT
+    local = bytearray(raw)
+    local[i + 9] |= 0x80  # claim a local color table
+    with pytest.raises(NotImplementedError, match="local color"):
+        mm._decode_gif(bytes(local))
+    shifted = bytearray(raw)
+    shifted[i + 1] = 1  # left offset 1 -> sub-rectangle
+    with pytest.raises(NotImplementedError, match="sub-rectangle"):
+        mm._decode_gif(bytes(shifted))
+    with pytest.raises(ValueError):
+        mm._decode_gif(bytes(raw[: i + 14]))  # truncated mid-LZW
+    # a code beyond the assigned table: craft a stream whose second
+    # code is far past next_code
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import _lzw_decode
+
+    acc = 256 | (400 << 9) | (300 << 18)  # CLEAR, literal 400? no: 400 > 257+0
+    bad = acc.to_bytes(5, "little")
+    with pytest.raises(ValueError, match="beyond assigned"):
+        _lzw_decode(bad, 8, 100)
