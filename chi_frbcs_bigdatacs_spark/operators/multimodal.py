@@ -1129,7 +1129,7 @@ def _encode_png(
     if trns and ctype != 3:
         raise ValueError("tRNS fixture supported for palette only")
     run = d % 3 + 2
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (depth // 8)
 
     def sample(x: int, y: int) -> bytes:
         idx = (d + 5 * y + 3 * (x // run)) % 256
@@ -1139,6 +1139,8 @@ def _encode_png(
             return bytes(
                 (idx, (2 * idx) % 256, (3 * idx) % 256, (5 * idx + 11) % 256)
             )
+        if ctype == 4:  # gray + alpha (r12): 2-byte pixels
+            return bytes((idx, (5 * idx + 11) % 256))
         if depth == 16:
             return bytes((idx, idx))  # idx*257 big-endian: hi == lo
         return bytes((idx,))
@@ -1247,14 +1249,14 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                 struct.unpack_from(">IIBBBBB", data)
             )
             if (
-                ctype not in (0, 2, 3, 6)
+                ctype not in (0, 2, 3, 4, 6)
                 or interlace > 1
                 or depth not in (8, 16)
                 or (depth == 16 and ctype != 0)
             ):
                 raise NotImplementedError(
-                    "only 8-bit grayscale/RGB/palette/RGBA or 16-bit"
-                    " grayscale PNG supported"
+                    "only 8-bit grayscale/gray+alpha/RGB/palette/RGBA"
+                    " or 16-bit grayscale PNG supported"
                 )
         elif typ == b"PLTE":
             if ln % 3 or ln > 768:
@@ -1284,7 +1286,7 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
     (adler,) = struct.unpack(">I", bytes(idat[-4:]))
     if adler != _adler32(body):
         raise ValueError("Adler-32 mismatch")
-    bpp = {0: 1, 2: 3, 3: 1, 6: 4}[ctype] * (depth // 8)
+    bpp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype] * (depth // 8)
     passes = (
         [(0, 0, 1, 1)] if interlace == 0 else _ADAM7  # (x0, y0, dx, dy)
     )
@@ -1317,6 +1319,9 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                     r_, g, b = line[bpp * i : bpp * i + 3]
                 elif ctype == 6:
                     r_, g, b, a_ = line[bpp * i : bpp * i + 4]
+                elif ctype == 4:  # gray + alpha: (v,v,v) + weight-4 a
+                    r_ = g = b = line[bpp * i]
+                    a_ = line[bpp * i + 1]
                 elif ctype == 0:
                     # depth 16: the most-significant byte is the 8-bit
                     # rendering (sample // 257 for the idx*257 fixture);
@@ -1649,6 +1654,19 @@ def q_media_decode_png_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_decode_png_grayalpha(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # ctype 4 (r12): the LAST color type — 2-byte gray+alpha pixels,
+    # so the filter predictors run at bpp=2 (gray predicts from the
+    # previous pixel's gray, alpha from alpha); decode renders
+    # (v,v,v) plus alpha at channel weight 4
+    return _q_png_variant(
+        spark, sf_dir, 13, 4, 6, 5, channels=4, ctype=4,
+        filter_cycle=True, level=9,
+    )
+
+
 def q_media_decode_png_interlaced(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1745,6 +1763,31 @@ FROM px
 
 # RGBA oracle: the RGB variant's sums plus the alpha channel
 # (5*idx+11)%256 at channel weight 4 and a 4-channel mean denominator.
+# gray+alpha closed form: v = idx, alpha = (5*idx+11)%256; gray
+# renders (v,v,v) -> pixel sum 3v + a, checksum weight 6v + 4a
+MEDIA_DECODE_PNG_GRAYALPHA_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 13 + 4 AS INT) AS w,
+         CAST(doc_id % 6 + 5 AS INT) AS h,
+         doc_id % {PNG_MOD} AS d,
+         doc_id % {PNG_MOD} % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS png_w, h AS png_h, CAST(w * h AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               3 * ({_PNG_IDX})
+             + (5 * ({_PNG_IDX}) + 11) % 256 AS DOUBLE)))))
+         / (4 * w * h), 6) AS mean_rgb,
+       CAST(list_sum(flatten(list_transform(range(h), y ->
+           list_transform(range(w), x -> CAST(
+               (1 + x + w * y) * (6 * ({_PNG_IDX})
+                 + 4 * ((5 * ({_PNG_IDX}) + 11) % 256)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
+
 MEDIA_DECODE_PNG_ALPHA_SQL = f"""
 WITH px AS (
   SELECT doc_id,
@@ -4039,6 +4082,11 @@ def register_all() -> None:
         "media_decode_png_alpha",
         q_media_decode_png_alpha,
         MEDIA_DECODE_PNG_ALPHA_SQL,
+    )
+    register(
+        "media_decode_png_grayalpha",
+        q_media_decode_png_grayalpha,
+        MEDIA_DECODE_PNG_GRAYALPHA_SQL,
     )
     register(
         "media_decode_png_16bit",

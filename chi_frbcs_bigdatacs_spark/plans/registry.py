@@ -35,14 +35,15 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 13 new r12 keys,
+# list below IS the 50-key window, exactly — (a) 14 new r12 keys,
 # (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
-# n_candidates), (c) 36 of the 37 remaining r5-stale keys. The
+# n_candidates), (c) 35 of the 37 remaining r5-stale keys. The
 # session-2 additions (progressive JPEG, 4:2:2, substring dedup +
-# trim, SQ8, GIF) displaced the five changed-plan-but-identical-
-# output classify keys and finally rule_conflict_resolve_l5 (the one
-# r5-stale key left out — the floor fully reaches r6 only when it is
-# re-checked in r13). R13 front-load order: (1)
+# trim, SQ8, GIF, gray+alpha PNG) displaced the five changed-plan-
+# but-identical-output classify keys and finally the two
+# rule_conflict_resolve keys (the only r5-stale keys left out — the
+# floor fully reaches r6 only when they are re-checked in r13).
+# R13 front-load order: (1) rule_conflict_resolve +
 # rule_conflict_resolve_l5 FIRST, (2) new r13 keys, (3) the displaced
 # classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
 # _bigmodel, classify_ac) plus classify_wr_plain/holdout/metrics
@@ -61,6 +62,7 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_jpeg_422",
     "dedup_substring_trim",
     "media_decode_gif",
+    "media_decode_png_grayalpha",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -123,10 +125,10 @@ CHECK_PRIORITY: list[str] = [
     "simsearch_topk",
     "date_bucket",
     "dedup_simhash",
-    "rule_conflict_resolve",
-    # (rule_conflict_resolve_l5 displaced off the cap by the (b) pool
-    # running dry when media_decode_gif landed -- the ONE remaining
-    # r5-stale key; it MUST lead r13's window so the floor finishes
+    # (rule_conflict_resolve and rule_conflict_resolve_l5 displaced
+    # off the cap by the (b) pool running dry when media_decode_gif
+    # and media_decode_png_grayalpha landed -- the TWO remaining
+    # r5-stale keys; they MUST lead r13's window so the floor finishes
     # rising to r6 next round)
 ]
 

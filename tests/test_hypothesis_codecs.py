@@ -638,3 +638,43 @@ def test_gif_rejection_guards():
     bad = acc.to_bytes(5, "little")
     with pytest.raises(ValueError, match="beyond assigned"):
         _lzw_decode(bad, 8, 100)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=21),
+    h=st.integers(min_value=1, max_value=13),
+    d=st.integers(min_value=0, max_value=238),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 1, 9]),
+)
+def test_png_grayalpha_roundtrip(w, h, d, interlace, filter_cycle, level):
+    """ctype 4 (r12): 2-byte gray+alpha pixels put the filter
+    predictors at bpp=2 — gray predicts from gray, alpha from alpha —
+    under every filter/interlace/compressor combination; decode
+    renders (v,v,v) plus alpha at channel weight 4."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=4, interlace=interlace,
+    )
+    run = d % 3 + 2
+
+    def va(x: int, y: int) -> tuple[int, int]:
+        i = (d + 5 * y + 3 * (x // run)) % 256
+        return i, (5 * i + 11) % 256
+
+    t = sum(3 * v + a for y in range(h) for x in range(w)
+            for v, a in [va(x, y)])
+    c = sum(
+        (1 + x + w * y) * (6 * v + 4 * a)
+        for y in range(h)
+        for x in range(w)
+        for v, a in [va(x, y)]
+    )
+    assert _decode_png(raw) == (w, h, t, c)
