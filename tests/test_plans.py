@@ -433,3 +433,31 @@ def test_perplexity_sketch_fixture_populates_all_buckets(spark):
             "avg_logprob terciles (qs[1]==qs[2]?); hardcoded oracle invalid"
         )
         assert r["within_tol"], f"lang {r['lang']}: bucket spread out of tol"
+
+
+def test_substring_dedup_is_two_shuffles_no_python(spark):
+    """dedup_substring (r12): the gram-occurrence cut must be a count
+    WINDOW over the gram exchange (no groupBy + join-back, which
+    would shuffle the gram table twice), islands ride the doc
+    exchange, and the final accounting join broadcasts — exactly two
+    hash exchanges, zero Python."""
+    import re
+
+    p = _plan(spark, "dedup_substring")
+    keys = re.findall(r"Exchange hashpartitioning\((\w+)", p)
+    assert len(keys) == 2, f"expected 2 shuffles, got {keys}"
+    assert {k.split("#")[0] for k in keys} == {"g", "doc_id"}
+    assert "SortMergeJoin" not in p, "join-back defeats the window cut"
+    assert "BroadcastHashJoin" in p
+    assert "Python" not in p
+
+
+def test_sq8_serves_from_scan_plus_takeordered(spark):
+    """simsearch_sq8 (r12): after the bounds/query header collects,
+    the serve path is scan + codegen'd quantize/score + TakeOrdered —
+    no shuffle of anything vector-sized, no Python."""
+    p = _plan(spark, "simsearch_sq8")
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+    # the only window is the rank over the already-LIMITed shortlist
+    assert p.count("Exchange hashpartitioning") == 0
