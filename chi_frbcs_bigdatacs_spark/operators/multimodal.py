@@ -553,6 +553,156 @@ FROM s
 
 
 
+# --- G.711 mu-law WAV (r12) ---------------------------------------------------
+# The telephony companding codec: 8-bit mu-law codes expand to 14-bit
+# magnitudes via the piecewise-linear chord/step table that G.711
+# defines — decode is the PURE ARITHMETIC FORMULA
+#   u = 255 - c; sample = +-(((u%16)*8 + 132) << ((u//16)%8)) - 132
+# (sign from u's top bit), so unlike ADPCM this lossy-capture format
+# has an exactly SQL-expressible oracle: the fixture stores known code
+# bytes and both engines expand them independently. Wire surface: WAV
+# fmt tag 7 with 8-bit samples and block-align 1 — a different fmt
+# parse than the PCM16 key, walked by the same chunk grammar.
+ULAW_MOD = 251
+
+
+def _ulaw_expand(c: int) -> int:
+    u = 255 - c  # G.711 transmits the complement
+    mag = (((u & 0x0F) << 3) + 0x84 << ((u >> 4) & 0x07)) - 0x84
+    return -mag if u & 0x80 else mag
+
+
+def _encode_wav_ulaw(d: int, n: int) -> bytes:
+    import struct
+
+    codes = bytes((d * 37 + i * 11) % 256 for i in range(n))
+    fmt = struct.pack("<HHIIHH", 7, 1, WAV_SR, WAV_SR, 1, 8)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(codes)) + codes
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_ulaw(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Chunk-walking decode for fmt tag 7 (mu-law) mono 8-bit; returns
+    the same feature tuple as the PCM16 decoder, computed on the
+    EXPANDED samples."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", raw[4:8])
+    if riff_len != len(raw) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _rate, align, bits = struct.unpack("<HHIIHH", body)
+            if (tag, ch, bits, align) != (7, 1, 8, 1):
+                raise ValueError("not 8-bit mono mu-law")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = [_ulaw_expand(c) for c in data]
+    n = len(samples)
+    peak = max(abs(s) for s in samples)
+    sum_abs = sum(abs(s) for s in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    checksum = sum((i + 1) * s for i, s in enumerate(samples))
+    return sr, n, peak, sum_abs, zc, checksum
+
+
+def q_media_decode_wav_ulaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 48 + 16).cast("int").alias("n"),
+        (F.col("doc_id") % ULAW_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_wav_ulaw(int(s), int(n))
+                        for s, n in zip(pdf["seed"], pdf["n"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav_ulaw(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sr": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "peak_abs": [f[2] for f in feats],
+                    "sum_abs": [f[3] for f in feats],
+                    "n_zero_cross": [f[4] for f in feats],
+                    "checksum": [f[5] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, sr int, n_samples int,"
+        " peak_abs long, sum_abs long, n_zero_cross long, checksum long",
+    )
+
+
+# the oracle expands the SAME code formula arithmetically: u = 255-c,
+# chord = (u//16)%8, step = u%16, mag = ((step*8+132) << chord) - 132
+MEDIA_DECODE_WAV_ULAW_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 48 + 16 AS INT) AS n,
+         doc_id % {ULAW_MOD} AS d
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(range(n), i ->
+           CASE WHEN (255 - (d * 37 + i * 11) % 256) >= 128
+                THEN -((((255 - (d * 37 + i * 11) % 256) % 16) * 8 + 132)
+                       * (1 << (((255 - (d * 37 + i * 11) % 256) // 16) % 8))
+                       - 132)
+                ELSE ((((255 - (d * 37 + i * 11) % 256) % 16) * 8 + 132)
+                      * (1 << (((255 - (d * 37 + i * 11) % 256) // 16) % 8))
+                      - 132)
+           END) AS smp
+  FROM base
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS INT) AS sr,
+       n AS n_samples,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS peak_abs,
+       CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_sum(list_transform(range(1, n),
+           i -> CASE WHEN (smp[i] < 0) <> (smp[i + 1] < 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross,
+       CAST(list_sum(list_transform(range(n),
+           i -> (i + 1) * smp[i + 1])) AS BIGINT) AS checksum
+FROM s
+"""
+
+
 # --- compressed codec: RLE8 BMP ----------------------------------------------
 # The first VARIABLE-LENGTH decode path (VERDICT r8 #8): uncompressed
 # BMP/WAV decode fixed-size records; BI_RLE8 (the Windows run-length
@@ -4116,6 +4266,11 @@ def register_all() -> None:
     register("media_decode_gif", q_media_decode_gif, _gif_sql())
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
+    register(
+        "media_decode_wav_ulaw",
+        q_media_decode_wav_ulaw,
+        MEDIA_DECODE_WAV_ULAW_SQL,
+    )
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)
     register("media_resize", q_media_resize, MEDIA_RESIZE_SQL)

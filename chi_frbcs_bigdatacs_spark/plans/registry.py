@@ -35,15 +35,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 14 new r12 keys,
+# list below IS the 50-key window, exactly — (a) 15 new r12 keys,
 # (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
-# n_candidates), (c) 35 of the 37 remaining r5-stale keys. The
+# n_candidates), (c) 34 of the 37 remaining r5-stale keys. The
 # session-2 additions (progressive JPEG, 4:2:2, substring dedup +
-# trim, SQ8, GIF, gray+alpha PNG) displaced the five changed-plan-
-# but-identical-output classify keys and finally the two
-# rule_conflict_resolve keys (the only r5-stale keys left out — the
-# floor fully reaches r6 only when they are re-checked in r13).
-# R13 front-load order: (1) rule_conflict_resolve +
+# trim, SQ8, GIF, gray+alpha PNG, mu-law WAV) displaced the five
+# changed-plan-but-identical-output classify keys and finally three
+# r5-stale keys — dedup_simhash and both rule_conflict_resolve
+# variants (the only r5-stale keys left out — the floor fully
+# reaches r6 only when they are re-checked in r13).
+# R13 front-load order: (1) dedup_simhash + rule_conflict_resolve +
 # rule_conflict_resolve_l5 FIRST, (2) new r13 keys, (3) the displaced
 # classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
 # _bigmodel, classify_ac) plus classify_wr_plain/holdout/metrics
@@ -63,6 +64,7 @@ CHECK_PRIORITY: list[str] = [
     "dedup_substring_trim",
     "media_decode_gif",
     "media_decode_png_grayalpha",
+    "media_decode_wav_ulaw",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -124,12 +126,12 @@ CHECK_PRIORITY: list[str] = [
     "dedup_minhash_keep",
     "simsearch_topk",
     "date_bucket",
-    "dedup_simhash",
-    # (rule_conflict_resolve and rule_conflict_resolve_l5 displaced
-    # off the cap by the (b) pool running dry when media_decode_gif
-    # and media_decode_png_grayalpha landed -- the TWO remaining
-    # r5-stale keys; they MUST lead r13's window so the floor finishes
-    # rising to r6 next round)
+    # (dedup_simhash, rule_conflict_resolve and rule_conflict_resolve_l5
+    # displaced off the cap by the (b) pool running dry when
+    # media_decode_gif, media_decode_png_grayalpha and
+    # media_decode_wav_ulaw landed -- the THREE remaining r5-stale
+    # keys; they MUST lead r13's window so the floor finishes rising
+    # to r6 next round)
 ]
 
 

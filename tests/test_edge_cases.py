@@ -659,3 +659,45 @@ def test_jpeg_color_interleave_roundtrip():
         _encode_jpeg([[[0] * 8] * 8] * 2)
     with pytest.raises(ValueError, match="geometry mismatch"):
         _encode_jpeg([[[0] * 8] * 8, [[0] * 8] * 8, [[0] * 16] * 8])
+
+
+def test_ulaw_expansion_anchors_and_rejections():
+    """G.711 mu-law (r12): the canonical anchor points (0xFF/0x7F are
+    the two zeros, 0x80/0x00 the extremes at +-32124), per-half
+    monotonicity, 255 distinct output levels, and the WAV fmt-tag-7
+    grammar rejections."""
+    import struct
+
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_wav_ulaw,
+        _encode_wav_ulaw,
+        _ulaw_expand,
+    )
+
+    assert _ulaw_expand(0xFF) == 0 and _ulaw_expand(0x7F) == 0
+    assert _ulaw_expand(0x00) == -32124 and _ulaw_expand(0x80) == 32124
+    assert len({_ulaw_expand(c) for c in range(256)}) == 255
+    pos = [_ulaw_expand(c) for c in range(0x80, 0x100)]
+    assert pos == sorted(pos, reverse=True) and min(pos) == 0
+    neg = [_ulaw_expand(c) for c in range(0x00, 0x80)]
+    assert neg == sorted(neg) and max(neg) == 0
+    raw = bytearray(_encode_wav_ulaw(99, 32))
+    ok = _decode_wav_ulaw(bytes(raw))
+    assert ok[0] == 8000 and ok[1] == 32
+    # PCM16 stream fed to the mu-law decoder fails by name
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import _encode_wav
+
+    with pytest.raises(ValueError, match="mu-law"):
+        _decode_wav_ulaw(_encode_wav(99, 32))
+    # and the mu-law stream fails the PCM16 decoder
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import _decode_wav
+
+    with pytest.raises(ValueError, match="PCM"):
+        _decode_wav(bytes(raw))
+    # RIFF length mismatch
+    bad = bytearray(raw)
+    bad[4] ^= 1
+    with pytest.raises(ValueError, match="RIFF length"):
+        _decode_wav_ulaw(bytes(bad))
