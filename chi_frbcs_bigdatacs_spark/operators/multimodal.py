@@ -3400,21 +3400,27 @@ def _pt_ac(v: int, al: int) -> int:
     return (v >> al) if v >= 0 else -((-v) >> al)
 
 
-def _scan_dc_first_enc(blocks, al, emit_sym, emit_bits) -> None:
-    pred = 0
-    for zz in blocks:
-        v = zz[0] >> al  # DC point transform is an ARITHMETIC shift
-        diff = v - pred
-        pred = v
-        cat = _jpeg_category(diff)
-        emit_sym(cat)
-        if cat:
-            emit_bits(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+def _scan_dc_first_enc(comps, al, emit_sym, emit_bits) -> None:
+    """Interleaved DC scan over all components (T.81 allows — and
+    multi-component progressive streams require — DC interleave even
+    though AC scans must be single-component). MCU at 1x1 sampling =
+    one block per component; each component keeps its own predictor."""
+    preds = [0] * len(comps)
+    for bi in range(len(comps[0])):
+        for c, blocks in enumerate(comps):
+            v = blocks[bi][0] >> al  # DC point transform: ARITHMETIC shift
+            diff = v - preds[c]
+            preds[c] = v
+            cat = _jpeg_category(diff)
+            emit_sym(cat)
+            if cat:
+                emit_bits(diff if diff > 0 else diff + (1 << cat) - 1, cat)
 
 
-def _scan_dc_refine_enc(blocks, al, emit_bits) -> None:
-    for zz in blocks:
-        emit_bits((zz[0] >> al) & 1, 1)
+def _scan_dc_refine_enc(comps, al, emit_bits) -> None:
+    for bi in range(len(comps[0])):
+        for blocks in comps:
+            emit_bits((blocks[bi][0] >> al) & 1, 1)
 
 
 def _scan_ac_first_enc(blocks, ss, se, al, emit_sym, emit_bits) -> None:
@@ -3522,15 +3528,52 @@ def _encode_jpeg_progressive(pixels: list[list[int]]) -> bytes:
     _JPEG_PROG_SCANS with a per-scan K.2-optimal Huffman table carried
     in a DHT immediately before its SOS (tables are REDEFINED between
     scans — the layout real optimizing encoders emit)."""
+    return _encode_jpeg_prog(
+        [pixels],
+        [
+            (kind, None if kind.startswith("dc") else 0, ss, se, ah, al)
+            for kind, ss, se, ah, al in _JPEG_PROG_SCANS
+        ],
+    )
+
+
+def _encode_jpeg_progressive_color(
+    planes: list[list[list[int]]],
+) -> bytes:
+    """3-component progressive (r12): the 8-scan script real
+    optimizing encoders emit for color — ONE interleaved DC scan
+    (per-component predictors through a shared table), then a
+    non-interleaved AC first scan PER COMPONENT (T.81 G.1 forbids
+    interleaved AC in progressive), the DC refinement, and three AC
+    refinement scans."""
+    scans: list[tuple[str, int | None, int, int, int, int]] = [
+        ("dc_first", None, 0, 0, 0, 1)
+    ]
+    scans += [("ac_first", c, 1, 63, 0, 1) for c in range(3)]
+    scans.append(("dc_refine", None, 0, 0, 1, 0))
+    scans += [("ac_refine", c, 1, 63, 1, 0) for c in range(3)]
+    return _encode_jpeg_prog(planes, scans)
+
+
+def _encode_jpeg_prog(
+    planes: list[list[list[int]]],
+    scans: list[tuple[str, int | None, int, int, int, int]],
+) -> bytes:
     import struct
 
-    h, w = len(pixels), len(pixels[0])
+    ncomp = len(planes)
+    if ncomp not in (1, 3):
+        raise ValueError("progressive encoder supports 1 or 3 components")
+    h, w = len(planes[0]), len(planes[0][0])
     if h % 8 or w % 8:
         raise ValueError("progressive fixture requires multiple-of-8 dims")
-    blocks = [
-        _jpeg_block_zz(pixels, bx, by)
-        for by in range(h // 8)
-        for bx in range(w // 8)
+    comps = [
+        [
+            _jpeg_block_zz(p, bx, by)
+            for by in range(h // 8)
+            for bx in range(w // 8)
+        ]
+        for p in planes
     ]
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -3539,11 +3582,16 @@ def _encode_jpeg_progressive(pixels: list[list[int]]) -> bytes:
     out = bytearray(b"\xff\xd8")
     out += seg(0xFFE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")
     out += seg(0xFFDB, bytes([0x00]) + bytes(_JPEG_QUANT[i] for i in _ZIGZAG))
-    out += seg(0xFFC2, struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]))
-    for kind, ss, se, ah, al in _JPEG_PROG_SCANS:
+    out += seg(
+        0xFFC2,
+        struct.pack(">BHHB", 8, h, w, ncomp)
+        + b"".join(bytes([c + 1, 0x11, 0]) for c in range(ncomp)),
+    )
+    for kind, comp, ss, se, ah, al in scans:
+        blocks = comps[comp] if comp is not None else None
         run = {
-            "dc_first": lambda s, b: _scan_dc_first_enc(blocks, al, s, b),
-            "dc_refine": lambda s, b: _scan_dc_refine_enc(blocks, al, b),
+            "dc_first": lambda s, b: _scan_dc_first_enc(comps, al, s, b),
+            "dc_refine": lambda s, b: _scan_dc_refine_enc(comps, al, b),
             "ac_first": lambda s, b: _scan_ac_first_enc(
                 blocks, ss, se, al, s, b
             ),
@@ -3562,9 +3610,13 @@ def _encode_jpeg_progressive(pixels: list[list[int]]) -> bytes:
                 0xFFC4, bytes([cls << 4]) + bytes(bits) + bytes(vals)
             )
             enc_tab = _jpeg_canonical(bits, vals)
-        out += seg(
-            0xFFDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
-        )
+        if kind.startswith("dc"):  # interleaved: every component
+            hdr = bytes([ncomp]) + b"".join(
+                bytes([c + 1, 0x00]) for c in range(ncomp)
+            )
+        else:  # AC scans are single-component in progressive
+            hdr = bytes([1, comp + 1, 0x00])
+        out += seg(0xFFDA, hdr + bytes([ss, se, (ah << 4) | al]))
         bw = _JpegBitWriter()
         if enc_tab is None:
             run(lambda sym: None, bw.write)
@@ -3591,7 +3643,8 @@ def _decode_jpeg_progressive(raw: bytes) -> tuple[int, int, int, int]:
     quant: list[int] | None = None
     dc_rd: dict[tuple[int, int], int] | None = None
     ac_rd: dict[tuple[int, int], int] | None = None
-    w = h = -1
+    w = h = ncomp = -1
+    comps: list[list[list[int]]] | None = None
     blocks: list[list[int]] | None = None
     have_dc = False
     while pos < len(raw):
@@ -3621,15 +3674,25 @@ def _decode_jpeg_progressive(raw: bytes) -> tuple[int, int, int, int]:
                 raise ValueError("invalid quantization table")
         elif marker == 0xFFC2:
             prec, h, w, ncomp = struct.unpack_from(">BHHB", body)
-            if prec != 8 or ncomp != 1:
+            if prec != 8 or ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "progressive decoder: 8-bit grayscale only"
+                    "progressive decoder: 8-bit 1- or 3-component only"
                 )
-            if body[8] != 0:  # comp descriptor: id, sampling, quant id
-                raise NotImplementedError("only quant table 0")
+            for c in range(ncomp):
+                # comp descriptor: id, sampling, quant id
+                if body[6 + 3 * c + 1] != 0x11:
+                    raise NotImplementedError(
+                        "progressive decoder: 1x1 sampling only"
+                    )
+                if body[6 + 3 * c + 2] != 0:
+                    raise NotImplementedError("only quant table 0")
             if w % 8 or h % 8:
                 raise NotImplementedError("partial 8x8 blocks unsupported")
-            blocks = [[0] * 64 for _ in range((h // 8) * (w // 8))]
+            comps = [
+                [[0] * 64 for _ in range((h // 8) * (w // 8))]
+                for _ in range(ncomp)
+            ]
+            blocks = comps[0]  # sentinel: SOF seen
         elif marker in (0xFFC0, 0xFFC1, 0xFFC3):
             raise ValueError("not a progressive stream (use SOF2 decoder)")
         elif marker == 0xFFC4:
@@ -3657,38 +3720,56 @@ def _decode_jpeg_progressive(raw: bytes) -> tuple[int, int, int, int]:
         elif marker == 0xFFDA:
             if blocks is None or quant is None:
                 raise ValueError("SOS before SOF2/DQT")
-            if body[0] != 1 or body[1] != 1:
-                raise NotImplementedError("single-component scans only")
-            ss, se, ahal = body[3], body[4], body[5]
+            ns = body[0]
+            ss, se, ahal = (
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns],
+            )
             ah, al = ahal >> 4, ahal & 0x0F
             rd = _JpegBitReader(raw, pos)
-            if ss == 0:  # DC scan
+            if ss == 0:  # DC scan: interleaved over ALL components
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
+                if ns != ncomp or any(
+                    body[1 + 2 * c] != c + 1 for c in range(ns)
+                ):
+                    raise NotImplementedError(
+                        "DC scan must interleave all components in order"
+                    )
                 if ah == 0:
                     if dc_rd is None:
                         raise ValueError("DC scan before DC DHT")
-                    pred = 0
-                    for zz in blocks:
-                        cat = rd.decode(dc_rd)
-                        diff = 0
-                        if cat:
-                            v = rd.read_bits(cat)
-                            diff = (
-                                v
-                                if v >= (1 << (cat - 1))
-                                else v - (1 << cat) + 1
-                            )
-                        pred += diff
-                        zz[0] = pred << al
+                    preds = [0] * ncomp
+                    for bi in range(len(comps[0])):
+                        for c in range(ncomp):
+                            cat = rd.decode(dc_rd)
+                            diff = 0
+                            if cat:
+                                v = rd.read_bits(cat)
+                                diff = (
+                                    v
+                                    if v >= (1 << (cat - 1))
+                                    else v - (1 << cat) + 1
+                                )
+                            preds[c] += diff
+                            comps[c][bi][0] = preds[c] << al
                     have_dc = True
                 else:
                     if ah != al + 1:
                         raise ValueError("refinement must step Al by 1")
-                    for zz in blocks:
-                        if rd.read_bit():
-                            zz[0] |= 1 << al
-            else:  # AC scan
+                    for bi in range(len(comps[0])):
+                        for c in range(ncomp):
+                            if rd.read_bit():
+                                comps[c][bi][0] |= 1 << al
+            else:  # AC scan: single component (T.81 G.1)
+                if ns != 1:
+                    raise NotImplementedError(
+                        "AC scans are single-component in progressive"
+                    )
+                ci = body[1] - 1
+                if not (0 <= ci < ncomp):
+                    raise ValueError("AC scan names unknown component")
                 if not have_dc:
                     raise ValueError("AC scan before DC scan")
                 if not (1 <= ss <= se <= 63):
@@ -3696,11 +3777,11 @@ def _decode_jpeg_progressive(raw: bytes) -> tuple[int, int, int, int]:
                 if ac_rd is None:
                     raise ValueError("AC scan before AC DHT")
                 if ah == 0:
-                    _scan_ac_first_dec(rd, ac_rd, blocks, ss, se, al)
+                    _scan_ac_first_dec(rd, ac_rd, comps[ci], ss, se, al)
                 else:
                     if ah != al + 1:
                         raise ValueError("refinement must step Al by 1")
-                    _scan_ac_refine_dec(rd, ac_rd, blocks, ss, se, al)
+                    _scan_ac_refine_dec(rd, ac_rd, comps[ci], ss, se, al)
             pos = rd.pos
         elif 0xFFE0 <= marker <= 0xFFEF or marker == 0xFFFE:
             continue
@@ -3710,19 +3791,20 @@ def _decode_jpeg_progressive(raw: bytes) -> tuple[int, int, int, int]:
         raise ValueError("missing EOI")
     total = checksum = 0
     bpr = w // 8
-    for bi, zz in enumerate(blocks):
-        by, bx = bi // bpr, bi % bpr
-        coef = [[0.0] * 8 for _ in range(8)]
-        for zi, nat in enumerate(_ZIGZAG):
-            coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
-        out = _idct8x8(coef)
-        for x in range(8):
-            for y in range(8):
-                px = int(round(out[x][y] + 128.0))
-                px = 0 if px < 0 else 255 if px > 255 else px
-                gx, gy = 8 * bx + x, 8 * by + y
-                total += px
-                checksum += (1 + gx + w * gy) * px
+    for c in range(ncomp):
+        for bi, zz in enumerate(comps[c]):
+            by, bx = bi // bpr, bi % bpr
+            coef = [[0.0] * 8 for _ in range(8)]
+            for zi, nat in enumerate(_ZIGZAG):
+                coef[nat // 8][nat % 8] = float(zz[zi] * quant[nat])
+            out = _idct8x8(coef)
+            for x in range(8):
+                for y in range(8):
+                    px = int(round(out[x][y] + 128.0))
+                    px = 0 if px < 0 else 255 if px > 255 else px
+                    gx, gy = 8 * bx + x, 8 * by + y
+                    total += px
+                    checksum += (1 + gx + w * gy) * (c + 1) * px
     return w, h, total, checksum
 
 
@@ -3854,6 +3936,98 @@ def q_media_decode_jpeg_progressive(
         "doc_id long, jpeg_w int, jpeg_h int, n_px long,"
         " mean_px double, pos_checksum long",
     ).withColumn("mean_px", F.round("mean_px", 6))
+
+
+def q_media_decode_jpeg_progressive_color(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 4 + 1).cast("int").alias("bw"),
+        (F.col("doc_id") % 3 + 1).cast("int").alias("bh"),
+        (F.col("doc_id") % JPEG_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def one(bw_: int, bh_: int, s: int) -> bytes:
+            return _encode_jpeg_progressive_color(
+                [
+                    [
+                        [
+                            (s + 17 * (y // 8) + 23 * (x // 8) + 41 * c)
+                            % 256
+                            for x in range(8 * bw_)
+                        ]
+                        for y in range(8 * bh_)
+                    ]
+                    for c in range(3)
+                ]
+            )
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        one(int(a), int(b), int(s))
+                        for a, b, s in zip(pdf["bw"], pdf["bh"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_jpeg_progressive(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "jpeg_w": [f[0] for f in feats],
+                    "jpeg_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_px": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, jpeg_w int, jpeg_h int, n_px long,"
+        " mean_px double, pos_checksum long",
+    ).withColumn("mean_px", F.round("mean_px", 6))
+
+
+# the color closed form on the progressive 4x3-block grid
+MEDIA_DECODE_JPEG_PROG_COLOR_SQL = f"""
+WITH px AS (
+  SELECT doc_id,
+         CAST(doc_id % 4 + 1 AS INT) AS bw,
+         CAST(doc_id % 3 + 1 AS INT) AS bh,
+         doc_id % {JPEG_MOD} AS s
+  FROM documents
+)
+SELECT doc_id,
+       CAST(8 * bw AS INT) AS jpeg_w,
+       CAST(8 * bh AS INT) AS jpeg_h,
+       CAST(64 * bw * bh AS BIGINT) AS n_px,
+       round(list_sum(flatten(list_transform(range(bh), by ->
+           list_transform(range(bw), bx -> CAST(
+               64 * ((s + 17 * by + 23 * bx) % 256
+                     + (s + 17 * by + 23 * bx + 41) % 256
+                     + (s + 17 * by + 23 * bx + 82) % 256) AS DOUBLE)))))
+         / (3 * 64 * bw * bh), 6) AS mean_px,
+       CAST(list_sum(flatten(list_transform(range(bh), by ->
+           list_transform(range(bw), bx -> CAST(
+               ((s + 17 * by + 23 * bx) % 256
+                + 2 * ((s + 17 * by + 23 * bx + 41) % 256)
+                + 3 * ((s + 17 * by + 23 * bx + 82) % 256))
+               * (64 + 8 * (64 * bx + 28)
+                  + 8 * (8 * bw) * (64 * by + 28)) AS DOUBLE)))))
+         AS BIGINT) AS pos_checksum
+FROM px
+"""
 
 
 # Same closed-form family as the grayscale key, on a 4x3-block grid so
@@ -4213,6 +4387,11 @@ def register_all() -> None:
         "media_decode_jpeg_progressive",
         q_media_decode_jpeg_progressive,
         MEDIA_DECODE_JPEG_PROG_SQL,
+    )
+    register(
+        "media_decode_jpeg_progressive_color",
+        q_media_decode_jpeg_progressive_color,
+        MEDIA_DECODE_JPEG_PROG_COLOR_SQL,
     )
     register(
         "media_decode_jpeg_color",

@@ -65,6 +65,7 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_gif",
     "media_decode_png_grayalpha",
     "media_decode_wav_ulaw",
+    "media_decode_jpeg_progressive_color",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -125,13 +126,11 @@ CHECK_PRIORITY: list[str] = [
     "dedup_minhash",
     "dedup_minhash_keep",
     "simsearch_topk",
-    "date_bucket",
-    # (dedup_simhash, rule_conflict_resolve and rule_conflict_resolve_l5
-    # displaced off the cap by the (b) pool running dry when
-    # media_decode_gif, media_decode_png_grayalpha and
-    # media_decode_wav_ulaw landed -- the THREE remaining r5-stale
-    # keys; they MUST lead r13's window so the floor finishes rising
-    # to r6 next round)
+    # (date_bucket, dedup_simhash, rule_conflict_resolve and
+    # rule_conflict_resolve_l5 displaced off the cap by the (b) pool
+    # running dry as the session-2 media keys landed -- the FOUR
+    # remaining r5-stale keys; they MUST lead r13's window so the
+    # floor finishes rising to r6 next round)
 ]
 
 

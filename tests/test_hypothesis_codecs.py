@@ -678,3 +678,34 @@ def test_png_grayalpha_roundtrip(w, h, d, interlace, filter_cycle, level):
         for v, a in [va(x, y)]
     )
     assert _decode_png(raw) == (w, h, t, c)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    bw=st.integers(min_value=1, max_value=3),
+    bh=st.integers(min_value=1, max_value=2),
+    data=st.data(),
+)
+def test_jpeg_progressive_color_equals_baseline(bw, bh, data):
+    """3-component progressive (r12): the 8-scan script — interleaved
+    DC with three predictor chains, per-component AC bands, DC and
+    per-component AC refinements — must reconstruct BIT-IDENTICALLY
+    to the baseline interleaved color decode of the same planes."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_jpeg,
+        _decode_jpeg_progressive,
+        _encode_jpeg,
+        _encode_jpeg_progressive_color,
+    )
+
+    w, h = 8 * bw, 8 * bh
+    planes = [
+        [
+            [data.draw(st.integers(min_value=0, max_value=255)) for _ in range(w)]
+            for _ in range(h)
+        ]
+        for _ in range(3)
+    ]
+    assert _decode_jpeg_progressive(
+        _encode_jpeg_progressive_color(planes)
+    ) == _decode_jpeg(_encode_jpeg(planes))
