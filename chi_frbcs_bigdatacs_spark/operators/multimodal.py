@@ -4058,6 +4058,212 @@ FROM px
 """
 
 
+# --- QOI codec (r12) -----------------------------------------------------------
+# The modern lossless format (qoiformat.org spec, public domain): a
+# single-pass byte code stream over raw RGB(A) pixels combining FOUR
+# coding modes a decoder must interleave correctly — RUN (1..62
+# repeats, biased; 63/64 reserved because those tags collide with the
+# 8-bit RGB/RGBA ops), INDEX into a 64-entry running array keyed by
+# the (3r+5g+7b+11a) mod 64 hash that BOTH sides must update after
+# every pixel, DIFF (2-bit channel deltas, bias 2, wrapping), and
+# LUMA (6-bit green delta + 4-bit red/blue deltas RELATIVE to the
+# green delta — the decorrelation trick). Fixture and closed form are
+# the PNG RGB family's, so the oracle is shared; the greedy encoder
+# prefers RUN > INDEX > DIFF > LUMA > RGB like the reference encoder.
+
+QOI_END = b"\x00" * 7 + b"\x01"
+
+
+def _qoi_hash(r: int, g: int, b: int, a: int = 255) -> int:
+    return (r * 3 + g * 5 + b * 7 + a * 11) % 64
+
+
+def _encode_qoi(w: int, h: int, d: int) -> bytes:
+    run_len = d % 3 + 2
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        i = (d + 5 * y + 3 * (x // run_len)) % 256
+        return i, (2 * i) % 256, (3 * i) % 256
+
+    return _encode_qoi_pixels(
+        [[px(x, y) for x in range(w)] for y in range(h)]
+    )
+
+
+def _encode_qoi_pixels(rows: list[list[tuple[int, int, int]]]) -> bytes:
+    import struct
+
+    h, w = len(rows), len(rows[0])
+
+    def px(x: int, y: int) -> tuple[int, int, int]:
+        return rows[y][x]
+
+    out = bytearray(b"qoif" + struct.pack(">IIBB", w, h, 3, 0))
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    run = 0
+    for y in range(h):
+        for x in range(w):
+            cur = px(x, y)
+            if cur == prev:
+                run += 1
+                if run == 62:
+                    out.append(0xC0 | (run - 1))
+                    run = 0
+                continue
+            if run:
+                out.append(0xC0 | (run - 1))
+                run = 0
+            hi = _qoi_hash(*cur)
+            if index[hi] == cur:
+                out.append(hi)  # QOI_OP_INDEX
+            else:
+                dr = (cur[0] - prev[0] + 128) % 256 - 128
+                dg = (cur[1] - prev[1] + 128) % 256 - 128
+                db = (cur[2] - prev[2] + 128) % 256 - 128
+                if -2 <= dr <= 1 and -2 <= dg <= 1 and -2 <= db <= 1:
+                    out.append(
+                        0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2)
+                    )  # QOI_OP_DIFF
+                elif (
+                    -32 <= dg <= 31
+                    and -8 <= dr - dg <= 7
+                    and -8 <= db - dg <= 7
+                ):
+                    out.append(0x80 | (dg + 32))  # QOI_OP_LUMA
+                    out.append(((dr - dg + 8) << 4) | (db - dg + 8))
+                else:
+                    out.append(0xFE)  # QOI_OP_RGB
+                    out += bytes(cur)
+            index[hi] = cur
+            prev = cur
+    if run:
+        out.append(0xC0 | (run - 1))
+    out += QOI_END
+    return bytes(out)
+
+
+def _decode_qoi(raw: bytes) -> tuple[int, int, int, int]:
+    """Full QOI decode -> the (w, h, rgb_sum, positional_checksum)
+    tuple of the PNG RGB family. Rejects wrong magic, RGBA channel
+    mode, pixel over/underflow, and a missing end marker by name."""
+    import struct
+
+    if raw[:4] != b"qoif":
+        raise ValueError("not a QOI stream")
+    w, h, channels, colorspace = struct.unpack_from(">IIBB", raw, 4)
+    if channels != 3:
+        raise NotImplementedError("only 3-channel QOI")
+    if colorspace > 1:
+        raise ValueError("invalid QOI colorspace")
+    pos = 14
+    index = [(0, 0, 0)] * 64
+    prev = (0, 0, 0)
+    n = w * h
+    total = checksum = 0
+    i = 0
+    while i < n:
+        if pos >= len(raw) - 8:
+            raise ValueError("QOI stream ended before all pixels")
+        b0 = raw[pos]
+        pos += 1
+        run = 1
+        if b0 == 0xFE:  # RGB
+            cur = (raw[pos], raw[pos + 1], raw[pos + 2])
+            pos += 3
+        elif b0 == 0xFF:
+            raise NotImplementedError("only 3-channel QOI")
+        elif b0 >> 6 == 0:  # INDEX
+            cur = index[b0]
+        elif b0 >> 6 == 1:  # DIFF
+            cur = (
+                (prev[0] + ((b0 >> 4) & 3) - 2) % 256,
+                (prev[1] + ((b0 >> 2) & 3) - 2) % 256,
+                (prev[2] + (b0 & 3) - 2) % 256,
+            )
+        elif b0 >> 6 == 2:  # LUMA
+            dg = (b0 & 0x3F) - 32
+            b1 = raw[pos]
+            pos += 1
+            cur = (
+                (prev[0] + dg + ((b1 >> 4) & 0x0F) - 8) % 256,
+                (prev[1] + dg) % 256,
+                (prev[2] + dg + (b1 & 0x0F) - 8) % 256,
+            )
+        else:  # RUN
+            run = (b0 & 0x3F) + 1
+            if run > 62:
+                raise ValueError("illegal QOI run tag")
+            cur = prev
+        for _ in range(run):
+            if i >= n:
+                raise ValueError("QOI run overflows image")
+            gx, gy = i % w, i // w
+            total += cur[0] + cur[1] + cur[2]
+            checksum += (1 + gx + w * gy) * (
+                cur[0] + 2 * cur[1] + 3 * cur[2]
+            )
+            i += 1
+        index[_qoi_hash(*cur)] = cur
+        prev = cur
+    if raw[pos : pos + 8] != QOI_END:
+        raise ValueError("missing QOI end marker")
+    return w, h, total, checksum
+
+
+def q_media_decode_qoi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 14 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 9 + 3).cast("int").alias("h"),
+        (F.col("doc_id") % PNG_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_qoi(int(w), int(hh), int(s))
+                        for w, hh, s in zip(pdf["w"], pdf["h"], pdf["seed"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_qoi(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "qoi_w": [f[0] for f in feats],
+                    "qoi_h": [f[1] for f in feats],
+                    "n_px": [f[0] * f[1] for f in feats],
+                    "mean_rgb": [f[2] / (3 * f[0] * f[1]) for f in feats],
+                    "pos_checksum": [f[3] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, qoi_w int, qoi_h int, n_px long,"
+        " mean_rgb double, pos_checksum long",
+    ).withColumn("mean_rgb", F.round("mean_rgb", 6))
+
+
+def _qoi_sql() -> str:
+    inner = _png_variant_sql(14, 4, 9, 3)
+    return f"""
+SELECT doc_id, png_w AS qoi_w, png_h AS qoi_h,
+       n_px, mean_rgb, pos_checksum
+FROM ({inner})
+"""
+
+
 # --- GIF (LZW) codec (r12) ----------------------------------------------------
 # The fourth and last classic compression family the codec taxonomy
 # lacked: DICTIONARY coding. GIF's LZW (GIF87a Appendix F / the 89a
@@ -4443,6 +4649,7 @@ def register_all() -> None:
         MEDIA_DECODE_PNG_FILTERED_SQL,
     )
     register("media_decode_gif", q_media_decode_gif, _gif_sql())
+    register("media_decode_qoi", q_media_decode_qoi, _qoi_sql())
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
     register(

@@ -2240,9 +2240,164 @@ ORDER BY rank
 """
 
 
+# --- binary quantization + Hamming serve (r12) -------------------------------
+# The third and most aggressive member of the quantization family
+# (after PQ's codebooks and SQ8's per-dim bytes): ONE BIT per
+# dimension — the sign against a per-dim midrange threshold trained
+# on the corpus — so a 64-dim vector compresses to 8 bytes and the
+# scan distance is a pure popcount. This is the "binary quantization"
+# mode production vector stores ship for the first-stage cut, always
+# followed by an exact re-rank over a shortlist because Hamming on
+# sign bits is a coarse proxy.
+#
+# Exactness discipline: thresholds are floor((mn+mx)/2) in micro-unit
+# integers (floor() on the exact double — both engines agree; NB
+# integer `div` would NOT agree across engines on negative operands:
+# Spark div truncates toward zero, DuckDB // floors); the 64 bits
+# pack into TWO 32-bit halves so no signed-BIGINT sign-bit games are
+# needed; Hamming = bit_count(xor) per half, summed.
+#
+# Scale shape (100 TB): one bounds agg (map-side combinable), then
+# the serve scan reads 16 bytes + popcounts per vector — the cheapest
+# possible first stage — and TakeOrdered keeps a BQ_SHORTLIST-row
+# shortlist for the exact integer re-rank. Nothing vector-sized
+# shuffles.
+BQ_SHORTLIST = 30
+BQ_K = 10
+
+
+def q_simsearch_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", _micros_col().alias("xm"))
+    bounds = {
+        int(r["dim"]): (int(r["mn"]), int(r["mx"]))
+        for r in m.select(F.posexplode("xm").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    import math
+
+    thr = [
+        math.floor((bounds[i][0] + bounds[i][1]) / 2) for i in range(DIM)
+    ]
+    qm = [
+        int(v)
+        for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
+    ]
+    q_lo = sum(1 << d for d in range(32) if qm[d] > thr[d])
+    q_hi = sum(1 << (d - 32) for d in range(32, DIM) if qm[d] > thr[d])
+
+    def half_sig(lo: int) -> "F.Column":
+        params = F.array(
+            *[
+                F.struct(
+                    F.lit(thr[lo + d]).cast("long").alias("t"),
+                    F.lit(1 << d).cast("long").alias("w"),
+                )
+                for d in range(32)
+            ]
+        )
+        return F.aggregate(
+            F.zip_with(
+                F.slice("xm", lo + 1, 32),
+                params,
+                lambda x, p: F.when(x > p["t"], p["w"]).otherwise(
+                    F.lit(0).cast("long")
+                ),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+
+    q_arr = F.array(*[F.lit(v).cast("long") for v in qm])
+    scored = m.select(
+        "vec_id",
+        (
+            F.bit_count(half_sig(0).bitwiseXOR(F.lit(q_lo)))
+            + F.bit_count(half_sig(32).bitwiseXOR(F.lit(q_hi)))
+        ).cast("long").alias("hamming"),
+        F.aggregate(
+            F.zip_with("xm", q_arr, lambda x, q: q - x),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d * d,
+        ).alias("exact_d2_micro"),
+    )
+    short = scored.orderBy(
+        F.col("hamming").asc(), F.col("vec_id").asc()
+    ).limit(BQ_SHORTLIST)
+    from pyspark.sql.window import Window
+
+    return (
+        short.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("exact_d2_micro").asc(), F.col("vec_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= BQ_K)
+        .select("rank", "vec_id", "hamming", "exact_d2_micro")
+        .orderBy("rank")
+    )
+
+
+SIMSEARCH_BQ_SQL = f"""
+WITH dims AS (
+  SELECT unnest(range({DIM})) AS dim
+),
+m AS (
+  SELECT vec_id, dim,
+         CAST(round(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS xm
+  FROM embeddings CROSS JOIN dims
+),
+b AS (
+  SELECT dim,
+         CAST(floor((min(xm) + max(xm)) / 2.0) AS BIGINT) AS thr
+  FROM m GROUP BY dim
+),
+q AS (
+  SELECT dim, xm AS qm FROM m
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+bits AS (
+  SELECT m.vec_id, m.dim,
+         CASE WHEN m.xm > b.thr THEN 1 ELSE 0 END AS bv,
+         CASE WHEN q.qm > b.thr THEN 1 ELSE 0 END AS qv,
+         q.qm - m.xm AS de
+  FROM m JOIN b USING (dim) JOIN q USING (dim)
+),
+agg AS (
+  SELECT vec_id,
+         CAST(sum(CASE WHEN bv <> qv THEN 1 ELSE 0 END) AS BIGINT)
+           AS hamming,
+         CAST(sum(de * de) AS BIGINT) AS exact_d2_micro
+  FROM bits GROUP BY vec_id
+),
+short AS (
+  SELECT * FROM agg
+  ORDER BY hamming ASC, vec_id ASC LIMIT {BQ_SHORTLIST}
+)
+SELECT rank, vec_id, hamming, exact_d2_micro
+FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY exact_d2_micro ASC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, hamming, exact_d2_micro
+  FROM short
+)
+WHERE rank <= {BQ_K}
+ORDER BY rank
+"""
+
+
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("simsearch_sq8", q_simsearch_sq8, SIMSEARCH_SQ8_SQL)
+    register("simsearch_bq", q_simsearch_bq, SIMSEARCH_BQ_SQL)
     register(
         "simsearch_ivf_pq_nprobe",
         q_simsearch_ivf_pq_nprobe,

@@ -35,17 +35,18 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 15 new r12 keys,
+# list below IS the 50-key window, exactly — (a) 18 new r12 keys,
 # (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
-# n_candidates), (c) 34 of the 37 remaining r5-stale keys. The
-# session-2 additions (progressive JPEG, 4:2:2, substring dedup +
-# trim, SQ8, GIF, gray+alpha PNG, mu-law WAV) displaced the five
-# changed-plan-but-identical-output classify keys and finally three
-# r5-stale keys — dedup_simhash and both rule_conflict_resolve
-# variants (the only r5-stale keys left out — the floor fully
-# reaches r6 only when they are re-checked in r13).
-# R13 front-load order: (1) dedup_simhash + rule_conflict_resolve +
-# rule_conflict_resolve_l5 FIRST, (2) new r13 keys, (3) the displaced
+# n_candidates), (c) 31 of the 37 remaining r5-stale keys. The
+# session-2 additions (progressive JPEG gray+color, 4:2:2, substring
+# dedup + trim, SQ8, BQ, GIF, QOI, gray+alpha PNG, mu-law WAV)
+# displaced the five changed-plan-but-identical-output classify keys
+# and finally six r5-stale keys (listed at the cap comment — the
+# floor fully reaches r6 only when they are re-checked in r13).
+# R13 front-load order: (1) the six displaced r5-stale keys FIRST
+# (dedup_minhash_keep, simsearch_topk, date_bucket, dedup_simhash,
+# rule_conflict_resolve, rule_conflict_resolve_l5),
+# (2) new r13 keys, (3) the displaced
 # classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
 # _bigmodel, classify_ac) plus classify_wr_plain/holdout/metrics
 # multiclass/calibration/mcc_kappa/crossval_multiclass/
@@ -66,6 +67,8 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_png_grayalpha",
     "media_decode_wav_ulaw",
     "media_decode_jpeg_progressive_color",
+    "media_decode_qoi",
+    "simsearch_bq",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -124,13 +127,11 @@ CHECK_PRIORITY: list[str] = [
     "ruleweight_pcfcs",
     "stream_rule_stats",
     "dedup_minhash",
-    "dedup_minhash_keep",
-    "simsearch_topk",
-    # (date_bucket, dedup_simhash, rule_conflict_resolve and
-    # rule_conflict_resolve_l5 displaced off the cap by the (b) pool
-    # running dry as the session-2 media keys landed -- the FOUR
-    # remaining r5-stale keys; they MUST lead r13's window so the
-    # floor finishes rising to r6 next round)
+    # (dedup_minhash_keep, simsearch_topk, date_bucket, dedup_simhash,
+    # rule_conflict_resolve and rule_conflict_resolve_l5 displaced off
+    # the cap by the (b) pool running dry as the session-2 keys landed
+    # -- the SIX remaining r5-stale keys; they MUST lead r13's window
+    # so the floor finishes rising to r6 next round)
 ]
 
 

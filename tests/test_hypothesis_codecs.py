@@ -709,3 +709,80 @@ def test_jpeg_progressive_color_equals_baseline(bw, bh, data):
     assert _decode_jpeg_progressive(
         _encode_jpeg_progressive_color(planes)
     ) == _decode_jpeg(_encode_jpeg(planes))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=24),
+    h=st.integers(min_value=1, max_value=12),
+    data=st.data(),
+    mode=st.sampled_from(["random", "gradient", "flat"]),
+)
+def test_qoi_roundtrip_all_op_mixes(w, h, data, mode):
+    """QOI (r12): random pixels hit RGB/INDEX, gradients hit
+    DIFF/LUMA, flat images hit maximal RUNs — every coding mode must
+    decode back to the exact per-pixel features, with the 64-entry
+    running index staying in lockstep between encoder and decoder."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_qoi,
+        _encode_qoi_pixels,
+    )
+
+    if mode == "flat":
+        v = data.draw(st.integers(min_value=0, max_value=255))
+        rows = [[(v, v, v)] * w for _ in range(h)]
+    elif mode == "gradient":
+        base = data.draw(st.integers(min_value=0, max_value=255))
+        step = data.draw(st.integers(min_value=-2, max_value=2))
+        rows = [
+            [
+                (
+                    (base + step * (x + w * y)) % 256,
+                    (base + step * (x + w * y) + 1) % 256,
+                    (base + step * (x + w * y) + 2) % 256,
+                )
+                for x in range(w)
+            ]
+            for y in range(h)
+        ]
+    else:
+        rows = [
+            [
+                tuple(
+                    data.draw(st.integers(min_value=0, max_value=255))
+                    for _ in range(3)
+                )
+                for _ in range(w)
+            ]
+            for y in range(h)
+        ]
+    t = sum(sum(p) for r in rows for p in r)
+    c = sum(
+        (1 + x + w * y) * (r + 2 * g + 3 * b)
+        for y, row in enumerate(rows)
+        for x, (r, g, b) in enumerate(row)
+    )
+    assert _decode_qoi(_encode_qoi_pixels(rows)) == (w, h, t, c)
+
+
+def test_qoi_rejection_guards():
+    import pytest
+
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_qoi,
+        _encode_qoi,
+    )
+
+    raw = bytearray(_encode_qoi(6, 4, 9))
+    with pytest.raises(ValueError, match="not a QOI"):
+        _decode_qoi(b"qoix" + bytes(raw[4:]))
+    rgba = bytearray(raw)
+    rgba[12] = 4  # channels byte
+    with pytest.raises(NotImplementedError, match="3-channel"):
+        _decode_qoi(bytes(rgba))
+    with pytest.raises(ValueError, match="ended before"):
+        _decode_qoi(bytes(raw[: len(raw) - 12]))
+    noend = bytearray(raw)
+    noend[-1] = 0  # corrupt the end marker
+    with pytest.raises(ValueError, match="end marker"):
+        _decode_qoi(bytes(noend))

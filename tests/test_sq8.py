@@ -37,3 +37,19 @@ def test_sq8_shortlist_recalls_exact_topk(spark, duck):
     ).df()["vec_id"]
     overlap = len({r["vec_id"] for r in got} & set(int(v) for v in exact))
     assert overlap >= SQ8_K - 1, f"SQ8 recall@10 too low: {overlap}/10"
+
+
+def test_bq_shortlist_finds_query_and_orders_deterministically(spark):
+    """Binary quantization: the query itself has Hamming 0, so it must
+    survive the shortlist and re-rank to rank 1 at exact distance 0;
+    ranks are dense 1..K and the rerank orders by exact distance."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        BQ_K,
+        q_simsearch_bq,
+    )
+
+    got = q_simsearch_bq(spark, SF_SMALL).collect()
+    assert [r["rank"] for r in got] == list(range(1, BQ_K + 1))
+    assert got[0]["exact_d2_micro"] == 0 and got[0]["hamming"] == 0
+    d2 = [r["exact_d2_micro"] for r in got]
+    assert d2 == sorted(d2)
