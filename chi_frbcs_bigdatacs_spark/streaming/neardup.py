@@ -208,5 +208,166 @@ def q_stream_dedup_minhash(
     return jac.filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# --- incremental EXACT substring dedup (r12) ---------------------------------
+# Streaming twin of dedup_substring (Lee et al. ExactSubstr): the
+# batch rule — a K-gram is duplicated when it occurs more than once
+# ANYWHERE — becomes incremental with RETROACTIVE EMISSION: state per
+# gram holds (count, one buffered first occurrence). While a gram has
+# been seen once, its occurrence waits in state; the moment a second
+# arrives, the buffered first occurrence is emitted RETROACTIVELY
+# together with the new one, and every later occurrence emits
+# immediately. Across ANY split of the corpus into micro-batches the
+# emitted (doc_id, pos) hit set is identical — each occurrence of a
+# duplicated gram is emitted exactly once — so the batch tail
+# (gaps-and-islands span merge + per-doc accounting) reproduces the
+# batch operator bit-for-bit and the oracle is the strict batch
+# DEDUP_SUBSTRING_SQL.
+#
+# Scale shape: state per gram is O(1) — a count and one buffered
+# occurrence, NOT the occurrence list — so state size is bounded by
+# the distinct-gram count regardless of duplication depth;
+# applyInPandasWithState partitions by gram, the same key the batch
+# count window shuffles on.
+
+
+def q_stream_dedup_substring(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        DEDUP_SUBSTRING_SQL as _,  # noqa: F401  (oracle lives with the batch op)
+    )
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import SUBSTR_K
+
+    if staged_src is not None:
+        base = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        src_stream = (
+            spark.readStream.schema(base.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(staged_src)
+        )
+    else:
+        src_stream = _documents_idorder_stream(spark, sf_dir)
+    grams = (
+        src_stream.select(
+            "doc_id", "text", F.length("text").alias("n_chars")
+        )
+        .where(F.col("n_chars") >= SUBSTR_K)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), (F.col("n_chars") - SUBSTR_K + 1).cast("int")
+                )
+            ).alias("pos"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"substring(text, pos, {SUBSTR_K})").alias("g"),
+        )
+    )
+
+    def update(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        cnt, buf_doc, buf_pos = (
+            state.get if state.exists else (0, -1, -1)
+        )
+        new: list[tuple[int, int]] = []
+        for pdf in pdfs:
+            new.extend(
+                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
+            )
+        out: list[tuple[int, int]] = []
+        if cnt + len(new) >= 2:
+            if cnt == 1:
+                out.append((buf_doc, buf_pos))  # retroactive emission
+                buf_doc = buf_pos = -1
+            out.extend(new)  # cnt >= 2: earlier ones already emitted
+        elif cnt == 0 and len(new) == 1:
+            buf_doc, buf_pos = new[0]
+        state.update((cnt + len(new), buf_doc, buf_pos))
+        if out:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in out],
+                    "pos": [p for _, p in out],
+                }
+            )
+
+    hits = grams.groupBy("g").applyInPandasWithState(
+        update,
+        outputStructType="doc_id long, pos int",
+        stateStructType="cnt long, buf_doc long, buf_pos long",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"chi_substr_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        hits.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # batch tail: identical islands + accounting as the batch operator
+    from pyspark.sql.window import Window
+
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    h = spark.table(name).select(
+        "doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    spans = (
+        h.withColumn(
+            "ni",
+            (
+                F.col("pos")
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+            ).cast("int"),
+        )
+        .withColumn("island", F.sum("ni").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.count("*").alias("n_dup_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
+    )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.round(
+            F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+        ).alias("dup_frac"),
+    )
+
+
 def register_all() -> None:
     register("stream_dedup_minhash", q_stream_dedup_minhash, _minhash_sql())
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        DEDUP_SUBSTRING_SQL,
+    )
+
+    register(
+        "stream_dedup_substring",
+        q_stream_dedup_substring,
+        DEDUP_SUBSTRING_SQL,
+    )

@@ -474,3 +474,43 @@ def test_cdc_checkpoint_recovery_restores_custom_state(spark, tmp_path):
     upd_rows = [r for r in final if r.merge_action == "update"]
     assert {r.o_orderkey for r in upd_rows} == upd_keys
     assert all(r.present and r.n_seen == 2 for r in upd_rows)
+
+
+def test_stream_substring_dedup_invariant_under_skewed_split(spark, tmp_path):
+    """Retroactive emission (r12): whether both occurrences of a
+    duplicated gram arrive in one micro-batch, in two adjacent ones,
+    or split across a skewed 3-file layout, the final per-doc span
+    accounting must equal the batch ExactSubstr operator exactly —
+    the buffered-first-occurrence state is what makes the hit set
+    split-invariant."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        q_dedup_substring,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.neardup import (
+        q_stream_dedup_substring,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "skewed_docs_substr")
+    parts = [
+        docs.filter(F.col("doc_id") % 100 < 55),
+        docs.filter((F.col("doc_id") % 100).between(55, 61)),
+        docs.filter(F.col("doc_id") % 100 > 61),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(
+            tuple,
+            q_stream_dedup_substring(
+                spark, SF_SMALL, staged_src=src
+            ).collect(),
+        )
+    )
+    batch = sorted(map(tuple, q_dedup_substring(spark, SF_SMALL).collect()))
+    assert streamed == batch and streamed
+    assert any(r[2] > 0 for r in batch), "fixture must contain dup spans"
