@@ -716,7 +716,79 @@ def pagerank_converged(
     return ranks, rounds, converged
 
 
+# --- single-source shortest path (unweighted BFS, r12) -------------------------
+# The one classic graph primitive the family lacked: min-hop distance
+# from a deterministic source (the lexicographically smallest node)
+# to every reachable node. Spark side is level-synchronous BFS — the
+# textbook distributed formulation: each round joins the current
+# frontier against the co-located edge table, anti-joins the settled
+# set, and checkpoints the new level; the loop ends when a frontier
+# comes back empty, so rounds == eccentricity(source), never a fixed
+# guess. All state is (node, dist) integers — order-free, hash-exact.
+# Oracle: a DuckDB recursive CTE walking the same edges with UNION
+# dedup per (node, dist) level, min(dist) per node at the end.
+#
+# Scale shape: the edge table shuffles ONCE to co-locate by src
+# (reused every round); a round shuffles only the frontier (bounded
+# by |V|) for the join and the anti-join. Driver sees one scalar
+# count per round — no data-sized collect.
+
+SSSP_MAX_ROUNDS = 50  # backstop far above this graph's diameter
+
+
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
+    src0 = edges.agg(F.min("src")).collect()[0][0]
+    dist = spark.createDataFrame(
+        [(src0, 0)], "node string, dist long"
+    ).localCheckpoint(eager=True)
+    frontier = dist
+    d = 0
+    while d < SSSP_MAX_ROUNDS:
+        d += 1
+        nxt = (
+            frontier.join(
+                edges, frontier["node"] == edges["src"], "inner"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .withColumn("dist", F.lit(d).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    else:
+        raise RuntimeError("BFS failed to drain within the round backstop")
+    return dist.select("node", "dist")
+
+
+GRAPH_SSSP_SQL = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+  FROM lineitem
+),
+edges AS (
+  SELECT p AS src, s AS dst FROM li
+  UNION
+  SELECT s AS src, p AS dst FROM li
+),
+walk(node, dist) AS (
+  SELECT min(src), 0 FROM edges
+  UNION
+  SELECT e.dst, w.dist + 1
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < {SSSP_MAX_ROUNDS}
+)
+SELECT node, CAST(min(dist) AS BIGINT) AS dist
+FROM walk GROUP BY node
+"""
+
+
 def register_all() -> None:
+    register("graph_sssp", q_graph_sssp, GRAPH_SSSP_SQL)
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
     register("graph_kcore", q_graph_kcore, _kcore_sql())
     register(

@@ -35,16 +35,16 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
 # the rotation only affects which subset the external driver
 # re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 19 new r12 keys,
+# list below IS the 50-key window, exactly — (a) 20 new r12 keys,
 # (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
-# n_candidates), (c) 30 of the 37 remaining r5-stale keys. The
+# n_candidates), (c) 29 of the 37 remaining r5-stale keys. The
 # session-2 additions (progressive JPEG gray+color, 4:2:2, substring
 # dedup + trim, SQ8, BQ, GIF, QOI, gray+alpha PNG, mu-law WAV)
 # displaced the five changed-plan-but-identical-output classify keys
-# and finally seven r5-stale keys (listed at the cap comment — the
+# and finally eight r5-stale keys (listed at the cap comment — the
 # floor fully reaches r6 only when they are re-checked in r13).
-# R13 front-load order: (1) the seven displaced r5-stale keys FIRST
-# (dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket, dedup_simhash,
+# R13 front-load order: (1) the eight displaced r5-stale keys FIRST
+# (stream_rule_stats, dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket, dedup_simhash,
 # rule_conflict_resolve, rule_conflict_resolve_l5),
 # (2) new r13 keys, (3) the displaced
 # classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
@@ -70,6 +70,7 @@ CHECK_PRIORITY: list[str] = [
     "media_decode_qoi",
     "simsearch_bq",
     "stream_dedup_substring",
+    "graph_sssp",
     "stream_checkpoint_recovery_stateful",
     "simsearch_ivf_pq_adaptive",
     # (b) plans/oracles changed in r12 and not already inside (c):
@@ -94,8 +95,8 @@ CHECK_PRIORITY: list[str] = [
     # media_decode_png_trns -- all changed-plan/identical-output and
     # externally green; they lead r13's group (2) with the classify keys)
     # (c) the remaining r5-stale cohort in CORRECTNESS_r05 artifact
-    # order (30 of 37 fit; the displaced seven are listed at the cap
-    # comment). 19 + 1 + 30 = 50: the cap lands exactly on the last
+    # order (29 of 37 fit; the displaced eight are listed at the cap
+    # comment). 20 + 1 + 29 = 50: the cap lands exactly on the last
     # entry.
     "split_stratified",
     "corpus_mix_sqrt",
@@ -126,11 +127,10 @@ CHECK_PRIORITY: list[str] = [
     "sink_keel",
     "rulebuild_partitioned",
     "ruleweight_pcfcs",
-    "stream_rule_stats",
-    # (dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket,
+    # (stream_rule_stats, dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket,
     # dedup_simhash, rule_conflict_resolve and rule_conflict_resolve_l5
     # displaced off the cap by the (b) pool running dry as the
-    # session-2 keys landed -- the SEVEN remaining r5-stale keys; they
+    # session-2 keys landed -- the EIGHT remaining r5-stale keys; they
     # MUST lead r13's window so the floor finishes rising to r6 next
     # round)
 ]

@@ -266,3 +266,23 @@ def test_pagerank_default_relative_tolerance_is_practical(spark):
         .collect()[0]["rel"]
     )
     assert rel_ppm <= PR_REL_TOL_PPM, rel_ppm
+
+
+def test_sssp_chain_graph_multi_level_distances(spark, tmp_path):
+    """BFS correctness beyond the fixture's diameter-3 graph: a
+    bipartite CHAIN p1-s1-p2-s2-p3 (plus an unreachable island
+    p9-s9) must yield hop distances 0..4 from the lexicographically
+    smallest node and EXCLUDE the island — settled nodes must never
+    be re-labeled by a longer path."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import q_graph_sssp
+
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 2), (3, 2), (9, 9)],
+        "l_partkey long, l_suppkey long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node"]: r["dist"]
+        for r in q_graph_sssp(spark, str(tmp_path)).collect()
+    }
+    assert got == {"p1": 0, "s1": 1, "p2": 2, "s2": 3, "p3": 4}
