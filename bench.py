@@ -51,6 +51,18 @@ HEADLINE_EXT = [
     "resample_smote_probe",      # SMOTE grid-pair probe (warm 5.8-6.5s, NOTES r11)
 ]
 
+# Third headline group (r12): the surfaces added this round, tracked
+# under their own fields so value/value_ext stay comparable with every
+# earlier BENCH_r{N} artifact.
+HEADLINE_R12 = [
+    "dedup_substring",            # exact-substr accounting: gram window + islands
+    "dedup_substring_trim",       # + complement-segment rebuild
+    "simsearch_sq8",              # per-dim 8-bit ADC serve + re-rank
+    "simsearch_bq",               # sign-bit Hamming serve + re-rank
+    "media_decode_jpeg_progressive",  # SOF2 multi-scan decode (Arrow batches)
+    "graph_sssp",                 # level-synchronous BFS to frontier drain
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -160,6 +172,19 @@ def main() -> None:
             ext_samples[k].append(v)
     ext_warm = {k: round(median(v), 3) for k, v in ext_samples.items() if v}
 
+    # r12 group: cold + median-of-3 (the keys are cheap; 3 passes
+    # bound the added bench time while still resisting single-sample
+    # host spikes).
+    r12_timings, r12_errs = run_pass(HEADLINE_R12)
+    r12_samples: dict[str, list[float]] = {k: [] for k in HEADLINE_R12}
+    r12_warm_errs: dict[str, str] = {}
+    for _ in range(min(n_warm, 3)):
+        w, we = run_pass(HEADLINE_R12)
+        r12_warm_errs.update(we)
+        for k, v in w.items():
+            r12_samples[k].append(v)
+    r12_warm = {k: round(median(v), 3) for k, v in r12_samples.items() if v}
+
     cal = median(cal_samples)
     warm_cal = {k: round(v / cal, 2) for k, v in warm.items()}
     ext_warm_cal = {k: round(v / cal, 2) for k, v in ext_warm.items()}
@@ -206,20 +231,30 @@ def main() -> None:
         "value_warm_calibrated": round(sum(warm_cal.values()), 2),
         "queries_ext_warm_calibrated": ext_warm_cal,
         "value_ext_warm_calibrated": round(sum(ext_warm_cal.values()), 2),
+        "value_r12": round(sum(r12_timings.values()), 3),
+        "queries_r12": r12_timings,
+        "value_r12_warm": round(sum(r12_warm.values()), 3),
+        "queries_r12_warm": r12_warm,
+        "queries_r12_warm_calibrated": {
+            k: round(v / cal, 2) for k, v in r12_warm.items()
+        },
     }
-    if errs or warm_errs or ext_errs or ext_warm_errs:
+    if errs or warm_errs or ext_errs or ext_warm_errs or r12_errs or r12_warm_errs:
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",
-        # "ext:<key>", "ext_warm:<key>" — which pass failed is never
-        # collapsed away (ADVICE r8).
+        # "ext:<key>", "ext_warm:<key>", "r12:<key>", "r12_warm:<key>"
+        # — which pass failed is never collapsed away (ADVICE r8).
         merged = {
             **{f"warm:{k}": v for k, v in warm_errs.items()},
             **errs,
             **{f"ext:{k}": v for k, v in ext_errs.items()},
             **{f"ext_warm:{k}": v for k, v in ext_warm_errs.items()},
+            **{f"r12:{k}": v for k, v in r12_errs.items()},
+            **{f"r12_warm:{k}": v for k, v in r12_warm_errs.items()},
         }
         out["errors"] = merged
         out["n_failed"] = len(
             set(errs) | set(warm_errs) | set(ext_errs) | set(ext_warm_errs)
+            | set(r12_errs) | set(r12_warm_errs)
         )
     print(json.dumps(out))
     spark.stop()
