@@ -728,10 +728,15 @@ def pagerank_converged(
 # Oracle: a DuckDB recursive CTE walking the same edges with UNION
 # dedup per (node, dist) level, min(dist) per node at the end.
 #
-# Scale shape: the edge table shuffles ONCE to co-locate by src
-# (reused every round); a round shuffles only the frontier (bounded
-# by |V|) for the join and the anti-join. Driver sees one scalar
-# count per round — no data-sized collect.
+# Scale shape: the frontier and the settled set are bounded by |V|
+# (node ids + a long), which is small even when the EDGE table is
+# enormous — so both sides of a round are BROADCAST against the
+# once-materialized edges and the edge table is NEVER shuffled: each
+# BFS level is a map-side broadcast-hash join + broadcast anti-join
+# over the edge scan. (If |V| itself outgrew the driver, the fallback
+# is the co-located shuffle formulation — noted, not needed for a
+# frontier of node ids.) Driver sees one scalar count per round — no
+# data-sized collect.
 
 SSSP_MAX_ROUNDS = 50  # backstop far above this graph's diameter
 
@@ -747,12 +752,14 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     while d < SSSP_MAX_ROUNDS:
         d += 1
         nxt = (
-            frontier.join(
-                edges, frontier["node"] == edges["src"], "inner"
+            edges.join(
+                F.broadcast(frontier),
+                frontier["node"] == edges["src"],
+                "inner",
             )
             .select(F.col("dst").alias("node"))
             .distinct()
-            .join(dist, "node", "left_anti")
+            .join(F.broadcast(dist), "node", "left_anti")
             .withColumn("dist", F.lit(d).cast("long"))
             .localCheckpoint(eager=True)
         )
