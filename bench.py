@@ -238,6 +238,9 @@ def main() -> None:
         "queries_r12_warm_calibrated": {
             k: round(v / cal, 2) for k, v in r12_warm.items()
         },
+        "value_r12_warm_calibrated": round(
+            sum(v / cal for v in r12_warm.values()), 2
+        ),
     }
     if errs or warm_errs or ext_errs or ext_warm_errs or r12_errs or r12_warm_errs:
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",

@@ -693,7 +693,11 @@ SUBSTR_K = 30  # minimum duplicated-run length in characters
 def _dup_spans(docs: DataFrame) -> DataFrame:
     """Maximal duplicated spans per doc: (doc_id, island, s, e) with
     1-based inclusive char bounds — the shared core of the accounting
-    and trimming keys."""
+    and trimming keys. Spans merge when they OVERLAP or TOUCH
+    (next.s <= prev.e + 1): two duplicated grams at positions p and
+    p+K cover chars p..p+2K-1 contiguously and are ONE maximal region
+    (review r12 — counting them as two over-reported n_dup_spans for
+    fragmented-looking docs; dup_chars was always correct)."""
     from pyspark.sql.window import Window
 
     grams = (
@@ -735,7 +739,7 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
             "ni",
             (
                 F.col("pos")
-                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
             ).cast("int"),
         )
         .withColumn("island", F.sum("ni").over(w_run))
@@ -790,7 +794,7 @@ isl AS (
   SELECT doc_id, pos, e,
          CASE WHEN pos > coalesce(max(e) OVER (
                 PARTITION BY doc_id ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) + 1
               THEN 1 ELSE 0 END AS ni
   FROM hits
 ),

@@ -749,7 +749,7 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
     frontier = dist
     d = 0
-    while d < SSSP_MAX_ROUNDS:
+    while True:
         d += 1
         nxt = (
             edges.join(
@@ -764,11 +764,20 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
         if nxt.count() == 0:
-            break
+            break  # drained: dist is complete
+        if d > SSSP_MAX_ROUNDS:
+            # Nodes beyond the bound exist. The oracle's recursion
+            # guard (w.dist < SSSP_MAX_ROUNDS) would silently TRUNCATE
+            # here, so fail loudly by name instead of hash-mismatching;
+            # eccentricity == SSSP_MAX_ROUNDS exactly still completes
+            # on both engines (review r12: the old `while d < MAX` raised
+            # on that boundary even though dist was already complete).
+            raise RuntimeError(
+                f"graph has nodes farther than {SSSP_MAX_ROUNDS} hops; "
+                "raise SSSP_MAX_ROUNDS in BOTH the loop and the oracle"
+            )
         dist = dist.unionByName(nxt).localCheckpoint(eager=True)
         frontier = nxt
-    else:
-        raise RuntimeError("BFS failed to drain within the round backstop")
     return dist.select("node", "dist")
 
 

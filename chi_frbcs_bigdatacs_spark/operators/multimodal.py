@@ -576,11 +576,17 @@ def _encode_wav_ulaw(d: int, n: int) -> bytes:
     import struct
 
     codes = bytes((d * 37 + i * 11) % 256 for i in range(n))
-    fmt = struct.pack("<HHIIHH", 7, 1, WAV_SR, WAV_SR, 1, 8)
+    # RIFF chunks are word-aligned: an odd-length data chunk carries a
+    # pad byte NOT counted in its length (review r12: the decoder's
+    # chunk walk already skips it, and a strict external parser would
+    # reject unpadded output)
+    pad = b"\x00" if len(codes) % 2 else b""
     body = (
         b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(codes)) + codes
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 7, 1, WAV_SR, WAV_SR, 1, 8)
+        + b"data" + struct.pack("<I", len(codes)) + codes + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

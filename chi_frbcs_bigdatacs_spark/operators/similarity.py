@@ -2104,8 +2104,10 @@ FROM sel WHERE rn = 1
 # engines produce bit-equally), bounds/codes/reconstructions stay
 # integers throughout — code = (xm-mn)*255 div rng, recon scaled by
 # 255 so it needs no division — and distances are integer sums
-# (order-free): |255*q - recon| < 2^28 per dim, so the 64-dim squared
-# sum < 2^63 with headroom.
+# (order-free). Headroom (review r12, exact numbers): per-dim micro
+# range <= ~1.1e6 on this corpus, so |255*q - recon| <= 255*range
+# ~= 2.8e8 (~2^28.1); squared and summed over 64 dims <= 5.0e18,
+# inside BIGINT's 9.2e18 with ~1.8x margin.
 #
 # Scale shape (100 TB): bounds = ONE map-side-combinable min/max agg
 # (the posexplode is a constant 64x row fan with tiny rows); the
@@ -2128,7 +2130,12 @@ def _micros_col() -> Column:
     )
 
 
-def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _sq_bounds_and_query(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, dict[int, tuple[int, int]], list[int]]:
+    """Shared SQ8/BQ header: the micro-unit corpus, per-dim (min, max)
+    bounds, and the query vector's micros — the two collects are
+    scalar headers (128 + 64 ints, the centroid convention)."""
     emb = load_table(spark, sf_dir, "embeddings")
     m = emb.select("vec_id", _micros_col().alias("xm"))
     bounds = {
@@ -2142,6 +2149,34 @@ def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         int(v)
         for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
     ]
+    return m, bounds, qm
+
+
+def _exact_rerank(short: DataFrame, proxy_col: str, k: int) -> DataFrame:
+    """Shared SQ8/BQ tail: dense rank over the exact integer distance
+    within the already-LIMITed shortlist (the only window in either
+    plan, over <= shortlist rows)."""
+    from pyspark.sql.window import Window
+
+    return (
+        short.withColumn(
+            "rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.col("exact_d2_micro").asc(), F.col("vec_id").asc()
+                )
+            )
+            .cast("long"),
+        )
+        .where(F.col("rank") <= k)
+        .select("rank", "vec_id", proxy_col, "exact_d2_micro")
+        .orderBy("rank")
+    )
+
+
+def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
     params = F.array(
         *[
             F.struct(
@@ -2172,23 +2207,7 @@ def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = scored.orderBy(
         F.col("sq_dist255").asc(), F.col("vec_id").asc()
     ).limit(SQ8_SHORTLIST)
-    from pyspark.sql.window import Window
-
-    return (
-        short.withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.col("exact_d2_micro").asc(), F.col("vec_id").asc()
-                )
-            )
-            .cast("long"),
-        )
-        .where(F.col("rank") <= SQ8_K)
-        .select("rank", "vec_id", "sq_dist255", "exact_d2_micro")
-        .orderBy("rank")
-    )
+    return _exact_rerank(short, "sq_dist255", SQ8_K)
 
 
 SIMSEARCH_SQ8_SQL = f"""
@@ -2267,23 +2286,11 @@ BQ_K = 10
 
 
 def q_simsearch_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    m = emb.select("vec_id", _micros_col().alias("xm"))
-    bounds = {
-        int(r["dim"]): (int(r["mn"]), int(r["mx"]))
-        for r in m.select(F.posexplode("xm").alias("dim", "v"))
-        .groupBy("dim")
-        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
-        .collect()
-    }
     import math
 
+    m, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
     thr = [
         math.floor((bounds[i][0] + bounds[i][1]) / 2) for i in range(DIM)
-    ]
-    qm = [
-        int(v)
-        for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
     ]
     q_lo = sum(1 << d for d in range(32) if qm[d] > thr[d])
     q_hi = sum(1 << (d - 32) for d in range(32, DIM) if qm[d] > thr[d])
@@ -2326,23 +2333,7 @@ def q_simsearch_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     short = scored.orderBy(
         F.col("hamming").asc(), F.col("vec_id").asc()
     ).limit(BQ_SHORTLIST)
-    from pyspark.sql.window import Window
-
-    return (
-        short.withColumn(
-            "rank",
-            F.row_number()
-            .over(
-                Window.orderBy(
-                    F.col("exact_d2_micro").asc(), F.col("vec_id").asc()
-                )
-            )
-            .cast("long"),
-        )
-        .where(F.col("rank") <= BQ_K)
-        .select("rank", "vec_id", "hamming", "exact_d2_micro")
-        .orderBy("rank")
-    )
+    return _exact_rerank(short, "hamming", BQ_K)
 
 
 SIMSEARCH_BQ_SQL = f"""

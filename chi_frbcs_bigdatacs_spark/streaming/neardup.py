@@ -338,7 +338,7 @@ def q_stream_dedup_substring(
             "ni",
             (
                 F.col("pos")
-                > F.coalesce(F.max("e").over(w_prev), F.lit(-1))
+                > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
             ).cast("int"),
         )
         .withColumn("island", F.sum("ni").over(w_run))

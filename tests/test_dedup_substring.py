@@ -40,6 +40,18 @@ def test_substring_dedup_closed_form(spark, tmp_path):
         (5, s2 + _rand_unique(9, 40) + s3),
         (6, s3 + _rand_unique(10, 45) + s2),
     ]
+    # touching-spans case (review r12): doc 7 carries S1 immediately
+    # followed by S2 (each 30 chars, shared with doc 8 where they are
+    # SEPARATED) — doc 7's duplicated grams sit only at the two run
+    # starts (the junction grams are unique to doc 7), producing spans
+    # [41,70] and [71,100] that TOUCH without overlapping: one maximal
+    # region of 60 chars, not two
+    s4 = _rand_unique(11, 30).upper()
+    s5 = _rand_unique(12, 30).upper()
+    docs += [
+        (7, _rand_unique(13, 40) + s4 + s5 + _rand_unique(14, 40)),
+        (8, _rand_unique(15, 35) + s4 + _rand_unique(16, 40) + s5),
+    ]
     df = spark.createDataFrame(
         [(i, t, "en", "test", len(t)) for i, t in docs],
         "doc_id long, text string, lang string, source string, n_chars long",
@@ -49,7 +61,7 @@ def test_substring_dedup_closed_form(spark, tmp_path):
         r["doc_id"]: r
         for r in q_dedup_substring(spark, str(tmp_path)).collect()
     }
-    assert len(out) == 7
+    assert len(out) == 9
 
     def spans(i):
         return (out[i]["n_dup_spans"], out[i]["dup_chars"])
@@ -62,6 +74,8 @@ def test_substring_dedup_closed_form(spark, tmp_path):
     assert spans(5) == (2, 65)   # [1,35] + [76,105]
     assert spans(6) == (2, 65)   # [1,30] + [76,110]
     assert out[5]["dup_frac"] == round(65 / 105, 6)
+    assert spans(7) == (1, 60)   # touching [41,70]+[71,100] -> ONE region
+    assert spans(8) == (2, 60)   # the same runs, separated -> two
 
     # the consuming side: trim must cut EXACTLY the accounted spans
     from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
@@ -80,5 +94,7 @@ def test_substring_dedup_closed_form(spark, tmp_path):
     assert trimmed[4]["clean_text"] == texts[4]     # below K: untouched
     assert trimmed[5]["clean_text"] == texts[5][35:75]   # middle kept
     assert trimmed[6]["clean_text"] == texts[6][30:75]
+    assert trimmed[7]["clean_text"] == texts[7][:40] + texts[7][100:]
+    assert trimmed[8]["clean_text"] == texts[8][:35] + texts[8][65:105]
     for i, r in trimmed.items():
         assert r["clean_chars"] == len(r["clean_text"])
