@@ -675,7 +675,7 @@ WHERE round(CAST(len(list_intersect(da.grams, db.grams)) AS DOUBLE)
 # whole-stage codegen, no Python), mark grams with a global
 # occurrence count > 1 via ONE count window partitioned by the gram
 # (same shuffle a groupBy would pay, but no second join back), then
-# merge overlapping spans per doc with a classic gaps-and-islands
+# merge overlapping-or-touching spans per doc with a gaps-and-islands
 # running-max window and aggregate. Two shuffles total: by gram, then
 # by doc.
 #
