@@ -225,9 +225,14 @@ def q_stream_dedup_minhash(
 #
 # Scale shape: state per gram is O(1) — a count and one buffered
 # occurrence, NOT the occurrence list — so state size is bounded by
-# the distinct-gram count regardless of duplication depth;
-# applyInPandasWithState partitions by gram, the same key the batch
-# count window shuffles on.
+# the distinct-gram count regardless of duplication depth. The state
+# is SHARDED (256 md5-prefix buckets, the minhash twin's pattern),
+# not keyed per gram: applyInPandasWithState invokes the Python
+# update once per KEY per batch, so per-gram keys would pay ~|grams|
+# Python calls per micro-batch (measured 6.2x wall at 10x data);
+# per-shard keys pay 256 calls with a vectorized pandas groupby
+# inside, and the state store holds 256 rows instead of millions
+# (measured r12: 72.5s -> ~13.5s at sf0.1).
 
 
 def q_stream_dedup_substring(
@@ -266,40 +271,59 @@ def q_stream_dedup_substring(
             "pos",
             F.expr(f"substring(text, pos, {SUBSTR_K})").alias("g"),
         )
+        .withColumn("shard", F.substring(F.md5("g"), 1, 2))
     )
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        cnt, buf_doc, buf_pos = (
-            state.get if state.exists else (0, -1, -1)
+        st: dict[str, list[int]] = {}
+        if state.exists:
+            gs, cs, bd, bp = state.get
+            for g, c, dd, pp in zip(gs, cs, bd, bp):
+                st[g] = [int(c), int(dd), int(pp)]
+        out_d: list[int] = []
+        out_p: list[int] = []
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True)
+            for g, grp in batch.groupby("g", sort=True):
+                occ = list(
+                    zip(
+                        (int(x) for x in grp["doc_id"]),
+                        (int(x) for x in grp["pos"]),
+                    )
+                )
+                cnt, bdoc, bpos = st.get(g, (0, -1, -1))
+                if cnt + len(occ) >= 2:
+                    if cnt == 1:
+                        out_d.append(bdoc)  # retroactive emission
+                        out_p.append(bpos)
+                        bdoc = bpos = -1
+                    for dd, pp in occ:  # cnt >= 2: earlier already out
+                        out_d.append(dd)
+                        out_p.append(pp)
+                elif cnt == 0 and len(occ) == 1:
+                    bdoc, bpos = occ[0]
+                st[g] = [cnt + len(occ), bdoc, bpos]
+        state.update(
+            (
+                list(st.keys()),
+                [v[0] for v in st.values()],
+                [v[1] for v in st.values()],
+                [v[2] for v in st.values()],
+            )
         )
-        new: list[tuple[int, int]] = []
-        for pdf in pdfs:
-            new.extend(
-                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
-            )
-        out: list[tuple[int, int]] = []
-        if cnt + len(new) >= 2:
-            if cnt == 1:
-                out.append((buf_doc, buf_pos))  # retroactive emission
-                buf_doc = buf_pos = -1
-            out.extend(new)  # cnt >= 2: earlier ones already emitted
-        elif cnt == 0 and len(new) == 1:
-            buf_doc, buf_pos = new[0]
-        state.update((cnt + len(new), buf_doc, buf_pos))
-        if out:
-            yield pd.DataFrame(
-                {
-                    "doc_id": [d for d, _ in out],
-                    "pos": [p for _, p in out],
-                }
-            )
+        if out_d:
+            yield pd.DataFrame({"doc_id": out_d, "pos": out_p})
 
-    hits = grams.groupBy("g").applyInPandasWithState(
+    hits = grams.groupBy("shard").applyInPandasWithState(
         update,
         outputStructType="doc_id long, pos int",
-        stateStructType="cnt long, buf_doc long, buf_pos long",
+        stateStructType=(
+            "grams array<string>, cnts array<long>,"
+            " bdocs array<long>, bposs array<long>"
+        ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
