@@ -61,7 +61,13 @@ HEADLINE_R12 = [
     "simsearch_bq",               # sign-bit Hamming serve + re-rank
     "media_decode_jpeg_progressive",  # SOF2 multi-scan decode (Arrow batches)
     "graph_sssp",                 # level-synchronous BFS to frontier drain
+    # r13 (VERDICT r12 #2): the slowest streaming key, with a
+    # demonstrated scaling cliff pre-sharding — must be
+    # regression-tracked. value_r12_warm_baseline6 below keeps the
+    # 6-key r12 series comparable across artifacts.
+    "stream_dedup_substring",
 ]
+_R12_BASELINE6 = HEADLINE_R12[:6]
 
 
 def main() -> None:
@@ -200,11 +206,18 @@ def main() -> None:
         "value_warm": round(sum(warm.values()), 3),
         "queries_warm": warm,
         "warm_protocol": f"median_of_{n_warm}",
+        # ADVICE r12: warm sums cover only keys with >=1 warm success;
+        # a key erroring in ALL warm passes would silently shrink the
+        # headline sum. n_summed makes the coverage explicit so
+        # cross-round warm totals are only compared at equal counts
+        # (the error is also recorded under warm:<key>).
+        "warm_n_summed": [len(warm), len(HEADLINE)],
         "queries_warm_best": warm_best,
         "value_ext": round(sum(ext_timings.values()), 3),
         "queries_ext": ext_timings,
         "value_ext_warm": round(sum(ext_warm.values()), 3),
         "queries_ext_warm": ext_warm,
+        "ext_warm_n_summed": [len(ext_warm), len(HEADLINE_EXT)],
         # r11 added resample_smote_probe as the 11th ext key; these
         # subtotals exclude it so the ext series stays comparable with
         # the 10-key BASELINE_BENCH/BENCH_r09-r10 artifacts.
@@ -235,6 +248,14 @@ def main() -> None:
         "queries_r12": r12_timings,
         "value_r12_warm": round(sum(r12_warm.values()), 3),
         "queries_r12_warm": r12_warm,
+        "r12_warm_n_summed": [len(r12_warm), len(HEADLINE_R12)],
+        # r13 comparability subtotal: the original 6 r12 keys only,
+        # so value_r12_warm_baseline6 lines up with BENCH_r12's
+        # value_r12_warm even after stream_dedup_substring joined the
+        # group.
+        "value_r12_warm_baseline6": round(
+            sum(v for k, v in r12_warm.items() if k in _R12_BASELINE6), 3
+        ),
         "queries_r12_warm_calibrated": {
             k: round(v / cal, 2) for k, v in r12_warm.items()
         },

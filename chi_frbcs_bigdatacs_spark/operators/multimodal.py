@@ -1,19 +1,34 @@
-"""M4 — multimodal columns: binary media + typed metadata.
+"""M4 — multimodal columns: binary media + typed metadata, with
+hand-rolled codecs decoded inside Arrow-batched `mapInPandas`.
 
-No image/audio libraries exist in this container (and the testdata
-has no real media), so the fixture derives a deterministic `media`
-BINARY column from `documents.text` (utf8 bytes) with typed metadata
-— which makes the SPARK-SIDE PLUMBING (binary columns, schema,
-Arrow-batched mapInPandas, frame partitioning) fully real and
-testable while the codec itself is stubbed.
+27 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
+payloads are deterministically generated per-row from `documents`
+columns, so a closed-form SQL oracle can predict every decoded
+sample/pixel. What's real end-to-end: binary column handling, typed
+metadata schema, Arrow batch transfer, per-partition decode
+parallelism, and the 15 codec bitstream decoders themselves —
+written against the public specs, not wrapped libraries:
 
-  - media_meta  (oracled): binary length + typed metadata projection.
-  - media_frames (oracled): fixed-size frame sampling with per-frame
-    digests — the frame slicing/alignment logic of a video pipeline.
-  - media_decode (rows-only): Arrow-batched mapInPandas "decoder"
-    producing per-media feature vectors from raw bytes; real codecs
-    plug into `_decode_bytes` (NotImplementedError for non-stub
-    formats, per the build contract).
+  - JPEG (ITU-T T.81): baseline gray + color, 4:2:0 / 4:2:2 chroma
+    subsampling, restart markers, progressive (SOF2) gray + color.
+  - PNG (RFC 2083 + zlib/RFC 1951): gray 8/16-bit, palette, RGBA,
+    gray+alpha, tRNS transparency, all 5 row filters, Adam7
+    interlacing, dynamic-Huffman deflate streams.
+  - BMP uncompressed + RLE8, GIF (GIF89a LZW), QOI (qoiformat.org),
+    WAV PCM + G.711 mu-law.
+
+Non-codec media ops: media_meta (metadata projection), media_frames
+(fixed-size frame sampling + per-frame digests), media_resize
+(nearest-neighbor byte-grid resize), media_dedup (payload-hash
+dedup), media_decode (format-dispatching decoder entry point;
+unknown wire formats raise NotImplementedError by contract — the 33
+guards across the codecs are tested wire-format rejections, not
+stubs).
+
+At 100 TB: decode is embarrassingly parallel (map-only over binary
+partitions, no shuffle); the only scale knobs are parquet row-group
+sizing for large payloads and `spark.sql.files.maxPartitionBytes`
+so one task's Arrow batch of blobs fits executor memory.
 """
 
 from __future__ import annotations

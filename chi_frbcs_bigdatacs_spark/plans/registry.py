@@ -27,113 +27,109 @@ class QuerySpec:
 _REGISTRY: dict[str, QuerySpec] = {}
 
 # The driver's correctness sweep checks the FIRST 50 registry keys in
-# iteration order (observed rounds 1-9: CORRECTNESS_r{N} = keys 0..49
-# exactly; CORRECTNESS_r09 == the r9 list's first 50 verbatim). Keys
-# listed here are yielded first so the driver verifies them this
-# round; keys past the cap are NOT verified this round and rely on
-# their latest green CORRECTNESS_r{N} row plus the local parity suite
-# (tests/test_oracle_parity.py runs ALL oracled keys every CI run —
-# the rotation only affects which subset the external driver
-# re-hashes). Round-12 ordering (VERDICT r11 "Next round" #2): the
-# list below IS the 50-key window, exactly — (a) 20 new r12 keys,
-# (b) 1 changed-OUTPUT key (simsearch_ivf_pq_nprobe gained
-# n_candidates), (c) 29 of the 37 remaining r5-stale keys. The
-# session-2 additions (progressive JPEG gray+color, 4:2:2, substring
-# dedup + trim, SQ8, BQ, GIF, QOI, gray+alpha PNG, mu-law WAV)
-# displaced the five changed-plan-but-identical-output classify keys
-# and finally eight r5-stale keys (listed at the cap comment — the
-# floor fully reaches r6 only when they are re-checked in r13).
-# R13 front-load order: (1) the eight displaced r5-stale keys FIRST
-# (stream_rule_stats, dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket, dedup_simhash,
-# rule_conflict_resolve, rule_conflict_resolve_l5),
-# (2) new r13 keys, (3) the displaced
-# classify keys (rulemerge_avg, classify_wr_multiclass/_nominal/
-# _bigmodel, classify_ac) plus classify_wr_plain/holdout/metrics
-# multiclass/calibration/mcc_kappa/crossval_multiclass/
-# model_roundtrip, (4) oldest r6 keys in CORRECTNESS_r06 order.
-CHECK_PRIORITY: list[str] = [
-    # (a) new r12 keys -- never driver-checked
-    "media_decode_jpeg_420",
-    "media_decode_jpeg_restart",
-    "media_decode_png_16bit",
-    "media_decode_png_trns",
-    "media_decode_png_alpha",
-    "media_decode_jpeg_progressive",
-    "dedup_substring",
-    "simsearch_sq8",
-    "media_decode_jpeg_422",
-    "dedup_substring_trim",
-    "media_decode_gif",
-    "media_decode_png_grayalpha",
-    "media_decode_wav_ulaw",
-    "media_decode_jpeg_progressive_color",
-    "media_decode_qoi",
-    "simsearch_bq",
-    "stream_dedup_substring",
-    "graph_sssp",
-    "stream_checkpoint_recovery_stateful",
-    "simsearch_ivf_pq_adaptive",
-    # (b) plans/oracles changed in r12 and not already inside (c):
-    # simsearch_ivf_pq_nprobe gained the n_candidates column (output
-    # schema changed); the classify/rule keys below moved to the
-    # decimal-key HashAggregate argmax (outputs bit-identical, locally
-    # re-swept -- external certification of the new plans). The other
-    # changed-plan keys (classify_wr_plain/holdout/multiclass metrics,
-    # calibration, mcc_kappa, crossval_multiclass, model_roundtrip)
-    # are r6+-green with identical outputs and rotate in r13.
-    "simsearch_ivf_pq_nprobe",
-    # (rulemerge_avg, classify_wr_multiclass, classify_wr_nominal,
-    # classify_wr_bigmodel and classify_ac displaced one-for-one by
-    # the late-added media_decode_jpeg_progressive, dedup_substring,
-    # simsearch_sq8, media_decode_jpeg_422 and dedup_substring_trim:
-    # changed-plan/identical-output (the new decimal-key argmax is
-    # swept bit-identical locally every CI run) and externally green
-    # -- they lead r13's group (2))
-    # (metrics_confusion, rulebase_prune_minsupport and
-    # rule_conflict_resolve_d8 displaced one-for-one by the late-added
-    # media_decode_jpeg_restart / media_decode_png_16bit /
-    # media_decode_png_trns -- all changed-plan/identical-output and
-    # externally green; they lead r13's group (2) with the classify keys)
-    # (c) the remaining r5-stale cohort in CORRECTNESS_r05 artifact
-    # order (29 of 37 fit; the displaced eight are listed at the cap
-    # comment). 20 + 1 + 29 = 50: the cap lands exactly on the last
-    # entry.
-    "split_stratified",
-    "corpus_mix_sqrt",
-    "text_unigram_surprisal",
-    "sql_q7",
-    "sql_q11",
-    "sql_q15",
-    "sql_q17",
-    "hyperparam_sweep",
-    "rule_coverage",
-    "scan_partition_pruned",
-    "stream_pack_sequences",
-    "sql_q4",
-    "sql_q8",
-    "sql_q21",
-    "scalar_regexp_funcs",
-    "scalar_try_funcs",
-    "join_fuzzy_match",
-    "timeseries_gapfill",
-    "classify_wr",
-    "metrics_gm_auc",
-    "rulemerge_max",
-    "doc_chunking",
-    "dedup_containment",
-    "dedup_components",
-    "dedup_ngram_jaccard",
-    "scan_keel",
-    "sink_keel",
-    "rulebuild_partitioned",
-    "ruleweight_pcfcs",
-    # (stream_rule_stats, dedup_minhash, dedup_minhash_keep, simsearch_topk, date_bucket,
-    # dedup_simhash, rule_conflict_resolve and rule_conflict_resolve_l5
-    # displaced off the cap by the (b) pool running dry as the
-    # session-2 keys landed -- the EIGHT remaining r5-stale keys; they
-    # MUST lead r13's window so the floor finishes rising to r6 next
-    # round)
+# iteration order (observed rounds 1-12: CORRECTNESS_r{N} = keys
+# 0..49 exactly). Keys listed here are yielded first so the driver
+# verifies them this round; keys past the cap are NOT verified this
+# round and rely on their latest green CORRECTNESS_r{N} row plus the
+# local parity suite (tests/test_oracle_parity.py runs ALL oracled
+# keys every CI run -- the rotation only affects which subset the
+# external driver re-hashes).
+#
+# Round-13 window (VERDICT r12 "Next round" #1), composed from named
+# groups below; the groups concatenate and the driver cap lands on
+# the last _R6_STALE_FILL entry (8 + new + changed-plan + fill = 50):
+#   (1) _R5_STALE: the eight keys whose last external check is r5
+#       (displaced off the r12 cap) -- the staleness floor rises to
+#       r6 only when these re-certify.
+#   (2) _NEW_R13: keys first registered this round -- never
+#       driver-checked.
+#   (3) _CHANGED_PLAN_R12: the classify/rule cohort moved to the
+#       decimal-key HashAggregate argmax in r12 (outputs
+#       bit-identical, locally re-swept every CI run; this is the
+#       external certification of the new plans), plus any r13
+#       changed-OUTPUT keys listed at the top of the group.
+#   (4) _R6_STALE_FILL: oldest r6 keys in CORRECTNESS_r06 artifact
+#       order, as many as fit under the cap. The 26 r6-stale keys
+#       that do not fit (agg_percentile onward in r06 order, minus
+#       those already in group 3) lead r14's window.
+
+_R5_STALE: list[str] = [
+    "stream_rule_stats",
+    "dedup_minhash",
+    "dedup_minhash_keep",
+    "simsearch_topk",
+    "date_bucket",
+    "dedup_simhash",
+    "rule_conflict_resolve",
+    "rule_conflict_resolve_l5",
 ]
+
+_NEW_R13: list[str] = [
+    # filled in as r13 keys land; each addition evicts the tail of
+    # _R6_STALE_FILL (assert below keeps the window exactly 50)
+]
+
+_CHANGED_PLAN_R12: list[str] = [
+    "rulemerge_avg",
+    "classify_wr_multiclass",
+    "classify_wr_nominal",
+    "classify_wr_bigmodel",
+    "classify_ac",
+    "metrics_confusion",
+    "rulebase_prune_minsupport",
+    "rule_conflict_resolve_d8",
+    "classify_wr_plain",
+    "classify_holdout",
+    "metrics_confusion_multiclass",
+    "metrics_calibration",
+    "metrics_mcc_kappa",
+    "crossval_multiclass",
+    "model_roundtrip",
+]
+
+# CORRECTNESS_r06 artifact order, minus rule_conflict_resolve_d8
+# (already in group 3). Truncated to fit the 50-key cap at import
+# time -- the slice below is the single source of truth.
+_R6_STALE_FILL: list[str] = [
+    "crossval_keel",
+    "text_index_build",
+    "text_bm25_from_index",
+    "stream_dedup_minhash",
+    "join_dpp",
+    "sql_q2",
+    "sql_q9",
+    "sql_q12",
+    "sql_q16",
+    "sql_q20",
+    "simsearch_ivf_kmeans",
+    "simsearch_ivf_probe2",
+    "simsearch_recall",
+    "ruleweight_pcf_plain",
+    "ruleweight_pcfcs_costmatrix",
+    "agg_pricing_summary",
+    "agg_rollup",
+    "agg_percentile",
+    "join_broadcast",
+    "join_sortmerge",
+    "agg_cube",
+    "agg_distinct",
+    "join_semi",
+    "join_anti",
+    "join_outer",
+    "join_cross",
+    "scalar_math_funcs",
+]
+
+_WINDOW = 50
+CHECK_PRIORITY: list[str] = (
+    _R5_STALE
+    + _NEW_R13
+    + _CHANGED_PLAN_R12
+    + _R6_STALE_FILL[: _WINDOW - len(_R5_STALE) - len(_NEW_R13) - len(_CHANGED_PLAN_R12)]
+)
+assert len(CHECK_PRIORITY) == _WINDOW, len(CHECK_PRIORITY)
+assert len(set(CHECK_PRIORITY)) == _WINDOW, "duplicate key in rotation"
+
 
 
 def register(key: str, fn: QueryFn, sql: str | None = None) -> None:
