@@ -286,3 +286,65 @@ def test_sssp_chain_graph_multi_level_distances(spark, tmp_path):
         for r in q_graph_sssp(spark, str(tmp_path)).collect()
     }
     assert got == {"p1": 0, "s1": 1, "p2": 2, "s2": 3, "p3": 4}
+
+
+def test_sssp_shuffle_fallback_matches_broadcast(spark, tmp_path):
+    """broadcast_max_settled=0 forces the co-located shuffle anti-join
+    from level 1 on (the settled set 'exceeds the broadcast limit'
+    immediately); distances must be identical to the broadcast path,
+    island exclusion included."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import q_graph_sssp
+
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 2), (3, 2), (9, 9)],
+        "l_partkey long, l_suppkey long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node"]: r["dist"]
+        for r in q_graph_sssp(
+            spark, str(tmp_path), broadcast_max_settled=0
+        ).collect()
+    }
+    assert got == {"p1": 0, "s1": 1, "p2": 2, "s2": 3, "p3": 4}
+
+
+def test_sssp_no_edge_shuffle_in_both_modes(spark, tmp_path):
+    """The edge table must never be exchanged in EITHER anti-join
+    mode: the frontier join is a broadcast-hash join over the edge
+    scan. Broadcast mode has zero hash exchanges; shuffle mode
+    exchanges only `node`-keyed sets (the dist side of the hinted
+    shuffle-hash anti-join — the candidate side rides the distinct()
+    exchange), never src/dst."""
+    import re
+
+    from chi_frbcs_bigdatacs_spark.operators.graph import (
+        _edges,
+        _sssp_level,
+    )
+
+    li = spark.createDataFrame(
+        [(1, 1), (2, 1), (2, 2), (3, 2)],
+        "l_partkey long, l_suppkey long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    edges = _edges(spark, str(tmp_path)).localCheckpoint(eager=True)
+    dist = spark.createDataFrame([("p1", 0)], "node string, dist long")
+    for broadcast_settled in (True, False):
+        lvl = _sssp_level(
+            edges, dist, dist, 1, broadcast_settled=broadcast_settled
+        )
+        p = lvl._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in p, p[:800]
+        keys = [
+            m.split("#")[0]
+            for m in re.findall(r"Exchange hashpartitioning\((\w+)", p)
+        ]
+        assert set(keys) <= {"node"}, f"edge-keyed exchange leaked: {keys}"
+        if broadcast_settled:
+            # the candidate distinct() is the ONLY exchange
+            assert len(keys) == 1, f"broadcast mode: {keys}"
+        else:
+            # distinct() + the dist side of the shuffle-hash anti-join
+            assert len(keys) == 2, f"shuffle mode: {keys}"
+            assert "ShuffledHashJoin" in p, p[:1200]
