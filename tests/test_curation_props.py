@@ -698,3 +698,93 @@ def test_hll_sketch_is_accurate_and_register_bounded(spark):
         | (F.col("mx") < 1) | (F.col("mx") > 53)
     ).count()
     assert bad == 0
+
+
+def _py_hll_bias(e: float) -> float:
+    """Pure-Python mirror of the committed bias interpolation (same
+    knots/slopes; tests/oracle_chi.py golden-oracle discipline)."""
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        HLL_BIAS,
+        HLL_BIAS_RAW,
+    )
+
+    if e <= HLL_BIAS_RAW[0]:
+        return round(HLL_BIAS[0], 6)
+    for i in range(len(HLL_BIAS) - 1):
+        if e <= HLL_BIAS_RAW[i + 1]:
+            return round(
+                HLL_BIAS[i]
+                + (e - HLL_BIAS_RAW[i])
+                * (
+                    (HLL_BIAS[i + 1] - HLL_BIAS[i])
+                    / (HLL_BIAS_RAW[i + 1] - HLL_BIAS_RAW[i])
+                ),
+                6,
+            )
+    return 0.0
+
+
+def test_hll_bias_correction_cross_engine_bit_parity(spark):
+    """The r13 bias interpolation feeds the hashed parity artifact, so
+    Spark's when-chain and the generated DuckDB CASE must agree
+    BIT-EXACTLY — a one-ulp drift anywhere in the knot range would
+    surface as an anonymous hash mismatch on sketch_hll_distinct.
+    Sweep a dense grid spanning below/inside/above the knots."""
+    import duckdb
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        _hll_bias_col,
+        _hll_bias_sql,
+    )
+
+    grid = [400.0 + 7.3 * i for i in range(130)]  # 400 .. ~1342
+    sdf = spark.createDataFrame([(e,) for e in grid], "e_raw double").select(
+        F.col("e_raw"), _hll_bias_col(F.col("e_raw")).alias("b")
+    )
+    got_spark = {r.e_raw: r.b for r in sdf.collect()}
+    con = duckdb.connect()
+    sql_b = _hll_bias_sql("e_raw")
+    for e in grid:
+        got_sql = con.execute(
+            f"SELECT {sql_b} AS b FROM (SELECT CAST({e!r} AS DOUBLE) AS e_raw)"
+        ).fetchone()[0]
+        assert got_spark[e] == got_sql, (e, got_spark[e], got_sql)
+        assert got_spark[e] == _py_hll_bias(e), (e, got_spark[e])
+
+
+def test_hll_bias_correction_reduces_mean_error_in_zone():
+    """The point of the table (VERDICT r12 #5): in the n ~ 2-4x m zone
+    where the raw estimator overshoots, the corrected estimate's MEAN
+    error over a fixed deterministic salt set must be well under the
+    raw mean error. Pure Python — the md5 register construction below
+    mirrors hll_registers exactly, and the salts are fixed, so this is
+    a deterministic regression pin, not a statistical test."""
+    import hashlib
+
+    from chi_frbcs_bigdatacs_spark.operators.curation import (
+        HLL_ALPHA,
+        HLL_M,
+    )
+
+    def raw_estimate(n: int, salt: int) -> float:
+        mx = [0] * HLL_M
+        for u in range(n):
+            h = int(
+                hashlib.md5(f"hll:s{salt}u{u}".encode()).hexdigest()[:15], 16
+            )
+            reg, w = h % HLL_M, h >> 8
+            rho = 53 if w == 0 else 53 - w.bit_length()
+            if rho > mx[reg]:
+                mx[reg] = rho
+        denom = sum(2 ** (53 - x) for x in mx)
+        return HLL_ALPHA * HLL_M * HLL_M * (2**53 / denom)
+
+    n = 700  # ~2.7x m: deep in the overshoot zone, past the LC handoff
+    raws = [raw_estimate(n, s) for s in range(60)]
+    in_zone = [e for e in raws if e > 2.5 * HLL_M]  # raw branch only
+    assert len(in_zone) >= 50, "fixture drifted out of the raw branch"
+    mean_raw = sum(e - n for e in in_zone) / len(in_zone)
+    mean_corr = sum(e - _py_hll_bias(e) - n for e in in_zone) / len(in_zone)
+    # measured at commit time: +19.44 -> +8.85
+    assert abs(mean_corr) < abs(mean_raw) / 1.5, (mean_raw, mean_corr)
+    assert abs(mean_corr) < 12.0, mean_corr
