@@ -724,6 +724,16 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
         .where(F.col("n_occ") > 1)
         .select("doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e"))
     )
+    return _spans_from_hits(hits)
+
+
+def _spans_from_hits(hits: DataFrame) -> DataFrame:
+    """Gaps-and-islands merge: hits (doc_id, pos, e) -> maximal spans
+    (doc_id, island, s, e). Shared by the batch gram-window path and
+    the streaming twins (whose hits come out of the stateful op) —
+    per-doc local, rides the doc exchange."""
+    from pyspark.sql.window import Window
+
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -748,27 +758,29 @@ def _dup_spans(docs: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
-    )
-    spans = _dup_spans(docs)
+def _accounting_from_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Per-doc duplication accounting tail shared by dedup_substring
+    and its streaming twin: span count, duplicated chars, fraction."""
     per_doc = spans.groupBy("doc_id").agg(
         F.count("*").alias("n_dup_spans"),
         F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
     )
-    return (
-        docs.join(per_doc, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_chars",
-            F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-            F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
-            F.round(
-                F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
-            ).alias("dup_frac"),
-        )
+    return docs.join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chars",
+        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
+        F.round(
+            F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
+        ).alias("dup_frac"),
     )
+
+
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
+    )
+    return _accounting_from_spans(docs, _dup_spans(docs))
 
 
 _SUBSTR_SPANS_CTES = f"""docs AS (
@@ -834,12 +846,18 @@ def q_dedup_substring_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     span list plus a per-doc tail, concatenated in position order —
     string surgery stays per-doc local, so the only shuffles are the
     span computation's own two."""
-    from pyspark.sql.window import Window
-
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", F.length("text").cast("long").alias("n_chars")
     )
-    spans = _dup_spans(docs)
+    return _trim_from_spans(docs, _dup_spans(docs))
+
+
+def _trim_from_spans(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Complement-segment rebuild shared by dedup_substring_trim and
+    its streaming twin: docs (doc_id, text, n_chars) + maximal spans
+    -> (doc_id, clean_chars, clean_text) with every span removed."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy("doc_id").orderBy("s")
     segs = spans.select(
         "doc_id",

@@ -223,24 +223,32 @@ def q_stream_dedup_minhash(
 # batch operator bit-for-bit and the oracle is the strict batch
 # DEDUP_SUBSTRING_SQL.
 #
-# Scale shape: state per gram is O(1) — a count and one buffered
-# occurrence, NOT the occurrence list — so state size is bounded by
-# the distinct-gram count regardless of duplication depth. The state
-# is SHARDED (256 md5-prefix buckets, the minhash twin's pattern),
-# not keyed per gram: applyInPandasWithState invokes the Python
-# update once per KEY per batch, so per-gram keys would pay ~|grams|
-# Python calls per micro-batch (measured 6.2x wall at 10x data);
-# per-shard keys pay 256 calls with a vectorized pandas groupby
-# inside, and the state store holds 256 rows instead of millions
-# (measured r12: 72.5s -> ~13.5s at sf0.1).
+# Scale shape: state per gram is O(1), and COMPACTED (r13, ADVICE
+# r12): grams live in state as 16-byte md5 DIGESTS, never the gram
+# text (the batch op's own 100 TB note — hash grams to 128 bits
+# before they hit any exchange; a digest collision would conflate two
+# grams, at 2^-64 birthday odds across trillions of grams), and a
+# gram that has reached count >= 2 drops to BARE MEMBERSHIP (digest
+# only — its buffered occurrence is gone and its exact count never
+# mattered beyond "already emitted"). So per-batch Arrow traffic per
+# shard is 16 bytes per already-emitted gram and 32 per pending one,
+# and state size stays linear in distinct grams with the smallest
+# constant the retroactive-emission rule admits. The state is SHARDED
+# (256 md5-prefix buckets, the minhash twin's pattern), not keyed per
+# gram: applyInPandasWithState invokes the Python update once per KEY
+# per batch, so per-gram keys would pay ~|grams| Python calls per
+# micro-batch (measured 6.2x wall at 10x data); per-shard keys pay
+# 256 calls with a vectorized pandas groupby inside, and the state
+# store holds 256 rows instead of millions (measured r12: 72.5s ->
+# ~13.5s at sf0.1).
 
 
-def q_stream_dedup_substring(
-    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+def _stream_substr_hits(
+    spark: SparkSession, sf_dir: str, staged_src: str | None
 ) -> DataFrame:
-    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
-        DEDUP_SUBSTRING_SQL as _,  # noqa: F401  (oracle lives with the batch op)
-    )
+    """Run the incremental gram-duplication stream to completion and
+    return the emitted hit set (doc_id, pos) — the shared front half
+    of the accounting and trim twins."""
     from chi_frbcs_bigdatacs_spark.operators.dedup_near import SUBSTR_K
 
     if staged_src is not None:
@@ -269,49 +277,64 @@ def q_stream_dedup_substring(
         .select(
             "doc_id",
             "pos",
-            F.expr(f"substring(text, pos, {SUBSTR_K})").alias("g"),
+            F.md5(F.expr(f"substring(text, pos, {SUBSTR_K})")).alias("gh"),
         )
-        .withColumn("shard", F.substring(F.md5("g"), 1, 2))
+        # digest computed ONCE, JVM-side; the gram text never leaves
+        # the stage — only (16-byte digest, doc_id, pos) crosses the
+        # shuffle and the Arrow boundary
+        .select(
+            "doc_id",
+            "pos",
+            F.unhex("gh").alias("gd"),
+            F.substring("gh", 1, 2).alias("shard"),
+        )
     )
 
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        st: dict[str, list[int]] = {}
+        once: dict[bytes, tuple[int, int]] = {}
+        emitted: set[bytes] = set()
         if state.exists:
-            gs, cs, bd, bp = state.get
-            for g, c, dd, pp in zip(gs, cs, bd, bp):
-                st[g] = [int(c), int(dd), int(pp)]
+            og, od, op, eg = state.get
+            once = {
+                bytes(g): (int(d), int(p)) for g, d, p in zip(og, od, op)
+            }
+            emitted = {bytes(g) for g in eg}
         out_d: list[int] = []
         out_p: list[int] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
-            for g, grp in batch.groupby("g", sort=True):
+            for g, grp in batch.groupby("gd", sort=True):
                 occ = list(
                     zip(
                         (int(x) for x in grp["doc_id"]),
                         (int(x) for x in grp["pos"]),
                     )
                 )
-                cnt, bdoc, bpos = st.get(g, (0, -1, -1))
-                if cnt + len(occ) >= 2:
-                    if cnt == 1:
-                        out_d.append(bdoc)  # retroactive emission
-                        out_p.append(bpos)
-                        bdoc = bpos = -1
-                    for dd, pp in occ:  # cnt >= 2: earlier already out
-                        out_d.append(dd)
-                        out_p.append(pp)
-                elif cnt == 0 and len(occ) == 1:
-                    bdoc, bpos = occ[0]
-                st[g] = [cnt + len(occ), bdoc, bpos]
+                if g in emitted:  # every later occurrence: immediate
+                    out_d.extend(d for d, _ in occ)
+                    out_p.extend(p for _, p in occ)
+                elif g in once:  # second sighting: retroactive emission
+                    bd, bp = once.pop(g)
+                    out_d.append(bd)
+                    out_p.append(bp)
+                    out_d.extend(d for d, _ in occ)
+                    out_p.extend(p for _, p in occ)
+                    emitted.add(g)
+                elif len(occ) == 1:  # first sighting: buffer and wait
+                    once[g] = occ[0]
+                else:  # >= 2 occurrences within one batch
+                    out_d.extend(d for d, _ in occ)
+                    out_p.extend(p for _, p in occ)
+                    emitted.add(g)
         state.update(
             (
-                list(st.keys()),
-                [v[0] for v in st.values()],
-                [v[1] for v in st.values()],
-                [v[2] for v in st.values()],
+                list(once.keys()),
+                [v[0] for v in once.values()],
+                [v[1] for v in once.values()],
+                list(emitted),
             )
         )
         if out_d:
@@ -321,8 +344,8 @@ def q_stream_dedup_substring(
         update,
         outputStructType="doc_id long, pos int",
         stateStructType=(
-            "grams array<string>, cnts array<long>,"
-            " bdocs array<long>, bposs array<long>"
+            "once_g array<binary>, once_d array<long>,"
+            " once_p array<long>, emitted array<binary>"
         ),
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -336,62 +359,69 @@ def q_stream_dedup_substring(
         .start()
     )
     q.awaitTermination()
-    # batch tail: identical islands + accounting as the batch operator
-    from pyspark.sql.window import Window
+    return spark.table(name)
 
+
+def q_stream_dedup_substring(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        SUBSTR_K,
+        _accounting_from_spans,
+        _spans_from_hits,
+    )
     from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
 
+    hits = _stream_substr_hits(spark, sf_dir, staged_src).select(
+        "doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e")
+    )
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.length("text").cast("long").alias("n_chars")
     )
-    h = spark.table(name).select(
+    # batch tail: identical islands + accounting as the batch operator
+    return _accounting_from_spans(docs, _spans_from_hits(hits))
+
+
+def q_stream_dedup_substring_trim(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    """Streaming twin of dedup_substring_trim (r13, VERDICT r12 #6):
+    the consuming side — re-emit every doc with its duplicated spans
+    removed. Front half is the same retroactive-emission stream as
+    the accounting twin (the hit set is arrival-order invariant), and
+    the tail is the batch operator's complement-segment rebuild, so
+    the output is bit-identical to the batch key and the oracle is
+    the strict DEDUP_SUBSTRING_TRIM_SQL."""
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        SUBSTR_K,
+        _spans_from_hits,
+        _trim_from_spans,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    hits = _stream_substr_hits(spark, sf_dir, staged_src).select(
         "doc_id", "pos", (F.col("pos") + SUBSTR_K - 1).alias("e")
     )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.length("text").cast("long").alias("n_chars")
     )
-    w_run = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    spans = (
-        h.withColumn(
-            "ni",
-            (
-                F.col("pos")
-                > F.coalesce(F.max("e").over(w_prev), F.lit(-1)) + 1
-            ).cast("int"),
-        )
-        .withColumn("island", F.sum("ni").over(w_run))
-        .groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("s"), F.max("e").alias("e"))
-    )
-    per_doc = spans.groupBy("doc_id").agg(
-        F.count("*").alias("n_dup_spans"),
-        F.sum(F.col("e") - F.col("s") + 1).alias("dup_chars"),
-    )
-    return docs.join(per_doc, "doc_id", "left").select(
-        "doc_id",
-        "n_chars",
-        F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-        F.coalesce("dup_chars", F.lit(0)).alias("dup_chars"),
-        F.round(
-            F.coalesce("dup_chars", F.lit(0)) / F.col("n_chars"), 6
-        ).alias("dup_frac"),
-    )
+    return _trim_from_spans(docs, _spans_from_hits(hits))
 
 
 def register_all() -> None:
     register("stream_dedup_minhash", q_stream_dedup_minhash, _minhash_sql())
     from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
         DEDUP_SUBSTRING_SQL,
+        DEDUP_SUBSTRING_TRIM_SQL,
     )
 
     register(
         "stream_dedup_substring",
         q_stream_dedup_substring,
         DEDUP_SUBSTRING_SQL,
+    )
+    register(
+        "stream_dedup_substring_trim",
+        q_stream_dedup_substring_trim,
+        DEDUP_SUBSTRING_TRIM_SQL,
     )

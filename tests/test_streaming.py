@@ -514,3 +514,50 @@ def test_stream_substring_dedup_invariant_under_skewed_split(spark, tmp_path):
     batch = sorted(map(tuple, q_dedup_substring(spark, SF_SMALL).collect()))
     assert streamed == batch and streamed
     assert any(r[2] > 0 for r in batch), "fixture must contain dup spans"
+
+
+def test_stream_substring_trim_invariant_under_skewed_split(spark, tmp_path):
+    """The trim twin (r13): the same skewed 3-file split must
+    reproduce the batch complement-segment rebuild byte-for-byte —
+    clean_text included, since a single mis-buffered occurrence would
+    shift every downstream segment boundary in that doc."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.dedup_near import (
+        q_dedup_substring_trim,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.neardup import (
+        q_stream_dedup_substring_trim,
+    )
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    src = str(tmp_path / "skewed_docs_substr_trim")
+    parts = [
+        docs.filter(F.col("doc_id") % 100 < 23),
+        docs.filter((F.col("doc_id") % 100).between(23, 88)),
+        docs.filter(F.col("doc_id") % 100 > 88),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(
+            tuple,
+            q_stream_dedup_substring_trim(
+                spark, SF_SMALL, staged_src=src
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, q_dedup_substring_trim(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and streamed
+    # the fixture must actually trim something
+    full = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+        .select("doc_id", F.length("text").alias("n_chars"))
+        .collect()
+    }
+    assert any(r[1] < full[r[0]] for r in batch), "nothing was trimmed"
