@@ -2175,8 +2175,13 @@ def _exact_rerank(short: DataFrame, proxy_col: str, k: int) -> DataFrame:
     )
 
 
-def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
+def _sq8_scored(
+    m: DataFrame, bounds: dict[int, tuple[int, int]], qm: list[int]
+) -> DataFrame:
+    """SQ8 ADC + exact scoring over any (vec_id, xm) candidate set:
+    bounds/query fold in as literals, so the whole scorer is one
+    codegen'd projection — shared by the flat-SQ8 key and the
+    IVF,SQ8 composition."""
     params = F.array(
         *[
             F.struct(
@@ -2188,7 +2193,7 @@ def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(DIM)
         ]
     )
-    scored = m.withColumn("p", params).select(
+    return m.withColumn("p", params).select(
         "vec_id",
         F.expr(
             f"""aggregate(
@@ -2204,6 +2209,11 @@ def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
               0L, (acc, d) -> acc + d * d)"""
         ).alias("exact_d2_micro"),
     )
+
+
+def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
+    scored = _sq8_scored(m, bounds, qm)
     short = scored.orderBy(
         F.col("sq_dist255").asc(), F.col("vec_id").asc()
     ).limit(SQ8_SHORTLIST)
@@ -2236,6 +2246,120 @@ d AS (
                 ELSE 0 END) AS dd,
          q.qm - m.xm AS de
   FROM m JOIN b USING (dim) JOIN q USING (dim)
+),
+agg AS (
+  SELECT vec_id,
+         CAST(sum(dd * dd) AS BIGINT) AS sq_dist255,
+         CAST(sum(de * de) AS BIGINT) AS exact_d2_micro
+  FROM d GROUP BY vec_id
+),
+short AS (
+  SELECT * FROM agg
+  ORDER BY sq_dist255 ASC, vec_id ASC LIMIT {SQ8_SHORTLIST}
+)
+SELECT rank, vec_id, sq_dist255, exact_d2_micro
+FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY exact_d2_micro ASC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, sq_dist255, exact_d2_micro
+  FROM short
+)
+WHERE rank <= {SQ8_K}
+ORDER BY rank
+"""
+
+
+# --- IVF,SQ8: trained coarse quantizer + SQ8 ADC serve (r13) ------------------
+# The composition FAISS ships as `IVF{K},SQ8` (VERDICT r12 #7) — the
+# production middle ground between flat SQ8 (scans everything) and
+# IVF,PQ (codebook training): route the query through the Lloyd-
+# trained coarse quantizer, ADC-score ONLY the probed cells' vectors
+# with the corpus-trained per-dim SQ8 codes, exact re-rank the
+# shortlist. Both halves are the existing pieces verbatim —
+# _kmeans_index (the N_LLOYD-round IVF build) and _sq8_scored (the
+# integer ADC scorer) — so the key certifies the composition, not new
+# math. recall@10 vs exact L2 is probed by
+# tests/test_sq8.py::test_ivf_sq8_recall_vs_exact.
+#
+# Scale shape: training = N_LLOYD K-row aggs (IVF) + one min/max agg
+# (SQ8 bounds), both map-side combinable; serve = literal-centroid
+# cell filter (k IN probes — map-only, partition-prunable if the
+# corpus is cell-partitioned, which is how a 100 TB deployment lays
+# this out) + codegen'd ADC projection + TakeOrdered(shortlist).
+# Nothing vector-sized shuffles; the only window is over the <=
+# SQ8_SHORTLIST-row shortlist. Same serve pin as flat SQ8
+# (tests/test_plans.py::test_ivf_sq8_serves_map_only).
+IVF_SQ8_NPROBE = 2
+
+
+def q_simsearch_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a2, cent, _ = _kmeans_index(spark, sf_dir)
+    _, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
+    )
+
+    def sqdist(vec: list[float]) -> float:
+        return sum(
+            (float(vec[i]) - float(qvec[i])) ** 2 for i in range(len(qvec))
+        )
+
+    probes = [
+        k
+        for k, _ in sorted(cent, key=lambda kv: (sqdist(kv[1]), kv[0]))[
+            :IVF_SQ8_NPROBE
+        ]
+    ]
+    cand = a2.filter(F.col("k").isin(probes)).select(
+        "vec_id", _micros_col().alias("xm")
+    )
+    scored = _sq8_scored(cand, bounds, qm)
+    short = scored.orderBy(
+        F.col("sq_dist255").asc(), F.col("vec_id").asc()
+    ).limit(SQ8_SHORTLIST)
+    return _exact_rerank(short, "sq_dist255", SQ8_K)
+
+
+def _ivf_sq8_sql() -> str:
+    return f"""
+WITH {_ivf_kmeans_ctes()},
+qv AS (
+  SELECT embedding AS qvec FROM embeddings ORDER BY vec_id ASC LIMIT 1
+),
+qk AS (
+  SELECT c.k FROM cent c, qv
+  ORDER BY {_sqdist_sql('qv.qvec', 'c.cvec')} ASC, c.k ASC
+  LIMIT {IVF_SQ8_NPROBE}
+),
+dims AS (
+  SELECT unnest(range({DIM})) AS dim
+),
+m AS (
+  SELECT vec_id, dim,
+         CAST(round(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS xm
+  FROM embeddings CROSS JOIN dims
+),
+b AS (
+  SELECT dim, min(xm) AS mn, max(xm) - min(xm) AS rng
+  FROM m GROUP BY dim
+),
+q AS (
+  SELECT dim, xm AS qm FROM m
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+cand AS (
+  SELECT a2.vec_id FROM a2 JOIN qk ON a2.k = qk.k
+),
+d AS (
+  SELECT m.vec_id,
+         {SQ8_LEVELS} * q.qm
+           - ({SQ8_LEVELS} * b.mn + CASE WHEN b.rng > 0
+                THEN ((m.xm - b.mn) * {SQ8_LEVELS} // b.rng) * b.rng
+                ELSE 0 END) AS dd,
+         q.qm - m.xm AS de
+  FROM m JOIN cand USING (vec_id) JOIN b USING (dim) JOIN q USING (dim)
 ),
 agg AS (
   SELECT vec_id,
@@ -2388,6 +2512,7 @@ ORDER BY rank
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("simsearch_sq8", q_simsearch_sq8, SIMSEARCH_SQ8_SQL)
+    register("simsearch_ivf_sq8", q_simsearch_ivf_sq8, _ivf_sq8_sql())
     register("simsearch_bq", q_simsearch_bq, SIMSEARCH_BQ_SQL)
     register(
         "simsearch_ivf_pq_nprobe",

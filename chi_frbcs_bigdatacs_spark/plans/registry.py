@@ -68,6 +68,7 @@ _NEW_R13: list[str] = [
     # filled in as r13 keys land; each addition evicts the tail of
     # _R6_STALE_FILL (assert below keeps the window exactly 50)
     "stream_dedup_substring_trim",  # new: streaming trim twin
+    "simsearch_ivf_sq8",  # new: IVF,SQ8 composed index
     # changed-PLAN, identical-output (r13 state compaction: digest-
     # keyed once/emitted state) — re-certify externally even though
     # r12 checked it, since the whole stateful path was rewritten:

@@ -461,3 +461,16 @@ def test_sq8_serves_from_scan_plus_takeordered(spark):
     assert "Python" not in p
     # the only window is the rank over the already-LIMITed shortlist
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_ivf_sq8_serves_map_only(spark):
+    """simsearch_ivf_sq8 (r13): after the IVF training collects and
+    the bounds/query headers fold in as literals, the SERVE plan is a
+    scan + codegen'd cell filter (k IN probes) + ADC projection +
+    TakeOrdered — nothing vector-sized shuffles, no Python, and the
+    only window runs over the already-LIMITed shortlist (same pin as
+    flat SQ8)."""
+    p = _plan(spark, "simsearch_ivf_sq8")
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") == 0
