@@ -254,24 +254,28 @@ class ChiFRBCSModel:
         Bit-identical to transform() — numpy evaluates the identical
         IEEE expression chain (pinned by tests).
 
-        WHEN TO USE WHICH (measured r6, local[32], d=8/128k examples,
-        256x-replicated sf0.1 embeddings): transform()'s candidate
-        explosion is 2^d rows per example, so its cost scales with
-        2^d * n while this scorer's scales with n * R (R = rule
-        count). At d=4 (the lineitem fixture) the expression path
-        wins every A/B on record (~1.7s vs slower pandas variants, r2
-        NOTES); at d=8 it inverts hard: expression ~22-29s median vs
-        ~0.4s warm here (the 33M-row explode+argmax dominates; caveat
-        — the fixture's d=8 rule base is degenerate-small, so the
-        pandas side is at its best case). Guidance: keep transform()
-        through d<=6 (<=64 cells/example); at d>=8 flip to
-        transform_pandas — and pair it with collect_rules=True,
-        because this path materializes the rule arrays driver-side
-        anyway (it warns on a distributed rule base). If the rule
-        base is too large even for the JVM broadcast budget, use
-        transform(broadcast_rules=False) instead: the same cell
-        equi-join as a shuffle-hash join, nothing rule-sized ever
-        leaves the executors (the classify_wr_bigmodel path)."""
+        WHEN TO USE WHICH (fit-path A/B re-measured r13, sf0.1
+        local[32], warm medians, fitted model scoring the 32-way
+        input — NOTES r13 table): transform()'s candidate explosion
+        is 2^d rows per example (cost ~ 2^d * n) while this scorer's
+        is n * R (R = rule count). d=4: expression 7.0s vs pandas
+        1.6s; d=8: 4.2s vs 0.19s — the matmul wins BOTH at fixture
+        scale because rule bases are tiny there and the driver-side
+        rule collect it requires is free. Guidance: this path is the
+        default for big-d (d>=8) and for any fitted-model scoring
+        where the rules are driver-resident anyway (pair with
+        collect_rules=True — it warns on a distributed rule base).
+        transform() (broadcast-join) remains the DISTRIBUTED default:
+        no driver rule materialization, and if the rule base outgrows
+        the JVM broadcast budget, transform(broadcast_rules=False)
+        runs the same cell equi-join as a shuffle-hash join — nothing
+        rule-sized ever leaves the executors (the classify_wr_bigmodel
+        path). PARTITIONING TRAP (r13): ad-hoc transform() on a raw
+        low-split scan inherits its parallelism into the cell
+        explosion (3-partition sf0.1 scan: 25s vs 7s at 32) — fit()
+        repartitions to defaultParallelism before caching, so the
+        fit_transform path never hits this; repartition first if you
+        score a cold DataFrame."""
         import numpy as np
 
         parts = self.parts
