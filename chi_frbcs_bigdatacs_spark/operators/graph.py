@@ -858,8 +858,145 @@ FROM walk GROUP BY node
 """
 
 
+# --- connected components: alternating large-star / small-star (r13) ---------
+# The O(log n)-round CC algorithm of Kiveris et al., "Connected
+# Components in MapReduce and Beyond" (SoCC 2014) — the scale-correct
+# alternative to dedup_components' min-label propagation, whose round
+# count is the component DIAMETER (a 100 TB web/citation graph has
+# diameter in the dozens; star-contraction converges in ~log n rounds
+# regardless). Each round is two phases over the current parent
+# multigraph:
+#   large-star: per node u, connect every STRICTLY LARGER neighbor to
+#     m = min(N(u) + {u})   (emitted for all v in N(u), v > u)
+#   small-star: orient edges toward the larger endpoint, then per
+#     node u connect every not-larger neighbor (and u itself) to
+#     m = min(N(u) + {u}), dropping the self-loop on m.
+# Both phases are ONE symmetrize/orient projection + ONE min-agg +
+# ONE join each — the same join keys every round, so at scale the
+# edge state reuses one hash partitioning throughout. Convergence =
+# the (child, parent) edge set is a fixed point (checked with one
+# exceptAll count per round — at 100 TB you would compare a per-round
+# checksum instead, documented here); rounds are bounded loudly.
+#
+# Fixture: the part<->supplier graph RESTRICTED to high-quantity
+# lineitems (l_quantity >= WCC_MIN_QTY), which fragments the
+# otherwise-connected bipartite graph into many components. Node ids
+# are the 'p<k>'/'s<k>' strings; min() under lexicographic order is a
+# valid total order for star contraction (any total order is), and
+# the oracle's recursive min-reachable closure uses the same order.
+# Output: (node, component) with component = min reachable node id.
+
+WCC_MIN_QTY = 48
+WCC_MAX_ROUNDS = 25
+
+
+def _wcc_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") >= WCC_MIN_QTY
+    )
+    pairs = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey")).alias("p"),
+        F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+    ).distinct()
+    return pairs.select(F.col("p").alias("u"), F.col("s").alias("v"))
+
+
+def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
+    """One star-contraction phase over the (u, v) parent multigraph.
+    large=True: symmetrize, hook strictly-larger neighbors to the
+    neighborhood min. large=False: orient toward the larger endpoint,
+    hook all gathered (not-larger) neighbors and the center itself."""
+    if large:
+        nbrs = edges.select("u", "v").unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+    else:
+        nbrs = edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+    mins = nbrs.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    if large:
+        return (
+            nbrs.join(mins, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+    hooked = nbrs.join(mins, "u").select(
+        F.col("v").alias("u"), F.col("m").alias("v")
+    )
+    self_rows = mins.select("u", F.col("m").alias("v"))
+    return (
+        hooked.unionByName(self_rows)
+        .where(F.col("u") != F.col("v"))
+        .select("u", "v")
+        .distinct()
+    )
+
+
+def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _wcc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    all_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cur = edges
+    for r in range(WCC_MAX_ROUNDS):
+        nxt = _star_round(
+            _star_round(cur, large=True), large=False
+        ).localCheckpoint(eager=True)
+        # fixed point: the oriented (child, parent) set is unchanged
+        if (
+            nxt.exceptAll(cur).limit(1).count() == 0
+            and cur.exceptAll(nxt).limit(1).count() == 0
+        ):
+            cur = nxt
+            break
+        cur = nxt
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {WCC_MAX_ROUNDS} rounds"
+        )
+    # cur is a star forest: (child, root). Roots label themselves.
+    labels = cur.select(
+        F.col("u").alias("node"), F.col("v").alias("component")
+    )
+    return (
+        all_nodes.join(labels, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", F.col("node")).alias("component"),
+        )
+    )
+
+
+GRAPH_WCC_SQL = f"""
+WITH RECURSIVE li AS (
+  SELECT DISTINCT 'p' || l_partkey AS p, 's' || l_suppkey AS s
+  FROM lineitem WHERE l_quantity >= {WCC_MIN_QTY}
+),
+und AS (
+  SELECT p AS src, s AS dst FROM li
+  UNION
+  SELECT s AS src, p AS dst FROM li
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM und
+  UNION
+  SELECT r.src, u.dst FROM reach r JOIN und u ON r.dst = u.src
+)
+SELECT src AS node, least(src, min(dst)) AS component
+FROM reach GROUP BY src
+"""
+
+
 def register_all() -> None:
     register("graph_sssp", q_graph_sssp, GRAPH_SSSP_SQL)
+    register("graph_wcc", q_graph_wcc, GRAPH_WCC_SQL)
     register("graph_pagerank", q_graph_pagerank, _pagerank_sql())
     register("graph_kcore", q_graph_kcore, _kcore_sql())
     register(

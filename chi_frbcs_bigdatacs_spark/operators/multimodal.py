@@ -724,6 +724,166 @@ FROM s
 """
 
 
+# --- G.711 A-law WAV (r13) ----------------------------------------------------
+# The companion companding codec (Europe's half of G.711): code bytes
+# are transmitted with even bits inverted (XOR 0x55), then expand via
+# the segment/step table — u = c ^ 0x55, seg = (u>>4)&7, step = u&15,
+#   mag = (step<<4) + 8                     if seg = 0
+#   mag = ((step<<4) + 0x108) << (seg - 1)  otherwise
+# with bit 7 of u SET meaning positive (Sun g711.c reference
+# semantics). Like mu-law, decode is pure arithmetic so the oracle
+# expands the same closed-form code bytes. Wire surface: WAV fmt tag
+# 6 (WAVE_FORMAT_ALAW) mono 8-bit, same RIFF chunk grammar.
+ALAW_MOD = 241
+
+
+def _alaw_expand(c: int) -> int:
+    u = c ^ 0x55
+    seg = (u >> 4) & 0x07
+    step = u & 0x0F
+    if seg == 0:
+        mag = (step << 4) + 8
+    else:
+        mag = ((step << 4) + 0x108) << (seg - 1)
+    return mag if u & 0x80 else -mag
+
+
+def _encode_wav_alaw(d: int, n: int) -> bytes:
+    import struct
+
+    codes = bytes((d * 53 + i * 17) % 256 for i in range(n))
+    pad = b"\x00" if len(codes) % 2 else b""
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack("<HHIIHH", 6, 1, WAV_SR, WAV_SR, 1, 8)
+        + b"data" + struct.pack("<I", len(codes)) + codes + pad
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_alaw(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Chunk-walking decode for fmt tag 6 (A-law) mono 8-bit; same
+    feature tuple as the PCM16/mu-law decoders."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", raw[4:8])
+    if riff_len != len(raw) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _rate, align, bits = struct.unpack("<HHIIHH", body)
+            if (tag, ch, bits, align) != (6, 1, 8, 1):
+                raise ValueError("not 8-bit mono A-law")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    samples = [_alaw_expand(c) for c in data]
+    n = len(samples)
+    peak = max(abs(s) for s in samples)
+    sum_abs = sum(abs(s) for s in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    checksum = sum((i + 1) * s for i, s in enumerate(samples))
+    return sr, n, peak, sum_abs, zc, checksum
+
+
+def q_media_decode_wav_alaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 48 + 16).cast("int").alias("n"),
+        (F.col("doc_id") % ALAW_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_wav_alaw(int(s), int(n))
+                        for s, n in zip(pdf["seed"], pdf["n"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav_alaw(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sr": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "peak_abs": [f[2] for f in feats],
+                    "sum_abs": [f[3] for f in feats],
+                    "n_zero_cross": [f[4] for f in feats],
+                    "checksum": [f[5] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, sr int, n_samples int,"
+        " peak_abs long, sum_abs long, n_zero_cross long, checksum long",
+    )
+
+
+# the oracle expands the same formula: u = code ^ 85, seg = (u//16)%8,
+# step = u%16, mag per the two-case table, sign POSITIVE when u >= 128
+MEDIA_DECODE_WAV_ALAW_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 48 + 16 AS INT) AS n,
+         doc_id % {ALAW_MOD} AS d
+  FROM documents
+),
+u AS (
+  SELECT doc_id, n,
+         list_transform(range(n),
+           i -> xor((d * 53 + i * 17) % 256, 85)) AS us
+  FROM base
+),
+s AS (
+  SELECT doc_id, n,
+         list_transform(us, u ->
+           CASE WHEN u >= 128 THEN 1 ELSE -1 END
+           * CASE WHEN ((u // 16) % 8) = 0
+                  THEN (u % 16) * 16 + 8
+                  ELSE ((u % 16) * 16 + 264)
+                       * (1 << (((u // 16) % 8) - 1))
+             END) AS smp
+  FROM u
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS INT) AS sr,
+       n AS n_samples,
+       CAST(list_max(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS peak_abs,
+       CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT)
+         AS sum_abs,
+       CAST(list_sum(list_transform(range(1, n),
+           i -> CASE WHEN (smp[i] < 0) <> (smp[i + 1] < 0)
+                     THEN 1 ELSE 0 END)) AS BIGINT) AS n_zero_cross,
+       CAST(list_sum(list_transform(range(n),
+           i -> (i + 1) * smp[i + 1])) AS BIGINT) AS checksum
+FROM s
+"""
+
+
 # --- compressed codec: RLE8 BMP ----------------------------------------------
 # The first VARIABLE-LENGTH decode path (VERDICT r8 #8): uncompressed
 # BMP/WAV decode fixed-size records; BI_RLE8 (the Windows run-length
@@ -4677,6 +4837,11 @@ def register_all() -> None:
         "media_decode_wav_ulaw",
         q_media_decode_wav_ulaw,
         MEDIA_DECODE_WAV_ULAW_SQL,
+    )
+    register(
+        "media_decode_wav_alaw",
+        q_media_decode_wav_alaw,
+        MEDIA_DECODE_WAV_ALAW_SQL,
     )
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)

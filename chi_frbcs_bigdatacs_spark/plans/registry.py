@@ -69,6 +69,8 @@ _NEW_R13: list[str] = [
     # _R6_STALE_FILL (assert below keeps the window exactly 50)
     "stream_dedup_substring_trim",  # new: streaming trim twin
     "simsearch_ivf_sq8",  # new: IVF,SQ8 composed index
+    "media_decode_wav_alaw",  # new: G.711 A-law WAV
+    "graph_wcc",  # new: large-star/small-star CC
     # changed-PLAN, identical-output (r13 state compaction: digest-
     # keyed once/emitted state) — re-certify externally even though
     # r12 checked it, since the whole stateful path was rewritten:

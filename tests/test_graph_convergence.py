@@ -348,3 +348,28 @@ def test_sssp_no_edge_shuffle_in_both_modes(spark, tmp_path):
             # distinct() + the dist side of the shuffle-hash anti-join
             assert len(keys) == 2, f"shuffle mode: {keys}"
             assert "ShuffledHashJoin" in p, p[:1200]
+
+
+def test_wcc_star_contraction_multi_component(spark, tmp_path):
+    """large-star/small-star correctness on a graph with THREE
+    components of different shapes (a chain p1-s1-p2-s2, a pair
+    p7-s7, an isolated edge p9-s9): every node must label with its
+    component's lexicographic min, and no cross-component label may
+    leak. Quantities put all edges past the WCC_MIN_QTY cut."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import q_graph_wcc
+
+    li = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 50), (2, 2, 50), (7, 7, 50), (9, 9, 50),
+         (3, 3, 1)],  # below the quantity cut: must not appear at all
+        "l_partkey long, l_suppkey long, l_quantity long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+    got = {
+        r["node"]: r["component"]
+        for r in q_graph_wcc(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        "p1": "p1", "s1": "p1", "p2": "p1", "s2": "p1",
+        "p7": "p7", "s7": "p7",
+        "p9": "p9", "s9": "p9",
+    }
