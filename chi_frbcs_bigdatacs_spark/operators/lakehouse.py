@@ -373,8 +373,100 @@ GROUP BY lang
 
 
 
+# --- incremental materialized-view maintenance (r13) --------------------------
+# The aggregate-MV refresh every lakehouse runs nightly (Delta/
+# Iceberg incremental MV, DBSP/differential-dataflow delta rule):
+# given a stored aggregate MV over the target snapshot and a CDC
+# changeset, produce the refreshed MV WITHOUT rescanning the base —
+# cost ∝ |delta| + |MV|, never |base|. The MV here groups by
+# o_orderstatus with count + DECIMAL(18,2) price sum, which makes 'U'
+# the textbook hard case: an update flips status to 'R', so one CDC
+# row RETRACTS (-1, -old_price) from its old group and ADDS
+# (+1, +new_price) to a new one — a group that did not exist in the
+# base MV. Deletes retract; inserts add; groups whose count reaches
+# zero drop out.
+#
+# Before-images for U/D come from ONE key-join of the changeset
+# against the target (by construction U/D keys are always matched,
+# I keys never). In production the CDC feed carries before-images
+# (Delta CDF's update_preimage), which deletes even that probe; here
+# the join stands in for it and is the plan's only base-table touch.
+# The delta aggregation is map-side combinable and MV-sized; the
+# final refresh is a full-outer join of two MV-sized relations.
+# Oracle: FULL RECOMPUTE over the merged snapshot — the strongest
+# possible check that incremental == batch.
+
+
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = _target(o)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    # the stored base MV (derived here so both engines agree exactly;
+    # in production this is the previous refresh's output table)
+    mv = t.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(dec("o_totalprice")).alias("p0"),
+    )
+    c = _changeset(o).withColumnRenamed("o_orderkey", "c_key")
+    before = c.join(
+        t.select(
+            F.col("o_orderkey").alias("c_key"),
+            F.col("o_orderstatus").alias("t_status"),
+            F.col("o_totalprice").alias("t_price"),
+        ),
+        "c_key",
+        "left",
+    )
+    retract = before.where(F.col("op").isin("U", "D")).select(
+        F.col("t_status").alias("grp"),
+        F.lit(-1).cast("long").alias("dn"),
+        (-dec("t_price")).alias("dp"),
+    )
+    add = before.where(F.col("op").isin("U", "I")).select(
+        F.col("c_status").alias("grp"),
+        F.lit(1).cast("long").alias("dn"),
+        dec("c_price").alias("dp"),
+    )
+    delta = (
+        retract.unionByName(add)
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
+    )
+    return (
+        mv.join(delta, "grp", "full_outer")
+        .select(
+            "grp",
+            (
+                F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))
+            ).alias("n_orders"),
+            # exact decimal add, DOUBLE at the boundary (repo money rule)
+            (
+                F.coalesce(F.col("p0"), F.lit(0).cast("decimal(18,2)"))
+                + F.coalesce(F.col("dp"), F.lit(0).cast("decimal(18,2)"))
+            ).cast("double").alias("total_price"),
+        )
+        .where(F.col("n_orders") > 0)
+        .withColumnRenamed("grp", "o_orderstatus")
+    )
+
+
+MV_INCREMENTAL_REFRESH_SQL = f"""
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_price
+FROM ({_MERGED_SQL}) m
+GROUP BY o_orderstatus
+"""
+
+
 def register_all() -> None:
     register("merge_upsert", q_merge_upsert, MERGE_UPSERT_SQL)
+    register(
+        "mv_incremental_refresh",
+        q_mv_incremental_refresh,
+        MV_INCREMENTAL_REFRESH_SQL,
+    )
     register(
         "scan_schema_evolution",
         q_scan_schema_evolution,

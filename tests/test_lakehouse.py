@@ -209,3 +209,38 @@ def test_schema_evolution_nulls_only_v1_rows(spark):
         & (F.col("quality_score") != F.col("doc_id") % 100)
     ).count()
     assert bad_null == 0 and bad_val == 0
+
+
+def test_mv_incremental_refresh_equals_full_recompute(spark):
+    """The delta-rule refresh (r13) must equal a from-scratch
+    aggregate over the merged snapshot — including the group-moving
+    'U' case: updates flip status to 'R', a group absent from the
+    base MV, so retract/add must cross groups correctly. Deletes must
+    shrink counts; a group with every row deleted must vanish."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        merged_snapshot,
+        q_mv_incremental_refresh,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    inc = {
+        r["o_orderstatus"]: (r["n_orders"], round(r["total_price"], 2))
+        for r in q_mv_incremental_refresh(spark, SF_SMALL).collect()
+    }
+    full = {
+        r["o_orderstatus"]: (r["n"], round(r["p"], 2))
+        for r in merged_snapshot(load_table(spark, SF_SMALL, "orders"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("p"),
+        )
+        .collect()
+    }
+    assert inc == full and inc
+    assert "R" in inc, "update-moved group must appear in the refreshed MV"
