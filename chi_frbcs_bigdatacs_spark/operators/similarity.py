@@ -2269,6 +2269,192 @@ ORDER BY rank
 """
 
 
+# --- PCA top component via one-pass covariance + power iteration (r13) --------
+# The embedding-pipeline op the family lacked: the leading principal
+# component of the first PCA_D dims — what whitening, dimensionality
+# checks, and drift monitors run on. Distributed cost is ONE pass:
+# n + PCA_D sums + PCA_D*(PCA_D+1)/2 cross-products over micro-unit
+# BIGINTs (exact, order-free, map-side combinable — the classic
+# sufficient-statistics shape that holds at 100 TB). The PCA_D x
+# PCA_D covariance is then a driver-side scalar header (the kmeans
+# centroid convention), and PCA_ROUNDS power-iteration steps run over
+# that constant matrix.
+#
+# Parity discipline: integer sufficient statistics are exact on both
+# engines; covariance entries are ONE pinned double chain
+#   round(((sxy - sx*sy/n) / n) / 1e12, 6)
+# (micro^2 -> unit scale so round6 actually quantizes), and every
+# iteration intermediate t_i / norm / loading is round6 with the
+# SAME left-associated term order in the Python driver math and the
+# generated unrolled SQL. Sign convention: flip so the first nonzero
+# loading is positive. Output: (dim, loading, eigval) with eigval =
+# the final pre-normalization Rayleigh norm.
+PCA_D = 8
+PCA_ROUNDS = 3
+
+
+def _pca_iterate(
+    cov: list[list[float]],
+) -> tuple[list[float], float]:
+    """PCA_ROUNDS power-iteration steps from e1 over a constant
+    matrix, with the exact rounding/order contract the generated SQL
+    mirrors (see _pca_sql)."""
+    import math
+
+    v = [1.0] + [0.0] * (PCA_D - 1)
+    lam = 0.0
+    for _ in range(PCA_ROUNDS):
+        t = []
+        for i in range(PCA_D):
+            acc = cov[i][0] * v[0]
+            for j in range(1, PCA_D):
+                acc = acc + cov[i][j] * v[j]
+            t.append(round(acc, 6))
+        acc = t[0] * t[0]
+        for j in range(1, PCA_D):
+            acc = acc + t[j] * t[j]
+        lam = round(math.sqrt(acc), 6)
+        v = [round(x / lam, 6) for x in t]
+    first = next((x for x in v if x != 0.0), 1.0)
+    if first < 0:
+        v = [round(-x, 6) for x in v]
+    return v, lam
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        *[
+            F.round(
+                F.element_at("embedding", i).cast("double")
+                * F.lit(float(MICRO)),
+                0,
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(1, PCA_D + 1)
+        ]
+    )
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(1, PCA_D + 1)]
+    aggs += [
+        F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"s{i}_{j}")
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    ]
+    row = m.agg(*aggs).collect()[0]
+    n = float(row["n"])
+    cov = [[0.0] * PCA_D for _ in range(PCA_D)]
+    for i in range(1, PCA_D + 1):
+        for j in range(i, PCA_D + 1):
+            c = round(
+                (
+                    (float(row[f"s{i}_{j}"]) - float(row[f"s{i}"]) * float(row[f"s{j}"]) / n)
+                    / n
+                )
+                / 1e12,
+                6,
+            )
+            cov[i - 1][j - 1] = c
+            cov[j - 1][i - 1] = c
+    v, lam = _pca_iterate(cov)
+    return spark.createDataFrame(
+        [(i + 1, v[i], lam) for i in range(PCA_D)],
+        "dim int, loading double, eigval double",
+    )
+
+
+def _pca_sql() -> str:
+    xs = [
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {MICRO}, 0) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(1, PCA_D + 1)
+    ]
+    sums = ["count(*) AS n"]
+    sums += [f"sum(x{i}) AS s{i}" for i in range(1, PCA_D + 1)]
+    sums += [
+        f"sum(x{i} * x{j}) AS s{i}_{j}"
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    ]
+
+    def cname(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        return f"c{lo}_{hi}"
+
+    c_list = ", ".join(
+        f"c{i}_{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)
+    )
+    covs = [
+        f"round(((CAST(s{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n)"
+        f" / 1e12, 6) AS c{i}_{j}"
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    ]
+    # unrolled power iteration: v0 = e1; each round r computes t_i with
+    # the SAME left-associated term order as the Python driver math,
+    # then projects ONLY the covariance + normalized components forward
+    v = ["1.0"] + ["0.0"] * (PCA_D - 1)
+    ctes = []
+    prev = "cov"
+    for r in range(PCA_ROUNDS):
+        ts = ", ".join(
+            "round("
+            + " + ".join(
+                f"{cname(i, j)} * ({v[j - 1]})" for j in range(1, PCA_D + 1)
+            )
+            + f", 6) AS t{i}"
+            for i in range(1, PCA_D + 1)
+        )
+        norm = (
+            "round(sqrt("
+            + " + ".join(f"t{i} * t{i}" for i in range(1, PCA_D + 1))
+            + "), 6)"
+        )
+        ws = ", ".join(
+            f"round(t{i} / {norm}, 6) AS w{r}_{i}"
+            for i in range(1, PCA_D + 1)
+        )
+        ctes.append(f"r{r} AS (SELECT {c_list}, {ts} FROM {prev})")
+        ctes.append(
+            f"n{r} AS (SELECT {c_list}, {norm} AS lam{r}, {ws} FROM r{r})"
+        )
+        prev = f"n{r}"
+        v = [f"w{r}_{i}" for i in range(1, PCA_D + 1)]
+    last = PCA_ROUNDS - 1
+    # sign convention: first nonzero loading positive (matches
+    # _pca_iterate's flip)
+    sign_arms = " ".join(
+        f"WHEN w{last}_{i} <> 0.0 THEN"
+        f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
+        for i in range(1, PCA_D + 1)
+    )
+    dim_arms = " ".join(
+        f"WHEN d.i = {i} THEN w{last}_{i}" for i in range(1, PCA_D + 1)
+    )
+    return f"""
+WITH m AS (
+  SELECT {', '.join(xs)} FROM embeddings
+),
+a AS (
+  SELECT {', '.join(sums)} FROM m
+),
+cov AS (
+  SELECT n, {', '.join(covs)} FROM a
+),
+{','.join(ctes)},
+s AS (
+  SELECT *, CASE {sign_arms} ELSE 1.0 END AS sgn FROM n{last}
+)
+SELECT CAST(d.i AS INT) AS dim,
+       round(s.sgn * (CASE {dim_arms} END), 6) AS loading,
+       lam{last} AS eigval
+FROM s CROSS JOIN (SELECT unnest(range(1, {PCA_D + 1})) AS i) d
+ORDER BY dim
+"""
+
+
 # --- IVF,SQ8: trained coarse quantizer + SQ8 ADC serve (r13) ------------------
 # The composition FAISS ships as `IVF{K},SQ8` (VERDICT r12 #7) — the
 # production middle ground between flat SQ8 (scans everything) and
@@ -2533,6 +2719,7 @@ def register_all() -> None:
     )
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
+    register("embed_pca_power", q_embed_pca_power, _pca_sql())
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("simsearch_topk_batch", q_simsearch_topk_batch, SIMSEARCH_TOPK_BATCH_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)

@@ -72,6 +72,7 @@ _NEW_R13: list[str] = [
     "media_decode_wav_alaw",  # new: G.711 A-law WAV
     "graph_wcc",  # new: large-star/small-star CC
     "mv_incremental_refresh",  # new: delta-rule aggregate MV refresh
+    "embed_pca_power",  # new: one-pass covariance + power iteration
     # changed-PLAN, identical-output (r13 state compaction: digest-
     # keyed once/emitted state) — re-certify externally even though
     # r12 checked it, since the whole stateful path was rewritten:
