@@ -49,9 +49,11 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #       external certification of the new plans), plus any r13
 #       changed-OUTPUT keys listed at the top of the group.
 #   (4) _R6_STALE_FILL: oldest r6 keys in CORRECTNESS_r06 artifact
-#       order, as many as fit under the cap. The 26 r6-stale keys
-#       that do not fit (agg_percentile onward in r06 order, minus
-#       those already in group 3) lead r14's window.
+#       order, as many as fit under the cap. Final r13 composition:
+#       8 + 7 + 15 + 20 = 50, cap landing on join_sortmerge. The 29
+#       r6-stale keys that do not fit (agg_cube onward in r06
+#       artifact order, minus rule_conflict_resolve_d8 which rides
+#       group 3) MUST lead r14's window so the floor keeps rising.
 
 _R5_STALE: list[str] = [
     "stream_rule_stats",
