@@ -397,41 +397,40 @@ GROUP BY lang
 # possible check that incremental == batch.
 
 
-def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
-    t = _target(o)
-    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
-    # the stored base MV (derived here so both engines agree exactly;
-    # in production this is the previous refresh's output table)
-    mv = t.groupBy(F.col("o_orderstatus").alias("grp")).agg(
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+def mv_base(t: DataFrame) -> DataFrame:
+    """The stored base MV (derived here so both engines agree exactly;
+    in production this is the previous refresh's output table)."""
+    return t.groupBy(F.col("o_orderstatus").alias("grp")).agg(
         F.count(F.lit(1)).alias("n0"),
-        F.sum(dec("o_totalprice")).alias("p0"),
+        F.sum(_dec("o_totalprice")).alias("p0"),
     )
-    c = _changeset(o).withColumnRenamed("o_orderkey", "c_key")
-    before = c.join(
-        t.select(
-            F.col("o_orderkey").alias("c_key"),
-            F.col("o_orderstatus").alias("t_status"),
-            F.col("o_totalprice").alias("t_price"),
-        ),
-        "c_key",
-        "left",
-    )
+
+
+def mv_delta_rows(before: DataFrame) -> DataFrame:
+    """Changeset rows (with before-images t_status/t_price joined in)
+    -> retract/add delta rows (grp, dn, dp). Shared by the batch key
+    and the streaming twin — the delta expansion must be identical
+    for the twin to be bit-equal."""
     retract = before.where(F.col("op").isin("U", "D")).select(
         F.col("t_status").alias("grp"),
         F.lit(-1).cast("long").alias("dn"),
-        (-dec("t_price")).alias("dp"),
+        (-_dec("t_price")).alias("dp"),
     )
     add = before.where(F.col("op").isin("U", "I")).select(
         F.col("c_status").alias("grp"),
         F.lit(1).cast("long").alias("dn"),
-        dec("c_price").alias("dp"),
+        _dec("c_price").alias("dp"),
     )
-    delta = (
-        retract.unionByName(add)
-        .groupBy("grp")
-        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
-    )
+    return retract.unionByName(add)
+
+
+def mv_apply_delta(mv: DataFrame, delta: DataFrame) -> DataFrame:
+    """base MV (grp, n0, p0) ⊕ aggregated delta (grp, dn, dp) ->
+    refreshed MV, zero-count groups retired."""
     return (
         mv.join(delta, "grp", "full_outer")
         .select(
@@ -448,6 +447,32 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_orders") > 0)
         .withColumnRenamed("grp", "o_orderstatus")
     )
+
+
+def mv_before_images(t: DataFrame, c: DataFrame) -> DataFrame:
+    """Join the changeset (keyed c_key) to the target snapshot for
+    U/D before-images — the stand-in for CDF update_preimage."""
+    return c.join(
+        t.select(
+            F.col("o_orderkey").alias("c_key"),
+            F.col("o_orderstatus").alias("t_status"),
+            F.col("o_totalprice").alias("t_price"),
+        ),
+        "c_key",
+        "left",
+    )
+
+
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = _target(o)
+    c = _changeset(o).withColumnRenamed("o_orderkey", "c_key")
+    delta = (
+        mv_delta_rows(mv_before_images(t, c))
+        .groupBy("grp")
+        .agg(F.sum("dn").alias("dn"), F.sum("dp").alias("dp"))
+    )
+    return mv_apply_delta(mv_base(t), delta)
 
 
 MV_INCREMENTAL_REFRESH_SQL = f"""

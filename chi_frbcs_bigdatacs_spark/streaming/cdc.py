@@ -333,8 +333,82 @@ def q_stream_checkpoint_recovery_stateful(
     )
 
 
+# --- streaming incremental MV maintenance (r13) -------------------------------
+# Streaming twin of mv_incremental_refresh: the CDC changeset arrives
+# in micro-batches; each batch's rows pick up U/D before-images via a
+# STREAM-STATIC join against the target snapshot, expand to
+# retract/add delta rows (the SAME mv_delta_rows expansion as the
+# batch key), and Spark's native streaming aggregation accumulates
+# the per-group delta across batches — delta aggregation is
+# commutative, so the accumulated total (and therefore the refreshed
+# MV) is invariant under ANY split of the changeset into
+# micro-batches. The final refresh applies the accumulated delta to
+# the base MV with the shared mv_apply_delta tail, so the output is
+# bit-identical to the batch key and the oracle is the strict
+# full-recompute MV_INCREMENTAL_REFRESH_SQL.
+#
+# Scale shape: this is the built-in shuffle-state streaming agg (no
+# Python state), MV-sized state per group; the stream-static join
+# broadcasts or shuffles per Catalyst's choice exactly as the batch
+# plan would. Complete-mode memory sink holds MV-sized rows only.
+
+
+def _mv_cdc_src(spark: SparkSession, sf_dir: str) -> str:
+    def build(d: str) -> None:
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        _changeset(o).select("o_orderkey", "op", "c_status", "c_price").repartition(
+            N_CDC_FILES
+        ).write.mode("overwrite").parquet(d)
+
+    return staged_dir("mv_cdc", sf_dir, build)
+
+
+def q_stream_mv_refresh(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        mv_apply_delta,
+        mv_base,
+        mv_before_images,
+        mv_delta_rows,
+    )
+
+    src = staged_src or _mv_cdc_src(spark, sf_dir)
+    schema = "o_orderkey long, op string, c_status string, c_price double"
+    cdc = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumnRenamed("o_orderkey", "c_key")
+    )
+    t = _target(spark.read.parquet(f"{sf_dir}/orders.parquet"))
+    delta_rows = mv_delta_rows(mv_before_images(t, cdc))
+    delta = delta_rows.groupBy("grp").agg(
+        F.sum("dn").alias("dn"), F.sum("dp").alias("dp")
+    )
+    name = f"chi_mv_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        delta.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return mv_apply_delta(mv_base(t), spark.table(name))
+
+
 def register_all() -> None:
     register("stream_merge_upsert", q_stream_merge_upsert, MERGE_UPSERT_SQL)
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        MV_INCREMENTAL_REFRESH_SQL,
+    )
+
+    register(
+        "stream_mv_refresh",
+        q_stream_mv_refresh,
+        MV_INCREMENTAL_REFRESH_SQL,
+    )
     register(
         "stream_checkpoint_recovery_stateful",
         q_stream_checkpoint_recovery_stateful,

@@ -561,3 +561,42 @@ def test_stream_substring_trim_invariant_under_skewed_split(spark, tmp_path):
         .collect()
     }
     assert any(r[1] < full[r[0]] for r in batch), "nothing was trimmed"
+
+
+def test_stream_mv_refresh_invariant_under_skewed_split(spark, tmp_path):
+    """The streaming MV twin (r13) accumulates retract/add deltas via
+    the built-in streaming aggregation; delta aggregation commutes,
+    so a skewed 3-file changeset split must yield the exact batch
+    refresh — including the group-moving 'R' rows whose retract and
+    add can land in DIFFERENT micro-batches."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        _changeset,
+        q_mv_incremental_refresh,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.cdc import q_stream_mv_refresh
+    from tests.conftest import SF_SMALL
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = _changeset(o).select("o_orderkey", "op", "c_status", "c_price")
+    src = str(tmp_path / "mv_cdc_skewed")
+    parts = [
+        c.filter(F.col("o_orderkey") % 100 < 7),
+        c.filter((F.col("o_orderkey") % 100).between(7, 71)),
+        c.filter(F.col("o_orderkey") % 100 > 71),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(
+            tuple,
+            q_stream_mv_refresh(spark, SF_SMALL, staged_src=src).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, q_mv_incremental_refresh(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and streamed
+    assert any(r[0] == "R" for r in batch), "group-moving rows missing"
