@@ -513,14 +513,13 @@ FROM (
 # argmin is id-arithmetic — the oracle is strict.
 
 
-def q_resample_tomek(
-    spark: SparkSession, sf_dir: str, band: int | None = None
+def _bucketed_pairs(
+    spark: SparkSession, df: DataFrame, band: int
 ) -> DataFrame:
-    df = lineitem_clf(spark, sf_dir)
-    counts = _class_counts(df)
-    min_label = min(counts, key=lambda r: (r.n, r.label)).label
-    if band is None:
-        band = tomek_f2_band(sum(int(r.n) for r in counts))
+    """Grid-bucketed scored candidate pairs (a_id, a_label, d2, b_id,
+    b_label) — the shared neighbor machinery of Tomek and ENN. Exact
+    SMOTE term order for d2; join volume is sum-of-bucket^2, never
+    all-pairs."""
     m = df.select(
         "id",
         "label",
@@ -543,9 +542,9 @@ def q_resample_tomek(
         "bp",
     )
     # same AQE-coalesce straggler fix as q_resample_smote — and worse
-    # here: Tomek buckets the FULL table, so the post-join pair
-    # volume is corpus-sized-squared-over-grid, all of which would
-    # otherwise run inside the ~3 AQE-coalesced tasks
+    # here: the FULL table is bucketed, so the post-join pair volume
+    # is corpus-sized-squared-over-grid, all of which would otherwise
+    # run inside the ~3 AQE-coalesced tasks
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
     pairs = (
         a.repartition(n_shuffle, "bq", "bp")
@@ -559,8 +558,19 @@ def q_resample_tomek(
         + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
         + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
     )
+    return pairs.select("a_id", "a_label", d2.alias("d2"), "b_id", "b_label")
+
+
+def q_resample_tomek(
+    spark: SparkSession, sf_dir: str, band: int | None = None
+) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    counts = _class_counts(df)
+    min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    if band is None:
+        band = tomek_f2_band(sum(int(r.n) for r in counts))
     nn = (
-        pairs.select("a_id", "a_label", d2.alias("d2"), "b_id", "b_label")
+        _bucketed_pairs(spark, df, band)
         .groupBy("a_id", "a_label")
         .agg(F.min(F.struct("d2", "b_id", "b_label")).alias("s"))
         .select(
@@ -622,8 +632,93 @@ WHERE f.a_label = (SELECT label FROM ml) AND f.nn_label <> f.a_label
 """
 
 
+# --- ENN (Wilson editing) ------------------------------------------------------
+# The fifth imbalance treatment (Wilson 1972, the cleaning half of
+# SMOTE-ENN pipelines): remove every sample whose class disagrees
+# with the STRICT MAJORITY of its k=3 nearest neighbors — boundary
+# noise from BOTH classes, unlike Tomek's minority-protective links.
+# Reuses the same grid-bucketed pair machinery (_bucketed_pairs);
+# top-3 per row is a row_number window over the bucket-pair set
+# (ordered d2 then b_id — ties deterministic; both engines compute
+# d2 with the identical expression so float order agrees, the same
+# contract Tomek's argmin-equality join already relies on). Rows with
+# fewer than 3 in-bucket neighbors vote over what exists; removal
+# requires 2 * n_disagree > n_nbrs. Output: the removal set with its
+# vote accounting.
+ENN_K = 3
+
+
+def q_resample_enn(
+    spark: SparkSession, sf_dir: str, band: int | None = None
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    df = lineitem_clf(spark, sf_dir)
+    if band is None:
+        counts = _class_counts(df)
+        band = tomek_f2_band(sum(int(r.n) for r in counts))
+    w = Window.partitionBy("a_id").orderBy("d2", "b_id")
+    top = (
+        _bucketed_pairs(spark, df, band)
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= ENN_K)
+    )
+    votes = top.groupBy("a_id", "a_label").agg(
+        F.count(F.lit(1)).alias("n_nbrs"),
+        F.sum(
+            (F.col("b_label") != F.col("a_label")).cast("long")
+        ).alias("n_disagree"),
+    )
+    return votes.where(2 * F.col("n_disagree") > F.col("n_nbrs")).select(
+        F.col("a_id").cast("long").alias("removed_id"),
+        F.col("a_label").cast("int").alias("label"),
+        F.col("n_nbrs").cast("long").alias("n_nbrs"),
+        F.col("n_disagree").cast("long").alias("n_disagree"),
+    )
+
+
+RESAMPLE_ENN_SQL = f"""
+WITH clf AS ({LINEITEM_CLF_SQL}),
+cnt AS (SELECT label, count(*) AS n FROM clf GROUP BY label),
+band AS (SELECT {_TOMEK_BAND_SQL} AS w),
+m AS (
+  SELECT id, label, f1, f2, f3, f4,
+         CAST(f1 AS INT) AS bq,
+         CAST(floor(f2 / (SELECT w FROM band)) AS INT) AS bp
+  FROM clf
+),
+pairs AS (
+  SELECT a.id AS a_id, a.label AS a_label,
+         b.id AS b_id, b.label AS b_label,
+         (b.f1 - a.f1) * (b.f1 - a.f1)
+           + ((b.f2 - a.f2) / 1000.0) * ((b.f2 - a.f2) / 1000.0)
+           + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
+           + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
+  FROM m a JOIN m b ON a.bq = b.bq AND a.bp = b.bp AND a.id <> b.id
+),
+top AS (
+  SELECT * FROM (
+    SELECT a_id, a_label, b_label,
+           row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {ENN_K}
+),
+votes AS (
+  SELECT a_id, a_label, count(*) AS n_nbrs,
+         sum(CASE WHEN b_label <> a_label THEN 1 ELSE 0 END) AS n_disagree
+  FROM top GROUP BY a_id, a_label
+)
+SELECT CAST(a_id AS BIGINT) AS removed_id,
+       CAST(a_label AS INT) AS label,
+       CAST(n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(n_disagree AS BIGINT) AS n_disagree
+FROM votes WHERE 2 * n_disagree > n_nbrs
+"""
+
+
 def register_all() -> None:
     register("resample_ros", q_resample_ros, RESAMPLE_ROS_SQL)
+    register("resample_enn", q_resample_enn, RESAMPLE_ENN_SQL)
     register("resample_rus", q_resample_rus, RESAMPLE_RUS_SQL)
     register("resample_smote", q_resample_smote, RESAMPLE_SMOTE_SQL)
     register(
