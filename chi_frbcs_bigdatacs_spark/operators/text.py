@@ -2371,6 +2371,7 @@ def register_all() -> None:
     register("text_langid", q_text_langid, _langid_sql())
     register("text_tokens_bpe", q_text_tokens_bpe, TEXT_TOKENS_BPE_SQL)
     register("text_fingerprint", q_text_fingerprint, TEXT_FINGERPRINT_SQL)
+    register("text_zipf_fit", q_text_zipf_fit, TEXT_ZIPF_FIT_SQL)
     register("quality_gopher", q_quality_gopher, QUALITY_GOPHER_SQL)
     register(
         "text_collocations_pmi",
@@ -2385,3 +2386,146 @@ def register_all() -> None:
         q_pipeline_release_corpus,
         PIPELINE_RELEASE_CORPUS_SQL,
     )
+
+
+# --- Zipf law fit (r13) ---------------------------------------------------------
+# The corpus-statistics op every language-data report carries: fit
+# ln(freq) = intercept + slope * ln(rank) over the top ZIPF_TOP term
+# ranks by OLS — natural text sits near slope -1 (Zipf 1949); a far-
+# off slope flags synthetic, templated, or degenerate corpora. One
+# token explode + one term count agg + one top-K rank window; the
+# regression runs on MICRO-LN INTEGERS: each point is
+# CAST(round(ln(v) * 1e6, 0) AS BIGINT), so all five regression sums
+# are EXACT integer aggs (order-free across partitions — a raw float
+# sum would be partition-order dependent) and the only float math is
+# the final pinned covariance/variance chain, round6 on both engines.
+# The ln itself is the accepted 1-ulp-through-round residual class
+# (the text_unigram_surprisal recipe).
+ZIPF_TOP = 200
+
+
+def q_text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z]+")).alias("w")
+    ).filter(F.col("w") != "")
+    counts = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    ranked = (
+        counts.withColumn(
+            "rank",
+            F.row_number().over(
+                Window.orderBy(F.col("c").desc(), F.col("w").asc())
+            ),
+        )
+        .where(F.col("rank") <= ZIPF_TOP)
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rank").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1e6, 0)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    dd = s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        (
+            F.col("sxy").cast("double")
+            - F.col("sx").cast("double") * F.col("sy").cast("double")
+            / F.col("n")
+        ).alias("covxy"),
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+            / F.col("n")
+        ).alias("varx"),
+        (
+            F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+            / F.col("n")
+        ).alias("vary"),
+        (F.col("sx").cast("double") / F.col("n")).alias("mx"),
+        (F.col("sy").cast("double") / F.col("n")).alias("my"),
+    )
+    # degenerate guard: a single-rank corpus (or zero y-variance) has
+    # no fit — NULL columns on BOTH engines, never a zero division
+    # (ANSI mode errors on it)
+    ok = (F.col("varx") > 0) & (F.col("vary") > 0)
+    return dd.select(
+        "n_terms",
+        F.when(
+            ok, F.round(F.col("covxy") / F.col("varx"), 6)
+        ).alias("slope"),
+        F.when(
+            ok,
+            F.round(
+                (F.col("my") - F.col("covxy") / F.col("varx") * F.col("mx"))
+                / F.lit(1e6),
+                6,
+            ),
+        ).alias("intercept_ln"),
+        F.when(
+            ok,
+            F.round(
+                F.col("covxy") * F.col("covxy")
+                / (F.col("varx") * F.col("vary")),
+                6,
+            ),
+        ).alias("r2"),
+    )
+
+
+TEXT_ZIPF_FIT_SQL = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS w
+  FROM documents
+),
+counts AS (
+  SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY w
+),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank
+  FROM counts QUALIFY rank <= {ZIPF_TOP}
+),
+pts AS (
+  SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6, 0) AS BIGINT) AS x,
+         CAST(round(ln(CAST(c AS DOUBLE)) * 1e6, 0) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+  FROM pts
+),
+d AS (
+  SELECT CAST(n AS BIGINT) AS n_terms,
+         CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS covxy,
+         CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n
+           AS varx,
+         CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / n
+           AS vary,
+         CAST(sx AS DOUBLE) / n AS mx,
+         CAST(sy AS DOUBLE) / n AS my
+  FROM s
+)
+SELECT n_terms,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(covxy / varx, 6) END AS slope,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round((my - covxy / varx * mx) / 1e6, 6) END
+         AS intercept_ln,
+       CASE WHEN varx > 0 AND vary > 0
+            THEN round(covxy * covxy / (varx * vary), 6) END AS r2
+FROM d
+"""

@@ -436,3 +436,33 @@ def test_ldiversity_distinct_counts_are_exact(spark):
         assert g["n"] == r["n"]
         assert g["n_distinct_sensitive"] == r["d"]
         assert g["l_diverse"] == (r["d"] >= L_DIVERSITY)
+
+
+def test_zipf_fit_recovers_power_law_on_synthetic_corpus(spark, tmp_path):
+    """text_zipf_fit on a corpus built with freq(rank) ∝ rank^-1 must
+    fit slope ~ -1 with high r2 — the testdata corpus is templated
+    (31 distinct terms, slope -0.18, r2 0.06 at sf0.01), which is the
+    degenerate signal the op exists to flag, so the power-law
+    recovery claim is pinned here on a planted Zipfian corpus."""
+    from chi_frbcs_bigdatacs_spark.operators.text import q_text_zipf_fit
+
+    # alphabetic-only ids: the tokenizer splits on [^a-z]+, so digits
+    # in a word would dissolve it
+    words = [
+        "w" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(120)
+    ]
+    toks = []
+    for r, w in enumerate(words, start=1):
+        toks.extend([w] * max(1, 6000 // r))
+    # deterministic interleave so tokens spread across docs
+    docs = [
+        (i, " ".join(toks[i::40]), "en", "src")
+        for i in range(40)
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    row = q_text_zipf_fit(spark, str(tmp_path)).collect()[0]
+    assert row["n_terms"] == 120
+    assert -1.15 < row["slope"] < -0.85, row["slope"]
+    assert row["r2"] > 0.95, row["r2"]
