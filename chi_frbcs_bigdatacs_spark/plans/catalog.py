@@ -759,6 +759,91 @@ FROM c
 register("metrics_mcc_kappa", q_metrics_mcc_kappa, _METRICS_MCC_KAPPA_SQL)
 
 
+# --- Brier score over AC pseudo-probabilities (r13) ---------------------------
+# The proper-scoring-rule companion to calibration bins: normalize
+# each example's per-class AC scores into pseudo-probabilities
+# p_c = cscore_c / sum(cscore) and report the mean Brier score
+# sum_c (p_c - y_c)^2 = sum_c p_c^2 - 2 p_label + 1 (classes with no
+# fired rule contribute p = 0 through the identity). Only rule-fired
+# examples appear (same contract as metrics_calibration). Parity:
+# cscore is the round-9 acagg both engines already agree on; the
+# per-id folds sum at most TWO doubles (binary fixture — IEEE
+# addition is commutative, so two-term sums are order-safe); each
+# example's brier is integerized to micro-units BEFORE the corpus
+# mean, so the final agg is an exact integer sum with one pinned
+# division chain.
+
+
+def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    fz = R.fuzzify(df, P)
+    rules = R.build_rules(
+        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
+    )
+    r = rules.filter(F.col("weight") > 0).withColumnRenamed("cls", "r_cls")
+    cells = R.candidate_cells(fz, P)
+    scored = cells.join(F.broadcast(r), ANTS)
+    ac = scored.groupBy("id", "r_cls").agg(
+        F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
+        F.max("label").alias("label"),
+    )
+    per = ac.groupBy("id").agg(
+        F.sum("cscore").alias("ssum"),
+        F.sum(F.col("cscore") * F.col("cscore")).alias("ss2"),
+        F.sum(
+            F.when(F.col("r_cls") == F.col("label"), F.col("cscore")).otherwise(
+                F.lit(0.0)
+            )
+        ).alias("chit"),
+    )
+    bm = per.select(
+        F.round(
+            (
+                F.col("ss2") / (F.col("ssum") * F.col("ssum"))
+                - F.lit(2.0) * (F.col("chit") / F.col("ssum"))
+                + F.lit(1.0)
+            )
+            * F.lit(1e6),
+            0,
+        )
+        .cast("long")
+        .alias("bm")
+    )
+    return bm.agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        F.round(
+            F.sum("bm").cast("double") / F.count(F.lit(1)) / F.lit(1e6), 6
+        ).alias("brier"),
+    )
+
+
+_METRICS_BRIER_SQL = (
+    oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    + """,
+aclab AS (
+  SELECT a.id, a.r_cls, a.cscore, f.label
+  FROM acagg a JOIN (SELECT DISTINCT id, label FROM clf) f USING (id)
+),
+per AS (
+  SELECT id, sum(cscore) AS ssum,
+         sum(cscore * cscore) AS ss2,
+         sum(CASE WHEN r_cls = label THEN cscore ELSE 0.0 END) AS chit
+  FROM aclab GROUP BY id
+),
+b AS (
+  SELECT CAST(round((ss2 / (ssum * ssum) - 2.0 * (chit / ssum) + 1.0)
+                    * 1e6, 0) AS BIGINT) AS bm
+  FROM per
+)
+SELECT CAST(count(*) AS BIGINT) AS n_scored,
+       round(CAST(sum(bm) AS DOUBLE) / count(*) / 1e6, 6) AS brier
+FROM b
+"""
+)
+
+register("metrics_brier", q_metrics_brier, _METRICS_BRIER_SQL)
+
+
 
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
 # Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99
