@@ -913,6 +913,86 @@ FROM per_type
 
 
 
+# --- join-key skew diagnostics (r13) -------------------------------------------
+# The pre-flight every 100 TB join should run: per candidate join key,
+# the cardinality/skew profile that decides broadcast vs sort-merge vs
+# salting — row count, distinct keys, the hottest key and its count,
+# and skew_ratio = hottest / mean-per-key (AQE's skew-join trigger is
+# this same statistic at partition granularity). One unpivot + two
+# hash aggs (the profile_columns shape); everything is exact integers
+# except the two pinned divisions.
+_SKEW_KEYS = ("l_orderkey", "l_partkey", "l_suppkey")
+
+
+def q_diag_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    unpivoted = li.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("join_key"),
+                        F.col(c).cast("long").alias("k"),
+                    )
+                    for c in _SKEW_KEYS
+                ]
+            )
+        ).alias("ck")
+    ).select("ck.join_key", "ck.k")
+    per_key = unpivoted.groupBy("join_key", "k").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return per_key.groupBy("join_key").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max(F.struct(F.col("cnt"), (-F.col("k")).alias("nk"))).alias("s"),
+    ).select(
+        "join_key",
+        "n_rows",
+        "n_keys",
+        (-F.col("s.nk")).alias("hottest_key"),
+        F.col("s.cnt").alias("hottest_cnt"),
+        F.round(
+            F.col("n_rows").cast("double") / F.col("n_keys"), 6
+        ).alias("mean_per_key"),
+        F.round(
+            F.col("s.cnt").cast("double")
+            * F.col("n_keys").cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("skew_ratio"),
+    )
+
+
+_SKEW_UNION = " UNION ALL ".join(
+    f"SELECT '{c}' AS join_key, CAST({c} AS BIGINT) AS k FROM lineitem"
+    for c in _SKEW_KEYS
+)
+
+DIAG_JOIN_SKEW_SQL = f"""
+WITH unpivoted AS (
+  {_SKEW_UNION}
+),
+per_key AS (
+  SELECT join_key, k, count(*) AS cnt FROM unpivoted GROUP BY join_key, k
+),
+agg AS (
+  SELECT join_key,
+         CAST(sum(cnt) AS BIGINT) AS n_rows,
+         CAST(count(*) AS BIGINT) AS n_keys,
+         max({{'v1': cnt, 'v2': -k}}) AS s
+  FROM per_key GROUP BY join_key
+)
+SELECT join_key, n_rows, n_keys,
+       CAST(-(s.v2) AS BIGINT) AS hottest_key,
+       CAST(s.v1 AS BIGINT) AS hottest_cnt,
+       round(CAST(n_rows AS DOUBLE) / n_keys, 6) AS mean_per_key,
+       round(CAST(s.v1 AS DOUBLE) * CAST(n_keys AS DOUBLE)
+             / CAST(n_rows AS DOUBLE), 6) AS skew_ratio
+FROM agg
+"""
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register(
@@ -948,3 +1028,4 @@ def register_all() -> None:
         FEATURE_SCALE_STANDARD_SQL,
     )
     register("impute_missing", q_impute_missing, IMPUTE_MISSING_SQL)
+    register("diag_join_skew", q_diag_join_skew, DIAG_JOIN_SKEW_SQL)
