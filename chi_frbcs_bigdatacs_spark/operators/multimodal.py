@@ -1,7 +1,7 @@
 """M4 — multimodal columns: binary media + typed metadata, with
 hand-rolled codecs decoded inside Arrow-batched `mapInPandas`.
 
-27 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
+29 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
 payloads are deterministically generated per-row from `documents`
 columns, so a closed-form SQL oracle can predict every decoded
 sample/pixel. What's real end-to-end: binary column handling, typed

@@ -679,7 +679,6 @@ def q_resample_enn(
 
 RESAMPLE_ENN_SQL = f"""
 WITH clf AS ({LINEITEM_CLF_SQL}),
-cnt AS (SELECT label, count(*) AS n FROM clf GROUP BY label),
 band AS (SELECT {_TOMEK_BAND_SQL} AS w),
 m AS (
   SELECT id, label, f1, f2, f3, f4,

@@ -2220,8 +2220,16 @@ def q_simsearch_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_rerank(short, "sq_dist255", SQ8_K)
 
 
-SIMSEARCH_SQ8_SQL = f"""
-WITH dims AS (
+def _sq8_serve_sql(extra_ctes: str = "", cand_join: str = "") -> str:
+    """The SQ8 ADC serve + exact re-rank oracle chain, shared by the
+    flat key and the IVF,SQ8 composition (never hand-drift — the
+    repo's generated-SQL discipline): corpus micros, per-dim bounds,
+    query micros, quantized + exact distances, shortlist, re-rank.
+    `extra_ctes` prepends (e.g. the kmeans/probe/cand chain) and
+    `cand_join` restricts the scored set (e.g. "JOIN cand USING
+    (vec_id)")."""
+    return f"""
+WITH {extra_ctes}dims AS (
   SELECT unnest(range({DIM})) AS dim
 ),
 m AS (
@@ -2245,7 +2253,7 @@ d AS (
                 THEN ((m.xm - b.mn) * {SQ8_LEVELS} // b.rng) * b.rng
                 ELSE 0 END) AS dd,
          q.qm - m.xm AS de
-  FROM m JOIN b USING (dim) JOIN q USING (dim)
+  FROM m {cand_join} JOIN b USING (dim) JOIN q USING (dim)
 ),
 agg AS (
   SELECT vec_id,
@@ -2267,6 +2275,9 @@ FROM (
 WHERE rank <= {SQ8_K}
 ORDER BY rank
 """
+
+
+SIMSEARCH_SQ8_SQL = _sq8_serve_sql()
 
 
 # --- PCA top component via one-pass covariance + power iteration (r13) --------
@@ -2335,10 +2346,20 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(1, PCA_D + 1)
         ]
     )
+    # sums in DECIMAL(38,0): per-row micro-unit cross-products are
+    # ~1e12-1e13, so a BIGINT sum overflows ANSI-fatally past ~9e6
+    # rows — far below the target scale. DuckDB's BIGINT sum is
+    # already HUGEINT (128-bit), so only the Spark side needs the
+    # widening; both sides convert the exact integer to double once.
     aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(f"x{i}").alias(f"s{i}") for i in range(1, PCA_D + 1)]
     aggs += [
-        F.sum(F.col(f"x{i}") * F.col(f"x{j}")).alias(f"s{i}_{j}")
+        F.sum(F.col(f"x{i}").cast("decimal(38,0)")).alias(f"s{i}")
+        for i in range(1, PCA_D + 1)
+    ]
+    aggs += [
+        F.sum(
+            (F.col(f"x{i}") * F.col(f"x{j}")).cast("decimal(38,0)")
+        ).alias(f"s{i}_{j}")
         for i in range(1, PCA_D + 1)
         for j in range(i, PCA_D + 1)
     ]
@@ -2482,6 +2503,10 @@ def q_simsearch_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
     a2, cent, _ = _kmeans_index(spark, sf_dir)
     _, bounds, qm = _sq_bounds_and_query(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # one extra TakeOrdered(1) collect for the RAW query floats (the
+    # probe2 precedent): probe selection must use raw-double sqdist vs
+    # the oracle's qvec — reconstructing from qm's micros would change
+    # the tie geometry, and _kmeans_index's seeds are local to it
     qvec = list(
         emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
     )
@@ -2508,8 +2533,7 @@ def q_simsearch_ivf_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_sq8_sql() -> str:
-    return f"""
-WITH {_ivf_kmeans_ctes()},
+    extra = f"""{_ivf_kmeans_ctes()},
 qv AS (
   SELECT embedding AS qvec FROM embeddings ORDER BY vec_id ASC LIMIT 1
 ),
@@ -2518,55 +2542,13 @@ qk AS (
   ORDER BY {_sqdist_sql('qv.qvec', 'c.cvec')} ASC, c.k ASC
   LIMIT {IVF_SQ8_NPROBE}
 ),
-dims AS (
-  SELECT unnest(range({DIM})) AS dim
-),
-m AS (
-  SELECT vec_id, dim,
-         CAST(round(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
-                    * {MICRO}, 0) AS BIGINT) AS xm
-  FROM embeddings CROSS JOIN dims
-),
-b AS (
-  SELECT dim, min(xm) AS mn, max(xm) - min(xm) AS rng
-  FROM m GROUP BY dim
-),
-q AS (
-  SELECT dim, xm AS qm FROM m
-  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
-),
 cand AS (
   SELECT a2.vec_id FROM a2 JOIN qk ON a2.k = qk.k
 ),
-d AS (
-  SELECT m.vec_id,
-         {SQ8_LEVELS} * q.qm
-           - ({SQ8_LEVELS} * b.mn + CASE WHEN b.rng > 0
-                THEN ((m.xm - b.mn) * {SQ8_LEVELS} // b.rng) * b.rng
-                ELSE 0 END) AS dd,
-         q.qm - m.xm AS de
-  FROM m JOIN cand USING (vec_id) JOIN b USING (dim) JOIN q USING (dim)
-),
-agg AS (
-  SELECT vec_id,
-         CAST(sum(dd * dd) AS BIGINT) AS sq_dist255,
-         CAST(sum(de * de) AS BIGINT) AS exact_d2_micro
-  FROM d GROUP BY vec_id
-),
-short AS (
-  SELECT * FROM agg
-  ORDER BY sq_dist255 ASC, vec_id ASC LIMIT {SQ8_SHORTLIST}
-)
-SELECT rank, vec_id, sq_dist255, exact_d2_micro
-FROM (
-  SELECT CAST(row_number() OVER (
-           ORDER BY exact_d2_micro ASC, vec_id ASC) AS BIGINT) AS rank,
-         vec_id, sq_dist255, exact_d2_micro
-  FROM short
-)
-WHERE rank <= {SQ8_K}
-ORDER BY rank
 """
+    return _sq8_serve_sql(
+        extra_ctes=extra, cand_join="JOIN cand USING (vec_id)"
+    )
 
 
 # --- binary quantization + Hamming serve (r12) -------------------------------

@@ -12,7 +12,11 @@ geometry (60-bit hash, 52-bit rho domain) and estimator layout are
 repo-specific; the published tables are for a different hash width.
 
 Run: python scripts/gen_hll_bias.py
-Prints the knot arrays to paste into operators/curation.py. The
+Prints the full measured grid for inspection, then the KEEP-knot
+arrays to paste into operators/curation.py — exactly the committed
+constants (the tail knots past KEEP are measured but REJECTED: their
+"bias" is inside the simulation stderr, and correcting with noise
+would inject it — see the table comment in curation.py). The
 simulation is seeded — re-running reproduces the committed constants
 exactly.
 """
@@ -26,6 +30,7 @@ ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 TWO53 = float(1 << 53)
 SEED = 20260816
 TRIALS = 3000
+KEEP = 10  # knots committed to curation.py; the rest are noise-zone
 
 # Correction zone: raw estimates between the linear-counting handoff
 # (~2.5m) and where the raw estimator's bias fades into its stderr
@@ -72,8 +77,9 @@ def main() -> None:
             f"n={n:5d} raw_mean={mean_raw:9.2f} bias={mean_raw - n:+8.2f} "
             f"(+-{stderr:.2f}) rel_bias={100 * (mean_raw - n) / n:+.2f}%"
         )
-    print("\nHLL_BIAS_RAW =", raw_knots)
-    print("HLL_BIAS =", bias_knots)
+    print("\n# committed zone: first KEEP knots only (tail = sim noise)")
+    print("HLL_BIAS_RAW =", raw_knots[:KEEP])
+    print("HLL_BIAS =", bias_knots[:KEEP])
 
 
 if __name__ == "__main__":
