@@ -232,9 +232,10 @@ def test_jpeg_420_flat_blocks_bit_exact(bw, bh, vals):
 
 def test_jpeg_sampling_rejection_guards():
     """Unsupported sampling layouts must be rejected BY NAME (the
-    wire-format guard convention): 2:4 and 4:1:1 SOFs raise
+    wire-format guard convention): 2:4 and 1:4 SOFs raise
     NotImplementedError rather than silently mis-decoding. (4:2:2 —
-    0x21 — graduated from this list to a real decode path in r12.)"""
+    0x21 — graduated from this list to a real decode path in r12;
+    4:1:1 — 0x41 — in r13.)"""
     import pytest
 
     from chi_frbcs_bigdatacs_spark.operators.multimodal import (
@@ -249,7 +250,7 @@ def test_jpeg_sampling_rejection_guards():
     # SOF0: marker(2) len(2) prec(1) h(2) w(2) ncomp(1) then
     # [id, sampling, qtab] per component -> comp-1 sampling at i+11
     assert i > 0 and raw[i + 11] == 0x22
-    for bad in (0x12, 0x41):  # 2:4 / 4:1:1
+    for bad in (0x12, 0x14):  # 2:4 / 1:4 vertical layouts
         patched = bytearray(raw)
         patched[i + 11] = bad
         with pytest.raises(NotImplementedError, match="sampling"):
