@@ -1,12 +1,12 @@
 """M4 — multimodal columns: binary media + typed metadata, with
 hand-rolled codecs decoded inside Arrow-batched `mapInPandas`.
 
-29 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
+30 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
 payloads are deterministically generated per-row from `documents`
 columns, so a closed-form SQL oracle can predict every decoded
 sample/pixel. What's real end-to-end: binary column handling, typed
 metadata schema, Arrow batch transfer, per-partition decode
-parallelism, and the 15 codec bitstream decoders themselves —
+parallelism, and the codec bitstream decoders themselves —
 written against the public specs, not wrapped libraries:
 
   - JPEG (ITU-T T.81): baseline gray + color, 4:2:0 / 4:2:2 / 4:1:1
@@ -16,7 +16,8 @@ written against the public specs, not wrapped libraries:
     gray+alpha, tRNS transparency, all 5 row filters, Adam7
     interlacing, dynamic-Huffman deflate streams.
   - BMP uncompressed + RLE8, GIF (GIF89a LZW), QOI (qoiformat.org),
-    WAV PCM + G.711 mu-law.
+    WAV PCM + G.711 mu-law/A-law + IMA ADPCM (the state-machine
+    codec, oracled via a recursive-CTE walk).
 
 Non-codec media ops: media_meta (metadata projection), media_frames
 (fixed-size frame sampling + per-frame digests), media_resize
@@ -882,6 +883,237 @@ SELECT doc_id,
        CAST(list_sum(list_transform(range(n),
            i -> (i + 1) * smp[i + 1])) AS BIGINT) AS checksum
 FROM s
+"""
+
+
+# --- IMA/DVI ADPCM WAV (r13) ---------------------------------------------------
+# The codec this repo long documented as "non-oracle-able" (its
+# decoder is a sequential predictor state machine, not a per-sample
+# formula) — PROVEN oracle-able here: the per-sample recurrence
+#   step = STEP[idx]; diff = step>>3 (+step>>2 if b0)(+step>>1 if b1)
+#                     (+step if b2); pred ±= diff (sign b3), clamped
+#   idx += INDEX[nibble & 7], clamped to [0, 88]
+# is integer-exact, so a DuckDB RECURSIVE CTE walks the identical
+# machine per document (the SSSP/walk idiom applied to a codec) and
+# every feature accumulates inside the recursion — hash-exact parity
+# with the Python decoder. Wire surface: WAV fmt tag 0x11 mono 4-bit
+# with the IMA block layout (4-byte header carrying the initial
+# predictor+index = the first output sample, then 2 nibbles/byte,
+# low nibble first) and the fact chunk compressed WAV requires.
+# Tables are the public IMA constants (89-entry step table, 8-entry
+# index table); property-pinned (monotone, 7..32767).
+ADPCM_STEP = [
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026,
+    4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442,
+    11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623,
+    27086, 29794, 32767,
+]
+ADPCM_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+ADPCM_MOD = 239
+
+
+def _adpcm_nibble(seed: int, i: int) -> int:
+    return (seed * 7 + i * 3) % 16
+
+
+def _adpcm_step_state(
+    pred: int, idx: int, nib: int
+) -> tuple[int, int]:
+    step = ADPCM_STEP[idx]
+    diff = step >> 3
+    if nib & 1:
+        diff += step >> 2
+    if nib & 2:
+        diff += step >> 1
+    if nib & 4:
+        diff += step
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    idx = max(0, min(88, idx + ADPCM_INDEX[nib & 7]))
+    return pred, idx
+
+
+def _encode_wav_adpcm(seed: int, n_nibbles: int) -> bytes:
+    """One-block IMA ADPCM WAV: fmt tag 0x11, block header = initial
+    (predictor, index), then the closed-form nibble stream (2 per
+    byte, low first). n_nibbles is even by fixture construction."""
+    import struct
+
+    pred0 = ((seed * 97) % 4096) - 2048
+    idx0 = seed % 89
+    nibs = [_adpcm_nibble(seed, i) for i in range(n_nibbles)]
+    payload = bytes(
+        nibs[i] | (nibs[i + 1] << 4) for i in range(0, n_nibbles, 2)
+    )
+    block = struct.pack("<hBB", pred0, idx0, 0) + payload
+    n_samples = 1 + n_nibbles
+    body = (
+        b"WAVE"
+        + b"fmt "
+        + struct.pack("<I", 20)
+        + struct.pack(
+            "<HHIIHH", 0x11, 1, WAV_SR, WAV_SR // 2, len(block), 4
+        )
+        + struct.pack("<HH", 2, n_samples)  # cbSize + samples/block
+        + b"fact" + struct.pack("<II", 4, n_samples)[:8]
+        + b"data" + struct.pack("<I", len(block)) + block
+        + (b"\x00" if len(block) % 2 else b"")
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_adpcm(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Chunk-walking decode for fmt tag 0x11 (IMA ADPCM) mono 4-bit;
+    returns the shared WAV feature tuple over the expanded samples
+    (header predictor = sample 0)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", raw[4:8])
+    if riff_len != len(raw) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, sr, data, n_fact, spb = 12, None, None, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if (tag, ch, bits) != (0x11, 1, 4):
+                raise ValueError("not 4-bit mono IMA ADPCM")
+            (_cb, spb) = struct.unpack("<HH", body[16:20])
+        elif cid == b"fact":
+            (n_fact,) = struct.unpack("<I", body[:4])
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if sr is None or data is None or n_fact is None:
+        raise ValueError("missing fmt/fact/data chunk")
+    pred, idx, _pad = struct.unpack("<hBB", data[:4])
+    if idx > 88:
+        raise ValueError("initial step index out of range")
+    samples = [pred]
+    for b in data[4:]:
+        for nib in (b & 0x0F, b >> 4):
+            pred, idx = _adpcm_step_state(pred, idx, nib)
+            samples.append(pred)
+    if len(samples) != n_fact:
+        raise ValueError("fact sample count mismatch")
+    if spb != n_fact:
+        raise ValueError("single-block fixture: samples/block != fact")
+    n = len(samples)
+    peak = max(abs(s) for s in samples)
+    sum_abs = sum(abs(s) for s in samples)
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    )
+    checksum = sum((i + 1) * s for i, s in enumerate(samples))
+    return sr, n, peak, sum_abs, zc, checksum
+
+
+def q_media_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") % 24) * 2 + 16).cast("int").alias("n"),  # even
+        (F.col("doc_id") % ADPCM_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_wav_adpcm(int(s), int(n))
+                        for s, n in zip(pdf["seed"], pdf["n"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav_adpcm(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "sr": [f[0] for f in feats],
+                    "n_samples": [f[1] for f in feats],
+                    "peak_abs": [f[2] for f in feats],
+                    "sum_abs": [f[3] for f in feats],
+                    "n_zero_cross": [f[4] for f in feats],
+                    "checksum": [f[5] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, sr int, n_samples int,"
+        " peak_abs long, sum_abs long, n_zero_cross long, checksum long",
+    )
+
+
+def _adpcm_sql() -> str:
+    step_lit = "[" + ", ".join(str(v) for v in ADPCM_STEP) + "]"
+    index_lit = "[" + ", ".join(str(v) for v in ADPCM_INDEX) + "]"
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id,
+         CAST((doc_id % 24) * 2 + 16 AS INT) AS n,
+         doc_id % {ADPCM_MOD} AS s
+  FROM documents
+),
+walk(doc_id, n, s, i, pred, ix, sa, pk, zc, cs, ps) AS (
+  SELECT doc_id, n, s, 0,
+         ((s * 97) % 4096) - 2048,
+         s % 89,
+         abs(((s * 97) % 4096) - 2048),
+         abs(((s * 97) % 4096) - 2048),
+         0,
+         ((s * 97) % 4096) - 2048,
+         ((s * 97) % 4096) - 2048
+  FROM base
+  UNION ALL
+  SELECT doc_id, n, s, i + 1, np.pred, np.ix,
+         sa + abs(np.pred),
+         greatest(pk, abs(np.pred)),
+         zc + CASE WHEN (ps < 0) <> (np.pred < 0) THEN 1 ELSE 0 END,
+         cs + (i + 2) * np.pred,
+         np.pred
+  FROM (
+    SELECT w.*,
+      {{'pred': greatest(-32768, least(32767,
+         w.pred + CASE WHEN nib >= 8 THEN -1 ELSE 1 END
+                  * ((stp // 8)
+                     + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+                     + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+                     + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END))),
+        'ix': greatest(0, least(88, w.ix + {index_lit}[(nib % 8) + 1]))}} AS np
+    FROM (
+      SELECT *,
+             (s * 7 + i * 3) % 16 AS nib,
+             {step_lit}[ix + 1] AS stp
+      FROM walk WHERE i < n
+    ) w
+  ) t
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS INT) AS sr,
+       CAST(n + 1 AS INT) AS n_samples,
+       CAST(pk AS BIGINT) AS peak_abs,
+       CAST(sa AS BIGINT) AS sum_abs,
+       CAST(zc AS BIGINT) AS n_zero_cross,
+       CAST(cs AS BIGINT) AS checksum
+FROM walk WHERE i = n
 """
 
 
@@ -4991,6 +5223,11 @@ def register_all() -> None:
         "media_decode_wav_alaw",
         q_media_decode_wav_alaw,
         MEDIA_DECODE_WAV_ALAW_SQL,
+    )
+    register(
+        "media_decode_wav_adpcm",
+        q_media_decode_wav_adpcm,
+        _adpcm_sql(),
     )
     register("media_dedup", q_media_dedup, MEDIA_DEDUP_SQL)
     register("media_frames", q_media_frames, MEDIA_FRAMES_SQL)

@@ -787,3 +787,68 @@ def test_qoi_rejection_guards():
     noend[-1] = 0  # corrupt the end marker
     with pytest.raises(ValueError, match="end marker"):
         _decode_qoi(bytes(noend))
+
+
+def test_adpcm_tables_and_state_machine_invariants():
+    """IMA ADPCM constants and recurrence (r13): the public 89-entry
+    step table is strictly increasing from 7 to 32767; the index
+    table is the IMA [-1,-1,-1,-1,2,4,6,8]; and the state machine
+    honors the spec's envelope — nibble 0 adds exactly step>>3 and
+    decays the index, nibble 15 subtracts the full
+    step+step>>1+step>>2+step>>3 and raises it by 8, and the
+    predictor clamps at int16 bounds."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        ADPCM_INDEX,
+        ADPCM_STEP,
+        _adpcm_step_state,
+    )
+
+    assert len(ADPCM_STEP) == 89
+    assert ADPCM_STEP[0] == 7 and ADPCM_STEP[-1] == 32767
+    assert all(a < b for a, b in zip(ADPCM_STEP, ADPCM_STEP[1:]))
+    assert ADPCM_INDEX == [-1, -1, -1, -1, 2, 4, 6, 8]
+
+    # nibble 0 at index 30 (step 130): +130>>3 = +16, index 29
+    p, ix = _adpcm_step_state(100, 30, 0)
+    assert (p, ix) == (116, 29)
+    # nibble 15 at index 30: -(130 + 65 + 32 + 16) = -243, index 38
+    p, ix = _adpcm_step_state(100, 30, 15)
+    assert (p, ix) == (100 - 243, 38)
+    # clamping: predictor pinned at int16, index pinned at [0, 88]
+    p, ix = _adpcm_step_state(32760, 88, 7)  # huge positive add
+    assert p == 32767 and ix == 88
+    p, ix = _adpcm_step_state(-32768, 0, 8)  # sign-only nibble
+    assert p == -32768 and ix == 0  # index decays but clamps at 0
+
+
+def test_adpcm_roundtrip_features_match_direct_state_walk(spark):
+    """The full wire decode (chunk walk + block parse) must equal a
+    direct Python walk of the same closed-form nibble stream — pins
+    the header-sample convention (predictor = sample 0) and the
+    low-nibble-first packing."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _adpcm_nibble,
+        _adpcm_step_state,
+        _decode_wav_adpcm,
+        _encode_wav_adpcm,
+    )
+
+    for seed, n in ((5, 16), (123, 40), (238, 62)):
+        sr, ns, peak, sa, zc, cs = _decode_wav_adpcm(
+            _encode_wav_adpcm(seed, n)
+        )
+        pred = ((seed * 97) % 4096) - 2048
+        idx = seed % 89
+        samples = [pred]
+        for i in range(n):
+            pred, idx = _adpcm_step_state(pred, idx, _adpcm_nibble(seed, i))
+            samples.append(pred)
+        assert ns == n + 1 == len(samples)
+        assert peak == max(abs(s) for s in samples)
+        assert sa == sum(abs(s) for s in samples)
+        assert cs == sum((i + 1) * s for i, s in enumerate(samples))
+        assert zc == sum(
+            1
+            for i in range(1, len(samples))
+            if (samples[i - 1] < 0) != (samples[i] < 0)
+        )
