@@ -1,7 +1,7 @@
 """M4 — multimodal columns: binary media + typed metadata, with
 hand-rolled codecs decoded inside Arrow-batched `mapInPandas`.
 
-30 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
+31 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
 payloads are deterministically generated per-row from `documents`
 columns, so a closed-form SQL oracle can predict every decoded
 sample/pixel. What's real end-to-end: binary column handling, typed
@@ -12,7 +12,8 @@ written against the public specs, not wrapped libraries:
   - JPEG (ITU-T T.81): baseline gray + color, 4:2:0 / 4:2:2 / 4:1:1
     chroma subsampling, restart markers, progressive (SOF2) gray +
     color.
-  - PNG (RFC 2083 + zlib/RFC 1951): gray 8/16-bit, palette, RGBA,
+  - PNG (RFC 2083 + zlib/RFC 1951): gray 8/16-bit, RGB 16-bit,
+    palette, RGBA,
     gray+alpha, tRNS transparency, all 5 row filters, Adam7
     interlacing, dynamic-Huffman deflate streams.
   - BMP uncompressed + RLE8, GIF (GIF89a LZW), QOI (qoiformat.org),
@@ -1688,8 +1689,8 @@ def _encode_png(
     chunk are opaque per the spec's short-chunk rule."""
     import struct
 
-    if depth not in (8, 16) or (depth == 16 and ctype != 0):
-        raise ValueError("depth 16 supported for grayscale only")
+    if depth not in (8, 16) or (depth == 16 and ctype not in (0, 2)):
+        raise ValueError("depth 16 supported for grayscale/RGB only")
     if trns and ctype != 3:
         raise ValueError("tRNS fixture supported for palette only")
     run = d % 3 + 2
@@ -1698,6 +1699,13 @@ def _encode_png(
     def sample(x: int, y: int) -> bytes:
         idx = (d + 5 * y + 3 * (x // run)) % 256
         if ctype == 2:
+            if depth == 16:
+                # each channel at v*257 big-endian (hi == lo == v)
+                return bytes(
+                    b
+                    for v in (idx, (2 * idx) % 256, (3 * idx) % 256)
+                    for b in (v, v)
+                )
             return bytes((idx, (2 * idx) % 256, (3 * idx) % 256))
         if ctype == 6:
             return bytes(
@@ -1816,7 +1824,7 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
                 ctype not in (0, 2, 3, 4, 6)
                 or interlace > 1
                 or depth not in (8, 16)
-                or (depth == 16 and ctype != 0)
+                or (depth == 16 and ctype not in (0, 2))
             ):
                 raise NotImplementedError(
                     "only 8-bit grayscale/gray+alpha/RGB/palette/RGBA"
@@ -1880,7 +1888,15 @@ def _decode_png(raw: bytes) -> tuple[int, int, int, int]:
             for i, gx in enumerate(xs):
                 a_ = None
                 if ctype == 2:
-                    r_, g, b = line[bpp * i : bpp * i + 3]
+                    if depth == 16:
+                        # MSB per u16 channel is the 8-bit rendering
+                        r_, g, b = (
+                            line[bpp * i],
+                            line[bpp * i + 2],
+                            line[bpp * i + 4],
+                        )
+                    else:
+                        r_, g, b = line[bpp * i : bpp * i + 3]
                 elif ctype == 6:
                     r_, g, b, a_ = line[bpp * i : bpp * i + 4]
                 elif ctype == 4:  # gray + alpha: (v,v,v) + weight-4 a
@@ -2204,6 +2220,20 @@ def q_media_decode_png_16bit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # closed form (v,v,v) the oracle states
     return _q_png_variant(
         spark, sf_dir, 11, 4, 8, 3, ctype=0, depth=16,
+        filter_cycle=True, level=9,
+    )
+
+
+def q_media_decode_png_16bit_rgb(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # 16-bit RGB (r13 — the last named PNG depth/color combo): three
+    # big-endian u16 channels at v*257, so filters run at bpp=6 and
+    # every predictor reaches back across an hi/lo-interleaved
+    # 6-byte pixel; decode renders the per-channel MSBs, giving the
+    # same RGB closed form as the 8-bit key
+    return _q_png_variant(
+        spark, sf_dir, 10, 5, 7, 4, ctype=2, depth=16,
         filter_cycle=True, level=9,
     )
 
@@ -5189,6 +5219,11 @@ def register_all() -> None:
         "media_decode_png_16bit",
         q_media_decode_png_16bit,
         MEDIA_DECODE_PNG_16BIT_SQL,
+    )
+    register(
+        "media_decode_png_16bit_rgb",
+        q_media_decode_png_16bit_rgb,
+        _png_variant_sql(10, 5, 7, 4),
     )
     register(
         "media_decode_png_trns",

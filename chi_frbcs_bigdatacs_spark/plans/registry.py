@@ -50,8 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #       changed-OUTPUT keys listed at the top of the group.
 #   (4) _R6_STALE_FILL: oldest r6 keys in CORRECTNESS_r06 artifact
 #       order, as many as fit under the cap. Final r13 composition:
-#       8 + 14 + 15 + 13 = 50, cap landing on simsearch_recall. The 36
-#       r6-stale keys that do not fit (ruleweight_pcf_plain onward in r06
+#       8 + 15 + 15 + 12 = 50, cap landing on simsearch_ivf_probe2. The 37
+#       r6-stale keys that do not fit (simsearch_recall onward in r06
 #       artifact order, minus rule_conflict_resolve_d8 which rides
 #       group 3) MUST lead r14's window so the floor keeps rising.
 
@@ -82,6 +82,7 @@ _NEW_R13: list[str] = [
     "metrics_brier",  # new: proper-scoring-rule eval on AC probs
     "diag_join_skew",  # new: per-join-key cardinality/skew profile
     "media_decode_wav_adpcm",  # new: IMA ADPCM via recursive-CTE oracle
+    "media_decode_png_16bit_rgb",  # new: u16 RGB, bpp-6 filter cycle
     # changed-PLAN, identical-output (r13 state compaction: digest-
     # keyed once/emitted state) — re-certify externally even though
     # r12 checked it, since the whole stateful path was rewritten:

@@ -852,3 +852,46 @@ def test_adpcm_roundtrip_features_match_direct_state_walk(spark):
             for i in range(1, len(samples))
             if (samples[i - 1] < 0) != (samples[i] < 0)
         )
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    w=st.integers(min_value=1, max_value=17),
+    h=st.integers(min_value=1, max_value=11),
+    d=st.integers(min_value=0, max_value=238),
+    ctype=st.sampled_from([0, 2]),
+    interlace=st.sampled_from([0, 1]),
+    filter_cycle=st.booleans(),
+    level=st.sampled_from([None, 0, 9]),
+)
+def test_png_16bit_roundtrip(w, h, d, ctype, interlace, filter_cycle, level):
+    """depth 16 (gray r12, RGB r13): u16 samples at v*257 put the
+    filter predictors at bpp 2/6 with hi and lo bytes cross-
+    predicting; every interlace/filter/compressor combination must
+    decode to the SAME closed-form features as the 8-bit rendering
+    of the same fixture."""
+    from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _decode_png,
+        _encode_png,
+    )
+
+    raw = _encode_png(
+        w, h, d, level=level, filter_cycle=filter_cycle,
+        ctype=ctype, interlace=interlace, depth=16,
+    )
+    got = _decode_png(raw)
+    if ctype == 2:
+        assert got == _png_expect(w, h, d)
+    else:
+        run = d % 3 + 2
+
+        def idx(x: int, y: int) -> int:
+            return (d + 5 * y + 3 * (x // run)) % 256
+
+        tg = sum(3 * idx(x, y) for y in range(h) for x in range(w))
+        cg = sum(
+            (1 + x + w * y) * 6 * idx(x, y)
+            for y in range(h)
+            for x in range(w)
+        )
+        assert got == (w, h, tg, cg)
