@@ -1,7 +1,7 @@
 """M4 — multimodal columns: binary media + typed metadata, with
 hand-rolled codecs decoded inside Arrow-batched `mapInPandas`.
 
-31 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
+33 registered keys, ALL DuckDB-oracled (zero rows-only): the binary
 payloads are deterministically generated per-row from `documents`
 columns, so a closed-form SQL oracle can predict every decoded
 sample/pixel. What's real end-to-end: binary column handling, typed
@@ -16,9 +16,10 @@ written against the public specs, not wrapped libraries:
     palette, RGBA,
     gray+alpha, tRNS transparency, all 5 row filters, Adam7
     interlacing, dynamic-Huffman deflate streams.
-  - BMP uncompressed + RLE8, GIF (GIF89a LZW), QOI (qoiformat.org),
-    WAV PCM + G.711 mu-law/A-law + IMA ADPCM (the state-machine
-    codec, oracled via a recursive-CTE walk).
+  - BMP uncompressed + RLE8, GIF (GIF89a LZW, single + animated
+    multi-frame with GCE delays), QOI (qoiformat.org), WAV PCM
+    mono + stereo + G.711 mu-law/A-law + IMA ADPCM (the
+    state-machine codec, oracled via a recursive-CTE walk).
 
 Non-codec media ops: media_meta (metadata projection), media_frames
 (fixed-size frame sampling + per-frame digests), media_resize
@@ -724,6 +725,155 @@ SELECT doc_id,
        CAST(list_sum(list_transform(range(n),
            i -> (i + 1) * smp[i + 1])) AS BIGINT) AS checksum
 FROM s
+"""
+
+
+# --- stereo PCM16 WAV (r13) ----------------------------------------------------
+# Multi-channel audio: 2-channel interleaved frames (L R L R ...,
+# block align 4) — the de-interleave every real audio pipeline does
+# first. Channels carry DIFFERENT closed-form streams (right = left
+# formula with a +17 phase), and the features are PER CHANNEL so a
+# swapped or mis-strided de-interleave flips the hash: peak/sum_abs/
+# zero-crossings/checksum computed over each channel's own sequence.
+STEREO_PHASE = 17
+
+
+def _encode_wav_stereo(d: int, n_frames: int) -> bytes:
+    import struct
+
+    left = _wav_samples(d, n_frames)
+    right = _wav_samples(d + STEREO_PHASE, n_frames)
+    inter = [s for lr in zip(left, right) for s in lr]
+    data = struct.pack("<" + "h" * (2 * n_frames), *inter)
+    fmt = struct.pack("<HHIIHH", 1, 2, WAV_SR, WAV_SR * 4, 4, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _decode_wav_stereo(
+    raw: bytes,
+) -> tuple[int, int, int, int, int, int, int, int, int, int]:
+    """Chunk walk for PCM16 STEREO; de-interleaves and returns
+    (sr, n_frames, peak_l, sum_abs_l, zc_l, checksum_l,
+    peak_r, sum_abs_r, zc_r, checksum_r)."""
+    import struct
+
+    if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    (riff_len,) = struct.unpack("<I", raw[4:8])
+    if riff_len != len(raw) - 8:
+        raise ValueError("RIFF length mismatch")
+    pos, sr, data = 12, None, None
+    while pos + 8 <= len(raw):
+        cid = raw[pos : pos + 4]
+        (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
+        body = raw[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            tag, ch, sr, _rate, align, bits = struct.unpack("<HHIIHH", body)
+            if (tag, ch, bits, align) != (1, 2, 16, 4):
+                raise ValueError("not 16-bit stereo PCM")
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)
+    if sr is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n2 = len(data) // 2
+    if n2 % 2:
+        raise ValueError("odd sample count in stereo data")
+    inter = struct.unpack("<" + "h" * n2, data)
+    chans = (inter[0::2], inter[1::2])
+    out: list[int] = [sr, n2 // 2]
+    for s in chans:
+        out.append(max(abs(v) for v in s))
+        out.append(sum(abs(v) for v in s))
+        out.append(
+            sum(1 for i in range(1, len(s)) if (s[i - 1] < 0) != (s[i] < 0))
+        )
+        out.append(sum((i + 1) * v for i, v in enumerate(s)))
+    return tuple(out)  # type: ignore[return-value]
+
+
+def q_media_decode_wav_stereo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32 + 16).cast("int").alias("n"),
+        (F.col("doc_id") % WAV_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_wav_stereo(int(s), int(n))
+                        for s, n in zip(pdf["seed"], pdf["n"])
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    cols = [
+        "peak_l", "sum_abs_l", "zc_l", "checksum_l",
+        "peak_r", "sum_abs_r", "zc_r", "checksum_r",
+    ]
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_wav_stereo(bytes(m)) for m in pdf["media"]]
+            out = {
+                "doc_id": pdf["doc_id"],
+                "sr": [f[0] for f in feats],
+                "n_frames": [f[1] for f in feats],
+            }
+            for j, c in enumerate(cols):
+                out[c] = [f[2 + j] for f in feats]
+            yield pd.DataFrame(out)
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, sr int, n_frames int, "
+        + ", ".join(f"{c} long" for c in cols),
+    )
+
+
+def _wav_stereo_sql() -> str:
+    def chan(off: str, suffix: str) -> str:
+        smp = f"(((d {off}) * 2311 + i * 7919) % 65536) - 32768"
+        return f"""
+         CAST(list_max(list_transform(range(n),
+             i -> abs({smp}))) AS BIGINT) AS peak_{suffix},
+         CAST(list_sum(list_transform(range(n),
+             i -> abs({smp}))) AS BIGINT) AS sum_abs_{suffix},
+         CAST(list_sum(list_transform(range(1, n), i ->
+             CASE WHEN (((((d {off}) * 2311 + (i - 1) * 7919) % 65536)
+                         - 32768) < 0)
+                  <> (({smp}) < 0)
+                  THEN 1 ELSE 0 END)) AS BIGINT) AS zc_{suffix},
+         CAST(list_sum(list_transform(range(n),
+             i -> (i + 1) * ({smp}))) AS BIGINT) AS checksum_{suffix}"""
+
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 32 + 16 AS INT) AS n,
+         doc_id % {WAV_MOD} AS d
+  FROM documents
+)
+SELECT doc_id,
+       CAST({WAV_SR} AS INT) AS sr,
+       n AS n_frames,
+       {chan('+ 0', 'l')},
+       {chan('+ ' + str(STEREO_PHASE), 'r')}
+FROM base
 """
 
 
@@ -5097,6 +5247,215 @@ def _decode_gif(raw: bytes) -> tuple[int, int, int, int]:
     return w, h, total, checksum
 
 
+# --- animated GIF (r13) ---------------------------------------------------------
+# The multi-frame container surface the single-frame key rejects by
+# name: N full-rectangle frames, each preceded by a Graphic Control
+# Extension (0x21 0xF9: packed flags, u16 delay in centiseconds,
+# transparent index, terminator) and carrying its own LZW stream —
+# the frame-walk grammar of a video-ish pipeline (media_frames' byte
+# slicing, but over a REAL container). Frame f's pixels shift the
+# closed form by 11*f, and the positional checksum weights frame f by
+# (f + 1), so dropped/reordered/cross-bled frames flip the hash; the
+# summed GCE delays pin the extension parse.
+
+
+def _encode_gif_anim(w: int, h: int, d: int, n_frames: int) -> bytes:
+    import struct
+
+    run = d % 3 + 2
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):
+        out += bytes((i, (2 * i) % 256, (3 * i) % 256))
+    for f in range(n_frames):
+        delay = (d + f) % 100 + 1
+        out += b"\x21\xf9\x04\x00" + struct.pack("<H", delay) + b"\x00\x00"
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        rows = [
+            bytes(
+                (d + 5 * y + 3 * (x // run) + 11 * f) % 256
+                for x in range(w)
+            )
+            for y in range(h)
+        ]
+        out.append(8)
+        codes = _lzw_encode(b"".join(rows), 8)
+        for i in range(0, len(codes), 255):
+            chunk = codes[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def _decode_gif_anim(raw: bytes) -> tuple[int, int, int, int, int, int]:
+    """Multi-frame GIF: (w, h, n_frames, sum_delay_cs, rgb_total,
+    frame-weighted positional checksum). Reuses the single-frame
+    key's LZW and palette conventions; full-rectangle non-interlaced
+    frames only (the single-frame key covers interlace)."""
+    import struct
+
+    if raw[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF stream")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", raw, 6)
+    if not packed & 0x80 or packed & 0x07 != 7:
+        raise NotImplementedError("mandatory 256-entry global table")
+    pos = 13
+    gct = [tuple(raw[pos + 3 * i : pos + 3 * i + 3]) for i in range(256)]
+    pos += 768
+    n_frames = sum_delay = total = checksum = 0
+    pending_delay = 0
+    while pos < len(raw):
+        b = raw[pos]
+        if b == 0x3B:
+            pos += 1
+            break
+        if b == 0x21:
+            label = raw[pos + 1]
+            if label == 0xF9:  # GCE: fixed 4-byte block
+                if raw[pos + 2] != 4:
+                    raise ValueError("bad GCE block size")
+                (pending_delay,) = struct.unpack_from("<H", raw, pos + 4)
+            pos += 2
+            while pos < len(raw) and raw[pos] != 0:
+                pos += 1 + raw[pos]
+            if pos >= len(raw):
+                raise ValueError("truncated GIF extension")
+            pos += 1
+        elif b == 0x2C:
+            left, top, iw, ih, ipack = struct.unpack_from(
+                "<HHHHB", raw, pos + 1
+            )
+            if (left, top, iw, ih) != (0, 0, w, h):
+                raise NotImplementedError("sub-rectangle frames")
+            if ipack & 0xC0:
+                raise NotImplementedError(
+                    "local tables/interlace in anim fixture"
+                )
+            pos += 10
+            min_code = raw[pos]
+            pos += 1
+            if min_code != 8:
+                raise NotImplementedError("only 8-bit LZW pixels")
+            codes = bytearray()
+            while True:
+                if pos >= len(raw):
+                    raise ValueError("truncated GIF sub-blocks")
+                ln = raw[pos]
+                if ln == 0:
+                    pos += 1
+                    break
+                codes += raw[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pixels = _lzw_decode(bytes(codes), min_code, w * h)
+            if len(pixels) != w * h:
+                raise ValueError("LZW pixel count mismatch")
+            n_frames += 1
+            sum_delay += pending_delay
+            pending_delay = 0
+            fw = n_frames  # frame weight = (f + 1)
+            for y in range(h):
+                for x in range(w):
+                    r, g, bl = gct[pixels[y * w + x]]
+                    total += r + g + bl
+                    checksum += fw * (1 + x + w * y) * (r + 2 * g + 3 * bl)
+        else:
+            raise ValueError(f"unexpected GIF block {b:#04x}")
+    else:
+        raise ValueError("missing GIF trailer")
+    if n_frames == 0:
+        raise ValueError("no frames before trailer")
+    return w, h, n_frames, sum_delay, total, checksum
+
+
+GIF_ANIM_MOD = PNG_MOD
+
+
+def q_media_decode_gif_anim(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 9 + 4).cast("int").alias("w"),
+        (F.col("doc_id") % 6 + 4).cast("int").alias("h"),
+        (F.col("doc_id") % 3 + 2).cast("int").alias("nf"),
+        (F.col("doc_id") % GIF_ANIM_MOD).cast("int").alias("seed"),
+    )
+    d = d.repartition(spark.sparkContext.defaultParallelism)
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media": [
+                        _encode_gif_anim(int(w), int(hh), int(s), int(nf))
+                        for w, hh, s, nf in zip(
+                            pdf["w"], pdf["h"], pdf["seed"], pdf["nf"]
+                        )
+                    ],
+                }
+            )
+
+    encoded = d.mapInPandas(encode, "doc_id long, media binary")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_decode_gif_anim(bytes(m)) for m in pdf["media"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "gif_w": [f[0] for f in feats],
+                    "gif_h": [f[1] for f in feats],
+                    "n_frames": [f[2] for f in feats],
+                    "sum_delay_cs": [f[3] for f in feats],
+                    "rgb_total": [f[4] for f in feats],
+                    "pos_checksum": [f[5] for f in feats],
+                }
+            )
+
+    return encoded.mapInPandas(
+        decode,
+        "doc_id long, gif_w int, gif_h int, n_frames int,"
+        " sum_delay_cs long, rgb_total long, pos_checksum long",
+    )
+
+
+def _gif_anim_sql() -> str:
+    # per frame f: pixel index v = (d + 5y + 3(x//run) + 11f) % 256,
+    # palette (v, 2v%256, 3v%256); delays (d+f)%100+1 sum over frames
+    v = "(d + 5 * y + 3 * (x // run) + 11 * f) % 256"
+    rgb = f"(({v}) + (2 * ({v})) % 256 + (3 * ({v})) % 256)"
+    wsum = (
+        f"(({v}) + 2 * ((2 * ({v})) % 256) + 3 * ((3 * ({v})) % 256))"
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(doc_id % 9 + 4 AS INT) AS w,
+         CAST(doc_id % 6 + 4 AS INT) AS h,
+         CAST(doc_id % 3 + 2 AS INT) AS nf,
+         doc_id % {GIF_ANIM_MOD} AS d,
+         (doc_id % {GIF_ANIM_MOD}) % 3 + 2 AS run
+  FROM documents
+)
+SELECT doc_id, w AS gif_w, h AS gif_h, nf AS n_frames,
+       CAST(list_sum(list_transform(range(nf),
+           f -> (d + f) % 100 + 1)) AS BIGINT) AS sum_delay_cs,
+       CAST(list_sum(flatten(list_transform(range(nf), f ->
+           flatten(list_transform(range(h), y ->
+               list_transform(range(w), x ->
+                   CAST({rgb} AS DOUBLE))))))) AS BIGINT) AS rgb_total,
+       CAST(list_sum(flatten(list_transform(range(nf), f ->
+           flatten(list_transform(range(h), y ->
+               list_transform(range(w), x ->
+                   CAST((f + 1) * (1 + x + w * y) * {wsum}
+                        AS DOUBLE))))))) AS BIGINT) AS pos_checksum
+FROM base
+"""
+
+
 def q_media_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
@@ -5246,9 +5605,17 @@ def register_all() -> None:
         MEDIA_DECODE_PNG_FILTERED_SQL,
     )
     register("media_decode_gif", q_media_decode_gif, _gif_sql())
+    register(
+        "media_decode_gif_anim", q_media_decode_gif_anim, _gif_anim_sql()
+    )
     register("media_decode_qoi", q_media_decode_qoi, _qoi_sql())
     register("media_decode_bmp", q_media_decode_bmp, MEDIA_DECODE_BMP_SQL)
     register("media_decode_wav", q_media_decode_wav, MEDIA_DECODE_WAV_SQL)
+    register(
+        "media_decode_wav_stereo",
+        q_media_decode_wav_stereo,
+        _wav_stereo_sql(),
+    )
     register(
         "media_decode_wav_ulaw",
         q_media_decode_wav_ulaw,

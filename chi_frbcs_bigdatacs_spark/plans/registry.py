@@ -50,8 +50,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #       changed-OUTPUT keys listed at the top of the group.
 #   (4) _R6_STALE_FILL: oldest r6 keys in CORRECTNESS_r06 artifact
 #       order, as many as fit under the cap. Final r13 composition:
-#       8 + 15 + 15 + 12 = 50, cap landing on simsearch_ivf_probe2. The 37
-#       r6-stale keys that do not fit (simsearch_recall onward in r06
+#       8 + 17 + 15 + 10 = 50, cap landing on sql_q20. The 39
+#       r6-stale keys that do not fit (simsearch_ivf_kmeans onward in r06
 #       artifact order, minus rule_conflict_resolve_d8 which rides
 #       group 3) MUST lead r14's window so the floor keeps rising.
 
@@ -83,6 +83,8 @@ _NEW_R13: list[str] = [
     "diag_join_skew",  # new: per-join-key cardinality/skew profile
     "media_decode_wav_adpcm",  # new: IMA ADPCM via recursive-CTE oracle
     "media_decode_png_16bit_rgb",  # new: u16 RGB, bpp-6 filter cycle
+    "media_decode_wav_stereo",  # new: 2-channel de-interleave
+    "media_decode_gif_anim",  # new: multi-frame GCE container walk
     # changed-PLAN, identical-output (r13 state compaction: digest-
     # keyed once/emitted state) — re-certify externally even though
     # r12 checked it, since the whole stateful path was rewritten:
