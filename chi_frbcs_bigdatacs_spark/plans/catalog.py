@@ -187,7 +187,13 @@ def q_classify_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     E1-then-E2 lifecycle with genuinely disjoint train/test data."""
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    df = lineitem_clf(spark, sf_dir)
+    # test side repartitioned too (r13): fit() repartitions train
+    # internally, but transform(test) would otherwise inherit the raw
+    # 3-file scan into the cell explosion (the estimator's documented
+    # partitioning trap)
+    df = lineitem_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     train = df.filter(F.col("id") % N_FOLDS != 0)
     test = df.filter(F.col("id") % N_FOLDS == 0)
     model = ChiFRBCSClassifier(parts=P).fit(train)
@@ -201,7 +207,9 @@ def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    df = lineitem_clf(spark, sf_dir)
+    df = lineitem_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     outs = []
     for k in range(N_FOLDS):
         train = df.filter(F.col("id") % N_FOLDS != k)
@@ -274,7 +282,9 @@ def q_crossval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
     from chi_frbcs_bigdatacs_spark.sources.testdata import embeddings_clf
 
-    df = embeddings_clf(spark, sf_dir)
+    df = embeddings_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     outs = []
     for k in range(N_FOLDS):
         train = df.filter(F.col("id") % N_FOLDS != k)
@@ -396,7 +406,9 @@ def q_hyperparam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    df = lineitem_clf(spark, sf_dir)
+    df = lineitem_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     train = df.filter(F.col("id") % N_FOLDS != 0)
     test = df.filter(F.col("id") % N_FOLDS == 0)
     outs = []
@@ -605,7 +617,12 @@ def q_metrics_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join key IS the rule antecedent, and the struct-max argmax
     # encodes the identical ORDER BY score DESC, l1..ld ASC, cls ASC
     # tie-break (negated ints invert the order) — same oracle hash.
-    df = lineitem_clf(spark, sf_dir)
+    # r13: repartition before fuzzify (the fit() discipline — the raw
+    # sf0.1 scan is 3 files and would starve the cell explosion;
+    # measured 24s -> ~7s warm)
+    df = lineitem_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fz = R.fuzzify(df, P)
     rules = R.build_rules(
         R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
@@ -775,7 +792,12 @@ register("metrics_mcc_kappa", q_metrics_mcc_kappa, _METRICS_MCC_KAPPA_SQL)
 
 
 def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = lineitem_clf(spark, sf_dir)
+    # repartition the narrow input BEFORE fuzzification (the fit()
+    # discipline): the raw sf0.1 scan is 3 files, and the candidate
+    # explosion would otherwise run 3-wide (measured 31s vs ~7s)
+    df = lineitem_clf(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
     fz = R.fuzzify(df, P)
     rules = R.build_rules(
         R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
