@@ -461,10 +461,10 @@ def test_png_fixed_huffman_codec_roundtrip_and_rejections():
     )
     with pytest.raises(ValueError, match="filter type"):
         _decode_png(bad_png)
-    # unsupported IHDR routes to NotImplementedError (16-bit non-gray
-    # combinations; ctype=6 RGBA and ctype=4 gray+alpha became REAL
-    # in r12 — see test_png_rgba_roundtrip / _grayalpha_roundtrip)
-    for depth, ctype in ((16, 4), (16, 2)):
+    # unsupported IHDR routes to NotImplementedError (remaining 16-bit
+    # combos; ctype=6 RGBA and ctype=4 gray+alpha became REAL in r12,
+    # 16-bit RGB (16, 2) in r13 — see test_png_16bit_roundtrip)
+    for depth, ctype in ((16, 4), (16, 6), (16, 3)):
         ihdr = struct.pack(">IIBBBBB", 5, 3, depth, ctype, 0, 0, 0)
         chunk = (
             struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
