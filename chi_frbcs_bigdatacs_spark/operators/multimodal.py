@@ -1088,39 +1088,56 @@ def _adpcm_step_state(
     return pred, idx
 
 
-def _encode_wav_adpcm(seed: int, n_nibbles: int) -> bytes:
-    """One-block IMA ADPCM WAV: fmt tag 0x11, block header = initial
-    (predictor, index), then the closed-form nibble stream (2 per
-    byte, low first). n_nibbles is even by fixture construction."""
+def _adpcm_block_init(seed: int, b: int) -> tuple[int, int]:
+    """Closed-form per-block header: each block resets the predictor
+    state machine (the format's defining trap — a decoder that lets
+    state leak across a block boundary mis-expands every later
+    block)."""
+    return ((seed * 97 + 53 * b) % 4096) - 2048, (seed + 13 * b) % 89
+
+
+def _encode_wav_adpcm(seed: int, n_nibbles: int, n_blocks: int) -> bytes:
+    """Multi-block IMA ADPCM WAV: fmt tag 0x11; every block carries
+    its own 4-byte header (initial predictor + step index = the
+    block's first output sample) followed by n_nibbles closed-form
+    nibbles (2 per byte, low first; the global nibble index runs
+    ACROSS blocks while the state resets per block). n_nibbles is
+    even by fixture construction."""
     import struct
 
-    pred0 = ((seed * 97) % 4096) - 2048
-    idx0 = seed % 89
-    nibs = [_adpcm_nibble(seed, i) for i in range(n_nibbles)]
-    payload = bytes(
-        nibs[i] | (nibs[i + 1] << 4) for i in range(0, n_nibbles, 2)
-    )
-    block = struct.pack("<hBB", pred0, idx0, 0) + payload
-    n_samples = 1 + n_nibbles
+    blocks = bytearray()
+    for b in range(n_blocks):
+        pred0, idx0 = _adpcm_block_init(seed, b)
+        nibs = [
+            _adpcm_nibble(seed, b * n_nibbles + i) for i in range(n_nibbles)
+        ]
+        blocks += struct.pack("<hBB", pred0, idx0, 0)
+        blocks += bytes(
+            nibs[i] | (nibs[i + 1] << 4) for i in range(0, n_nibbles, 2)
+        )
+    block_align = 4 + n_nibbles // 2
+    n_samples = n_blocks * (1 + n_nibbles)
     body = (
         b"WAVE"
         + b"fmt "
         + struct.pack("<I", 20)
         + struct.pack(
-            "<HHIIHH", 0x11, 1, WAV_SR, WAV_SR // 2, len(block), 4
+            "<HHIIHH", 0x11, 1, WAV_SR, WAV_SR // 2, block_align, 4
         )
-        + struct.pack("<HH", 2, n_samples)  # cbSize + samples/block
+        + struct.pack("<HH", 2, 1 + n_nibbles)  # cbSize + samples/block
         + b"fact" + struct.pack("<II", 4, n_samples)[:8]
-        + b"data" + struct.pack("<I", len(block)) + block
-        + (b"\x00" if len(block) % 2 else b"")
+        + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
+        + (b"\x00" if len(blocks) % 2 else b"")
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _decode_wav_adpcm(raw: bytes) -> tuple[int, int, int, int, int, int]:
     """Chunk-walking decode for fmt tag 0x11 (IMA ADPCM) mono 4-bit;
-    returns the shared WAV feature tuple over the expanded samples
-    (header predictor = sample 0)."""
+    walks every block (state RESETS at each block header; features —
+    including zero-crossings — run over the concatenated sample
+    stream, so boundary transitions count) and returns the shared WAV
+    feature tuple."""
     import struct
 
     if raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
@@ -1128,13 +1145,13 @@ def _decode_wav_adpcm(raw: bytes) -> tuple[int, int, int, int, int, int]:
     (riff_len,) = struct.unpack("<I", raw[4:8])
     if riff_len != len(raw) - 8:
         raise ValueError("RIFF length mismatch")
-    pos, sr, data, n_fact, spb = 12, None, None, None, None
+    pos, sr, data, n_fact, spb, align = 12, None, None, None, None, None
     while pos + 8 <= len(raw):
         cid = raw[pos : pos + 4]
         (clen,) = struct.unpack("<I", raw[pos + 4 : pos + 8])
         body = raw[pos + 8 : pos + 8 + clen]
         if cid == b"fmt ":
-            tag, ch, sr, _rate, _align, bits = struct.unpack(
+            tag, ch, sr, _rate, align, bits = struct.unpack(
                 "<HHIIHH", body[:16]
             )
             if (tag, ch, bits) != (0x11, 1, 4):
@@ -1145,20 +1162,24 @@ def _decode_wav_adpcm(raw: bytes) -> tuple[int, int, int, int, int, int]:
         elif cid == b"data":
             data = body
         pos += 8 + clen + (clen % 2)
-    if sr is None or data is None or n_fact is None:
+    if sr is None or data is None or n_fact is None or align is None:
         raise ValueError("missing fmt/fact/data chunk")
-    pred, idx, _pad = struct.unpack("<hBB", data[:4])
-    if idx > 88:
-        raise ValueError("initial step index out of range")
-    samples = [pred]
-    for b in data[4:]:
-        for nib in (b & 0x0F, b >> 4):
-            pred, idx = _adpcm_step_state(pred, idx, nib)
-            samples.append(pred)
+    if len(data) % align:
+        raise ValueError("data chunk is not block-aligned")
+    samples: list[int] = []
+    for off in range(0, len(data), align):
+        pred, idx, _pad = struct.unpack("<hBB", data[off : off + 4])
+        if idx > 88:
+            raise ValueError("initial step index out of range")
+        samples.append(pred)
+        for byte in data[off + 4 : off + align]:
+            for nib in (byte & 0x0F, byte >> 4):
+                pred, idx = _adpcm_step_state(pred, idx, nib)
+                samples.append(pred)
     if len(samples) != n_fact:
         raise ValueError("fact sample count mismatch")
-    if spb != n_fact:
-        raise ValueError("single-block fixture: samples/block != fact")
+    if spb != 1 + 2 * (align - 4):
+        raise ValueError("samples/block inconsistent with block align")
     n = len(samples)
     peak = max(abs(s) for s in samples)
     sum_abs = sum(abs(s) for s in samples)
@@ -1173,6 +1194,7 @@ def q_media_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id",
         ((F.col("doc_id") % 24) * 2 + 16).cast("int").alias("n"),  # even
+        (F.col("doc_id") % 2 + 1).cast("int").alias("nb"),
         (F.col("doc_id") % ADPCM_MOD).cast("int").alias("seed"),
     )
     d = d.repartition(spark.sparkContext.defaultParallelism)
@@ -1183,8 +1205,10 @@ def q_media_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "doc_id": pdf["doc_id"],
                     "media": [
-                        _encode_wav_adpcm(int(s), int(n))
-                        for s, n in zip(pdf["seed"], pdf["n"])
+                        _encode_wav_adpcm(int(s), int(n), int(nb))
+                        for s, n, nb in zip(
+                            pdf["seed"], pdf["n"], pdf["nb"]
+                        )
                     ],
                 }
             )
@@ -1214,57 +1238,68 @@ def q_media_decode_wav_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _adpcm_sql() -> str:
+    # ONE walk per doc over global sample index g in [0, nb*(n+1)):
+    # at g with g % (n+1) = 0 the state RESETS to block g//(n+1)'s
+    # closed-form header (no nibble consumed); otherwise one state
+    # step with global nibble index k = g - (g // (n+1)) - 1 + ...
+    # = g - b - 1 where b = g // (n+1). Features (incl. the cross-
+    # boundary zero-crossings) accumulate inside the recursion.
     step_lit = "[" + ", ".join(str(v) for v in ADPCM_STEP) + "]"
     index_lit = "[" + ", ".join(str(v) for v in ADPCM_INDEX) + "]"
+    # block-b header expressions as functions of s and b
+    hp = "(((s * 97 + 53 * {b}) % 4096) - 2048)"
+    hi = "((s + 13 * {b}) % 89)"
+    p0 = hp.format(b="0")
+    i0 = hi.format(b="0")
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id,
          CAST((doc_id % 24) * 2 + 16 AS INT) AS n,
+         CAST(doc_id % 2 + 1 AS INT) AS nb,
          doc_id % {ADPCM_MOD} AS s
   FROM documents
 ),
-walk(doc_id, n, s, i, pred, ix, sa, pk, zc, cs, ps) AS (
-  SELECT doc_id, n, s, 0,
-         ((s * 97) % 4096) - 2048,
-         s % 89,
-         abs(((s * 97) % 4096) - 2048),
-         abs(((s * 97) % 4096) - 2048),
-         0,
-         ((s * 97) % 4096) - 2048,
-         ((s * 97) % 4096) - 2048
+walk(doc_id, n, nb, s, g, pred, ix, sa, pk, zc, cs, ps) AS (
+  SELECT doc_id, n, nb, s, 0,
+         {p0}, {i0},
+         abs({p0}), abs({p0}), 0, {p0}, {p0}
   FROM base
   UNION ALL
-  SELECT doc_id, n, s, i + 1, np.pred, np.ix,
+  SELECT doc_id, n, nb, s, g + 1, np.pred, np.ix,
          sa + abs(np.pred),
          greatest(pk, abs(np.pred)),
          zc + CASE WHEN (ps < 0) <> (np.pred < 0) THEN 1 ELSE 0 END,
-         cs + (i + 2) * np.pred,
+         cs + (g + 2) * np.pred,
          np.pred
   FROM (
     SELECT w.*,
-      {{'pred': greatest(-32768, least(32767,
-         w.pred + CASE WHEN nib >= 8 THEN -1 ELSE 1 END
-                  * ((stp // 8)
-                     + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
-                     + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
-                     + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END))),
-        'ix': greatest(0, least(88, w.ix + {index_lit}[(nib % 8) + 1]))}} AS np
+      CASE WHEN (g + 1) % (n + 1) = 0
+           THEN {{'pred': {hp.format(b="((g + 1) // (n + 1))")},
+                 'ix': {hi.format(b="((g + 1) // (n + 1))")}}}
+           ELSE {{'pred': greatest(-32768, least(32767,
+              w.pred + CASE WHEN nib >= 8 THEN -1 ELSE 1 END
+                       * ((stp // 8)
+                          + CASE WHEN nib % 2 = 1 THEN stp // 4 ELSE 0 END
+                          + CASE WHEN (nib // 2) % 2 = 1 THEN stp // 2 ELSE 0 END
+                          + CASE WHEN (nib // 4) % 2 = 1 THEN stp ELSE 0 END))),
+                 'ix': greatest(0, least(88, w.ix + {index_lit}[(nib % 8) + 1]))}}
+      END AS np
     FROM (
       SELECT *,
-             (s * 7 + i * 3) % 16 AS nib,
+             (s * 7 + (g - (g // (n + 1))) * 3) % 16 AS nib,
              {step_lit}[ix + 1] AS stp
-      FROM walk WHERE i < n
+      FROM walk WHERE g < nb * (n + 1) - 1
     ) w
   ) t
 )
 SELECT doc_id,
        CAST({WAV_SR} AS INT) AS sr,
-       CAST(n + 1 AS INT) AS n_samples,
+       CAST(nb * (n + 1) AS INT) AS n_samples,
        CAST(pk AS BIGINT) AS peak_abs,
        CAST(sa AS BIGINT) AS sum_abs,
        CAST(zc AS BIGINT) AS n_zero_cross,
        CAST(cs AS BIGINT) AS checksum
-FROM walk WHERE i = n
+FROM walk WHERE g = nb * (n + 1) - 1
 """
 
 

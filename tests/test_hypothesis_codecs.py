@@ -824,26 +824,32 @@ def test_adpcm_tables_and_state_machine_invariants():
 def test_adpcm_roundtrip_features_match_direct_state_walk(spark):
     """The full wire decode (chunk walk + block parse) must equal a
     direct Python walk of the same closed-form nibble stream — pins
-    the header-sample convention (predictor = sample 0) and the
-    low-nibble-first packing."""
+    the header-sample convention (each block header = that block's
+    first sample), the PER-BLOCK STATE RESET, and the
+    low-nibble-first packing; zero-crossings run across block
+    boundaries."""
     from chi_frbcs_bigdatacs_spark.operators.multimodal import (
+        _adpcm_block_init,
         _adpcm_nibble,
         _adpcm_step_state,
         _decode_wav_adpcm,
         _encode_wav_adpcm,
     )
 
-    for seed, n in ((5, 16), (123, 40), (238, 62)):
+    for seed, n, nb in ((5, 16, 1), (123, 40, 2), (238, 62, 3)):
         sr, ns, peak, sa, zc, cs = _decode_wav_adpcm(
-            _encode_wav_adpcm(seed, n)
+            _encode_wav_adpcm(seed, n, nb)
         )
-        pred = ((seed * 97) % 4096) - 2048
-        idx = seed % 89
-        samples = [pred]
-        for i in range(n):
-            pred, idx = _adpcm_step_state(pred, idx, _adpcm_nibble(seed, i))
-            samples.append(pred)
-        assert ns == n + 1 == len(samples)
+        samples = []
+        for b in range(nb):
+            pred, idx = _adpcm_block_init(seed, b)
+            samples.append(pred)  # header = the block's first sample
+            for i in range(n):
+                pred, idx = _adpcm_step_state(
+                    pred, idx, _adpcm_nibble(seed, b * n + i)
+                )
+                samples.append(pred)
+        assert ns == nb * (n + 1) == len(samples)
         assert peak == max(abs(s) for s in samples)
         assert sa == sum(abs(s) for s in samples)
         assert cs == sum((i + 1) * s for i, s in enumerate(samples))
