@@ -1125,7 +1125,7 @@ def _encode_wav_adpcm(seed: int, n_nibbles: int, n_blocks: int) -> bytes:
             "<HHIIHH", 0x11, 1, WAV_SR, WAV_SR // 2, block_align, 4
         )
         + struct.pack("<HH", 2, 1 + n_nibbles)  # cbSize + samples/block
-        + b"fact" + struct.pack("<II", 4, n_samples)[:8]
+        + b"fact" + struct.pack("<II", 4, n_samples)
         + b"data" + struct.pack("<I", len(blocks)) + bytes(blocks)
         + (b"\x00" if len(blocks) % 2 else b"")
     )

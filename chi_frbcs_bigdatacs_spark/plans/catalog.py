@@ -187,15 +187,15 @@ def q_classify_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
     E1-then-E2 lifecycle with genuinely disjoint train/test data."""
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    # test side repartitioned too (r13): fit() repartitions train
-    # internally, but transform(test) would otherwise inherit the raw
-    # 3-file scan into the cell explosion (the estimator's documented
-    # partitioning trap)
-    df = lineitem_clf(spark, sf_dir).repartition(
+    # only the TEST branch needs the repartition (r13): fit()
+    # repartitions train internally, but transform(test) would
+    # otherwise inherit the raw 3-file scan into the cell explosion
+    # (the estimator's documented partitioning trap)
+    df = lineitem_clf(spark, sf_dir)
+    train = df.filter(F.col("id") % N_FOLDS != 0)
+    test = df.filter(F.col("id") % N_FOLDS == 0).repartition(
         spark.sparkContext.defaultParallelism
     )
-    train = df.filter(F.col("id") % N_FOLDS != 0)
-    test = df.filter(F.col("id") % N_FOLDS == 0)
     model = ChiFRBCSClassifier(parts=P).fit(train)
     return model.transform(test)
 
@@ -207,13 +207,13 @@ def q_crossval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    df = lineitem_clf(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    df = lineitem_clf(spark, sf_dir)
     outs = []
     for k in range(N_FOLDS):
         train = df.filter(F.col("id") % N_FOLDS != k)
-        test = df.filter(F.col("id") % N_FOLDS == k)
+        test = df.filter(F.col("id") % N_FOLDS == k).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         model = ChiFRBCSClassifier(parts=P).fit(train)
         outs.append(
             M.metrics_binary(model.transform(test)).select(
@@ -282,13 +282,13 @@ def q_crossval_multiclass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
     from chi_frbcs_bigdatacs_spark.sources.testdata import embeddings_clf
 
-    df = embeddings_clf(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    df = embeddings_clf(spark, sf_dir)
     outs = []
     for k in range(N_FOLDS):
         train = df.filter(F.col("id") % N_FOLDS != k)
-        test = df.filter(F.col("id") % N_FOLDS == k)
+        test = df.filter(F.col("id") % N_FOLDS == k).repartition(
+            spark.sparkContext.defaultParallelism
+        )
         model = ChiFRBCSClassifier(parts=EMBEDDINGS_CLF_PARTITIONS).fit(train)
         outs.append(
             M.metrics_multiclass(model.transform(test)).select(
@@ -406,11 +406,11 @@ def q_hyperparam_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ChiFRBCSClassifier
 
-    df = lineitem_clf(spark, sf_dir).repartition(
+    df = lineitem_clf(spark, sf_dir)
+    train = df.filter(F.col("id") % N_FOLDS != 0)
+    test = df.filter(F.col("id") % N_FOLDS == 0).repartition(
         spark.sparkContext.defaultParallelism
     )
-    train = df.filter(F.col("id") % N_FOLDS != 0)
-    test = df.filter(F.col("id") % N_FOLDS == 0)
     outs = []
     for lab in SWEEP_LABELS:
         parts = _FP(features=P.features, num_labels=lab)
@@ -617,12 +617,10 @@ def q_metrics_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join key IS the rule antecedent, and the struct-max argmax
     # encodes the identical ORDER BY score DESC, l1..ld ASC, cls ASC
     # tie-break (negated ints invert the order) — same oracle hash.
-    # r13: repartition before fuzzify (the fit() discipline — the raw
-    # sf0.1 scan is 3 files and would starve the cell explosion;
-    # measured 24s -> ~7s warm)
-    df = lineitem_clf(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # r13: repartition before fuzzify (_clf_par, the fit() discipline
+    # — the raw sf0.1 scan is 3 files and would starve the cell
+    # explosion; measured 24s -> ~6s warm)
+    df = _clf_par(spark, sf_dir)
     fz = R.fuzzify(df, P)
     rules = R.build_rules(
         R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
@@ -792,12 +790,11 @@ register("metrics_mcc_kappa", q_metrics_mcc_kappa, _METRICS_MCC_KAPPA_SQL)
 
 
 def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition the narrow input BEFORE fuzzification (the fit()
-    # discipline): the raw sf0.1 scan is 3 files, and the candidate
-    # explosion would otherwise run 3-wide (measured 31s vs ~7s)
-    df = lineitem_clf(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # repartition the narrow input BEFORE fuzzification (_clf_par,
+    # the fit() discipline): the raw sf0.1 scan is 3 files, and the
+    # candidate explosion would otherwise run 3-wide (measured 31s
+    # vs ~6s)
+    df = _clf_par(spark, sf_dir)
     fz = R.fuzzify(df, P)
     rules = R.build_rules(
         R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True

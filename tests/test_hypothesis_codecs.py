@@ -821,7 +821,7 @@ def test_adpcm_tables_and_state_machine_invariants():
     assert p == -32768 and ix == 0  # index decays but clamps at 0
 
 
-def test_adpcm_roundtrip_features_match_direct_state_walk(spark):
+def test_adpcm_roundtrip_features_match_direct_state_walk():
     """The full wire decode (chunk walk + block parse) must equal a
     direct Python walk of the same closed-form nibble stream — pins
     the header-sample convention (each block header = that block's
