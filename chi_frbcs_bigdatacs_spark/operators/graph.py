@@ -914,8 +914,13 @@ def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
         nbrs = edges.select(
             F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
         )
-    mins = nbrs.groupBy("u").agg(
-        F.least(F.min("v"), F.first("u")).alias("m")
+    # min over Γ(u) ∪ {u} as a post-agg least() over the group key —
+    # one narrow min(v) buffer instead of dragging F.first(u) through
+    # the agg; partial_min combines map-side either way (plan-pinned
+    # by test_wcc_star_phase..., which also pins the agg appearing
+    # exactly once per phase)
+    mins = nbrs.groupBy("u").agg(F.min("v").alias("mv")).select(
+        "u", F.least("mv", F.col("u")).alias("m")
     )
     if large:
         return (
@@ -924,14 +929,22 @@ def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
         )
-    hooked = nbrs.join(mins, "u").select(
-        F.col("v").alias("u"), F.col("m").alias("v")
-    )
-    self_rows = mins.select("u", F.col("m").alias("v"))
+    # small-star emits BOTH (v, m) and (u, m) from ONE join pass — a
+    # union of `hooked` with a second projection of `mins` would
+    # re-execute the min aggregation (the r3 double-reference lesson);
+    # the per-neighbor duplicate (u, m) rows fold in the distinct
     return (
-        hooked.unionByName(self_rows)
+        nbrs.join(mins, "u")
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+                    F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
         .where(F.col("u") != F.col("v"))
-        .select("u", "v")
         .distinct()
     )
 

@@ -373,3 +373,56 @@ def test_wcc_star_contraction_multi_component(spark, tmp_path):
         "p7": "p7", "s7": "p7",
         "p9": "p9", "s9": "p9",
     }
+
+
+def test_wcc_matches_union_find_on_random_graphs(spark, tmp_path):
+    """Star contraction vs a pure-Python union-find reference over
+    randomized bipartite edge sets (seeded — deterministic CI): the
+    component partition must match exactly for every draw, including
+    draws that produce many singleton-pair components and draws that
+    collapse to one giant component. This is the algorithm's
+    correctness pin beyond the hand-built 3-component fixture."""
+    import random
+
+    from chi_frbcs_bigdatacs_spark.operators.graph import q_graph_wcc
+
+    rng = random.Random(20260816)
+    for trial in range(3):
+        n_edges = rng.randrange(5, 40)
+        rows = [
+            (rng.randrange(1, 25), rng.randrange(1, 12), 50)
+            for _ in range(n_edges)
+        ]
+        li = spark.createDataFrame(
+            rows, "l_partkey long, l_suppkey long, l_quantity long"
+        )
+        path = str(tmp_path / f"li_{trial}")
+        li.write.mode("overwrite").parquet(path + "/lineitem.parquet")
+
+        # union-find reference over the same stringified node ids
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for p, s, _q in rows:
+            a, b = find(f"p{p}"), find(f"s{s}")
+            if a != b:
+                parent[a] = b
+        want = {}
+        comps: dict = {}
+        for node in list(parent):
+            comps.setdefault(find(node), []).append(node)
+        for members in comps.values():
+            root = min(members)
+            for m in members:
+                want[m] = root
+
+        got = {
+            r["node"]: r["component"]
+            for r in q_graph_wcc(spark, path).collect()
+        }
+        assert got == want, f"trial {trial}: mismatch"

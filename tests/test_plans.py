@@ -474,3 +474,29 @@ def test_ivf_sq8_serves_map_only(spark):
     assert "TakeOrderedAndProject" in p
     assert "Python" not in p
     assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_wcc_star_phase_is_two_exchanges_no_cartesian(spark):
+    """graph_wcc (r13): one star-contraction phase must cost at most
+    THREE hash exchanges (the neighborhood min-agg, the hook join's
+    nbrs side, and the final distinct), with the min-agg combined
+    MAP-SIDE (partial_min before its exchange; min over STRING keys
+    plans SortAggregate on this Spark, but partial aggregation is
+    the scale property) and appearing exactly ONCE per phase — the
+    small-star single-join shape, never the double-reference
+    re-execution — and never a cartesian/nested-loop join."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import _star_round
+
+    edges = spark.createDataFrame(
+        [("p1", "s1"), ("p2", "s1"), ("p2", "s2")], "u string, v string"
+    ).localCheckpoint(eager=True)
+    for large in (True, False):
+        p = (
+            _star_round(edges, large=large)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in p and "NestedLoop" not in p
+        assert p.count("partial_min") == 1, "min-agg re-executed or lost combine"
+        assert p.count("Exchange hashpartitioning") <= 3, p[:1500]
