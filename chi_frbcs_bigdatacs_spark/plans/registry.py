@@ -35,94 +35,28 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keys every CI run -- the rotation only affects which subset the
 # external driver re-hashes).
 #
-# Round-13 window (VERDICT r12 "Next round" #1), composed from named
+# Round-14 window (VERDICT r13 "Next round" #1), composed from named
 # groups below; the groups concatenate and the driver cap lands on
-# the last _R6_STALE_FILL entry (8 + new + changed-plan + fill = 50):
-#   (1) _R5_STALE: the eight keys whose last external check is r5
-#       (displaced off the r12 cap) -- the staleness floor rises to
-#       r6 only when these re-certify.
-#   (2) _NEW_R13: keys first registered this round -- never
-#       driver-checked.
-#   (3) _CHANGED_PLAN_R12: the classify/rule cohort moved to the
-#       decimal-key HashAggregate argmax in r12 (outputs
-#       bit-identical, locally re-swept every CI run; this is the
-#       external certification of the new plans), plus any r13
-#       changed-OUTPUT keys listed at the top of the group.
-#   (4) _R6_STALE_FILL: oldest r6 keys in CORRECTNESS_r06 artifact
-#       order, as many as fit under the cap. Final r13 composition:
-#       8 + 17 + 15 + 10 = 50, cap landing on sql_q20. The 39
-#       r6-stale keys that do not fit (simsearch_ivf_kmeans onward in r06
-#       artifact order, minus rule_conflict_resolve_d8 which rides
-#       group 3) MUST lead r14's window so the floor keeps rising.
+# the last _R7_STALE_FILL entry (39 + changed-plan + new + fill = 50):
+#   (1) _R6_STALE: ALL 39 keys whose last external check is r6 —
+#       derived by cross-referencing CORRECTNESS_r{01..13} (r06
+#       artifact order, minus rule_conflict_resolve_d8 which
+#       re-certified in r13). When these re-certify the staleness
+#       floor jumps to r7 in one round.
+#   (2) _CHANGED_PLAN_R13: keys whose plan changed this round with
+#       bit-identical output (locally re-swept every CI run; this is
+#       the external certification of the new plans).
+#   (3) _NEW_R14: keys first registered this round — never
+#       driver-checked. VERDICT r13 caps new keys at <=11 so all 39
+#       stale keys fit.
+#   (4) _R7_STALE_FILL: oldest r7 keys in CORRECTNESS_r07 artifact
+#       order, as many as fit under the cap.
+# r15 plan (VERDICT r13 #9): after r14 the floor is r7 with 47-len(
+# _R7_STALE_FILL used) keys remaining r7-stale (47 total r7-stale
+# minus the fill below) — lead r15 with ALL of them, cap new keys at
+# the remaining slots, fill from oldest r8.
 
-_R5_STALE: list[str] = [
-    "stream_rule_stats",
-    "dedup_minhash",
-    "dedup_minhash_keep",
-    "simsearch_topk",
-    "date_bucket",
-    "dedup_simhash",
-    "rule_conflict_resolve",
-    "rule_conflict_resolve_l5",
-]
-
-_NEW_R13: list[str] = [
-    # filled in as r13 keys land; each addition evicts the tail of
-    # _R6_STALE_FILL (assert below keeps the window exactly 50)
-    "stream_dedup_substring_trim",  # new: streaming trim twin
-    "simsearch_ivf_sq8",  # new: IVF,SQ8 composed index
-    "media_decode_wav_alaw",  # new: G.711 A-law WAV
-    "graph_wcc",  # new: large-star/small-star CC
-    "mv_incremental_refresh",  # new: delta-rule aggregate MV refresh
-    "embed_pca_power",  # new: one-pass covariance + power iteration
-    "stream_mv_refresh",  # new: streaming MV-maintenance twin
-    "media_decode_jpeg_411",  # new: DV-layout 4x1 subsampling
-    "resample_enn",  # new: Wilson-editing undersampling (k=3 vote)
-    "text_zipf_fit",  # new: Zipf-slope OLS on micro-ln integers
-    "metrics_brier",  # new: proper-scoring-rule eval on AC probs
-    "diag_join_skew",  # new: per-join-key cardinality/skew profile
-    "media_decode_wav_adpcm",  # new: IMA ADPCM via recursive-CTE oracle
-    "media_decode_png_16bit_rgb",  # new: u16 RGB, bpp-6 filter cycle
-    "media_decode_wav_stereo",  # new: 2-channel de-interleave
-    "media_decode_gif_anim",  # new: multi-frame GCE container walk
-    # changed-PLAN, identical-output (r13 state compaction: digest-
-    # keyed once/emitted state) — re-certify externally even though
-    # r12 checked it, since the whole stateful path was rewritten:
-    "stream_dedup_substring",
-]
-
-_CHANGED_PLAN_R12: list[str] = [
-    "rulemerge_avg",
-    "classify_wr_multiclass",
-    "classify_wr_nominal",
-    "classify_wr_bigmodel",
-    "classify_ac",
-    "metrics_confusion",
-    "rulebase_prune_minsupport",
-    "rule_conflict_resolve_d8",
-    "classify_wr_plain",
-    "classify_holdout",
-    "metrics_confusion_multiclass",
-    "metrics_calibration",
-    "metrics_mcc_kappa",
-    "crossval_multiclass",
-    "model_roundtrip",
-]
-
-# CORRECTNESS_r06 artifact order, minus rule_conflict_resolve_d8
-# (already in group 3). Truncated to fit the 50-key cap at import
-# time -- the slice below is the single source of truth.
-_R6_STALE_FILL: list[str] = [
-    "crossval_keel",
-    "text_index_build",
-    "text_bm25_from_index",
-    "stream_dedup_minhash",
-    "join_dpp",
-    "sql_q2",
-    "sql_q9",
-    "sql_q12",
-    "sql_q16",
-    "sql_q20",
+_R6_STALE: list[str] = [
     "simsearch_ivf_kmeans",
     "simsearch_ivf_probe2",
     "simsearch_recall",
@@ -140,17 +74,75 @@ _R6_STALE_FILL: list[str] = [
     "join_outer",
     "join_cross",
     "scalar_math_funcs",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "setop_union",
+    "setop_except",
+    "setop_intersect",
+    "unpivot_measures",
+    "window_rank",
+    "window_distribution",
+    "fuzzify_nominal",
+    "rulegen_nominal",
+    "agg_pivot",
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "join_salted",
+    "topk_global",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_hashkey",
+    "embed_cosine",
+    "simsearch_ivf",
+    "media_meta",
+    "media_frames",
+]
+
+_CHANGED_PLAN_R13: list[str] = [
+    # graph_wcc: convergence probe collapsed from two exceptAll
+    # count() actions per round to ONE full-outer-join null check
+    # (VERDICT r13 #5) — labels identical, driver re-certifies the
+    # rewritten loop.
+    "graph_wcc",
+]
+
+_NEW_R14: list[str] = [
+    # filled in as r14 keys land; each addition evicts the tail of
+    # _R7_STALE_FILL (the window-size check below keeps it exactly 50)
+]
+
+# CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at
+# import time -- the slice below is the single source of truth.
+_R7_STALE_FILL: list[str] = [
+    "scan_csv",
+    "scan_jsonl",
+    "scan_orc",
+    "sink_partitioned",
+    "simsearch_ivf_build",
+    "simsearch_ivf_from_index",
+    "text_repetition",
+    "corpus_report",
+    "filter_length_band",
+    "retrieval_hybrid_rrf",
+    "bpe_top_merges",
 ]
 
 _WINDOW = 50
 CHECK_PRIORITY: list[str] = (
-    _R5_STALE
-    + _NEW_R13
-    + _CHANGED_PLAN_R12
-    + _R6_STALE_FILL[: _WINDOW - len(_R5_STALE) - len(_NEW_R13) - len(_CHANGED_PLAN_R12)]
+    _R6_STALE
+    + _CHANGED_PLAN_R13
+    + _NEW_R14
+    + _R7_STALE_FILL[: _WINDOW - len(_R6_STALE) - len(_CHANGED_PLAN_R13) - len(_NEW_R14)]
 )
-assert len(CHECK_PRIORITY) == _WINDOW, len(CHECK_PRIORITY)
-assert len(set(CHECK_PRIORITY)) == _WINDOW, "duplicate key in rotation"
+# Window invariants raise unconditionally (ADVICE r13: bare asserts
+# are stripped under python -O, silently desyncing the external
+# driver's 50-key verification window).
+if len(CHECK_PRIORITY) != _WINDOW:
+    raise RuntimeError(
+        f"rotation window is {len(CHECK_PRIORITY)} keys, expected {_WINDOW}"
+    )
+if len(set(CHECK_PRIORITY)) != _WINDOW:
+    raise RuntimeError("duplicate key in rotation window")
 
 
 
