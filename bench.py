@@ -69,6 +69,19 @@ HEADLINE_R12 = [
 ]
 _R12_BASELINE6 = HEADLINE_R12[:6]
 
+# Fourth headline group (r14, VERDICT r13 #3): the heavy surfaces
+# added in r13, artifact-tracked with warm medians + calibrated
+# values under their own fields so every earlier series stays
+# comparable.
+HEADLINE_R13 = [
+    "simsearch_ivf_sq8",            # IVF{K},SQ8 composed index (Lloyd + ADC)
+    "stream_dedup_substring_trim",  # streaming trim twin (digest state)
+    "graph_wcc",                    # large-star/small-star contraction
+    "stream_mv_refresh",            # streaming delta-rule MV maintenance
+    "resample_enn",                 # Wilson-editing kNN vote undersampling
+    "embed_pca_power",              # one-pass covariance + power iteration
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -191,6 +204,17 @@ def main() -> None:
             r12_samples[k].append(v)
     r12_warm = {k: round(median(v), 3) for k, v in r12_samples.items() if v}
 
+    # r13 group: same cold + median-of-3 protocol as the r12 group.
+    r13_timings, r13_errs = run_pass(HEADLINE_R13)
+    r13_samples: dict[str, list[float]] = {k: [] for k in HEADLINE_R13}
+    r13_warm_errs: dict[str, str] = {}
+    for _ in range(min(n_warm, 3)):
+        w, we = run_pass(HEADLINE_R13)
+        r13_warm_errs.update(we)
+        for k, v in w.items():
+            r13_samples[k].append(v)
+    r13_warm = {k: round(median(v), 3) for k, v in r13_samples.items() if v}
+
     cal = median(cal_samples)
     warm_cal = {k: round(v / cal, 2) for k, v in warm.items()}
     ext_warm_cal = {k: round(v / cal, 2) for k, v in ext_warm.items()}
@@ -262,10 +286,25 @@ def main() -> None:
         "value_r12_warm_calibrated": round(
             sum(v / cal for v in r12_warm.values()), 2
         ),
+        "value_r13": round(sum(r13_timings.values()), 3),
+        "queries_r13": r13_timings,
+        "value_r13_warm": round(sum(r13_warm.values()), 3),
+        "queries_r13_warm": r13_warm,
+        "r13_warm_n_summed": [len(r13_warm), len(HEADLINE_R13)],
+        "queries_r13_warm_calibrated": {
+            k: round(v / cal, 2) for k, v in r13_warm.items()
+        },
+        "value_r13_warm_calibrated": round(
+            sum(v / cal for v in r13_warm.values()), 2
+        ),
     }
-    if errs or warm_errs or ext_errs or ext_warm_errs or r12_errs or r12_warm_errs:
+    if (
+        errs or warm_errs or ext_errs or ext_warm_errs
+        or r12_errs or r12_warm_errs or r13_errs or r13_warm_errs
+    ):
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",
-        # "ext:<key>", "ext_warm:<key>", "r12:<key>", "r12_warm:<key>"
+        # "ext:<key>", "ext_warm:<key>", "r12:<key>", "r12_warm:<key>",
+        # "r13:<key>", "r13_warm:<key>"
         # — which pass failed is never collapsed away (ADVICE r8).
         merged = {
             **{f"warm:{k}": v for k, v in warm_errs.items()},
@@ -274,11 +313,14 @@ def main() -> None:
             **{f"ext_warm:{k}": v for k, v in ext_warm_errs.items()},
             **{f"r12:{k}": v for k, v in r12_errs.items()},
             **{f"r12_warm:{k}": v for k, v in r12_warm_errs.items()},
+            **{f"r13:{k}": v for k, v in r13_errs.items()},
+            **{f"r13_warm:{k}": v for k, v in r13_warm_errs.items()},
         }
         out["errors"] = merged
         out["n_failed"] = len(
             set(errs) | set(warm_errs) | set(ext_errs) | set(ext_warm_errs)
             | set(r12_errs) | set(r12_warm_errs)
+            | set(r13_errs) | set(r13_warm_errs)
         )
     print(json.dumps(out))
     spark.stop()
