@@ -962,14 +962,27 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt = _star_round(
             _star_round(cur, large=True), large=False
         ).localCheckpoint(eager=True)
-        # fixed point: the oriented (child, parent) set is unchanged
-        if (
-            nxt.exceptAll(cur).limit(1).count() == 0
-            and cur.exceptAll(nxt).limit(1).count() == 0
-        ):
-            cur = nxt
-            break
+        # fixed point: the oriented (child, parent) set is unchanged.
+        # Both sides are distinct sets (each phase ends .distinct(),
+        # and the seed edges come from a .distinct()), so symmetric
+        # difference == rows with a null indicator in ONE full-outer
+        # join — one Spark action per round instead of the two
+        # exceptAll+count probes (VERDICT r13 #5), and limit(1) stops
+        # the scan at the first differing pair.
+        changed = (
+            nxt.withColumn("_n", F.lit(1))
+            .join(
+                cur.withColumn("_c", F.lit(1)),
+                ["u", "v"],
+                "full_outer",
+            )
+            .where(F.col("_n").isNull() | F.col("_c").isNull())
+            .limit(1)
+            .count()
+        )
         cur = nxt
+        if changed == 0:
+            break
     else:
         raise RuntimeError(
             f"star contraction did not converge in {WCC_MAX_ROUNDS} rounds"

@@ -426,3 +426,58 @@ def test_wcc_matches_union_find_on_random_graphs(spark, tmp_path):
             for r in q_graph_wcc(spark, path).collect()
         }
         assert got == want, f"trial {trial}: mismatch"
+
+
+def test_wcc_convergence_probe_is_single_action_per_round(
+    spark, tmp_path, monkeypatch
+):
+    """graph_wcc (r14, VERDICT r13 #5): the fixed-point check must
+    cost exactly ONE action per contraction round (the full-outer
+    symmetric-difference count), never the old two exceptAll+count
+    probes. Rounds are counted via the per-round localCheckpoint
+    (total checkpoints = 2 seed tables + 1 per round)."""
+    # patch the CONCRETE class: on Spark 4 pyspark.sql.DataFrame is an
+    # abstract facade and instance calls resolve to the classic
+    # subclass's own methods
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from chi_frbcs_bigdatacs_spark.operators.graph import q_graph_wcc
+
+    li = spark.createDataFrame(
+        [(1, 1, 50), (2, 1, 50), (2, 2, 50), (7, 7, 50)],
+        "l_partkey long, l_suppkey long, l_quantity long",
+    )
+    li.write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    calls = {"count": 0, "ckpt": 0, "exceptAll": 0}
+    orig_count = DataFrame.count
+    orig_ckpt = DataFrame.localCheckpoint
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_ckpt(self, eager=True):
+        calls["ckpt"] += 1
+        return orig_ckpt(self, eager)
+
+    def forbidden_exceptAll(self, other):
+        calls["exceptAll"] += 1
+        raise AssertionError("exceptAll probe must not be used")
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "localCheckpoint", counting_ckpt)
+    monkeypatch.setattr(DataFrame, "exceptAll", forbidden_exceptAll)
+
+    got = {
+        r["node"]: r["component"]
+        for r in q_graph_wcc(spark, str(tmp_path)).collect()
+    }
+    assert got["s2"] == "p1" and got["p7"] == "p7"
+
+    rounds = calls["ckpt"] - 2
+    assert rounds >= 1
+    assert calls["exceptAll"] == 0
+    assert calls["count"] == rounds, (
+        f"{calls['count']} convergence actions for {rounds} rounds"
+    )
