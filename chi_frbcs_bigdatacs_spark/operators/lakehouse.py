@@ -485,12 +485,222 @@ GROUP BY o_orderstatus
 """
 
 
+# --- incremental MV maintenance: MIN/MAX retraction (r14) ---------------------
+# The documented NON-self-maintainable case (VERDICT r13 #4; Gupta &
+# Mumick, "Maintenance of Materialized Views: Problems, Techniques,
+# and Applications", IEEE DE Bull. 1995: MAX under deletions is not
+# self-maintainable): a MAX aggregate absorbs inserts incrementally
+# (new_max = greatest(old_max, added)), but when a retraction removes
+# the row HOLDING the current extremum the new max of that group is
+# unknowable from the MV alone — a duplicate of the max may or may
+# not remain. Every incremental-view engine (Materialize, DBSP,
+# Delta/Snowflake MV refresh) handles this with a group-local
+# re-scan: recompute ONLY the groups whose retracted max equals the
+# stored max, from base-minus-retracted-plus-added.
+#
+# Fixture: MV = orders grouped by o_custkey (MV-sized = |customers|,
+# ~10 rows/group in this data) with count + MAX(DECIMAL(18,2) price),
+# under the same CDC changeset as the other MERGE/MV keys. 'D' of a
+# group's max row and 'U' (price+1.00, same group) of the max row
+# both trip the affected rule; groups whose retractions were all
+# non-extremal stay on the pure-incremental path.
+#
+# Cost shape: delta aggregation is map-side-combinable and MV-sized;
+# the affected-group set is |groups with a retracted extremum| and is
+# BROADCAST into two semi-join-shaped cuts of (a) the target snapshot
+# and (b) the changeset adds, so the re-scan reads only the affected
+# groups' rows — cost ∝ |affected groups' base+add rows|, never
+# |base|. At 100 TB the broadcast is safe because the affected set is
+# bounded by the changeset's group count, and the base-side cut
+# pushes the group filter into the scan.
+#
+# Oracle: full recompute over the merged snapshot (strongest check
+# that incremental + re-scan == batch).
+
+
+def _changeset_cust(o: DataFrame) -> DataFrame:
+    """The shared CDC changeset, carrying the MV group column
+    (o_custkey) so inserts land in their group and U/D rows can be
+    cut group-locally. U rewrites status/price only — the group key
+    never moves, matching the other MV keys' fixture."""
+    k = F.col("o_orderkey")
+    op = (
+        F.when(k % 10 >= 8, F.lit("I"))
+        .when(k % 13 == 0, F.lit("D"))
+        .when(k % 7 == 0, F.lit("U"))
+    )
+    return (
+        o.select(
+            F.col("o_orderkey").alias("c_key"),
+            op.alias("op"),
+            F.col("o_custkey").alias("c_cust"),
+            F.when(op == "U", F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias("c_price"),
+        )
+        .filter(F.col("op").isNotNull())
+    )
+
+
+def mv_base_minmax(t: DataFrame) -> DataFrame:
+    """Stored base MV: per-customer count + max price."""
+    return t.groupBy(F.col("o_custkey").alias("grp")).agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.max(_dec("o_totalprice")).alias("mx0"),
+    )
+
+
+def mv_minmax_before_images(t: DataFrame, c: DataFrame) -> DataFrame:
+    """Changeset + U/D before-images (group key and price) from one
+    key-join against the target — same stand-in for CDF
+    update_preimage as the sum-MV key."""
+    return c.join(
+        t.select(
+            F.col("o_orderkey").alias("c_key"),
+            F.col("o_custkey").alias("t_cust"),
+            F.col("o_totalprice").alias("t_price"),
+        ),
+        "c_key",
+        "left",
+    )
+
+
+def mv_minmax_delta_rows(before: DataFrame) -> DataFrame:
+    """Before-imaged changeset -> per-row delta stream
+    (grp, is_retract, val). Shared by the batch key and the streaming
+    twin; the downstream aggregation is all sums and maxes, so the
+    accumulated delta is invariant under any micro-batch split."""
+    retract = before.where(F.col("op").isin("U", "D")).select(
+        F.col("t_cust").alias("grp"),
+        F.lit(True).alias("is_retract"),
+        _dec("t_price").alias("val"),
+    )
+    add = before.where(F.col("op").isin("U", "I")).select(
+        F.col("c_cust").alias("grp"),
+        F.lit(False).alias("is_retract"),
+        _dec("c_price").alias("val"),
+    )
+    return retract.unionByName(add)
+
+
+def mv_minmax_delta_agg(rows: DataFrame) -> DataFrame:
+    """Per-group delta sufficient stats: retract count + retracted
+    max, add count + added max. Conditional max-over-when(null) skips
+    the other side's rows; every aggregate is commutative and
+    streaming-native."""
+    r = F.col("is_retract")
+    return rows.groupBy("grp").agg(
+        F.sum(F.when(r, 1).otherwise(0)).alias("rd_n"),
+        F.max(F.when(r, F.col("val"))).alias("rd_mx"),
+        F.sum(F.when(~r, 1).otherwise(0)).alias("ad_n"),
+        F.max(F.when(~r, F.col("val"))).alias("ad_mx"),
+    )
+
+
+def mv_apply_delta_minmax(
+    mv: DataFrame, delta: DataFrame, t: DataFrame, c: DataFrame
+) -> DataFrame:
+    """base MV ⊕ delta stats, with the group-local re-scan for
+    affected groups (retracted max == stored max). `t`/`c` are the
+    target snapshot and changeset the re-scan cuts into."""
+    comb = mv.join(delta, "grp", "full_outer")
+    affected = (
+        F.col("rd_mx").isNotNull()
+        & F.col("mx0").isNotNull()
+        & (F.col("rd_mx") == F.col("mx0"))
+    )
+    aff = comb.where(affected).select("grp")
+    retr_keys = c.where(F.col("op").isin("U", "D")).select("c_key")
+    survivors = (
+        t.join(F.broadcast(aff), t["o_custkey"] == aff["grp"])
+        .join(retr_keys, t["o_orderkey"] == retr_keys["c_key"], "left_anti")
+        .select("grp", _dec("o_totalprice").alias("val"))
+    )
+    adds = (
+        c.where(F.col("op").isin("U", "I"))
+        .join(F.broadcast(aff), c["c_cust"] == aff["grp"])
+        .select("grp", _dec("c_price").alias("val"))
+    )
+    rescan = (
+        survivors.unionByName(adds)
+        .groupBy("grp")
+        .agg(F.max("val").alias("mx_re"))
+    )
+    n_new = (
+        F.coalesce("n0", F.lit(0))
+        - F.coalesce("rd_n", F.lit(0))
+        + F.coalesce("ad_n", F.lit(0))
+    )
+    return (
+        comb.join(rescan, "grp", "left")
+        .select(
+            F.col("grp").alias("o_custkey"),
+            n_new.alias("n_orders"),
+            # F.greatest skips nulls: new groups take ad_mx, untouched
+            # groups keep mx0; exact decimal compare, DOUBLE at the
+            # boundary (repo money rule)
+            F.when(affected, F.col("mx_re"))
+            .otherwise(F.greatest("mx0", "ad_mx"))
+            .cast("double")
+            .alias("max_price"),
+        )
+        .where(F.col("n_orders") > 0)
+    )
+
+
+def q_mv_incremental_refresh_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    t = _target(o)
+    c = _changeset_cust(o)
+    delta = mv_minmax_delta_agg(
+        mv_minmax_delta_rows(mv_minmax_before_images(t, c))
+    )
+    return mv_apply_delta_minmax(mv_base_minmax(t), delta, t, c)
+
+
+_MERGED_CUST_SQL = f"""
+SELECT coalesce(t_cust, c_cust) AS o_custkey,
+       CASE WHEN op IN ('U', 'I') THEN c_price ELSE t_price END AS o_totalprice
+FROM (SELECT o_orderkey AS t_key, o_custkey AS t_cust,
+             o_totalprice AS t_price
+      FROM orders WHERE o_orderkey % 10 < 8) t
+FULL OUTER JOIN (
+  SELECT o_orderkey AS c_key, op, o_custkey AS c_cust,
+         CASE WHEN op = 'U' THEN o_totalprice + 1.0
+              ELSE o_totalprice END AS c_price
+  FROM (
+    SELECT *,
+           CASE WHEN o_orderkey % 10 >= 8 THEN 'I'
+                WHEN o_orderkey % 13 = 0 THEN 'D'
+                WHEN o_orderkey % 7 = 0 THEN 'U' END AS op
+    FROM orders) s
+  WHERE op IS NOT NULL) c ON t.t_key = c.c_key
+WHERE op IS DISTINCT FROM 'D'
+"""
+
+MV_INCREMENTAL_REFRESH_MINMAX_SQL = f"""
+SELECT o_custkey,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS max_price
+FROM ({_MERGED_CUST_SQL}) m
+GROUP BY o_custkey
+"""
+
+
 def register_all() -> None:
     register("merge_upsert", q_merge_upsert, MERGE_UPSERT_SQL)
     register(
         "mv_incremental_refresh",
         q_mv_incremental_refresh,
         MV_INCREMENTAL_REFRESH_SQL,
+    )
+    register(
+        "mv_incremental_refresh_minmax",
+        q_mv_incremental_refresh_minmax,
+        MV_INCREMENTAL_REFRESH_MINMAX_SQL,
     )
     register(
         "scan_schema_evolution",

@@ -109,6 +109,7 @@ _CHANGED_PLAN_R13: list[str] = [
 _NEW_R14: list[str] = [
     # filled in as r14 keys land; each addition evicts the tail of
     # _R7_STALE_FILL (the window-size check below keeps it exactly 50)
+    "mv_incremental_refresh_minmax",  # new: MAX-retraction group re-scan
 ]
 
 # CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at

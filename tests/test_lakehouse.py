@@ -244,3 +244,48 @@ def test_mv_incremental_refresh_equals_full_recompute(spark):
     }
     assert inc == full and inc
     assert "R" in inc, "update-moved group must appear in the refreshed MV"
+
+
+def test_mv_minmax_retraction_rescans_only_affected_groups(spark, tmp_path):
+    """mv_incremental_refresh_minmax (r14, VERDICT r13 #4): MAX is
+    not self-maintainable under retraction. Crafted keyspace (op is
+    key-derived: %10>=8 I, %13==0 D, %7==0 U) covering every case:
+      g100: D removes the group max       -> re-scan finds 50
+      g200: D removes ONE of two max rows -> duplicate keeps max 80
+      g300: U retracts the group max, adds max+1 -> 100
+      g400: every row deleted             -> group vanishes
+      g500: insert-only group             -> appears, max from adds
+      g600: untouched                     -> pure-incremental path
+    """
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        q_mv_incremental_refresh_minmax,
+    )
+
+    rows = [
+        # (o_orderkey, o_custkey, o_totalprice)
+        (1, 100, 50.0), (13, 100, 100.0),            # D of max
+        (2, 200, 80.0), (3, 200, 80.0), (26, 200, 80.0),  # D of dup max
+        (7, 300, 99.0),                               # U of max -> 100
+        (65, 400, 10.0),                              # sole row, D
+        (18, 500, 60.0),                              # I-only group
+        (4, 600, 77.0),                               # untouched
+    ]
+    df = spark.createDataFrame(
+        [(k, c, "O", p) for k, c, p in rows],
+        "o_orderkey long, o_custkey long, o_orderstatus string, o_totalprice double",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+
+    got = {
+        r["o_custkey"]: (r["n_orders"], round(r["max_price"], 2))
+        for r in q_mv_incremental_refresh_minmax(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        100: (1, 50.0),
+        200: (2, 80.0),
+        300: (1, 100.0),
+        500: (1, 60.0),
+        600: (1, 77.0),
+    }
