@@ -110,6 +110,7 @@ _NEW_R14: list[str] = [
     # filled in as r14 keys land; each addition evicts the tail of
     # _R7_STALE_FILL (the window-size check below keeps it exactly 50)
     "mv_incremental_refresh_minmax",  # new: MAX-retraction group re-scan
+    "stream_mv_refresh_minmax",  # new: streaming twin, batch-tail re-scan
 ]
 
 # CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at

@@ -600,3 +600,46 @@ def test_stream_mv_refresh_invariant_under_skewed_split(spark, tmp_path):
     )
     assert streamed == batch and streamed
     assert any(r[0] == "R" for r in batch), "group-moving rows missing"
+
+
+def test_stream_mv_refresh_minmax_invariant_under_skewed_split(spark, tmp_path):
+    """The MAX-retraction streaming twin (r14): the streaming layer
+    accumulates only the commutative delta stats (retract/add count +
+    max); the non-self-maintainable affected-group re-scan runs in
+    the shared batch tail. A skewed 3-file changeset split — a max
+    row's U retract and add can land in different micro-batches —
+    must yield the exact batch refresh."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        _changeset_cust,
+        q_mv_incremental_refresh_minmax,
+    )
+    from chi_frbcs_bigdatacs_spark.streaming.cdc import (
+        q_stream_mv_refresh_minmax,
+    )
+    from tests.conftest import SF_SMALL
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    c = _changeset_cust(o)
+    src = str(tmp_path / "mvmm_cdc_skewed")
+    parts = [
+        c.filter(F.col("c_key") % 100 < 7),
+        c.filter((F.col("c_key") % 100).between(7, 71)),
+        c.filter(F.col("c_key") % 100 > 71),
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = sorted(
+        map(
+            tuple,
+            q_stream_mv_refresh_minmax(
+                spark, SF_SMALL, staged_src=src
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(tuple, q_mv_incremental_refresh_minmax(spark, SF_SMALL).collect())
+    )
+    assert streamed == batch and streamed
