@@ -2304,12 +2304,13 @@ PCA_D = 8
 PCA_ROUNDS = 3
 
 
-def _pca_iterate(
+def _pca_iterate_raw(
     cov: list[list[float]],
 ) -> tuple[list[float], float]:
     """PCA_ROUNDS power-iteration steps from e1 over a constant
     matrix, with the exact rounding/order contract the generated SQL
-    mirrors (see _pca_sql)."""
+    mirrors (see _pca_sql) — UNFLIPPED sign (deflation consumes this:
+    v v^T is sign-invariant, so the flip is presentation-only)."""
     import math
 
     v = [1.0] + [0.0] * (PCA_D - 1)
@@ -2326,13 +2327,28 @@ def _pca_iterate(
             acc = acc + t[j] * t[j]
         lam = round(math.sqrt(acc), 6)
         v = [round(x / lam, 6) for x in t]
-    first = next((x for x in v if x != 0.0), 1.0)
-    if first < 0:
-        v = [round(-x, 6) for x in v]
     return v, lam
 
 
-def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _pca_flip(v: list[float]) -> list[float]:
+    """Sign convention: first nonzero loading positive."""
+    first = next((x for x in v if x != 0.0), 1.0)
+    if first < 0:
+        return [round(-x, 6) for x in v]
+    return v
+
+
+def _pca_iterate(
+    cov: list[list[float]],
+) -> tuple[list[float], float]:
+    v, lam = _pca_iterate_raw(cov)
+    return _pca_flip(v), lam
+
+
+def _pca_cov(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    """ONE distributed pass of exact integer sufficient statistics ->
+    the PCA_D x PCA_D covariance as a driver-side constant (pinned
+    double chain, see the key docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     m = emb.select(
         *[
@@ -2378,10 +2394,45 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             cov[i - 1][j - 1] = c
             cov[j - 1][i - 1] = c
-    v, lam = _pca_iterate(cov)
+    return cov
+
+
+def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v, lam = _pca_iterate(_pca_cov(spark, sf_dir))
     return spark.createDataFrame(
         [(i + 1, v[i], lam) for i in range(PCA_D)],
         "dim int, loading double, eigval double",
+    )
+
+
+# --- top-k PCA via driver-side deflation (r14, VERDICT r13 #6) -----------------
+# k=PCA_TOPK components from the SAME single distributed pass: the
+# 8x8 covariance is already a driver-side constant, so Hotelling
+# deflation (A' = A - lam * v v^T after each converged component)
+# costs ZERO extra distributed work. Deflation uses the UNFLIPPED
+# iterate (v v^T is sign-invariant); each entry re-enters the pinned
+# round6 contract so the unrolled SQL mirror stays bit-equal.
+# Output: (component, dim, loading, eigval), components in
+# decreasing-eigenvalue order by construction.
+PCA_TOPK = 3
+
+
+def q_embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    A = [row[:] for row in _pca_cov(spark, sf_dir)]
+    rows = []
+    for comp in range(1, PCA_TOPK + 1):
+        v_raw, lam = _pca_iterate_raw(A)
+        v = _pca_flip(v_raw)
+        rows += [(comp, i + 1, v[i], lam) for i in range(PCA_D)]
+        A = [
+            [
+                round(A[i][j] - lam * v_raw[i] * v_raw[j], 6)
+                for j in range(PCA_D)
+            ]
+            for i in range(PCA_D)
+        ]
+    return spark.createDataFrame(
+        rows, "component int, dim int, loading double, eigval double"
     )
 
 
@@ -2473,6 +2524,120 @@ SELECT CAST(d.i AS INT) AS dim,
        lam{last} AS eigval
 FROM s CROSS JOIN (SELECT unnest(range(1, {PCA_D + 1})) AS i) d
 ORDER BY dim
+"""
+
+
+def _pca_topk_sql() -> str:
+    """Unrolled mirror of q_embed_pca_topk: PCA_TOPK chained power
+    iterations with a round6 Hotelling deflation CTE between them —
+    same term order, same rounding sites as the Python driver math."""
+    xs = [
+        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {MICRO}, 0) AS BIGINT)"
+        f" AS x{i}"
+        for i in range(1, PCA_D + 1)
+    ]
+    sums = ["count(*) AS n"]
+    sums += [f"sum(x{i}) AS s{i}" for i in range(1, PCA_D + 1)]
+    sums += [
+        f"sum(x{i} * x{j}) AS s{i}_{j}"
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    ]
+
+    def cname(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        return f"c{lo}_{hi}"
+
+    c_list = ", ".join(
+        f"c{i}_{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)
+    )
+    covs = [
+        f"round(((CAST(s{i}_{j} AS DOUBLE)"
+        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n)"
+        f" / 1e12, 6) AS c{i}_{j}"
+        for i in range(1, PCA_D + 1)
+        for j in range(i, PCA_D + 1)
+    ]
+
+    def chain(prefix: str, src: str) -> tuple[list[str], str]:
+        ctes: list[str] = []
+        v = ["1.0"] + ["0.0"] * (PCA_D - 1)
+        prev = src
+        for r in range(PCA_ROUNDS):
+            ts = ", ".join(
+                "round("
+                + " + ".join(
+                    f"{cname(i, j)} * ({v[j - 1]})"
+                    for j in range(1, PCA_D + 1)
+                )
+                + f", 6) AS t{i}"
+                for i in range(1, PCA_D + 1)
+            )
+            norm = (
+                "round(sqrt("
+                + " + ".join(f"t{i} * t{i}" for i in range(1, PCA_D + 1))
+                + "), 6)"
+            )
+            ws = ", ".join(
+                f"round(t{i} / {norm}, 6) AS w{r}_{i}"
+                for i in range(1, PCA_D + 1)
+            )
+            ctes.append(f"{prefix}r{r} AS (SELECT {c_list}, {ts} FROM {prev})")
+            ctes.append(
+                f"{prefix}n{r} AS"
+                f" (SELECT {c_list}, {norm} AS lam{r}, {ws} FROM {prefix}r{r})"
+            )
+            prev = f"{prefix}n{r}"
+            v = [f"w{r}_{i}" for i in range(1, PCA_D + 1)]
+        return ctes, prev
+
+    last = PCA_ROUNDS - 1
+    all_ctes: list[str] = []
+    finals: list[str] = []
+    src = "cov"
+    for k in range(1, PCA_TOPK + 1):
+        ctes, fin = chain(f"p{k}", src)
+        all_ctes += ctes
+        finals.append(fin)
+        if k < PCA_TOPK:
+            defl = ", ".join(
+                f"round(c{i}_{j} - lam{last} * w{last}_{i} * w{last}_{j}, 6)"
+                f" AS c{i}_{j}"
+                for i in range(1, PCA_D + 1)
+                for j in range(i, PCA_D + 1)
+            )
+            all_ctes.append(f"p{k}d AS (SELECT {defl} FROM {fin})")
+            src = f"p{k}d"
+    sign_arms = " ".join(
+        f"WHEN w{last}_{i} <> 0.0 THEN"
+        f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
+        for i in range(1, PCA_D + 1)
+    )
+    dim_arms = " ".join(
+        f"WHEN d.i = {i} THEN w{last}_{i}" for i in range(1, PCA_D + 1)
+    )
+    comp_selects = [
+        f"""SELECT CAST({k} AS INT) AS component, CAST(d.i AS INT) AS dim,
+       round(s.sgn * (CASE {dim_arms} END), 6) AS loading,
+       lam{last} AS eigval
+FROM (SELECT *, CASE {sign_arms} ELSE 1.0 END AS sgn FROM {finals[k - 1]}) s
+CROSS JOIN (SELECT unnest(range(1, {PCA_D + 1})) AS i) d"""
+        for k in range(1, PCA_TOPK + 1)
+    ]
+    return f"""
+WITH m AS (
+  SELECT {', '.join(xs)} FROM embeddings
+),
+a AS (
+  SELECT {', '.join(sums)} FROM m
+),
+cov AS (
+  SELECT n, {', '.join(covs)} FROM a
+),
+{','.join(all_ctes)}
+SELECT * FROM (
+{' UNION ALL '.join(comp_selects)}
+) ORDER BY component, dim
 """
 
 
@@ -2702,6 +2867,7 @@ def register_all() -> None:
     register("embed_cosine", q_embed_cosine, EMBED_COSINE_SQL)
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("embed_pca_power", q_embed_pca_power, _pca_sql())
+    register("embed_pca_topk", q_embed_pca_topk, _pca_topk_sql())
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("simsearch_topk_batch", q_simsearch_topk_batch, SIMSEARCH_TOPK_BATCH_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)

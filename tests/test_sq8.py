@@ -129,3 +129,57 @@ def test_pca_power_recovers_dominant_direction(spark, tmp_path):
     assert first > 0, "sign convention violated"
     lam = got[0]["eigval"]
     assert lam > 0.5, f"eigval {lam} should be ~planted variance (~1.0)"
+
+
+def test_pca_topk_recovers_planted_directions_in_order(spark, tmp_path):
+    """embed_pca_topk (r14, VERDICT r13 #6): TWO orthogonal planted
+    directions with distinct variances (~4.0 and ~1.0, noise ~0.0025)
+    must come back as components 1 and 2 IN EIGENVALUE ORDER, each
+    aligned with its planted axis; component 3 is noise-level.
+    Deflation correctness is exactly this: component 2 must survive
+    the subtraction of component 1 without contamination."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        DIM,
+        PCA_D,
+        q_embed_pca_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    d1 = np.zeros(PCA_D)
+    d1[:4] = [0.7, -0.5, 0.4, 0.3]
+    d1 /= np.linalg.norm(d1)
+    d2 = np.zeros(PCA_D)
+    d2[4:8] = [0.6, 0.6, -0.4, 0.3]
+    d2 /= np.linalg.norm(d2)
+    assert abs(np.dot(d1, d2)) < 1e-12
+    n = 400
+    base = rng.normal(0, 0.05, size=(n, DIM))
+    base[:, :PCA_D] += np.outer(rng.normal(0, 2.0, n), d1)
+    base[:, :PCA_D] += np.outer(rng.normal(0, 1.0, n), d2)
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i % 2)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    got = q_embed_pca_topk(spark, str(tmp_path)).collect()
+    by_comp = {}
+    for r in got:
+        by_comp.setdefault(r["component"], {})[r["dim"]] = (
+            r["loading"], r["eigval"]
+        )
+    assert sorted(by_comp) == [1, 2, 3]
+    v1 = np.array([by_comp[1][i][0] for i in range(1, PCA_D + 1)])
+    v2 = np.array([by_comp[2][i][0] for i in range(1, PCA_D + 1)])
+    lam1 = by_comp[1][1][1]
+    lam2 = by_comp[2][1][1]
+    lam3 = by_comp[3][1][1]
+    cos1 = abs(float(np.dot(v1, d1)) / float(np.linalg.norm(v1)))
+    cos2 = abs(float(np.dot(v2, d2)) / float(np.linalg.norm(v2)))
+    assert cos1 > 0.99, f"component 1 not aligned: cos={cos1}"
+    assert cos2 > 0.99, f"component 2 contaminated: cos={cos2}"
+    assert lam1 > lam2 > lam3, (lam1, lam2, lam3)
+    assert lam3 < 0.2 * lam2, f"component 3 should be noise: {lam3}"
