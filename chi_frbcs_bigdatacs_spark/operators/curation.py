@@ -1740,26 +1740,29 @@ FROM s
 HLL_M = 256
 HLL_ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)  # alpha_256, same literal in SQL
 
-# Empirical bias table (r13, VERDICT r12 #5) — HLL++'s methodology
-# (Heule et al., "HyperLogLog in Practice", EDBT 2013) applied to THIS
-# sketch's geometry: scripts/gen_hll_bias.py simulates 3000 sketches
-# of n iid uniform 60-bit hashes per grid cardinality (seed 20260816)
-# and records (mean raw estimate, mean raw estimate - n). The raw
-# estimator overshoots by up to +6.7% just past the linear-counting
-# handoff (n ~ 2x m) and the bias fades into the estimator's stderr
-# by n ~ 4.4x m, so the table stops at raw ~ 1200 and the correction
-# is ZERO above the last knot (measured tail "bias" there is sim
-# noise, not signal — correcting with it would inject noise). At
+# Empirical bias table (r13, VERDICT r12 #5; re-simulated r14 per
+# ADVICE r13) — HLL++'s methodology (Heule et al., "HyperLogLog in
+# Practice", EDBT 2013) applied to THIS sketch's geometry:
+# scripts/gen_hll_bias.py simulates 30000 sketches of n iid uniform
+# 60-bit hashes per grid cardinality (seed 20260816, stderr ~0.1-0.4
+# counts) and records (mean raw estimate, mean raw estimate - n).
+# The raw estimator overshoots by up to +6.7% just past the
+# linear-counting handoff (n ~ 2x m) and the bias fades into the
+# simulation stderr by n ~ 4.4x m; knots are kept by a 2-sigma
+# prefix rule (|bias| >= 2x stderr), which ends the zone at raw
+# ~ 1121 and makes the interpolant MONOTONE — the r13 table's last
+# three knots (3000 trials) were inside ~1.1 stderr, i.e. the tail
+# was fitting noise. The correction is ZERO above the last knot. At
 # query time the bias is piecewise-linear in the RAW estimate, with
 # slopes precomputed as Python float literals so the Spark expression
 # and the generated SQL do bit-identical arithmetic.
 HLL_BIAS_RAW = [
-    512.1801, 581.6057, 654.0699, 729.9777, 806.2623,
-    882.7129, 963.058, 1040.3304, 1121.7818, 1200.1844,
+    511.9373, 581.9096, 655.0145, 729.6625, 806.161,
+    883.9413, 962.7952, 1042.4135, 1121.3965,
 ]
 HLL_BIAS = [
-    32.1801, 21.6057, 14.0699, 9.9777, 6.2623,
-    2.7129, 3.058, 0.3304, 1.7818, 0.1844,
+    31.9373, 21.9096, 15.0145, 9.6625, 6.161,
+    3.9413, 2.7952, 2.4135, 1.3965,
 ]
 _HLL_SLOPES = [
     (HLL_BIAS[i + 1] - HLL_BIAS[i]) / (HLL_BIAS_RAW[i + 1] - HLL_BIAS_RAW[i])

@@ -751,12 +751,16 @@ def pagerank_converged(
 SSSP_MAX_ROUNDS = 50  # backstop far above this graph's diameter
 
 # Settled-set rows beyond which the per-level anti-join abandons
-# F.broadcast(dist). ~25 B/row (short string id + long) puts 16M rows
-# around 400 MB serialized — still inside a default driver but past
-# the point where re-broadcasting EVERY level is sane. The knob is a
-# row count, not bytes, because the loop already tracks exact settled
-# cardinality for free from the per-level count() action.
-SSSP_BROADCAST_MAX_SETTLED = 16_000_000
+# F.broadcast(dist). ~25 B/row (short string id + long) puts 1.6M
+# rows around 40 MB serialized — comfortably inside a DEFAULT-sized
+# (1g) driver that must hold, serialize, and re-ship the set every
+# BFS level, and in the same regime as autoBroadcastJoinThreshold-
+# class broadcasts. The previous 16M default (~400 MB) only engaged
+# the shuffle fallback after per-level re-broadcast was already a
+# driver-OOM risk (ADVICE r13). The knob is a row count, not bytes,
+# because the loop already tracks exact settled cardinality for free
+# from the per-level count() action.
+SSSP_BROADCAST_MAX_SETTLED = 1_600_000
 
 
 def _sssp_level(

@@ -29,8 +29,12 @@ M = 256
 ALPHA = 0.7213 / (1.0 + 1.079 / 256.0)
 TWO53 = float(1 << 53)
 SEED = 20260816
-TRIALS = 3000
-KEEP = 10  # knots committed to curation.py; the rest are noise-zone
+# 30000 trials/knot puts the simulation stderr ~0.35 counts — small
+# enough that the 2-sigma keep rule below separates real tail bias
+# from noise (ADVICE r13: at 3000 trials the last committed knots
+# were within ~1.1 stderr, i.e. the correction's tail was fitting
+# noise). ~35s total.
+TRIALS = 30000
 
 # Correction zone: raw estimates between the linear-counting handoff
 # (~2.5m) and where the raw estimator's bias fades into its stderr
@@ -62,6 +66,7 @@ def main() -> None:
     rng = np.random.default_rng(SEED)
     raw_knots: list[float] = []
     bias_knots: list[float] = []
+    stderrs: list[float] = []
     for n in GRID_N:
         ests = np.empty(TRIALS)
         for t in range(TRIALS):
@@ -73,13 +78,25 @@ def main() -> None:
         raw_knots.append(round(mean_raw, 4))
         bias_knots.append(round(mean_raw - n, 4))
         stderr = float(np.std(ests) / np.sqrt(TRIALS))
+        stderrs.append(stderr)
         print(
             f"n={n:5d} raw_mean={mean_raw:9.2f} bias={mean_raw - n:+8.2f} "
             f"(+-{stderr:.2f}) rel_bias={100 * (mean_raw - n) / n:+.2f}%"
         )
-    print("\n# committed zone: first KEEP knots only (tail = sim noise)")
-    print("HLL_BIAS_RAW =", raw_knots[:KEEP])
-    print("HLL_BIAS =", bias_knots[:KEEP])
+    # keep the PREFIX of knots whose measured |bias| clears 2x the
+    # simulation stderr (the correction zone must stay contiguous so
+    # the zero-above-last-knot rule is a clean handoff); the first
+    # noise-level knot ends the zone — correcting with noise injects
+    # it (ADVICE r13).
+    keep = 0
+    for b, se in zip(bias_knots, stderrs):
+        if abs(b) < 2.0 * se:
+            break
+        keep += 1
+    print(f"\n# committed zone: first {keep} knots (2-sigma prefix rule;"
+          " tail = sim noise)")
+    print("HLL_BIAS_RAW =", raw_knots[:keep])
+    print("HLL_BIAS =", bias_knots[:keep])
 
 
 if __name__ == "__main__":
