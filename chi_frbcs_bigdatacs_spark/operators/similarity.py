@@ -2345,10 +2345,12 @@ def _pca_iterate(
     return _pca_flip(v), lam
 
 
-def _pca_cov(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+def _pca_stats(
+    spark: SparkSession, sf_dir: str
+) -> tuple[float, list[float], list[list[float]]]:
     """ONE distributed pass of exact integer sufficient statistics ->
-    the PCA_D x PCA_D covariance as a driver-side constant (pinned
-    double chain, see the key docstring)."""
+    (n, micro-unit dim means, PCA_D x PCA_D covariance) as driver-side
+    constants (pinned double chain, see the key docstring)."""
     emb = load_table(spark, sf_dir, "embeddings")
     m = emb.select(
         *[
@@ -2394,7 +2396,12 @@ def _pca_cov(spark: SparkSession, sf_dir: str) -> list[list[float]]:
             )
             cov[i - 1][j - 1] = c
             cov[j - 1][i - 1] = c
-    return cov
+    means = [float(row[f"s{i}"]) / n for i in range(1, PCA_D + 1)]
+    return n, means, cov
+
+
+def _pca_cov(spark: SparkSession, sf_dir: str) -> list[list[float]]:
+    return _pca_stats(spark, sf_dir)[2]
 
 
 def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2417,13 +2424,17 @@ def q_embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 PCA_TOPK = 3
 
 
-def q_embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    A = [row[:] for row in _pca_cov(spark, sf_dir)]
-    rows = []
-    for comp in range(1, PCA_TOPK + 1):
+def _pca_components(
+    cov: list[list[float]],
+) -> list[tuple[list[float], list[float], float]]:
+    """PCA_TOPK (v_raw, v_flipped, lam) by Hotelling deflation —
+    the single driver-side source q_embed_pca_topk and
+    q_embed_pca_project both consume."""
+    comps = []
+    A = [row[:] for row in cov]
+    for _ in range(PCA_TOPK):
         v_raw, lam = _pca_iterate_raw(A)
-        v = _pca_flip(v_raw)
-        rows += [(comp, i + 1, v[i], lam) for i in range(PCA_D)]
+        comps.append((v_raw, _pca_flip(v_raw), lam))
         A = [
             [
                 round(A[i][j] - lam * v_raw[i] * v_raw[j], 6)
@@ -2431,9 +2442,59 @@ def q_embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
             for i in range(PCA_D)
         ]
+    return comps
+
+
+def q_embed_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comps = _pca_components(_pca_cov(spark, sf_dir))
+    rows = [
+        (comp, i + 1, v[i], lam)
+        for comp, (_raw, v, lam) in enumerate(comps, start=1)
+        for i in range(PCA_D)
+    ]
     return spark.createDataFrame(
         rows, "component int, dim int, loading double, eigval double"
     )
+
+
+# --- PCA projection: per-vector component scores (r14) ------------------------
+# The serve half of the PCA pair — what whitening, 8->3 dimensionality
+# reduction for semantic dedup, and embedding-drift monitors actually
+# consume: score_k(x) = v_k . (x - mean). The components and means are
+# driver-side constants from the SAME single stats pass, so the
+# projection is a MAP-ONLY codegen'd expression over the embedding
+# scan — zero shuffles, embarrassingly parallel at 100 TB. Parity:
+# micro-unit integers centered with mean = s_i/n (one double divide,
+# identical in both engines), flipped round6 loadings as literals,
+# left-associated term order, round(acc / 1e6, 6) back to unit scale.
+
+
+def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _n, means, cov = _pca_stats(spark, sf_dir)
+    comps = _pca_components(cov)
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select(
+        "vec_id",
+        *[
+            F.round(
+                F.element_at("embedding", i).cast("double")
+                * F.lit(float(MICRO)),
+                0,
+            )
+            .cast("long")
+            .alias(f"x{i}")
+            for i in range(1, PCA_D + 1)
+        ],
+    )
+    cols = [F.col("vec_id")]
+    for k, (_raw, v, _lam) in enumerate(comps, start=1):
+        acc = (F.col("x1").cast("double") - F.lit(means[0])) * F.lit(v[0])
+        for i in range(1, PCA_D):
+            acc = acc + (
+                F.col(f"x{i + 1}").cast("double") - F.lit(means[i])
+            ) * F.lit(v[i])
+        cols.append(F.round(acc / F.lit(1e6), 6).alias(f"p{k}"))
+    return m.select(*cols)
 
 
 def _pca_sql() -> str:
@@ -2527,10 +2588,12 @@ ORDER BY dim
 """
 
 
-def _pca_topk_sql() -> str:
-    """Unrolled mirror of q_embed_pca_topk: PCA_TOPK chained power
-    iterations with a round6 Hotelling deflation CTE between them —
-    same term order, same rounding sites as the Python driver math."""
+def _pca_sql_parts():
+    """Shared text pieces for the deflation-family SQL generators
+    (_pca_topk_sql, _pca_project_sql): micro-unit projections, the
+    sufficient-stat sums, the covariance entries, and the chained
+    power-iteration + deflation CTE list ending in per-component
+    final CTE names."""
     xs = [
         f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {MICRO}, 0) AS BIGINT)"
         f" AS x{i}"
@@ -2608,6 +2671,15 @@ def _pca_topk_sql() -> str:
             )
             all_ctes.append(f"p{k}d AS (SELECT {defl} FROM {fin})")
             src = f"p{k}d"
+    return xs, sums, covs, all_ctes, finals
+
+
+def _pca_topk_sql() -> str:
+    """Unrolled mirror of q_embed_pca_topk: PCA_TOPK chained power
+    iterations with a round6 Hotelling deflation CTE between them —
+    same term order, same rounding sites as the Python driver math."""
+    xs, sums, covs, all_ctes, finals = _pca_sql_parts()
+    last = PCA_ROUNDS - 1
     sign_arms = " ".join(
         f"WHEN w{last}_{i} <> 0.0 THEN"
         f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
@@ -2638,6 +2710,57 @@ cov AS (
 SELECT * FROM (
 {' UNION ALL '.join(comp_selects)}
 ) ORDER BY component, dim
+"""
+
+
+def _pca_project_sql() -> str:
+    """Unrolled mirror of q_embed_pca_project: the same chained
+    power-iteration + deflation CTEs compute the flipped loadings as
+    one-row const CTEs (fv{k}_{i} = sgn * w — negation is exact, so
+    it equals the Python round6 flip bit-wise); means come from the
+    stats CTE as one double divide; each row's score is the same
+    left-associated centered dot product, round(acc / 1e6, 6)."""
+    xs, sums, covs, all_ctes, finals = _pca_sql_parts()
+    last = PCA_ROUNDS - 1
+    sign_arms = " ".join(
+        f"WHEN w{last}_{i} <> 0.0 THEN"
+        f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
+        for i in range(1, PCA_D + 1)
+    )
+    const_ctes = [
+        f"k{k} AS (SELECT "
+        + ", ".join(
+            f"(CASE {sign_arms} ELSE 1.0 END) * w{last}_{i} AS fv{k}_{i}"
+            for i in range(1, PCA_D + 1)
+        )
+        + f" FROM {finals[k - 1]})"
+        for k in range(1, PCA_TOPK + 1)
+    ]
+    scores = []
+    for k in range(1, PCA_TOPK + 1):
+        acc = " + ".join(
+            f"(CAST(x{i} AS DOUBLE) - (CAST(s{i} AS DOUBLE) / n)) * fv{k}_{i}"
+            for i in range(1, PCA_D + 1)
+        )
+        scores.append(f"round(({acc}) / 1000000.0, 6) AS p{k}")
+    return f"""
+WITH mv AS (
+  SELECT vec_id, {', '.join(xs)} FROM embeddings
+),
+m AS (
+  SELECT {', '.join(f'x{i}' for i in range(1, PCA_D + 1))} FROM mv
+),
+a AS (
+  SELECT {', '.join(sums)} FROM m
+),
+cov AS (
+  SELECT n, {', '.join(covs)} FROM a
+),
+{','.join(all_ctes)},
+{','.join(const_ctes)}
+SELECT vec_id, {', '.join(scores)}
+FROM mv CROSS JOIN a
+{' '.join(f'CROSS JOIN k{k}' for k in range(1, PCA_TOPK + 1))}
 """
 
 
@@ -2868,6 +2991,7 @@ def register_all() -> None:
     register("embed_project_rp", q_embed_project_rp, EMBED_PROJECT_RP_SQL)
     register("embed_pca_power", q_embed_pca_power, _pca_sql())
     register("embed_pca_topk", q_embed_pca_topk, _pca_topk_sql())
+    register("embed_pca_project", q_embed_pca_project, _pca_project_sql())
     register("simsearch_topk", q_simsearch_topk, SIMSEARCH_TOPK_SQL)
     register("simsearch_topk_batch", q_simsearch_topk_batch, SIMSEARCH_TOPK_BATCH_SQL)
     register("embed_neardup", q_embed_neardup, EMBED_NEARDUP_SQL)

@@ -118,6 +118,7 @@ _NEW_R14: list[str] = [
     "mv_incremental_refresh_minmax",  # new: MAX-retraction group re-scan
     "stream_mv_refresh_minmax",  # new: streaming twin, batch-tail re-scan
     "embed_pca_topk",  # new: k=3 PCA via driver-side Hotelling deflation
+    "embed_pca_project",  # new: map-only per-vector component scores
 ]
 
 # CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at

@@ -183,3 +183,54 @@ def test_pca_topk_recovers_planted_directions_in_order(spark, tmp_path):
     assert cos2 > 0.99, f"component 2 contaminated: cos={cos2}"
     assert lam1 > lam2 > lam3, (lam1, lam2, lam3)
     assert lam3 < 0.2 * lam2, f"component 3 should be noise: {lam3}"
+
+
+def test_pca_project_scores_align_and_serve_map_only(spark, tmp_path):
+    """embed_pca_project (r14): per-vector scores on the planted
+    2-direction fixture must correlate with the true projections
+    (component 1 with d1, component 2 with d2) and rank variances
+    Var(p1) > Var(p2) > Var(p3). The serve plan is a scan + codegen'd
+    projection — zero exchanges, no Python (the stats pass is a
+    separate prior action)."""
+    import numpy as np
+
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        DIM,
+        PCA_D,
+        q_embed_pca_project,
+    )
+
+    rng = np.random.default_rng(11)
+    d1 = np.zeros(PCA_D)
+    d1[:4] = [0.7, -0.5, 0.4, 0.3]
+    d1 /= np.linalg.norm(d1)
+    d2 = np.zeros(PCA_D)
+    d2[4:8] = [0.6, 0.6, -0.4, 0.3]
+    d2 /= np.linalg.norm(d2)
+    n = 400
+    base = rng.normal(0, 0.05, size=(n, DIM))
+    base[:, :PCA_D] += np.outer(rng.normal(0, 2.0, n), d1)
+    base[:, :PCA_D] += np.outer(rng.normal(0, 1.0, n), d2)
+    rows = [
+        (int(i), [float(x) for x in base[i]], int(i % 2)) for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+
+    df = q_embed_pca_project(spark, str(tmp_path))
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:1200]
+    assert "Python" not in p, p[:1200]
+
+    got = {r["vec_id"]: (r["p1"], r["p2"], r["p3"]) for r in df.collect()}
+    assert len(got) == n
+    scores = np.array([got[i] for i in range(n)])
+    true1 = (base[:, :PCA_D] - base[:, :PCA_D].mean(axis=0)) @ d1
+    true2 = (base[:, :PCA_D] - base[:, :PCA_D].mean(axis=0)) @ d2
+    c1 = abs(np.corrcoef(scores[:, 0], true1)[0, 1])
+    c2 = abs(np.corrcoef(scores[:, 1], true2)[0, 1])
+    assert c1 > 0.99, f"p1 not aligned with d1 projection: {c1}"
+    assert c2 > 0.99, f"p2 not aligned with d2 projection: {c2}"
+    v = scores.var(axis=0)
+    assert v[0] > v[1] > v[2], v
