@@ -648,15 +648,13 @@ WHERE f.a_label = (SELECT label FROM ml) AND f.nn_label <> f.a_label
 ENN_K = 3
 
 
-def q_resample_enn(
-    spark: SparkSession, sf_dir: str, band: int | None = None
+def _enn_removals(
+    spark: SparkSession, df: DataFrame, band: int
 ) -> DataFrame:
+    """Wilson-editing removal set over ANY (id, f1..f4, label) table —
+    shared by the plain key and the SMOTE+ENN composite."""
     from pyspark.sql.window import Window
 
-    df = lineitem_clf(spark, sf_dir)
-    if band is None:
-        counts = _class_counts(df)
-        band = tomek_f2_band(sum(int(r.n) for r in counts))
     w = Window.partitionBy("a_id").orderBy("d2", "b_id")
     top = (
         _bucketed_pairs(spark, df, band)
@@ -675,6 +673,16 @@ def q_resample_enn(
         F.col("n_nbrs").cast("long").alias("n_nbrs"),
         F.col("n_disagree").cast("long").alias("n_disagree"),
     )
+
+
+def q_resample_enn(
+    spark: SparkSession, sf_dir: str, band: int | None = None
+) -> DataFrame:
+    df = lineitem_clf(spark, sf_dir)
+    if band is None:
+        counts = _class_counts(df)
+        band = tomek_f2_band(sum(int(r.n) for r in counts))
+    return _enn_removals(spark, df, band)
 
 
 RESAMPLE_ENN_SQL = f"""
@@ -715,6 +723,133 @@ FROM votes WHERE 2 * n_disagree > n_nbrs
 """
 
 
+# --- SMOTE+ENN composite (r14) -------------------------------------------------
+# The canonical imbalanced-learning PIPELINE (Batista, Prati, Monard
+# 2004, "A study of the behavior of several methods for balancing
+# machine learning training data"): SMOTE first oversamples the
+# minority boundary, then ENN cleans BOTH classes of the noise SMOTE
+# amplifies — the combination the Chi-FRBCS line's preprocessing
+# comparisons run. Like simsearch_ivf_sq8, this key certifies the
+# COMPOSITION of two already-verified pieces, not new math: the
+# synthetic rows (verbatim q_resample_smote, one synthetic per
+# non-singleton minority row) union the base under NEGATED ids
+# (base ids are positive md5-derived, so -id never collides and
+# keeps every tie-break deterministic), the band re-derives from the
+# UNION's count (occupancy-constant at any scale), and Wilson
+# editing runs over the union via the shared _enn_removals. Output:
+# the removal set with an is_synth flag — ENN removing a synthetic
+# row is SMOTE-noise cleanup, removing a base row is boundary
+# cleanup; both happen on this data (test-pinned).
+#
+# Scale shape: SMOTE's grid self-join + the union's grid self-join,
+# both sum-of-bucket^2-bounded with occupancy-constant bands (the r14
+# occupancy probe measured the ENN half linear to 4x data); the union
+# adds at most |minority| rows so the composite inherits the halves'
+# bounds.
+
+
+def q_resample_smote_enn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = lineitem_clf(spark, sf_dir)
+    synth = q_resample_smote(spark, sf_dir)
+    u = base.select("id", *FEATURES, "label").unionByName(
+        synth.select(
+            (-F.col("id")).alias("id"), *FEATURES, "label"
+        )
+    )
+    band = tomek_f2_band(u.count())
+    return _enn_removals(spark, u, band).withColumn(
+        "is_synth", F.col("removed_id") < 0
+    )
+
+
+RESAMPLE_SMOTE_ENN_SQL = f"""
+WITH clf AS ({LINEITEM_CLF_SQL}),
+cnt AS (SELECT label, count(*) AS n FROM clf GROUP BY label),
+ml AS (SELECT label FROM cnt ORDER BY n ASC, label ASC LIMIT 1),
+sband AS (SELECT {_SMOTE_BAND_SQL} AS w),
+sm AS (
+  SELECT id, f1, f2, f3, f4,
+         CAST(f1 AS INT) AS bq,
+         CAST(floor(f2 / (SELECT w FROM sband)) AS INT) AS bp
+  FROM clf WHERE label = (SELECT label FROM ml)
+),
+spairs AS (
+  SELECT a.id AS a_id, a.f1 AS a_f1, a.f2 AS a_f2, a.f3 AS a_f3, a.f4 AS a_f4,
+         b.id AS b_id, b.f1 AS b_f1, b.f2 AS b_f2, b.f3 AS b_f3, b.f4 AS b_f4,
+         (b.f1 - a.f1) * (b.f1 - a.f1)
+           + ((b.f2 - a.f2) / 1000.0) * ((b.f2 - a.f2) / 1000.0)
+           + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
+           + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
+  FROM sm a JOIN sm b ON a.bq = b.bq AND a.bp = b.bp AND a.id <> b.id
+),
+smind AS (SELECT a_id, min(d2) AS d0 FROM spairs GROUP BY a_id),
+snid AS (
+  SELECT p.a_id, min(p.b_id) AS b0
+  FROM spairs p JOIN smind d ON p.a_id = d.a_id AND p.d2 = d.d0
+  GROUP BY p.a_id
+),
+snear AS (
+  SELECT p.a_id, p.a_f1, p.a_f2, p.a_f3, p.a_f4,
+         p.b_id, p.b_f1, p.b_f2, p.b_f3, p.b_f4
+  FROM spairs p JOIN snid n ON p.a_id = n.a_id AND p.b_id = n.b0
+),
+synth AS (
+  SELECT -a_id AS id,
+         round(a_f1 + lam * (b_f1 - a_f1), 6) AS f1,
+         round(a_f2 + lam * (b_f2 - a_f2), 6) AS f2,
+         round(a_f3 + lam * (b_f3 - a_f3), 6) AS f3,
+         round(a_f4 + lam * (b_f4 - a_f4), 6) AS f4,
+         CAST((SELECT label FROM ml) AS INT) AS label
+  FROM (
+    SELECT snear.*,
+           CAST((CAST(a_id AS HUGEINT) * {RS_HASH_A}) % {RS_HASH_M} AS DOUBLE)
+             / {RS_HASH_M} AS lam
+    FROM snear
+  ) t
+),
+u AS (
+  SELECT id, f1, f2, f3, f4, label FROM clf
+  UNION ALL
+  SELECT id, f1, f2, f3, f4, label FROM synth
+),
+band AS (SELECT GREATEST({F2_BAND_MIN},
+    {TOMEK_BAND_NUMER} // GREATEST(1, (SELECT count(*) FROM u))) AS w),
+m AS (
+  SELECT id, label, f1, f2, f3, f4,
+         CAST(f1 AS INT) AS bq,
+         CAST(floor(f2 / (SELECT w FROM band)) AS INT) AS bp
+  FROM u
+),
+pairs AS (
+  SELECT a.id AS a_id, a.label AS a_label,
+         b.id AS b_id, b.label AS b_label,
+         (b.f1 - a.f1) * (b.f1 - a.f1)
+           + ((b.f2 - a.f2) / 1000.0) * ((b.f2 - a.f2) / 1000.0)
+           + (100.0 * (b.f3 - a.f3)) * (100.0 * (b.f3 - a.f3))
+           + (100.0 * (b.f4 - a.f4)) * (100.0 * (b.f4 - a.f4)) AS d2
+  FROM m a JOIN m b ON a.bq = b.bq AND a.bp = b.bp AND a.id <> b.id
+),
+top AS (
+  SELECT * FROM (
+    SELECT a_id, a_label, b_label,
+           row_number() OVER (PARTITION BY a_id ORDER BY d2, b_id) AS rn
+    FROM pairs
+  ) WHERE rn <= {ENN_K}
+),
+votes AS (
+  SELECT a_id, a_label, count(*) AS n_nbrs,
+         sum(CASE WHEN b_label <> a_label THEN 1 ELSE 0 END) AS n_disagree
+  FROM top GROUP BY a_id, a_label
+)
+SELECT CAST(a_id AS BIGINT) AS removed_id,
+       CAST(a_label AS INT) AS label,
+       CAST(n_nbrs AS BIGINT) AS n_nbrs,
+       CAST(n_disagree AS BIGINT) AS n_disagree,
+       a_id < 0 AS is_synth
+FROM votes WHERE 2 * n_disagree > n_nbrs
+"""
+
+
 def register_all() -> None:
     register("resample_ros", q_resample_ros, RESAMPLE_ROS_SQL)
     register("resample_enn", q_resample_enn, RESAMPLE_ENN_SQL)
@@ -724,3 +859,6 @@ def register_all() -> None:
         "resample_smote_probe", q_resample_smote_probe, RESAMPLE_SMOTE_PROBE_SQL
     )
     register("resample_tomek", q_resample_tomek, RESAMPLE_TOMEK_SQL)
+    register(
+        "resample_smote_enn", q_resample_smote_enn, RESAMPLE_SMOTE_ENN_SQL
+    )

@@ -119,6 +119,7 @@ _NEW_R14: list[str] = [
     "stream_mv_refresh_minmax",  # new: streaming twin, batch-tail re-scan
     "embed_pca_topk",  # new: k=3 PCA via driver-side Hotelling deflation
     "embed_pca_project",  # new: map-only per-vector component scores
+    "resample_smote_enn",  # new: Batista 2004 SMOTE+ENN composite
 ]
 
 # CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at

@@ -143,3 +143,34 @@ def test_smote_probe_rescues_singleton_bucket_rows(spark):
     for rid in rescued:
         assert rid not in base_ids, "singleton unexpectedly emitted by base"
         assert rid in probe_ids, f"singleton {rid} still missing under probe"
+
+
+def test_smote_enn_cleans_both_synthetic_and_base_rows(spark):
+    """resample_smote_enn (r14): the Batista 2004 pipeline must (a)
+    edit the UNION — removals with is_synth=True are SMOTE-noise
+    cleanup and must carry the minority label under a negated id,
+    removals with is_synth=False are base boundary cleanup, and BOTH
+    kinds occur on this data; (b) agree with plain ENN semantics on
+    id sign (negative ids are exactly the synthetic rows)."""
+    from chi_frbcs_bigdatacs_spark.operators.resample import (
+        _class_counts,
+        q_resample_smote_enn,
+    )
+
+    df = _clf(spark)
+    counts = _class_counts(df)
+    min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    rows = q_resample_smote_enn(spark, SF_SMALL).collect()
+    synth = [r for r in rows if r["is_synth"]]
+    base = [r for r in rows if not r["is_synth"]]
+    assert synth and base, "both removal kinds must occur"
+    assert all(r["removed_id"] < 0 for r in synth)
+    assert all(r["removed_id"] > 0 for r in base)
+    assert all(r["label"] == int(min_label) for r in synth), (
+        "synthetic rows are minority-labeled by construction"
+    )
+    assert all(
+        1 <= r["n_disagree"] <= r["n_nbrs"] <= 3
+        and 2 * r["n_disagree"] > r["n_nbrs"]
+        for r in rows
+    )
