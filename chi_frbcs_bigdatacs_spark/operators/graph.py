@@ -878,9 +878,11 @@ FROM walk GROUP BY node
 # Both phases are ONE symmetrize/orient projection + ONE min-agg +
 # ONE join each — the same join keys every round, so at scale the
 # edge state reuses one hash partitioning throughout. Convergence =
-# the (child, parent) edge set is a fixed point (checked with one
-# exceptAll count per round — at 100 TB you would compare a per-round
-# checksum instead, documented here); rounds are bounded loudly.
+# the (child, parent) edge set is a fixed point, checked with ONE
+# full-outer-join null probe per round (r14; the exceptAll pair it
+# replaced is forbidden by a pin test — at 100 TB you would compare
+# a per-round checksum instead, documented here); rounds are bounded
+# loudly.
 #
 # Fixture: the part<->supplier graph RESTRICTED to high-quantity
 # lineitems (l_quantity >= WCC_MIN_QTY), which fragments the

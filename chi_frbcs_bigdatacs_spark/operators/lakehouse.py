@@ -46,13 +46,26 @@ def _target(o: DataFrame) -> DataFrame:
     return o.filter(F.col("o_orderkey") % 10 < 8)
 
 
-def _changeset(o: DataFrame) -> DataFrame:
+def _cdc_op():
+    """The ONE definition of the key-derived changeset op (%10>=8 I,
+    %13 D, %7 U) — every CDC fixture (sum-MV, minmax-MV, MERGE,
+    streaming twins) must derive from this and _CDC_OP_CASE_SQL so
+    the documented 'same changeset' property cannot drift."""
     k = F.col("o_orderkey")
-    op = (
+    return (
         F.when(k % 10 >= 8, F.lit("I"))
         .when(k % 13 == 0, F.lit("D"))
         .when(k % 7 == 0, F.lit("U"))
     )
+
+
+_CDC_OP_CASE_SQL = """CASE WHEN o_orderkey % 10 >= 8 THEN 'I'
+              WHEN o_orderkey % 13 = 0 THEN 'D'
+              WHEN o_orderkey % 7 = 0 THEN 'U' END"""
+
+
+def _changeset(o: DataFrame) -> DataFrame:
+    op = _cdc_op()
     return (
         o.select(
             "o_orderkey",
@@ -109,9 +122,7 @@ SELECT o_orderkey AS c_key, op,
        CASE WHEN op = 'U' THEN o_totalprice + 1.0 ELSE o_totalprice END AS c_price
 FROM (
   SELECT *,
-         CASE WHEN o_orderkey % 10 >= 8 THEN 'I'
-              WHEN o_orderkey % 13 = 0 THEN 'D'
-              WHEN o_orderkey % 7 = 0 THEN 'U' END AS op
+         {_CDC_OP_CASE_SQL} AS op
   FROM orders) s
 WHERE op IS NOT NULL
 """
@@ -523,12 +534,7 @@ def _changeset_cust(o: DataFrame) -> DataFrame:
     (o_custkey) so inserts land in their group and U/D rows can be
     cut group-locally. U rewrites status/price only — the group key
     never moves, matching the other MV keys' fixture."""
-    k = F.col("o_orderkey")
-    op = (
-        F.when(k % 10 >= 8, F.lit("I"))
-        .when(k % 13 == 0, F.lit("D"))
-        .when(k % 7 == 0, F.lit("U"))
-    )
+    op = _cdc_op()
     return (
         o.select(
             F.col("o_orderkey").alias("c_key"),
@@ -602,8 +608,14 @@ def mv_apply_delta_minmax(
 ) -> DataFrame:
     """base MV ⊕ delta stats, with the group-local re-scan for
     affected groups (retracted max == stored max). `t`/`c` are the
-    target snapshot and changeset the re-scan cuts into."""
-    comb = mv.join(delta, "grp", "full_outer")
+    target snapshot and changeset the re-scan cuts into.
+
+    comb is localCheckpoint'ed: it is referenced by the affected-group
+    cut AND the final select, and without pinning it the before-image
+    join + delta aggregation over the changeset would re-execute per
+    reference (the r3 double-reference lesson). It is MV-sized, so the
+    checkpoint is cheap at any scale."""
+    comb = mv.join(delta, "grp", "full_outer").localCheckpoint(eager=True)
     affected = (
         F.col("rd_mx").isNotNull()
         & F.col("mx0").isNotNull()
@@ -672,9 +684,7 @@ FULL OUTER JOIN (
               ELSE o_totalprice END AS c_price
   FROM (
     SELECT *,
-           CASE WHEN o_orderkey % 10 >= 8 THEN 'I'
-                WHEN o_orderkey % 13 = 0 THEN 'D'
-                WHEN o_orderkey % 7 = 0 THEN 'U' END AS op
+           {_CDC_OP_CASE_SQL} AS op
     FROM orders) s
   WHERE op IS NOT NULL) c ON t.t_key = c.c_key
 WHERE op IS DISTINCT FROM 'D'

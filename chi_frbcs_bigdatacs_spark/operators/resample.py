@@ -751,10 +751,17 @@ FROM votes WHERE 2 * n_disagree > n_nbrs
 def q_resample_smote_enn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = lineitem_clf(spark, sf_dir)
     synth = q_resample_smote(spark, sf_dir)
+    # DELIBERATELY no localCheckpoint: u is referenced by the band
+    # count and both self-join sides, so the SMOTE chain re-executes
+    # ~3x — but the chain is ~2-3s warm at sf0.1 and the recompute is
+    # STABLE (measured 9-10s warm, 5 runs). Pinning synth or u was
+    # measured BIMODAL (8s fast mode / 60-90s stalls at local[32] —
+    # block-manager reads of checkpointed partitions under the pair
+    # join), i.e. the "fix" for the r3 double-reference lesson costs
+    # more than the recompute here. Revisit only with a reproducible
+    # win.
     u = base.select("id", *FEATURES, "label").unionByName(
-        synth.select(
-            (-F.col("id")).alias("id"), *FEATURES, "label"
-        )
+        synth.select((-F.col("id")).alias("id"), *FEATURES, "label")
     )
     band = tomek_f2_band(u.count())
     return _enn_removals(spark, u, band).withColumn(

@@ -2435,13 +2435,19 @@ def _pca_components(
     for _ in range(PCA_TOPK):
         v_raw, lam = _pca_iterate_raw(A)
         comps.append((v_raw, _pca_flip(v_raw), lam))
-        A = [
-            [
-                round(A[i][j] - lam * v_raw[i] * v_raw[j], 6)
-                for j in range(PCA_D)
-            ]
-            for i in range(PCA_D)
-        ]
+        # deflate the UPPER triangle once and mirror it — computing
+        # A[j][i] independently would multiply in the opposite order
+        # ((lam*v_j)*v_i vs (lam*v_i)*v_j), which can differ by one
+        # ulp and, after round6, break the symmetry the SQL mirror
+        # assumes (it stores only c{i}_{j} for i<=j). Same discipline
+        # as _pca_stats mirroring c into both triangles.
+        nxt = [[0.0] * PCA_D for _ in range(PCA_D)]
+        for i in range(PCA_D):
+            for j in range(i, PCA_D):
+                d = round(A[i][j] - lam * v_raw[i] * v_raw[j], 6)
+                nxt[i][j] = d
+                nxt[j][i] = d
+        A = nxt
     return comps
 
 
@@ -2497,7 +2503,14 @@ def q_embed_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(*cols)
 
 
-def _pca_sql() -> str:
+def _pca_cname(i: int, j: int) -> str:
+    lo, hi = min(i, j), max(i, j)
+    return f"c{lo}_{hi}"
+
+
+def _pca_base_parts() -> tuple[list[str], list[str], str, list[str]]:
+    """Micro-unit projections, sufficient-stat sums, covariance column
+    list and entries — the text every PCA SQL generator starts from."""
     xs = [
         f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {MICRO}, 0) AS BIGINT)"
         f" AS x{i}"
@@ -2510,11 +2523,6 @@ def _pca_sql() -> str:
         for i in range(1, PCA_D + 1)
         for j in range(i, PCA_D + 1)
     ]
-
-    def cname(i: int, j: int) -> str:
-        lo, hi = min(i, j), max(i, j)
-        return f"c{lo}_{hi}"
-
     c_list = ", ".join(
         f"c{i}_{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)
     )
@@ -2525,17 +2533,24 @@ def _pca_sql() -> str:
         for i in range(1, PCA_D + 1)
         for j in range(i, PCA_D + 1)
     ]
-    # unrolled power iteration: v0 = e1; each round r computes t_i with
-    # the SAME left-associated term order as the Python driver math,
-    # then projects ONLY the covariance + normalized components forward
+    return xs, sums, c_list, covs
+
+
+def _pca_chain(prefix: str, src: str, c_list: str) -> tuple[list[str], str]:
+    """Unrolled power iteration over `src`: v0 = e1; each round r
+    computes t_i with the SAME left-associated term order as the
+    Python driver math, then projects ONLY the covariance + normalized
+    components forward. The ONE copy every generator shares — a
+    rounding-site or term-order fix lands in all keys at once."""
+    ctes: list[str] = []
     v = ["1.0"] + ["0.0"] * (PCA_D - 1)
-    ctes = []
-    prev = "cov"
+    prev = src
     for r in range(PCA_ROUNDS):
         ts = ", ".join(
             "round("
             + " + ".join(
-                f"{cname(i, j)} * ({v[j - 1]})" for j in range(1, PCA_D + 1)
+                f"{_pca_cname(i, j)} * ({v[j - 1]})"
+                for j in range(1, PCA_D + 1)
             )
             + f", 6) AS t{i}"
             for i in range(1, PCA_D + 1)
@@ -2549,20 +2564,32 @@ def _pca_sql() -> str:
             f"round(t{i} / {norm}, 6) AS w{r}_{i}"
             for i in range(1, PCA_D + 1)
         )
-        ctes.append(f"r{r} AS (SELECT {c_list}, {ts} FROM {prev})")
+        ctes.append(f"{prefix}r{r} AS (SELECT {c_list}, {ts} FROM {prev})")
         ctes.append(
-            f"n{r} AS (SELECT {c_list}, {norm} AS lam{r}, {ws} FROM r{r})"
+            f"{prefix}n{r} AS"
+            f" (SELECT {c_list}, {norm} AS lam{r}, {ws} FROM {prefix}r{r})"
         )
-        prev = f"n{r}"
+        prev = f"{prefix}n{r}"
         v = [f"w{r}_{i}" for i in range(1, PCA_D + 1)]
+    return ctes, prev
+
+
+def _pca_sign_arms() -> str:
+    """First-nonzero-loading-positive sign CASE (matches
+    _pca_flip's convention)."""
     last = PCA_ROUNDS - 1
-    # sign convention: first nonzero loading positive (matches
-    # _pca_iterate's flip)
-    sign_arms = " ".join(
+    return " ".join(
         f"WHEN w{last}_{i} <> 0.0 THEN"
         f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
         for i in range(1, PCA_D + 1)
     )
+
+
+def _pca_sql() -> str:
+    xs, sums, c_list, covs = _pca_base_parts()
+    ctes, _final = _pca_chain("", "cov", c_list)
+    last = PCA_ROUNDS - 1
+    sign_arms = _pca_sign_arms()
     dim_arms = " ".join(
         f"WHEN d.i = {i} THEN w{last}_{i}" for i in range(1, PCA_D + 1)
     )
@@ -2594,72 +2621,13 @@ def _pca_sql_parts():
     sufficient-stat sums, the covariance entries, and the chained
     power-iteration + deflation CTE list ending in per-component
     final CTE names."""
-    xs = [
-        f"CAST(round(CAST(embedding[{i}] AS DOUBLE) * {MICRO}, 0) AS BIGINT)"
-        f" AS x{i}"
-        for i in range(1, PCA_D + 1)
-    ]
-    sums = ["count(*) AS n"]
-    sums += [f"sum(x{i}) AS s{i}" for i in range(1, PCA_D + 1)]
-    sums += [
-        f"sum(x{i} * x{j}) AS s{i}_{j}"
-        for i in range(1, PCA_D + 1)
-        for j in range(i, PCA_D + 1)
-    ]
-
-    def cname(i: int, j: int) -> str:
-        lo, hi = min(i, j), max(i, j)
-        return f"c{lo}_{hi}"
-
-    c_list = ", ".join(
-        f"c{i}_{j}" for i in range(1, PCA_D + 1) for j in range(i, PCA_D + 1)
-    )
-    covs = [
-        f"round(((CAST(s{i}_{j} AS DOUBLE)"
-        f" - CAST(s{i} AS DOUBLE) * CAST(s{j} AS DOUBLE) / n) / n)"
-        f" / 1e12, 6) AS c{i}_{j}"
-        for i in range(1, PCA_D + 1)
-        for j in range(i, PCA_D + 1)
-    ]
-
-    def chain(prefix: str, src: str) -> tuple[list[str], str]:
-        ctes: list[str] = []
-        v = ["1.0"] + ["0.0"] * (PCA_D - 1)
-        prev = src
-        for r in range(PCA_ROUNDS):
-            ts = ", ".join(
-                "round("
-                + " + ".join(
-                    f"{cname(i, j)} * ({v[j - 1]})"
-                    for j in range(1, PCA_D + 1)
-                )
-                + f", 6) AS t{i}"
-                for i in range(1, PCA_D + 1)
-            )
-            norm = (
-                "round(sqrt("
-                + " + ".join(f"t{i} * t{i}" for i in range(1, PCA_D + 1))
-                + "), 6)"
-            )
-            ws = ", ".join(
-                f"round(t{i} / {norm}, 6) AS w{r}_{i}"
-                for i in range(1, PCA_D + 1)
-            )
-            ctes.append(f"{prefix}r{r} AS (SELECT {c_list}, {ts} FROM {prev})")
-            ctes.append(
-                f"{prefix}n{r} AS"
-                f" (SELECT {c_list}, {norm} AS lam{r}, {ws} FROM {prefix}r{r})"
-            )
-            prev = f"{prefix}n{r}"
-            v = [f"w{r}_{i}" for i in range(1, PCA_D + 1)]
-        return ctes, prev
-
+    xs, sums, c_list, covs = _pca_base_parts()
     last = PCA_ROUNDS - 1
     all_ctes: list[str] = []
     finals: list[str] = []
     src = "cov"
     for k in range(1, PCA_TOPK + 1):
-        ctes, fin = chain(f"p{k}", src)
+        ctes, fin = _pca_chain(f"p{k}", src, c_list)
         all_ctes += ctes
         finals.append(fin)
         if k < PCA_TOPK:
@@ -2680,11 +2648,7 @@ def _pca_topk_sql() -> str:
     same term order, same rounding sites as the Python driver math."""
     xs, sums, covs, all_ctes, finals = _pca_sql_parts()
     last = PCA_ROUNDS - 1
-    sign_arms = " ".join(
-        f"WHEN w{last}_{i} <> 0.0 THEN"
-        f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
-        for i in range(1, PCA_D + 1)
-    )
+    sign_arms = _pca_sign_arms()
     dim_arms = " ".join(
         f"WHEN d.i = {i} THEN w{last}_{i}" for i in range(1, PCA_D + 1)
     )
@@ -2722,11 +2686,7 @@ def _pca_project_sql() -> str:
     left-associated centered dot product, round(acc / 1e6, 6)."""
     xs, sums, covs, all_ctes, finals = _pca_sql_parts()
     last = PCA_ROUNDS - 1
-    sign_arms = " ".join(
-        f"WHEN w{last}_{i} <> 0.0 THEN"
-        f" (CASE WHEN w{last}_{i} < 0.0 THEN -1.0 ELSE 1.0 END)"
-        for i in range(1, PCA_D + 1)
-    )
+    sign_arms = _pca_sign_arms()
     const_ctes = [
         f"k{k} AS (SELECT "
         + ", ".join(
