@@ -51,10 +51,12 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #       stale keys fit.
 #   (4) _R7_STALE_FILL: oldest r7 keys in CORRECTNESS_r07 artifact
 #       order, as many as fit under the cap.
-# r15 plan (VERDICT r13 #9): after r14 the floor is r7 with 47-len(
-# _R7_STALE_FILL used) keys remaining r7-stale (47 total r7-stale
-# minus the fill below) — lead r15 with ALL of them, cap new keys at
-# the remaining slots, fill from oldest r8.
+# r15 plan (VERDICT r13 #9): after r14 the floor is r7. 47 keys were
+# r7-stale entering r14 and the fill below re-certifies the first 5
+# (scan_csv .. simsearch_ivf_build), leaving 42 r7-stale — lead r15
+# with ALL 42 (CORRECTNESS_r07 artifact order, starting
+# simsearch_ivf_from_index), cap new/changed keys at 8, fill any
+# remainder from oldest r8.
 
 _R6_STALE: list[str] = [
     "simsearch_ivf_kmeans",
