@@ -289,3 +289,58 @@ def test_mv_minmax_retraction_rescans_only_affected_groups(spark, tmp_path):
         500: (1, 60.0),
         600: (1, 77.0),
     }
+
+
+def test_mv_minmax_matches_python_model_on_random_tables(spark, tmp_path):
+    """Randomized pin for the MAX-retraction refresh (r14): seeded
+    random order tables (duplicate prices, singleton and dense
+    groups) vs a pure-Python model applying the same op rules
+    (%10>=8 I, %13 D, %7 U with price+1.00). Catches any drift
+    between the incremental path, the affected-group rule, and the
+    re-scan — including max-duplicate and group-vanish cases the
+    hand fixture can't enumerate."""
+    import random
+    from decimal import Decimal
+
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        q_mv_incremental_refresh_minmax,
+    )
+
+    rng = random.Random(20260816)
+    for trial in range(4):
+        n = rng.randrange(30, 120)
+        keys = rng.sample(range(1, 2000), n)
+        rows = [
+            (k, rng.randrange(1, 8) * 100, float(rng.randrange(1, 9) * 25))
+            for k in keys
+        ]
+        df = spark.createDataFrame(
+            [(k, c, "O", p) for k, c, p in rows],
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double",
+        )
+        path = str(tmp_path / f"t{trial}")
+        df.write.mode("overwrite").parquet(path + "/orders.parquet")
+
+        # python model: target = key%10<8; apply ops to it
+        state: dict = {}
+        for k, c, p in rows:
+            if k % 10 < 8:
+                state[k] = (c, Decimal(str(p)))
+        for k, c, p in rows:
+            if k % 10 >= 8:
+                state[k] = (c, Decimal(str(p)))  # I
+            elif k % 13 == 0:
+                state.pop(k, None)  # D
+            elif k % 7 == 0:
+                state[k] = (c, Decimal(str(p)) + Decimal("1.00"))  # U
+        want: dict = {}
+        for c, p in state.values():
+            n0, mx = want.get(c, (0, None))
+            want[c] = (n0 + 1, p if mx is None or p > mx else mx)
+
+        got = {
+            r["o_custkey"]: (r["n_orders"], Decimal(str(r["max_price"])))
+            for r in q_mv_incremental_refresh_minmax(spark, path).collect()
+        }
+        assert got == want, f"trial {trial}: {got} != {want}"
