@@ -863,6 +863,158 @@ FROM b
 register("metrics_brier", q_metrics_brier, _METRICS_BRIER_SQL)
 
 
+# --- PR-AUC / average precision over the AC score ranking (r14) ----------------
+# The ranking metric imbalanced-learning papers report beside GM/AUC
+# (Davis & Goadrich, "The Relationship Between Precision-Recall and
+# ROC Curves", ICML 2006: PR dominates ROC under heavy skew — exactly
+# the Chi-FRBCS-CS regime). Unlike the paper's single-point
+# (1+TPR-FPR)/2 AUC (metrics_gm_auc, reference-faithful), this is the
+# THRESHOLD-SWEEP average precision over the classifier's continuous
+# positive-class posterior p1 = cscore_1 / sum_k cscore_k from the AC
+# scoring DAG (the same normalized score metrics_brier consumes):
+#   AP = sum_i (Delta recall_i) * precision_i
+# over DISTINCT scores descending (ties as one block).
+#
+# Scale + parity: scores quantize to round6, so the PR grid is
+# BOUNDED (<= 1e6+1 distinct values at any corpus size) — the global
+# cumulative window runs over the bounded grid, never the corpus.
+# Cumulative TP/N are exact integers; each AP term integerizes to
+# 1e12 micro-units with a pinned operand order before the exact
+# integer sum, so the result is order-free on both engines. Scored
+# set = examples with at least one fired rule (ssum > 0), matching
+# metrics_brier's convention; n_scored/n_pos are reported beside the
+# metric. Degenerate zero-positive input defines AP = 0 on both
+# engines.
+
+
+def q_metrics_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _clf_par(spark, sf_dir)
+    fz = R.fuzzify(df, P)
+    rules = R.build_rules(
+        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
+    )
+    r = rules.filter(F.col("weight") > 0).withColumnRenamed("cls", "r_cls")
+    cells = R.candidate_cells(fz, P)
+    scored = cells.join(F.broadcast(r), ANTS)
+    ac = scored.groupBy("id", "r_cls").agg(
+        F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
+        F.max("label").alias("label"),
+    )
+    per = ac.groupBy("id").agg(
+        F.sum("cscore").alias("ssum"),
+        F.sum(
+            F.when(F.col("r_cls") == 1, F.col("cscore")).otherwise(F.lit(0.0))
+        ).alias("c1"),
+        F.max("label").alias("label"),
+    )
+    sc = per.where(F.col("ssum") > 0).select(
+        F.round(F.col("c1") / F.col("ssum"), 6).alias("s"),
+        (F.col("label") == 1).cast("long").alias("pos"),
+    )
+    return _avg_precision(sc)
+
+
+def _avg_precision(sc: DataFrame) -> DataFrame:
+    """AP over a (s round6, pos {0,1}) frame — the exact-integer
+    aggregation q_metrics_pr_auc runs, factored so tests can pin the
+    formula on hand-built rankings (perfect=1.0, reversed, ties)."""
+    from pyspark.sql.window import Window
+
+    h = sc.groupBy("s").agg(
+        F.sum("pos").alias("gp"), F.count(F.lit(1)).alias("gn")
+    )
+    w = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = h.select(
+        "gp",
+        F.sum("gp").over(w).alias("ctp"),
+        F.sum("gn").over(w).alias("cn"),
+    )
+    tot = sc.agg(
+        F.sum("pos").alias("ptot"), F.count(F.lit(1)).alias("n_scored")
+    )
+    term = F.when(
+        F.col("ptot") > 0,
+        F.round(
+            (
+                (F.col("gp").cast("double") * F.col("ctp").cast("double"))
+                / (
+                    F.col("ptot").cast("double")
+                    * F.col("cn").cast("double")
+                )
+            )
+            * F.lit(1e12),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(term.alias("t"), "ptot", "n_scored")
+        .agg(
+            F.max("n_scored").cast("long").alias("n_scored"),
+            F.max("ptot").cast("long").alias("n_pos"),
+            F.round(
+                F.sum("t").cast("double") / F.lit(1e12), 6
+            ).alias("pr_auc"),
+        )
+    )
+
+
+_METRICS_PR_AUC_SQL = (
+    oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    + """,
+aclab AS (
+  SELECT a.id, a.r_cls, a.cscore, f.label
+  FROM acagg a JOIN (SELECT DISTINCT id, label FROM clf) f USING (id)
+),
+per AS (
+  SELECT id, sum(cscore) AS ssum,
+         sum(CASE WHEN r_cls = 1 THEN cscore ELSE 0.0 END) AS c1,
+         max(label) AS label
+  FROM aclab GROUP BY id
+),
+sc AS (
+  SELECT round(c1 / ssum, 6) AS s,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+  FROM per WHERE ssum > 0
+),
+prtot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS ptot,
+         CAST(count(*) AS BIGINT) AS n_scored
+  FROM sc
+),
+h AS (
+  SELECT s, CAST(sum(pos) AS BIGINT) AS gp, CAST(count(*) AS BIGINT) AS gn
+  FROM sc GROUP BY s
+),
+cum AS (
+  SELECT gp,
+         sum(gp) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS ctp,
+         sum(gn) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS cn
+  FROM h
+),
+terms AS (
+  SELECT CASE WHEN t.ptot > 0 THEN
+           CAST(round(((CAST(gp AS DOUBLE) * CAST(ctp AS DOUBLE))
+                       / (CAST(t.ptot AS DOUBLE) * CAST(cn AS DOUBLE)))
+                      * 1e12, 0) AS BIGINT)
+         ELSE 0 END AS tm, t.ptot, t.n_scored
+  FROM cum CROSS JOIN prtot t
+)
+SELECT CAST(max(n_scored) AS BIGINT) AS n_scored,
+       CAST(max(ptot) AS BIGINT) AS n_pos,
+       round(CAST(sum(tm) AS DOUBLE) / 1e12, 6) AS pr_auc
+FROM terms
+"""
+)
+
+register("metrics_pr_auc", q_metrics_pr_auc, _METRICS_PR_AUC_SQL)
+
+
 
 # --- nominal (categorical) inputs in the fuzzy core (SURVEY §1 D3) --------
 # Crisp membership per declared category [FSS258 §4.2 — KDD Cup 99

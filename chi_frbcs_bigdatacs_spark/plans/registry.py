@@ -52,10 +52,10 @@ _REGISTRY: dict[str, QuerySpec] = {}
 #   (4) _R7_STALE_FILL: oldest r7 keys in CORRECTNESS_r07 artifact
 #       order, as many as fit under the cap.
 # r15 plan (VERDICT r13 #9): after r14 the floor is r7. 47 keys were
-# r7-stale entering r14 and the fill below re-certifies the first 5
-# (scan_csv .. simsearch_ivf_build), leaving 42 r7-stale — lead r15
-# with ALL 42 (CORRECTNESS_r07 artifact order, starting
-# simsearch_ivf_from_index), cap new/changed keys at 8, fill any
+# r7-stale entering r14 and the fill below re-certifies the first 4
+# (scan_csv .. sink_partitioned), leaving 43 r7-stale — lead r15
+# with ALL 43 (CORRECTNESS_r07 artifact order, starting
+# simsearch_ivf_build), cap new/changed keys at 7, fill any
 # remainder from oldest r8.
 
 _R6_STALE: list[str] = [
@@ -122,6 +122,7 @@ _NEW_R14: list[str] = [
     "embed_pca_topk",  # new: k=3 PCA via driver-side Hotelling deflation
     "embed_pca_project",  # new: map-only per-vector component scores
     "resample_smote_enn",  # new: Batista 2004 SMOTE+ENN composite
+    "metrics_pr_auc",  # new: threshold-sweep average precision (AC posterior)
 ]
 
 # CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at

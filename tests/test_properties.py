@@ -234,3 +234,55 @@ def test_mcc_kappa_match_sklearn_free_reference(spark):
     assert abs(r["mcc"] - round(mcc, 6)) < 1e-9
     assert abs(r["kappa"] - round(kappa, 6)) < 1e-9
     assert -1.0 <= r["mcc"] <= 1.0 and -1.0 <= r["kappa"] <= 1.0
+
+
+def test_avg_precision_formula_on_hand_rankings(spark):
+    """metrics_pr_auc (r14): the exact-integer AP aggregation pinned
+    on hand-built rankings against the textbook formula
+    AP = sum_i (pos_i / P) * (ctp_i / cn_i) over distinct scores
+    descending (ties as one block):
+      perfect separation      -> 1.0
+      worst (all pos last)    -> computed reference
+      tie block               -> block-precision weighting
+      no positives            -> 0.0 (degenerate convention)
+    """
+    from chi_frbcs_bigdatacs_spark.plans.catalog import _avg_precision
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "s double, pos long")
+        row = _avg_precision(df).collect()[0]
+        return row["n_scored"], row["n_pos"], row["pr_auc"]
+
+    def ref(pairs):
+        from collections import defaultdict
+
+        groups = defaultdict(lambda: [0, 0])
+        for s, pos in pairs:
+            groups[s][0] += pos
+            groups[s][1] += 1
+        P = sum(g[0] for g in groups.values())
+        if P == 0:
+            return 0.0
+        ctp = cn = 0
+        total = 0
+        for s in sorted(groups, reverse=True):
+            gp, gn = groups[s]
+            ctp += gp
+            cn += gn
+            total += round((gp * ctp) / (P * cn) * 1e12)
+        return round(total / 1e12, 6)
+
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert run(perfect) == (4, 2, 1.0)
+
+    worst = [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)]
+    n, p, ap = run(worst)
+    assert (n, p) == (4, 2) and ap == ref(worst)
+    assert ap < 0.6
+
+    ties = [(0.5, 1), (0.5, 0), (0.5, 1), (0.4, 0), (0.3, 1)]
+    n, p, ap = run(ties)
+    assert (n, p) == (5, 3) and ap == ref(ties)
+
+    nopos = [(0.9, 0), (0.1, 0)]
+    assert run(nopos) == (2, 0, 0.0)
