@@ -37,6 +37,7 @@ BNL_ALLOWED = {
     "discretize_quantile_sketch",  # one-row sketch-edge + one-row total
     "audit_freshness",  # one-row global-max agg broadcast
     "drift_psi",  # one-row period-totals agg broadcast
+    "metrics_pr_auc",  # one-row (ptot, n_scored) agg broadcast over the bounded PR grid
     "retrieval_hybrid_rrf",  # fuses two 10-row top-k lists (bm25 + cosine)
     "timeseries_gapfill",
     "timeseries_interpolate",  # hourly spine x broadcast |event types| grid
