@@ -617,17 +617,9 @@ def q_metrics_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join key IS the rule antecedent, and the struct-max argmax
     # encodes the identical ORDER BY score DESC, l1..ld ASC, cls ASC
     # tie-break (negated ints invert the order) — same oracle hash.
-    # r13: repartition before fuzzify (_clf_par, the fit() discipline
-    # — the raw sf0.1 scan is 3 files and would starve the cell
-    # explosion; measured 24s -> ~6s warm)
-    df = _clf_par(spark, sf_dir)
-    fz = R.fuzzify(df, P)
-    rules = R.build_rules(
-        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
-    )
-    r = rules.filter(F.col("weight") > 0).withColumnRenamed("cls", "r_cls")
-    cells = R.candidate_cells(fz, P)  # id, label, l1..ld, mu > 0
-    scored = cells.join(F.broadcast(r), ANTS)
+    # r13: repartition before fuzzify (see _ac_scored, the shared
+    # prelude; measured 24s -> ~6s warm)
+    scored = _ac_scored(spark, sf_dir)
     key = F.struct(
         (F.col("mu") * F.col("weight")).alias("s"),
         *[(-F.col(a)).alias(f"n_{a}") for a in ANTS],
@@ -789,23 +781,36 @@ register("metrics_mcc_kappa", q_metrics_mcc_kappa, _METRICS_MCC_KAPPA_SQL)
 # division chain.
 
 
-def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # repartition the narrow input BEFORE fuzzification (_clf_par,
-    # the fit() discipline): the raw sf0.1 scan is 3 files, and the
-    # candidate explosion would otherwise run 3-wide (measured 31s
-    # vs ~6s)
+def _ac_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared AC-scoring prelude (fit + candidate-cell equi-join):
+    one definition for brier / calibration / pr_auc so the scoring
+    contract cannot drift per copy (the r13 _clf_par repartition fix
+    had to be applied per copy — never again). Repartitions the
+    narrow input BEFORE fuzzification: the raw sf0.1 scan is 3 files,
+    and the candidate explosion would otherwise run 3-wide (measured
+    31s vs ~6s)."""
     df = _clf_par(spark, sf_dir)
     fz = R.fuzzify(df, P)
     rules = R.build_rules(
         R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
     )
     r = rules.filter(F.col("weight") > 0).withColumnRenamed("cls", "r_cls")
-    cells = R.candidate_cells(fz, P)
-    scored = cells.join(F.broadcast(r), ANTS)
-    ac = scored.groupBy("id", "r_cls").agg(
+    cells = R.candidate_cells(fz, P)  # id, label, l1..ld, mu > 0
+    return cells.join(F.broadcast(r), ANTS)
+
+
+def _ac_cscores(scored: DataFrame) -> DataFrame:
+    """Per-(id, class) AC scores (round9 contract) from the scored
+    cell frame — the (id, r_cls, cscore, label) frame brier and
+    pr_auc aggregate."""
+    return scored.groupBy("id", "r_cls").agg(
         F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
         F.max("label").alias("label"),
     )
+
+
+def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ac = _ac_cscores(_ac_scored(spark, sf_dir))
     per = ac.groupBy("id").agg(
         F.sum("cscore").alias("ssum"),
         F.sum(F.col("cscore") * F.col("cscore")).alias("ss2"),
@@ -873,7 +878,7 @@ register("metrics_brier", q_metrics_brier, _METRICS_BRIER_SQL)
 # positive-class posterior p1 = cscore_1 / sum_k cscore_k from the AC
 # scoring DAG (the same normalized score metrics_brier consumes):
 #   AP = sum_i (Delta recall_i) * precision_i
-# over DISTINCT scores descending (ties as one block).
+# over DISTINCT quantized scores descending (ties as one block).
 #
 # Scale + parity: scores quantize to round6, so the PR grid is
 # BOUNDED (<= 1e6+1 distinct values at any corpus size) — the global
@@ -888,18 +893,7 @@ register("metrics_brier", q_metrics_brier, _METRICS_BRIER_SQL)
 
 
 def q_metrics_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    df = _clf_par(spark, sf_dir)
-    fz = R.fuzzify(df, P)
-    rules = R.build_rules(
-        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
-    )
-    r = rules.filter(F.col("weight") > 0).withColumnRenamed("cls", "r_cls")
-    cells = R.candidate_cells(fz, P)
-    scored = cells.join(F.broadcast(r), ANTS)
-    ac = scored.groupBy("id", "r_cls").agg(
-        F.round(F.sum(F.col("mu") * F.col("weight")), 9).alias("cscore"),
-        F.max("label").alias("label"),
-    )
+    ac = _ac_cscores(_ac_scored(spark, sf_dir))
     per = ac.groupBy("id").agg(
         F.sum("cscore").alias("ssum"),
         F.sum(
@@ -907,8 +901,16 @@ def q_metrics_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c1"),
         F.max("label").alias("label"),
     )
+    # grid key as INTEGER micro-units (round(p1*1e6) as BIGINT), not a
+    # round6 double: a double group key would expose the engines'
+    # round-implementation divergence structurally (one boundary
+    # posterior landing in adjacent cells shifts every cumulative
+    # count), while the multiply-then-round-to-integer site is the
+    # repo's established micro-unit idiom
     sc = per.where(F.col("ssum") > 0).select(
-        F.round(F.col("c1") / F.col("ssum"), 6).alias("s"),
+        F.round(F.col("c1") / F.col("ssum") * F.lit(1e6), 0)
+        .cast("long")
+        .alias("s"),
         (F.col("label") == 1).cast("long").alias("pos"),
     )
     return _avg_precision(sc)
@@ -976,7 +978,7 @@ per AS (
   FROM aclab GROUP BY id
 ),
 sc AS (
-  SELECT round(c1 / ssum, 6) AS s,
+  SELECT CAST(round(c1 / ssum * 1e6, 0) AS BIGINT) AS s,
          CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
   FROM per WHERE ssum > 0
 ),
