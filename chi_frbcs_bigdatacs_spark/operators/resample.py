@@ -760,6 +760,17 @@ def q_resample_smote_enn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join), i.e. the "fix" for the r3 double-reference lesson costs
     # more than the recompute here. Revisit only with a reproducible
     # win.
+    # INTEGRAL-f1 INVARIANT (ADVICE r14): the union's grid bucketing
+    # below re-derives bq = CAST(f1 AS INT) over BOTH base and
+    # synthetic rows. That cast is only engine-portable because
+    # synthetic f1 is exactly integral: SMOTE pairs are grid-local
+    # (a.bq == b.bq, and bq IS integral f1 for this fixture), so
+    # b_f1 == a_f1 and f1 + lam*(b_f1 - a_f1) == a_f1 exactly. Spark
+    # truncates double->int while DuckDB rounds-to-nearest, so if a
+    # future edit feeds NON-integral f1 through this union (e.g.
+    # swapping in q_resample_smote_probe's adjacent-cell neighbors,
+    # where b_f1 may differ from a_f1), the engines diverge silently
+    # — switch BOTH sides' bucketing to floor(f1) first.
     u = base.select("id", *FEATURES, "label").unionByName(
         synth.select((-F.col("id")).alias("id"), *FEATURES, "label")
     )

@@ -955,10 +955,17 @@ def _avg_precision(sc: DataFrame) -> DataFrame:
         cum.crossJoin(F.broadcast(tot))
         .select(term.alias("t"), "ptot", "n_scored")
         .agg(
-            F.max("n_scored").cast("long").alias("n_scored"),
-            F.max("ptot").cast("long").alias("n_pos"),
-            F.round(
-                F.sum("t").cast("double") / F.lit(1e12), 6
+            # coalesce: an EMPTY scored set (no ssum>0 rows) must
+            # report 0/0/0.0, not NULLs — 'degenerate input defines
+            # AP = 0' covers no-rows, not just zero-positives
+            # (ADVICE r14); same coalesce in the SQL oracle.
+            F.coalesce(F.max("n_scored"), F.lit(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.coalesce(F.max("ptot"), F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce(
+                F.round(F.sum("t").cast("double") / F.lit(1e12), 6),
+                F.lit(0.0),
             ).alias("pr_auc"),
         )
     )
@@ -1007,14 +1014,184 @@ terms AS (
          ELSE 0 END AS tm, t.ptot, t.n_scored
   FROM cum CROSS JOIN prtot t
 )
-SELECT CAST(max(n_scored) AS BIGINT) AS n_scored,
-       CAST(max(ptot) AS BIGINT) AS n_pos,
-       round(CAST(sum(tm) AS DOUBLE) / 1e12, 6) AS pr_auc
+SELECT CAST(coalesce(max(n_scored), 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(max(ptot), 0) AS BIGINT) AS n_pos,
+       coalesce(round(CAST(sum(tm) AS DOUBLE) / 1e12, 6), 0.0) AS pr_auc
 FROM terms
 """
 )
 
 register("metrics_pr_auc", q_metrics_pr_auc, _METRICS_PR_AUC_SQL)
+
+
+# --- ROC-AUC over the same bounded posterior grid (r15) ------------------------
+# The threshold-sweep companion to metrics_pr_auc (VERDICT r14 #3):
+# trapezoidal area under the ROC curve over the SAME 1e6-quantized
+# positive-class posterior grid (ties as one block — the curve
+# interpolates linearly across a tie block, which IS the trapezoid).
+# Fawcett, "An introduction to ROC analysis", PRL 27 (2006) §7
+# (algorithm 2's trapezoid handling of ties). Complements the
+# reference-faithful single-point AUC = (1+TPR-FPR)/2 [FSS258 §4.3]
+# in metrics_gm_auc; on a degenerate ONE-threshold grid the two agree
+# exactly (test-pinned), because the trapezoid through (0,0) ->
+# (FPR, TPR) -> (1,1) has area (1+TPR-FPR)/2.
+#
+# Scale + parity: identical recipe to _avg_precision — the grid is
+# BOUNDED (<= 1e6+1 rows at any corpus size) so the global
+# cumulative/lag window never sees the corpus; cumulative TP/FP are
+# exact integers; each trapezoid term
+#   (cfp_i - cfp_{i-1}) * (ctp_i + ctp_{i-1}) / (2 * P * N)
+# integerizes to 1e12 micro-units with a pinned operand order before
+# the exact integer sum. Degenerate inputs (no scored rows, P = 0, or
+# N = 0) define roc_auc = 0.0 on both engines.
+
+
+def q_metrics_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ac = _ac_cscores(_ac_scored(spark, sf_dir))
+    per = ac.groupBy("id").agg(
+        F.sum("cscore").alias("ssum"),
+        F.sum(
+            F.when(F.col("r_cls") == 1, F.col("cscore")).otherwise(F.lit(0.0))
+        ).alias("c1"),
+        F.max("label").alias("label"),
+    )
+    sc = per.where(F.col("ssum") > 0).select(
+        F.round(F.col("c1") / F.col("ssum") * F.lit(1e6), 0)
+        .cast("long")
+        .alias("s"),
+        (F.col("label") == 1).cast("long").alias("pos"),
+    )
+    return _roc_auc(sc)
+
+
+def _roc_auc(sc: DataFrame) -> DataFrame:
+    """Trapezoidal ROC-AUC over a (s, pos {0,1}) frame — factored like
+    _avg_precision so tests can pin the formula on hand-built
+    rankings (perfect=1.0, reversed=0.0, one-threshold agreement with
+    the single-point (1+TPR-FPR)/2)."""
+    from pyspark.sql.window import Window
+
+    h = sc.groupBy("s").agg(
+        F.sum("pos").alias("gp"), F.count(F.lit(1)).alias("gn")
+    )
+    wcum = (
+        Window.orderBy(F.col("s").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wlag = Window.orderBy(F.col("s").desc())
+    cum = h.select(
+        "s",
+        F.sum("gp").over(wcum).alias("ctp"),
+        (F.sum("gn").over(wcum) - F.sum("gp").over(wcum)).alias("cfp"),
+    ).select(
+        "ctp",
+        "cfp",
+        F.lag("ctp", 1, 0).over(wlag).alias("ptp"),
+        F.lag("cfp", 1, 0).over(wlag).alias("pfp"),
+    )
+    tot = sc.agg(
+        F.sum("pos").alias("ptot"),
+        (F.count(F.lit(1)) - F.sum("pos")).alias("ntot"),
+        F.count(F.lit(1)).alias("n_scored"),
+    )
+    term = F.when(
+        (F.col("ptot") > 0) & (F.col("ntot") > 0),
+        F.round(
+            (
+                (
+                    (F.col("cfp") - F.col("pfp")).cast("double")
+                    * (F.col("ctp") + F.col("ptp")).cast("double")
+                )
+                / (
+                    F.lit(2.0)
+                    * F.col("ptot").cast("double")
+                    * F.col("ntot").cast("double")
+                )
+            )
+            * F.lit(1e12),
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(term.alias("t"), "ptot", "ntot", "n_scored")
+        .agg(
+            F.coalesce(F.max("n_scored"), F.lit(0))
+            .cast("long")
+            .alias("n_scored"),
+            F.coalesce(F.max("ptot"), F.lit(0)).cast("long").alias("n_pos"),
+            F.coalesce(F.max("ntot"), F.lit(0)).cast("long").alias("n_neg"),
+            F.coalesce(
+                F.round(F.sum("t").cast("double") / F.lit(1e12), 6),
+                F.lit(0.0),
+            ).alias("roc_auc"),
+        )
+    )
+
+
+_METRICS_ROC_AUC_SQL = (
+    oracle.scoring_ctes(LINEITEM_CLF_SQL, P)
+    + """,
+aclab AS (
+  SELECT a.id, a.r_cls, a.cscore, f.label
+  FROM acagg a JOIN (SELECT DISTINCT id, label FROM clf) f USING (id)
+),
+per AS (
+  SELECT id, sum(cscore) AS ssum,
+         sum(CASE WHEN r_cls = 1 THEN cscore ELSE 0.0 END) AS c1,
+         max(label) AS label
+  FROM aclab GROUP BY id
+),
+sc AS (
+  SELECT CAST(round(c1 / ssum * 1e6, 0) AS BIGINT) AS s,
+         CASE WHEN label = 1 THEN 1 ELSE 0 END AS pos
+  FROM per WHERE ssum > 0
+),
+roctot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS ptot,
+         CAST(count(*) - sum(pos) AS BIGINT) AS ntot,
+         CAST(count(*) AS BIGINT) AS n_scored
+  FROM sc
+),
+h AS (
+  SELECT s, CAST(sum(pos) AS BIGINT) AS gp, CAST(count(*) AS BIGINT) AS gn
+  FROM sc GROUP BY s
+),
+cum AS (
+  SELECT s,
+         sum(gp) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING) AS ctp,
+         sum(gn) OVER (ORDER BY s DESC
+                       ROWS UNBOUNDED PRECEDING)
+           - sum(gp) OVER (ORDER BY s DESC
+                           ROWS UNBOUNDED PRECEDING) AS cfp
+  FROM h
+),
+lagged AS (
+  SELECT ctp, cfp,
+         lag(ctp, 1, 0) OVER (ORDER BY s DESC) AS ptp,
+         lag(cfp, 1, 0) OVER (ORDER BY s DESC) AS pfp
+  FROM cum
+),
+terms AS (
+  SELECT CASE WHEN t.ptot > 0 AND t.ntot > 0 THEN
+           CAST(round(((CAST(cfp - pfp AS DOUBLE)
+                        * CAST(ctp + ptp AS DOUBLE))
+                       / (2.0 * CAST(t.ptot AS DOUBLE)
+                          * CAST(t.ntot AS DOUBLE)))
+                      * 1e12, 0) AS BIGINT)
+         ELSE 0 END AS tm, t.ptot, t.ntot, t.n_scored
+  FROM lagged CROSS JOIN roctot t
+)
+SELECT CAST(coalesce(max(n_scored), 0) AS BIGINT) AS n_scored,
+       CAST(coalesce(max(ptot), 0) AS BIGINT) AS n_pos,
+       CAST(coalesce(max(ntot), 0) AS BIGINT) AS n_neg,
+       coalesce(round(CAST(sum(tm) AS DOUBLE) / 1e12, 6), 0.0) AS roc_auc
+FROM terms
+"""
+)
+
+register("metrics_roc_auc", q_metrics_roc_auc, _METRICS_ROC_AUC_SQL)
 
 
 

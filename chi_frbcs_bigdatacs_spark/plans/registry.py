@@ -3,8 +3,15 @@
 This is the engine's public query surface. Every operator claimed in
 SURVEY.md §2 registers here; __spark_entry__.queries()/oracle_sql()
 are thin views over this registry, and the driver hash-compares each
-pair at sf0.01. Queries without an oracle (non-SQL-expressible ops:
-streaming, MinHash-LSH) register sql=None and get a rows-only check.
+pair at sf0.01. EVERY key carries a DuckDB oracle (sql is never None
+since r13 — streaming ops register their strict batch twin's oracle,
+and MinHash-LSH registers the banding self-join's SQL equivalent);
+the local parity suite (tests/test_oracle_parity.py) sweeps all keys
+vs DuckDB every CI run. Because the external driver only re-hashes
+the FIRST 50 keys per round, CHECK_PRIORITY below rotates which keys
+lead: stale keys (oldest external check first) plus this round's
+new/changed-plan keys, so every key's latest external check stays
+fresh over a bounded number of rounds.
 """
 
 from __future__ import annotations
@@ -21,7 +28,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 class QuerySpec:
     key: str
     fn: QueryFn
-    sql: str | None  # DuckDB oracle, or None -> rows-only check
+    sql: str | None  # DuckDB oracle (always set; None kept for API compat only)
 
 
 _REGISTRY: dict[str, QuerySpec] = {}
@@ -35,103 +42,31 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keys every CI run -- the rotation only affects which subset the
 # external driver re-hashes).
 #
-# Round-14 window (VERDICT r13 "Next round" #1), composed from named
-# groups below; the groups concatenate and the driver cap lands on
-# the last _R7_STALE_FILL entry (39 + changed-plan + new + fill = 50):
-#   (1) _R6_STALE: ALL 39 keys whose last external check is r6 —
-#       derived by cross-referencing CORRECTNESS_r{01..13} (r06
-#       artifact order, minus rule_conflict_resolve_d8 which
-#       re-certified in r13). When these re-certify the staleness
-#       floor jumps to r7 in one round.
-#   (2) _CHANGED_PLAN_R13: keys whose plan changed this round with
-#       bit-identical output (locally re-swept every CI run; this is
-#       the external certification of the new plans).
-#   (3) _NEW_R14: keys first registered this round — never
-#       driver-checked. VERDICT r13 caps new keys at <=11 so all 39
-#       stale keys fit.
-#   (4) _R7_STALE_FILL: oldest r7 keys in CORRECTNESS_r07 artifact
-#       order, as many as fit under the cap.
-# r15 plan (VERDICT r13 #9): after r14 the floor is r7. 47 keys were
-# r7-stale entering r14 and the fill below re-certifies the first 4
-# (scan_csv .. sink_partitioned), leaving 43 r7-stale — lead r15
-# with ALL 43 (CORRECTNESS_r07 artifact order, starting
-# simsearch_ivf_build), cap new/changed keys at 7, fill any
-# remainder from oldest r8.
+# Round-15 window (VERDICT r14 "Next round" #1, pinned in r14's
+# registry comment), composed from named groups below; the groups
+# concatenate and the driver cap lands on the last fill entry:
+#   (1) _R7_STALE: ALL 43 keys whose last external check is r7 —
+#       derived by cross-referencing CORRECTNESS_r{01..14}
+#       (CORRECTNESS_r07 artifact order, starting
+#       simsearch_ivf_build). When these re-certify the staleness
+#       floor jumps to r8 in one round.
+#   (2) _CHANGED_PLAN_R14: keys whose plan/tables changed with
+#       locally-verified-identical output at checked SFs — external
+#       certification of the new plans (includes sketch_hll_distinct
+#       per ADVICE r14: the re-simulated bias table shipped in r14
+#       without external re-certification).
+#   (3) _NEW_R15: keys first registered this round — never
+#       driver-checked. VERDICT r14 caps new/changed at <=7 total so
+#       all 43 stale keys fit.
+#   (4) _R8_STALE_FILL: oldest r8 keys in CORRECTNESS_r08 artifact
+#       order, as many as fit under the cap (0 if groups 2+3 use all
+#       7 slots).
+# r16 plan: after r15 the floor is r8 (38 keys r8-stale). Lead r16
+# with ALL 38 (CORRECTNESS_r08 artifact order, starting
+# discretize_quantile_sketch), cap new/changed keys at 12, fill any
+# remainder from oldest r9.
 
-_R6_STALE: list[str] = [
-    "simsearch_ivf_kmeans",
-    "simsearch_ivf_probe2",
-    "simsearch_recall",
-    "ruleweight_pcf_plain",
-    "ruleweight_pcfcs_costmatrix",
-    "agg_pricing_summary",
-    "agg_rollup",
-    "agg_percentile",
-    "join_broadcast",
-    "join_sortmerge",
-    "agg_cube",
-    "agg_distinct",
-    "join_semi",
-    "join_anti",
-    "join_outer",
-    "join_cross",
-    "scalar_math_funcs",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "setop_union",
-    "setop_except",
-    "setop_intersect",
-    "unpivot_measures",
-    "window_rank",
-    "window_distribution",
-    "fuzzify_nominal",
-    "rulegen_nominal",
-    "agg_pivot",
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "join_salted",
-    "topk_global",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_hashkey",
-    "embed_cosine",
-    "simsearch_ivf",
-    "media_meta",
-    "media_frames",
-]
-
-_CHANGED_PLAN_R13: list[str] = [
-    # graph_wcc: convergence probe collapsed from two exceptAll
-    # count() actions per round to ONE full-outer-join null check
-    # (VERDICT r13 #5) — labels identical, driver re-certifies the
-    # rewritten loop.
-    "graph_wcc",
-    # sketch_hll_distinct is NOT here despite the r14 bias-table
-    # re-simulation: at sf0.01 every per-type cardinality (~150) is
-    # in the linear-counting branch and at sf0.1 (~1500) above both
-    # tables' last knot, so outputs are unchanged at every checked SF
-    # (same reasoning as the r13 table's original landing) — verified
-    # by parity at sf0.001/0.01 before commit.
-]
-
-_NEW_R14: list[str] = [
-    # filled in as r14 keys land; each addition evicts the tail of
-    # _R7_STALE_FILL (the window-size check below keeps it exactly 50)
-    "mv_incremental_refresh_minmax",  # new: MAX-retraction group re-scan
-    "stream_mv_refresh_minmax",  # new: streaming twin, batch-tail re-scan
-    "embed_pca_topk",  # new: k=3 PCA via driver-side Hotelling deflation
-    "embed_pca_project",  # new: map-only per-vector component scores
-    "resample_smote_enn",  # new: Batista 2004 SMOTE+ENN composite
-    "metrics_pr_auc",  # new: threshold-sweep average precision (AC posterior)
-]
-
-# CORRECTNESS_r07 artifact order. Truncated to fit the 50-key cap at
-# import time -- the slice below is the single source of truth.
-_R7_STALE_FILL: list[str] = [
-    "scan_csv",
-    "scan_jsonl",
-    "scan_orc",
-    "sink_partitioned",
+_R7_STALE: list[str] = [
     "simsearch_ivf_build",
     "simsearch_ivf_from_index",
     "text_repetition",
@@ -139,14 +74,77 @@ _R7_STALE_FILL: list[str] = [
     "filter_length_band",
     "retrieval_hybrid_rrf",
     "bpe_top_merges",
+    "drift_psi",
+    "stream_index_maintain",
+    "dedup_semantic",
+    "profile_columns",
+    "audit_fk_orphans",
+    "scalar_zorder_key",
+    "sample_group_topn",
+    "discretize_quantile",
+    "stream_drift_psi",
+    "dedup_semantic_keep",
+    "drift_ks",
+    "stream_ivf_assign",
+    "audit_duplicate_pk",
+    "graph_pagerank",
+    "anonymize_kgroups",
+    "pipeline_training_data",
+    "anomaly_zscore",
+    "text_phrase_search",
+    "text_posindex_build",
+    "text_phrase_from_index",
+    "scd2_build",
+    "merge_upsert",
+    "table_diff",
+    "delete_cascade",
+    "discretize_quantile_approx",
+    "embed_project_rp",
+    "agg_active_users_7d",
+    "stream_merge_upsert",
+    "bpe_train_merges",
+    "scan_zorder_pruned",
+    "mask_columns",
+    "audit_freshness",
+    "window_retention_cohorts",
+    "stream_audit_freshness",
+    "maintenance_compact",
+    "text_tfidf",
+]
+
+_CHANGED_PLAN_R14: list[str] = [
+    # sketch_hll_distinct: r14 re-simulated HLL bias table (30k
+    # trials, monotone knots) changed raw-estimate correction in the
+    # ~1121-1200 band; outputs unchanged at checked SFs but ADVICE
+    # r14 asks for external certification of the new table.
+    "sketch_hll_distinct",
+]
+
+_NEW_R15: list[str] = [
+    # filled in as r15 keys land; each addition evicts the tail of
+    # _R8_STALE_FILL (the window-size check below keeps it exactly 50)
+    "metrics_roc_auc",  # new: trapezoidal ROC over the bounded posterior grid
+]
+
+# CORRECTNESS_r08 artifact order. Truncated to fit the 50-key cap at
+# import time -- the slice below is the single source of truth.
+_R8_STALE_FILL: list[str] = [
+    "discretize_quantile_sketch",
+    "agg_count_min_sketch",
+    "graph_triangle_count",
+    "timeseries_ohlc",
+    "stream_ohlc",
+    "embed_pq_adc",
+    "agg_hll_union",
+    "sketch_kmv_overlap",
 ]
 
 _WINDOW = 50
 CHECK_PRIORITY: list[str] = (
-    _R6_STALE
-    + _CHANGED_PLAN_R13
-    + _NEW_R14
-    + _R7_STALE_FILL[: _WINDOW - len(_R6_STALE) - len(_CHANGED_PLAN_R13) - len(_NEW_R14)]
+    _R7_STALE
+    + _CHANGED_PLAN_R14
+    + _NEW_R15
+    + _R8_STALE_FILL[: _WINDOW - len(_R7_STALE) - len(_CHANGED_PLAN_R14) - len(_NEW_R15)]
 )
 # Window invariants raise unconditionally (ADVICE r13: bare asserts
 # are stripped under python -O, silently desyncing the external

@@ -93,6 +93,15 @@ def main() -> None:
         if abs(b) < 2.0 * se:
             break
         keep += 1
+    if keep == 0:
+        # An empty committed table would crash curation.py at import
+        # (HLL_BIAS_RAW[0]) and ship a degenerate zero-correction
+        # sketch (ADVICE r14) — refuse to print one.
+        raise SystemExit(
+            "FATAL: 2-sigma prefix rule kept 0 knots — the first knot's "
+            "|bias| is below 2x sim stderr. Raise TRIALS (stderr too "
+            "high) or re-check the grid; do NOT commit an empty table."
+        )
     print(f"\n# committed zone: first {keep} knots (2-sigma prefix rule;"
           " tail = sim noise)")
     print("HLL_BIAS_RAW =", raw_knots[:keep])

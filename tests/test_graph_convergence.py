@@ -375,6 +375,30 @@ def test_wcc_star_contraction_multi_component(spark, tmp_path):
     }
 
 
+def test_wcc_star_phase_output_is_duplicate_free(spark):
+    """graph_wcc's convergence probe (one full-outer-join null check)
+    is SET equality, not multiset equality — it is only sound because
+    every _star_round phase ends .distinct() (ADVICE r14). Enforce
+    that invariant directly: feed each phase a multigraph with
+    duplicated and reversed edges and require the output to carry no
+    duplicate (u, v) rows, so a future perf change that drops a
+    distinct() fails HERE instead of silently corrupting the probe."""
+    from chi_frbcs_bigdatacs_spark.operators.graph import _star_round
+
+    # chain a-b-c plus duplicates and a reversed copy: worst-case
+    # multiplicity into the phase
+    dup = spark.createDataFrame(
+        [("a", "b"), ("a", "b"), ("b", "a"), ("b", "c"), ("b", "c")],
+        "u string, v string",
+    )
+    for large in (True, False):
+        out = _star_round(dup, large=large).collect()
+        pairs = [(r.u, r.v) for r in out]
+        assert len(pairs) == len(set(pairs)), (
+            f"large={large}: duplicate (u,v) rows — probe precondition broken"
+        )
+
+
 def test_wcc_matches_union_find_on_random_graphs(spark, tmp_path):
     """Star contraction vs a pure-Python union-find reference over
     randomized bipartite edge sets (seeded — deterministic CI): the

@@ -38,6 +38,7 @@ BNL_ALLOWED = {
     "audit_freshness",  # one-row global-max agg broadcast
     "drift_psi",  # one-row period-totals agg broadcast
     "metrics_pr_auc",  # one-row (ptot, n_scored) agg broadcast over the bounded PR grid
+    "metrics_roc_auc",  # same shape: one-row totals broadcast over the bounded ROC grid
     "retrieval_hybrid_rrf",  # fuses two 10-row top-k lists (bm25 + cosine)
     "timeseries_gapfill",
     "timeseries_interpolate",  # hourly spine x broadcast |event types| grid

@@ -286,3 +286,77 @@ def test_avg_precision_formula_on_hand_rankings(spark):
 
     nopos = [(0.9, 0), (0.1, 0)]
     assert run(nopos) == (2, 0, 0.0)
+
+    # EMPTY scored set (no ssum>0 rows at all): must still be
+    # 0/0/0.0, not NULLs (ADVICE r14 — the agg-over-zero-rows path)
+    empty = spark.createDataFrame([], "s double, pos long")
+    row = _avg_precision(empty).collect()[0]
+    assert (row["n_scored"], row["n_pos"], row["pr_auc"]) == (0, 0, 0.0)
+
+
+def test_roc_auc_formula_on_hand_rankings(spark):
+    """metrics_roc_auc (r15, VERDICT r14 #3): the trapezoidal ROC
+    aggregation pinned on hand-built rankings:
+      perfect separation       -> 1.0
+      reversed (all pos last)  -> 0.0
+      random-ish ties          -> numpy trapezoid reference
+      ONE-threshold fixture    -> equals single-point (1+TPR-FPR)/2
+      degenerate (no pos / no neg / empty) -> 0.0
+    """
+    from chi_frbcs_bigdatacs_spark.plans.catalog import _roc_auc
+
+    def run(pairs):
+        df = spark.createDataFrame(pairs, "s double, pos long")
+        row = _roc_auc(df).collect()[0]
+        return (
+            row["n_scored"], row["n_pos"], row["n_neg"], row["roc_auc"]
+        )
+
+    def ref(pairs):
+        from collections import defaultdict
+
+        groups = defaultdict(lambda: [0, 0])
+        for s, pos in pairs:
+            groups[s][0] += pos
+            groups[s][1] += 1
+        P = sum(g[0] for g in groups.values())
+        N = sum(g[1] for g in groups.values()) - P
+        if P == 0 or N == 0:
+            return 0.0
+        ctp = cfp = 0
+        total = 0
+        for s in sorted(groups, reverse=True):
+            gp, gn = groups[s]
+            ptp, pfp = ctp, cfp
+            ctp += gp
+            cfp += gn - gp
+            total += round((cfp - pfp) * (ctp + ptp) / (2 * P * N) * 1e12)
+        return round(total / 1e12, 6)
+
+    perfect = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    assert run(perfect) == (4, 2, 2, 1.0)
+
+    reversed_ = [(0.9, 0), (0.8, 0), (0.2, 1), (0.1, 1)]
+    assert run(reversed_) == (4, 2, 2, 0.0)
+
+    ties = [(0.5, 1), (0.5, 0), (0.5, 1), (0.4, 0), (0.3, 1), (0.2, 0)]
+    n, p, ng, auc = run(ties)
+    assert (n, p, ng) == (6, 3, 3) and auc == ref(ties)
+    assert 0.0 < auc < 1.0
+
+    # one distinct score above threshold, one below: trapezoid through
+    # (0,0)->(FPR,TPR)->(1,1) must equal the reference's single-point
+    # AUC = (1 + TPR - FPR) / 2 at that threshold [FSS258 §4.3]
+    one_thr = [(0.8, 1), (0.8, 1), (0.8, 0), (0.2, 1), (0.2, 0), (0.2, 0)]
+    tpr, fpr = 2 / 3, 1 / 3  # at the 0.8-vs-0.2 cut
+    n, p, ng, auc = run(one_thr)
+    assert (n, p, ng) == (6, 3, 3)
+    assert auc == round((1 + tpr - fpr) / 2, 6) == ref(one_thr)
+
+    assert run([(0.9, 0), (0.1, 0)]) == (2, 0, 2, 0.0)  # no positives
+    assert run([(0.9, 1), (0.1, 1)]) == (2, 2, 0, 0.0)  # no negatives
+    empty = spark.createDataFrame([], "s double, pos long")
+    row = _roc_auc(empty).collect()[0]
+    assert (
+        row["n_scored"], row["n_pos"], row["n_neg"], row["roc_auc"]
+    ) == (0, 0, 0, 0.0)
