@@ -603,8 +603,27 @@ def mv_minmax_delta_agg(rows: DataFrame) -> DataFrame:
     )
 
 
+# Row-count gate for broadcasting the affected-group set in
+# mv_apply_delta_minmax. In the common case `aff` is bounded by the
+# changeset's group count — tiny, broadcast is right. But in the
+# adversarial all-retraction case (every group's stored max is
+# retracted) `aff` is MV-SIZED, and an unconditional broadcast is the
+# SSSP settled-set problem over again (VERDICT r14 #5). Past the gate
+# the cut switches to a shuffle-hash semi-join whose grp exchange the
+# downstream re-scan groupBy("grp") reuses. Same knob shape as
+# graph.py's SSSP_BROADCAST_MAX_SETTLED: a row count, not bytes,
+# because `comb` is checkpointed so the exact cardinality costs one
+# cheap scan of the pinned MV per refresh.
+MV_AFF_BROADCAST_MAX = 1_600_000
+
+
 def mv_apply_delta_minmax(
-    mv: DataFrame, delta: DataFrame, t: DataFrame, c: DataFrame
+    mv: DataFrame,
+    delta: DataFrame,
+    t: DataFrame,
+    c: DataFrame,
+    *,
+    aff_broadcast_max: int | None = None,
 ) -> DataFrame:
     """base MV ⊕ delta stats, with the group-local re-scan for
     affected groups (retracted max == stored max). `t`/`c` are the
@@ -615,6 +634,8 @@ def mv_apply_delta_minmax(
     join + delta aggregation over the changeset would re-execute per
     reference (the r3 double-reference lesson). It is MV-sized, so the
     checkpoint is cheap at any scale."""
+    if aff_broadcast_max is None:
+        aff_broadcast_max = MV_AFF_BROADCAST_MAX
     comb = mv.join(delta, "grp", "full_outer").localCheckpoint(eager=True)
     affected = (
         F.col("rd_mx").isNotNull()
@@ -622,15 +643,22 @@ def mv_apply_delta_minmax(
         & (F.col("rd_mx") == F.col("mx0"))
     )
     aff = comb.where(affected).select("grp")
+    # size-gated broadcast (see MV_AFF_BROADCAST_MAX); both modes are
+    # bit-equal and plan-pinned by test_mv_minmax_aff_gate_*
+    aff_j = (
+        F.broadcast(aff)
+        if aff.count() <= aff_broadcast_max
+        else aff.hint("shuffle_hash")
+    )
     retr_keys = c.where(F.col("op").isin("U", "D")).select("c_key")
     survivors = (
-        t.join(F.broadcast(aff), t["o_custkey"] == aff["grp"])
+        t.join(aff_j, t["o_custkey"] == aff_j["grp"])
         .join(retr_keys, t["o_orderkey"] == retr_keys["c_key"], "left_anti")
         .select("grp", _dec("o_totalprice").alias("val"))
     )
     adds = (
         c.where(F.col("op").isin("U", "I"))
-        .join(F.broadcast(aff), c["c_cust"] == aff["grp"])
+        .join(aff_j, c["c_cust"] == aff_j["grp"])
         .select("grp", _dec("c_price").alias("val"))
     )
     rescan = (
@@ -661,7 +689,10 @@ def mv_apply_delta_minmax(
 
 
 def q_mv_incremental_refresh_minmax(
-    spark: SparkSession, sf_dir: str
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    aff_broadcast_max: int | None = None,
 ) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     t = _target(o)
@@ -669,7 +700,9 @@ def q_mv_incremental_refresh_minmax(
     delta = mv_minmax_delta_agg(
         mv_minmax_delta_rows(mv_minmax_before_images(t, c))
     )
-    return mv_apply_delta_minmax(mv_base_minmax(t), delta, t, c)
+    return mv_apply_delta_minmax(
+        mv_base_minmax(t), delta, t, c, aff_broadcast_max=aff_broadcast_max
+    )
 
 
 _MERGED_CUST_SQL = f"""

@@ -417,7 +417,10 @@ def q_stream_mv_refresh(
 # state), MV-sized state per group (4 scalars); the stream-static
 # before-image join plans exactly as the batch plan's; the final
 # re-scan broadcasts the affected-group set bounded by the
-# changeset's group count.
+# changeset's group count — size-gated (r15): past
+# MV_AFF_BROADCAST_MAX affected groups (adversarial all-retraction)
+# it switches to a shuffle-hash semi-join riding the re-scan's grp
+# exchange.
 
 
 def _mv_minmax_cdc_src(spark: SparkSession, sf_dir: str) -> str:
@@ -435,7 +438,10 @@ def _mv_minmax_cdc_src(spark: SparkSession, sf_dir: str) -> str:
 
 
 def q_stream_mv_refresh_minmax(
-    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    staged_src: str | None = None,
+    aff_broadcast_max: int | None = None,
 ) -> DataFrame:
     from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
         mv_apply_delta_minmax,
@@ -466,7 +472,13 @@ def q_stream_mv_refresh_minmax(
     )
     q.awaitTermination()
     c = spark.read.schema(schema).parquet(src)
-    return mv_apply_delta_minmax(mv_base_minmax(t), spark.table(name), t, c)
+    return mv_apply_delta_minmax(
+        mv_base_minmax(t),
+        spark.table(name),
+        t,
+        c,
+        aff_broadcast_max=aff_broadcast_max,
+    )
 
 
 def register_all() -> None:

@@ -291,6 +291,43 @@ def test_mv_minmax_retraction_rescans_only_affected_groups(spark, tmp_path):
     }
 
 
+def test_mv_minmax_aff_gate_modes_bit_equal_and_plan_pinned(spark):
+    """The r15 size gate on the affected-group set (VERDICT r14 #5):
+    below MV_AFF_BROADCAST_MAX the re-scan cut broadcasts `aff`; past
+    it (adversarial all-retraction: aff is MV-sized) it switches to a
+    shuffle-hash semi-join riding the re-scan's grp exchange. Both
+    modes must be BIT-equal on the same input, and each mode's plan
+    must carry its join strategy on the aff cut."""
+    from chi_frbcs_bigdatacs_spark.operators.lakehouse import (
+        q_mv_incremental_refresh_minmax,
+    )
+    from tests.conftest import SF_SMALL
+
+    dfs = {}
+    for mode, gate in (("broadcast", None), ("shuffle", 0)):
+        dfs[mode] = q_mv_incremental_refresh_minmax(
+            spark, SF_SMALL, aff_broadcast_max=gate
+        )
+    rows = {
+        m: sorted(map(tuple, df.collect())) for m, df in dfs.items()
+    }
+    assert rows["broadcast"] == rows["shuffle"] and rows["broadcast"]
+
+    plans = {
+        m: df._jdf.queryExecution().executedPlan().toString()
+        for m, df in dfs.items()
+    }
+    # the aff cut joins on o_custkey (survivors) and c_cust (adds):
+    # broadcast mode builds aff as a broadcast on BOTH
+    assert "BroadcastHashJoin [o_custkey" in plans["broadcast"]
+    assert "BroadcastHashJoin [c_cust" in plans["broadcast"]
+    assert "ShuffledHashJoin [o_custkey" not in plans["broadcast"]
+    # shuffle mode: the hint wins on both cuts — aff never broadcasts
+    assert "ShuffledHashJoin [o_custkey" in plans["shuffle"]
+    assert "ShuffledHashJoin [c_cust" in plans["shuffle"]
+    assert "BroadcastHashJoin [o_custkey" not in plans["shuffle"]
+
+
 def test_mv_minmax_matches_python_model_on_random_tables(spark, tmp_path):
     """Randomized pin for the MAX-retraction refresh (r14): seeded
     random order tables (duplicate prices, singleton and dense

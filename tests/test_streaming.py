@@ -643,3 +643,15 @@ def test_stream_mv_refresh_minmax_invariant_under_skewed_split(spark, tmp_path):
         map(tuple, q_mv_incremental_refresh_minmax(spark, SF_SMALL).collect())
     )
     assert streamed == batch and streamed
+
+    # r15 aff size gate: the streaming twin forced into shuffle-hash
+    # mode (aff_broadcast_max=0) must still be bit-equal to batch
+    streamed_sh = sorted(
+        map(
+            tuple,
+            q_stream_mv_refresh_minmax(
+                spark, SF_SMALL, staged_src=src, aff_broadcast_max=0
+            ).collect(),
+        )
+    )
+    assert streamed_sh == batch
