@@ -2130,14 +2130,29 @@ def _micros_col() -> Column:
     )
 
 
+def _micros_and_query(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, list[int]]:
+    """Micro-unit corpus + the query vector's micros (one scalar
+    collect) — the header shared by the SQ8/BQ bounds pass and the
+    residual-IVFADC build, which trains bounds on RESIDUALS instead
+    and so must not pay the raw-bounds agg."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    m = emb.select("vec_id", _micros_col().alias("xm"))
+    qm = [
+        int(v)
+        for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
+    ]
+    return m, qm
+
+
 def _sq_bounds_and_query(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, dict[int, tuple[int, int]], list[int]]:
     """Shared SQ8/BQ header: the micro-unit corpus, per-dim (min, max)
     bounds, and the query vector's micros — the two collects are
     scalar headers (128 + 64 ints, the centroid convention)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    m = emb.select("vec_id", _micros_col().alias("xm"))
+    m, qm = _micros_and_query(spark, sf_dir)
     bounds = {
         int(r["dim"]): (int(r["mn"]), int(r["mx"]))
         for r in m.select(F.posexplode("xm").alias("dim", "v"))
@@ -2145,10 +2160,6 @@ def _sq_bounds_and_query(
         .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
         .collect()
     }
-    qm = [
-        int(v)
-        for v in m.orderBy(F.col("vec_id").asc()).limit(1).collect()[0]["xm"]
-    ]
     return m, bounds, qm
 
 
@@ -2799,6 +2810,236 @@ cand AS (
     )
 
 
+# --- IVF,SQ8 with RESIDUAL encoding — true IVFADC (r15) -----------------------
+# VERDICT r14 #2: FAISS's IVFADC quantizes the RESIDUAL
+# r = x - centroid(cell(x)), not the raw vector — residuals are
+# centered near zero, so the same byte budget spends its 255 levels
+# on a much tighter per-dim range and the composed index recovers
+# most of the accuracy raw-coded IVF,SQ8 leaves on the table (Jégou,
+# Douze, Schmid, "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011 §III.C — the residual argument applies to any coarse+
+# fine composition, SQ8 included). Serve is per-cell asymmetric ADC:
+# the query's residual AGAINST EACH PROBED CELL scores that cell's
+# candidates (qr = q - centroid(k) folds in as per-cell literals).
+#
+# Exactness discipline: Lloyd centroids are round6 doubles on both
+# engines (the _kmeans_index contract), so centroid micros
+# cm = round(c * 1e6) are exact integers both engines agree on;
+# residual micros rm = xm - cm stay exact BIGINTs; bounds/codes/
+# reconstructions/distances are the flat-SQ8 integer idiom verbatim
+# (rm - mn >= 0, so Spark's truncating div == DuckDB's flooring //).
+# Headroom: residual ranges are <= raw ranges (they subtract the
+# cell mean), and |qr| <= |q| + |c| ~ raw scale, so dd stays within
+# the flat key's ~2^28 per-dim envelope and the 64-dim squared sum
+# keeps its ~1.8x BIGINT margin.
+#
+# Scale shape (100 TB): build = the IVF Lloyd aggs + ONE extra
+# map-side-combinable min/max agg over residuals (the residual
+# projection is a literal zip_with, no join — cell centroids are
+# driver constants); serve = k IN (probes) cut + ONE codegen'd
+# projection whose per-cell CASE folds the nprobe query residuals as
+# literals + TakeOrdered(shortlist). Nothing vector-sized shuffles;
+# map-only serve pinned by test_plans.py::test_ivf_sq8_residual_
+# serves_map_only; recall vs the raw-coded twin measured by
+# tests/test_sq8.py::test_ivf_sq8_residual_recall_beats_raw.
+
+
+def _centroid_micros(cent: list[tuple[int, list[float]]]) -> dict[int, list[int]]:
+    """Centroid micro-units from the round6 Lloyd means. round() on a
+    round6-double * 1e6 is >= 1e-4 away from any .5 boundary, so
+    Python/Spark/DuckDB rounding all agree."""
+    return {k: [int(round(c * MICRO)) for c in vec] for k, vec in cent}
+
+
+def _residual_frame(a2: DataFrame, cmm: dict[int, list[int]]) -> DataFrame:
+    """(vec_id, k, xm, rm): micro corpus + per-cell residual micros,
+    as ONE map-only literal-folded projection (centroids are driver
+    constants — no join)."""
+    cm_arr = None
+    for k in sorted(cmm):
+        lit = F.array(*[F.lit(v).cast("long") for v in cmm[k]])
+        cm_arr = (
+            F.when(F.col("k") == k, lit)
+            if cm_arr is None
+            else cm_arr.when(F.col("k") == k, lit)
+        )
+    return a2.select(
+        "vec_id", "k", _micros_col().alias("xm")
+    ).withColumn(
+        "rm", F.zip_with("xm", cm_arr, lambda x, c: x - c)
+    )
+
+
+def q_simsearch_ivf_sq8_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    a2, cent, _ = _kmeans_index(spark, sf_dir)
+    _, qm = _micros_and_query(spark, sf_dir)
+    cmm = _centroid_micros(cent)
+    r = _residual_frame(a2, cmm)
+    # residual bounds: one map-side-combinable agg (the SQ8 bounds
+    # pass, trained on residuals — the FAISS ScalarQuantizer-over-
+    # residuals contract)
+    bounds = {
+        int(row["dim"]): (int(row["mn"]), int(row["mx"]))
+        for row in r.select(F.posexplode("rm").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    }
+    # probe selection: raw-double sqdist vs centroids (the ivf_sq8
+    # precedent — micros would change the tie geometry vs the oracle)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvec = list(
+        emb.orderBy(F.col("vec_id").asc()).limit(1).collect()[0].embedding
+    )
+
+    def sqdist(vec: list[float]) -> float:
+        return sum(
+            (float(vec[i]) - float(qvec[i])) ** 2 for i in range(len(qvec))
+        )
+
+    probes = [
+        k
+        for k, _ in sorted(cent, key=lambda kv: (sqdist(kv[1]), kv[0]))[
+            :IVF_SQ8_NPROBE
+        ]
+    ]
+    cand = r.filter(F.col("k").isin(probes))
+    # per-cell ADC params: qr255 = 255 * (qm - cm[k]) per probed cell
+    scored = cand
+    adc_exprs = []
+    for pi, k in enumerate(probes):
+        params = F.array(
+            *[
+                F.struct(
+                    F.lit(bounds[i][0]).cast("long").alias("mn"),
+                    F.lit(bounds[i][1] - bounds[i][0])
+                    .cast("long")
+                    .alias("rng"),
+                    F.lit(SQ8_LEVELS * (qm[i] - cmm[k][i]))
+                    .cast("long")
+                    .alias("qr255"),
+                )
+                for i in range(DIM)
+            ]
+        )
+        scored = scored.withColumn(f"p{pi}", params)
+        adc_exprs.append(
+            (
+                k,
+                f"""aggregate(
+              zip_with(rm, p{pi}, (x, pp) ->
+                pp.qr255 - ({SQ8_LEVELS} * pp.mn + CASE WHEN pp.rng > 0
+                  THEN ((x - pp.mn) * {SQ8_LEVELS} div pp.rng) * pp.rng
+                  ELSE 0L END)),
+              0L, (acc, d) -> acc + d * d)""",
+            )
+        )
+    case = "CASE " + " ".join(
+        f"WHEN k = {k} THEN ({e})" for k, e in adc_exprs[:-1]
+    ) + f" ELSE ({adc_exprs[-1][1]}) END"
+    q_arr = F.array(*[F.lit(v).cast("long") for v in qm])
+    scored = scored.select(
+        "vec_id",
+        F.expr(case).alias("sq_dist255"),
+        F.aggregate(
+            F.zip_with("xm", q_arr, lambda x, q: q - x),
+            F.lit(0).cast("long"),
+            lambda acc, d: acc + d * d,
+        ).alias("exact_d2_micro"),
+    )
+    short = scored.orderBy(
+        F.col("sq_dist255").asc(), F.col("vec_id").asc()
+    ).limit(SQ8_SHORTLIST)
+    return _exact_rerank(short, "sq_dist255", SQ8_K)
+
+
+def _ivf_sq8_residual_sql() -> str:
+    # cent/a2 are referenced 3x/2x here (cm + qk + the residual join);
+    # DuckDB 1.0 re-INLINES the whole Lloyd chain per reference
+    # without the MATERIALIZED hint (measured 33s -> 2.5s at sf0.001).
+    # Applied locally via replace so the shared CTE text the other
+    # ten IVF oracles embed stays byte-identical.
+    kmeans = (
+        _ivf_kmeans_ctes()
+        .replace("cent AS (", "cent AS MATERIALIZED (")
+        .replace("a2 AS (", "a2 AS MATERIALIZED (")
+    )
+    return f"""
+WITH {kmeans},
+qv AS (
+  SELECT embedding AS qvec FROM embeddings ORDER BY vec_id ASC LIMIT 1
+),
+qk AS (
+  SELECT c.k FROM cent c, qv
+  ORDER BY {_sqdist_sql('qv.qvec', 'c.cvec')} ASC, c.k ASC
+  LIMIT {IVF_SQ8_NPROBE}
+),
+dims AS (
+  SELECT unnest(range({DIM})) AS dim
+),
+cm AS (
+  SELECT k, dim,
+         CAST(round(CAST(cvec[CAST(dim AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS cmm
+  FROM cent CROSS JOIN dims
+),
+m AS MATERIALIZED (
+  SELECT vec_id, dim,
+         CAST(round(CAST(embedding[CAST(dim AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS xm
+  FROM embeddings CROSS JOIN dims
+),
+r AS MATERIALIZED (
+  SELECT m.vec_id, a2.k, m.dim, m.xm, m.xm - cm.cmm AS rm
+  FROM m JOIN a2 USING (vec_id)
+       JOIN cm ON cm.k = a2.k AND cm.dim = m.dim
+),
+b AS (
+  SELECT dim, min(rm) AS mn, max(rm) - min(rm) AS rng
+  FROM r GROUP BY dim
+),
+q AS (
+  SELECT dim, xm AS qm FROM m
+  WHERE vec_id = (SELECT min(vec_id) FROM embeddings)
+),
+qr AS (
+  SELECT qk.k, q.dim, q.qm, q.qm - cm.cmm AS qrm
+  FROM qk JOIN cm ON cm.k = qk.k JOIN q ON q.dim = cm.dim
+),
+d AS (
+  SELECT r.vec_id,
+         {SQ8_LEVELS} * qr.qrm
+           - ({SQ8_LEVELS} * b.mn + CASE WHEN b.rng > 0
+                THEN ((r.rm - b.mn) * {SQ8_LEVELS} // b.rng) * b.rng
+                ELSE 0 END) AS dd,
+         qr.qm - r.xm AS de
+  FROM r JOIN qr ON qr.k = r.k AND qr.dim = r.dim
+       JOIN b ON b.dim = r.dim
+),
+agg AS (
+  SELECT vec_id,
+         CAST(sum(dd * dd) AS BIGINT) AS sq_dist255,
+         CAST(sum(de * de) AS BIGINT) AS exact_d2_micro
+  FROM d GROUP BY vec_id
+),
+short AS (
+  SELECT * FROM agg
+  ORDER BY sq_dist255 ASC, vec_id ASC LIMIT {SQ8_SHORTLIST}
+)
+SELECT rank, vec_id, sq_dist255, exact_d2_micro
+FROM (
+  SELECT CAST(row_number() OVER (
+           ORDER BY exact_d2_micro ASC, vec_id ASC) AS BIGINT) AS rank,
+         vec_id, sq_dist255, exact_d2_micro
+  FROM short
+)
+WHERE rank <= {SQ8_K}
+ORDER BY rank
+"""
+
+
 # --- binary quantization + Hamming serve (r12) -------------------------------
 # The third and most aggressive member of the quantization family
 # (after PQ's codebooks and SQ8's per-dim bytes): ONE BIT per
@@ -2929,6 +3170,11 @@ def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("simsearch_sq8", q_simsearch_sq8, SIMSEARCH_SQ8_SQL)
     register("simsearch_ivf_sq8", q_simsearch_ivf_sq8, _ivf_sq8_sql())
+    register(
+        "simsearch_ivf_sq8_residual",
+        q_simsearch_ivf_sq8_residual,
+        _ivf_sq8_residual_sql(),
+    )
     register("simsearch_bq", q_simsearch_bq, SIMSEARCH_BQ_SQL)
     register(
         "simsearch_ivf_pq_nprobe",

@@ -124,6 +124,7 @@ _NEW_R15: list[str] = [
     # filled in as r15 keys land; each addition evicts the tail of
     # _R8_STALE_FILL (the window-size check below keeps it exactly 50)
     "metrics_roc_auc",  # new: trapezoidal ROC over the bounded posterior grid
+    "simsearch_ivf_sq8_residual",  # new: residual-encoded IVFADC (VERDICT r14 #2)
     "mv_incremental_refresh_minmax",  # changed plan: size-gated aff broadcast
     "stream_mv_refresh_minmax",  # changed plan: streaming twin, same gate
 ]

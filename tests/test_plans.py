@@ -476,6 +476,18 @@ def test_ivf_sq8_serves_map_only(spark):
     assert p.count("Exchange hashpartitioning") == 0
 
 
+def test_ivf_sq8_residual_serves_map_only(spark):
+    """simsearch_ivf_sq8_residual (r15): residual encoding must not
+    cost the serve plan anything — cell centroids, residual bounds,
+    and the per-cell query residuals all fold in as literals, so the
+    serve stays scan + codegen'd k-IN cut + per-cell CASE ADC
+    projection + TakeOrdered. Same pin as the raw-coded twin."""
+    p = _plan(spark, "simsearch_ivf_sq8_residual")
+    assert "TakeOrderedAndProject" in p
+    assert "Python" not in p
+    assert p.count("Exchange hashpartitioning") == 0
+
+
 def test_wcc_star_phase_is_two_exchanges_no_cartesian(spark):
     """graph_wcc (r13): one star-contraction phase must cost at most
     THREE hash exchanges (the neighborhood min-agg, the hook join's
