@@ -1529,13 +1529,15 @@ def _pq_assign_cte(name: str, cb: str, sub: str = "sub") -> str:
 )"""
 
 
-def _pq_means_cte(name: str, asg: str) -> str:
+def _pq_means_cte(name: str, asg: str, sub: str = "sub") -> str:
     """Per-(m, k, dim) 6dp-rounded mean CTE, mirroring the trainer's
-    round(sum/n, 6) discipline. Always trains over the full `sub`."""
+    round(sum/n, 6) discipline. Trains over the full `sub` frame
+    (parameterized since r15 so the OPQ-lite variants can train in
+    their own transformed spaces)."""
     return f"""{name} AS (
   SELECT m, k, list(c ORDER BY j) AS cvec FROM (
     SELECT s.m, a.code AS k, d.j, round(avg(s.svec[d.j]), 6) AS c
-    FROM sub s JOIN {asg} a ON s.vec_id = a.vec_id AND s.m = a.m
+    FROM {sub} s JOIN {asg} a ON s.vec_id = a.vec_id AND s.m = a.m
     CROSS JOIN (SELECT CAST(range AS INT) + 1 AS j
                 FROM range({PQ_SUB})) d
     GROUP BY s.m, a.code, d.j) t
@@ -1543,17 +1545,20 @@ def _pq_means_cte(name: str, asg: str) -> str:
 )"""
 
 
-def _pq_lloyd_ctes(prefix: str = "") -> tuple[str, str]:
+def _pq_lloyd_ctes(
+    prefix: str = "", sub: str = "sub", cb0: str = "cb0"
+) -> tuple[str, str]:
     """The per-subspace Lloyd chain (seeds are the cb0 CTE the caller
     provides): returns (joined CTE SQL, name of the trained codebook
     CTE). Mirrors _pq_codebook_trained round for round. `prefix`
     namespaces the CTEs when composed with the coarse-kmeans chain
-    (whose assign CTEs are also named a_l{r})."""
+    (whose assign CTEs are also named a_l{r}); `sub`/`cb0` retarget
+    the chain at a transformed subvector frame (OPQ-lite, r15)."""
     ctes = []
-    prev = "cb0"
+    prev = cb0
     for r in range(1, PQ_LLOYD + 1):
-        ctes.append(_pq_assign_cte(f"{prefix}a_l{r}", prev))
-        ctes.append(_pq_means_cte(f"{prefix}cb_l{r}", f"{prefix}a_l{r}"))
+        ctes.append(_pq_assign_cte(f"{prefix}a_l{r}", prev, sub=sub))
+        ctes.append(_pq_means_cte(f"{prefix}cb_l{r}", f"{prefix}a_l{r}", sub=sub))
         prev = f"{prefix}cb_l{r}"
     return ",\n".join(ctes), prev
 
@@ -1634,6 +1639,348 @@ UNION ALL
 SELECT 'trained' AS codebook, CAST(count(*) AS BIGINT) AS n_hits,
        round(count(*) / {denom!r}, 6) AS recall_at_10
 FROM ap_t a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id
+"""
+
+
+# --- OPQ-lite: energy-balancing preprocessing before PQ (r15) -----------------
+# VERDICT r14 #8 asked for the OPQ composition (Ge, He, Ke, Sun,
+# "Optimized Product Quantization", CVPR 2013): transform the space so
+# per-subspace information is balanced BEFORE per-subspace k-means.
+# OPQ's parametric solution has two halves: (1) an orthogonal ROTATION
+# that decorrelates dims, (2) EIGENVALUE ALLOCATION that deals the
+# rotated coordinates across subspaces balancing per-subspace
+# variance. This key implements both halves in the repo's exact-parity
+# idiom and measures them head-to-head against raw trained PQ at the
+# SAME code size (PQ_M x PQ_K, same PQ_LLOYD budget, same 16 queries,
+# same exact-L2 ground truth):
+#
+#   pq_raw     - trained PQ on natural contiguous blocks (the
+#                simsearch_pq_recall 'trained' configuration).
+#   opq_alloc  - eigenvalue allocation on raw dims: rank dims by EXACT
+#                INTEGER variance numerator n*sum(xm^2) - sum(xm)^2
+#                over the micro-unit corpus, snake-deal ranks across
+#                the PQ_M subspaces (rank r -> subspace r%M, direction
+#                alternating per round; position = round) so each
+#                subspace's variance budget is balanced.
+#   opq_rot    - EXACT orthogonal rotation: the Sylvester-Hadamard
+#                matrix H64 (entries +-1, H/8 orthogonal). Rotated
+#                coordinates are computed as INTEGER sums of signed
+#                micros r8_i = sum_j (-1)^popcount(i & j) * xm_j, then
+#                one exact division by 8*2^20 (a power of two) back to
+#                ~unit scale — bit-equal on both engines, and sums of
+#                dyadic rd values are EXACT doubles, so Lloyd means
+#                are order-free here.
+#
+# Why not the trained PCA loadings (the VERDICT sketch)? _pca_
+# components' deflated power-iteration vectors (3 rounds from e1) are
+# NOT an orthogonal basis — a non-orthogonal transform distorts L2
+# exactly where ADC needs it preserved, and an 8x8 block-diagonal
+# rotation aligned with subspace boundaries provably changes nothing
+# (k-means quantization error is rotation-invariant within a block).
+# The Hadamard rotation is the exact-arithmetic member of the same
+# production family (random-rotation init in FAISS OPQ / ScaNN), and
+# the allocation half uses the data (trained variances) directly.
+#
+# Scale shape (100 TB): variance stats = one map-side-combinable agg
+# (64 groups); the allocation/rotation are driver constants folded
+# into a MAP-ONLY projection; training/serve inherit PQ's shape
+# (broadcast codebook assign, bounded per-round collect). The H64
+# literal is 4096 ints — plan-size noise next to the candidate-cell
+# folds the classifier already ships.
+OPQ_SCALE = 8388608.0  # 8 (rotation normalizer) * 2^20 (~micro scale)
+
+
+def _hadamard_signs() -> list[list[int]]:
+    """Sylvester H_{DIM}: sign(i, j) = (-1)^popcount(i & j)."""
+    return [
+        [1 if bin(i & j).count("1") % 2 == 0 else -1 for j in range(DIM)]
+        for i in range(DIM)
+    ]
+
+
+def _opq_alloc_order(emb: DataFrame) -> list[int]:
+    """Subspace-major permutation from exact-integer variance ranking:
+    order[m * PQ_SUB + pos] = the raw dim allocated to (m, pos)."""
+    rows = (
+        emb.select(_micros_col().alias("xm"))
+        .select(F.posexplode("xm").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("s"),
+            F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias(
+                "ss"
+            ),
+        )
+        .collect()
+    )
+    var_num = {
+        int(r["dim"]): int(r["n"]) * int(r["ss"]) - int(r["s"]) ** 2
+        for r in rows
+    }
+    ranked = sorted(var_num, key=lambda d: (-var_num[d], d))
+    order = [0] * DIM
+    for rk, dim in enumerate(ranked):
+        rnd, p = divmod(rk, PQ_M)
+        m = p if rnd % 2 == 0 else PQ_M - 1 - p
+        order[m * PQ_SUB + rnd] = dim
+    return order
+
+
+def _opq_alloc_frame(emb: DataFrame, order: list[int]) -> DataFrame:
+    """(vec_id, embedding): raw values re-dealt subspace-major."""
+    return emb.select(
+        "vec_id",
+        F.array(
+            *[
+                F.element_at("embedding", d + 1).cast("double")
+                for d in order
+            ]
+        ).alias("embedding"),
+    )
+
+
+def _opq_rot_frame(emb: DataFrame) -> DataFrame:
+    """(vec_id, embedding): exact Hadamard-rotated coordinates
+    rd_i = (sum_j sign(i,j) * xm_j) / (8 * 2^20) — integer sum, one
+    exact power-of-two division, map-only."""
+    h = F.array(
+        *[
+            F.array(*[F.lit(s) for s in row])
+            for row in _hadamard_signs()
+        ]
+    )
+    return emb.select("vec_id", _micros_col().alias("xm")).select(
+        "vec_id",
+        F.transform(
+            h,
+            lambda row: F.aggregate(
+                F.zip_with(
+                    F.col("xm"), row, lambda x, s: x * s.cast("long")
+                ),
+                F.lit(0).cast("long"),
+                lambda a, b: a + b,
+            ).cast("double")
+            / F.lit(OPQ_SCALE),
+        ).alias("embedding"),
+    )
+
+
+def q_simsearch_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(
+        (F.col("vec_id") >= PQ_K) & (F.col("vec_id") < PQ_K + N_PQ_QUERIES)
+    ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
+    w = Window.partitionBy("qid").orderBy(
+        F.col("d2").asc(), F.col("vec_id").asc()
+    )
+    exact = (
+        emb.select("vec_id", "embedding")
+        .crossJoin(F.broadcast(qs))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(_pq_dist2("embedding", "qvec"), 6).alias("d2"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PQ_RECALL_K)
+        .select("qid", "vec_id")
+    )
+    denom = float(PQ_RECALL_K * N_PQ_QUERIES)
+    frames = [
+        ("pq_raw", emb.select("vec_id", "embedding")),
+        ("opq_alloc", _opq_alloc_frame(emb, _opq_alloc_order(emb))),
+        ("opq_rot", _opq_rot_frame(emb)),
+    ]
+    out = None
+    for name, fr in frames:
+        sub = _pq_subvectors(fr, "vec_id", "svec")
+        cb = _pq_codebook_trained(spark, fr)
+        codes = _pq_assign(sub, cb)
+        qf = fr.filter(
+            (F.col("vec_id") >= PQ_K)
+            & (F.col("vec_id") < PQ_K + N_PQ_QUERIES)
+        ).select(F.col("vec_id").alias("qid"), "embedding")
+        qsub = _pq_subvectors(qf, "qid", "qsub")
+        lut = cb.join(F.broadcast(qsub), "m").select(
+            "qid",
+            "m",
+            "k",
+            F.round(_pq_dist2("qsub", "cvec") * 1e6, 0)
+            .cast("long")
+            .alias("ld"),
+        )
+        adc = (
+            codes.join(
+                F.broadcast(lut),
+                (codes["m"] == lut["m"]) & (codes["code"] == lut["k"]),
+            )
+            .groupBy("qid", "vec_id")
+            .agg(F.sum("ld").alias("adc"))
+        )
+        wv = Window.partitionBy("qid").orderBy(
+            F.col("adc").asc(), F.col("vec_id").asc()
+        )
+        approx = (
+            adc.withColumn("rn", F.row_number().over(wv))
+            .filter(F.col("rn") <= PQ_RECALL_K)
+            .select("qid", "vec_id")
+        )
+        row = (
+            approx.join(exact, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(name).alias("variant"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(denom), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
+
+
+def _opq_recall_sql() -> str:
+    d2_full = (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {DIM} + 1), j -> "
+        f"(CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE))"
+        f" * (CAST(e.embedding[j] AS DOUBLE) - CAST(q.qvec[j] AS DOUBLE)))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+    def serve(v: str, cb: str, codes: str, qsub: str) -> str:
+        return f"""lut_{v} AS (
+  SELECT q.qid, c.m, c.k,
+         CAST(round({_pq_d2_list('q.qv', 'c.cvec')} * 1e6, 0) AS BIGINT) AS ld
+  FROM {qsub} q JOIN {cb} c ON q.m = c.m
+),
+adc_{v} AS (
+  SELECT l.qid, c.vec_id, CAST(sum(l.ld) AS BIGINT) AS adc
+  FROM {codes} c JOIN lut_{v} l ON c.m = l.m AND c.code = l.k
+  GROUP BY 1, 2
+),
+ap_{v} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (
+      PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rn
+    FROM adc_{v}) t
+  WHERE rn <= {PQ_RECALL_K}
+)"""
+
+    def hit_row(name: str, v: str) -> str:
+        denom = float(PQ_RECALL_K * N_PQ_QUERIES)
+        return f"""SELECT '{name}' AS variant, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / {denom!r}, 6) AS recall_at_10
+FROM ap_{v} a JOIN exact e ON a.qid = e.qid AND a.vec_id = e.vec_id"""
+
+    lloyd_raw, cb_raw = _pq_lloyd_ctes("rw_")
+    lloyd_al, cb_al = _pq_lloyd_ctes("al_", sub="sub_al", cb0="cb0_al")
+    lloyd_ro, cb_ro = _pq_lloyd_ctes("ro_", sub="sub_ro", cb0="cb0_ro")
+    return f"""
+WITH ms AS (SELECT CAST(range AS INT) AS m FROM range({PQ_M})),
+sub AS (
+  SELECT e.vec_id, ms.m,
+         list_transform(range(1, {PQ_SUB} + 1),
+           j -> CAST(e.embedding[ms.m * {PQ_SUB} + j] AS DOUBLE)) AS svec
+  FROM embeddings e CROSS JOIN ms
+),
+cb0 AS (
+  SELECT m, CAST(vec_id AS INT) AS k, svec AS cvec
+  FROM sub WHERE vec_id < {PQ_K}
+),
+mdim AS (
+  SELECT e.vec_id, CAST(d.range AS INT) AS dim,
+         CAST(round(CAST(e.embedding[CAST(d.range AS INT) + 1] AS DOUBLE)
+                    * {MICRO}, 0) AS BIGINT) AS xm
+  FROM embeddings e CROSS JOIN range({DIM}) d
+),
+vstats AS (
+  SELECT dim,
+         CAST(count(*) AS HUGEINT) * CAST(sum(xm * xm) AS HUGEINT)
+           - CAST(sum(xm) AS HUGEINT) * CAST(sum(xm) AS HUGEINT) AS var_num
+  FROM mdim GROUP BY dim
+),
+perm AS (
+  SELECT dim,
+         CAST(CASE WHEN ((rk - 1) // {PQ_M}) % 2 = 0 THEN (rk - 1) % {PQ_M}
+              ELSE {PQ_M} - 1 - ((rk - 1) % {PQ_M}) END AS INT) AS m,
+         CAST((rk - 1) // {PQ_M} AS INT) AS pos
+  FROM (SELECT dim, row_number() OVER (
+          ORDER BY var_num DESC, dim ASC) AS rk FROM vstats) t
+),
+sub_al AS (
+  SELECT e.vec_id, p.m,
+         list(CAST(e.embedding[p.dim + 1] AS DOUBLE) ORDER BY p.pos) AS svec
+  FROM embeddings e CROSS JOIN perm p
+  GROUP BY e.vec_id, p.m
+),
+cb0_al AS (
+  SELECT m, CAST(vec_id AS INT) AS k, svec AS cvec
+  FROM sub_al WHERE vec_id < {PQ_K}
+),
+hmat AS (
+  SELECT CAST(i.range AS INT) AS i, CAST(j.range AS INT) AS j,
+         CASE WHEN bit_count(i.range & j.range) % 2 = 0 THEN 1 ELSE -1 END AS s
+  FROM range({DIM}) i CROSS JOIN range({DIM}) j
+),
+rot AS (
+  SELECT md.vec_id, h.i,
+         CAST(sum(h.s * md.xm) AS BIGINT) / {OPQ_SCALE!r} AS rd
+  FROM mdim md JOIN hmat h ON h.j = md.dim
+  GROUP BY md.vec_id, h.i
+),
+sub_ro AS (
+  SELECT vec_id, CAST(i // {PQ_SUB} AS INT) AS m, list(rd ORDER BY i) AS svec
+  FROM rot GROUP BY vec_id, CAST(i // {PQ_SUB} AS INT)
+),
+cb0_ro AS (
+  SELECT m, CAST(vec_id AS INT) AS k, svec AS cvec
+  FROM sub_ro WHERE vec_id < {PQ_K}
+),
+{lloyd_raw},
+{lloyd_al},
+{lloyd_ro},
+qs AS (
+  SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+  WHERE vec_id >= {PQ_K} AND vec_id < {PQ_K + N_PQ_QUERIES}
+),
+exact AS (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, e.vec_id,
+           row_number() OVER (PARTITION BY q.qid
+             ORDER BY round({d2_full}, 6) ASC, e.vec_id ASC) AS rn
+    FROM embeddings e CROSS JOIN qs q) t
+  WHERE rn <= {PQ_RECALL_K}
+),
+qsub_rw AS (
+  SELECT s.vec_id AS qid, s.m, s.svec AS qv
+  FROM sub s JOIN qs ON s.vec_id = qs.qid
+),
+qsub_al AS (
+  SELECT s.vec_id AS qid, s.m, s.svec AS qv
+  FROM sub_al s JOIN qs ON s.vec_id = qs.qid
+),
+qsub_ro AS (
+  SELECT s.vec_id AS qid, s.m, s.svec AS qv
+  FROM sub_ro s JOIN qs ON s.vec_id = qs.qid
+),
+{_pq_assign_cte('codes_rw', cb_raw, sub='sub')},
+{_pq_assign_cte('codes_al', cb_al, sub='sub_al')},
+{_pq_assign_cte('codes_ro', cb_ro, sub='sub_ro')},
+{serve('rw', cb_raw, 'codes_rw', 'qsub_rw')},
+{serve('al', cb_al, 'codes_al', 'qsub_al')},
+{serve('ro', cb_ro, 'codes_ro', 'qsub_ro')}
+SELECT * FROM (
+{hit_row('pq_raw', 'rw')}
+UNION ALL
+{hit_row('opq_alloc', 'al')}
+UNION ALL
+{hit_row('opq_rot', 'ro')}
+) ORDER BY variant
 """
 
 
@@ -3174,6 +3521,9 @@ def register_all() -> None:
         "simsearch_ivf_sq8_residual",
         q_simsearch_ivf_sq8_residual,
         _ivf_sq8_residual_sql(),
+    )
+    register(
+        "simsearch_opq_recall", q_simsearch_opq_recall, _opq_recall_sql()
     )
     register("simsearch_bq", q_simsearch_bq, SIMSEARCH_BQ_SQL)
     register(

@@ -127,6 +127,7 @@ _NEW_R15: list[str] = [
     "simsearch_ivf_sq8_residual",  # new: residual-encoded IVFADC (VERDICT r14 #2)
     "mv_incremental_refresh_minmax",  # changed plan: size-gated aff broadcast
     "stream_mv_refresh_minmax",  # changed plan: streaming twin, same gate
+    "simsearch_opq_recall",  # new: OPQ-lite (eigen-allocation + Hadamard rotation) vs raw PQ
 ]
 
 # CORRECTNESS_r08 artifact order. Truncated to fit the 50-key cap at
