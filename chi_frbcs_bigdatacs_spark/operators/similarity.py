@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
@@ -3513,6 +3514,409 @@ ORDER BY rank
 """
 
 
+# --- Graph ANN: single-layer NSW + medoid hub layer, beam-search serve (r15) --
+# VERDICT r14 #7 asked for the graph-based ANN family beside the
+# quantization taxonomy (IVF/PQ/SQ8/BQ): HNSW/NSW-style beam search
+# over a neighbor graph (Malkov et al., "Approximate nearest neighbor
+# algorithm based on navigable small world graphs", Inf. Systems 2014;
+# HNSW = Malkov & Yashunin, TPAMI 2018). Full HNSW's insertion-order
+# layer assignment is inherently sequential; the honest DataFrame
+# treatment built here is its two-level skeleton with every stage a
+# bounded relational op:
+#
+#   BUILD (no all-pairs, ever):
+#   - Lloyd cells (the shared _kmeans_index chain, NSW_CELLS cells)
+#     bucket the corpus; local edges = per-node top-NSW_M nearest
+#     WITHIN the cell (bucketed self-join — sum-of-bucket^2 cost, the
+#     same measured-occupancy discipline as the LSH/dedup family; at
+#     100 TB cell count scales with corpus so occupancy stays flat),
+#     symmetrized (NSW edges are undirected).
+#   - HUB LAYER standing in for HNSW's upper levels / NSW's long
+#     links: each cell's MEDOID (argmin integer distance to the cell
+#     centroid, vec_id tie-break), medoids fully interconnected
+#     (NSW_CELLS^2 driver-scale edges) and every node linked to its
+#     own medoid both ways. Guarantees inter-cell navigability in <= 3
+#     hops (node -> medoid -> medoid -> node) without HNSW's
+#     sequential level draw; medoid degree = cell occupancy, the same
+#     bounded/saltable quantity as an IVF cell.
+#   SERVE: fixed-round BEAM SEARCH from a fixed global entry (cell 1's
+#   medoid — NSW's arbitrary-entry convention, made deterministic):
+#   each round expands the beam's out-neighbors (frontier equi-join
+#   against the adjacency, exactly graph_sssp's shape), scores them
+#   with EXACT integer micro-unit L2 against the materialized
+#   neighbor vectors (dxm rides the edge table — the vectors-beside-
+#   adjacency layout real graph indexes use), keeps top-B per query
+#   (B = efSearch). Two widths serve head-to-head so the artifact
+#   shows the ef knob working; top-NSW_K of the final beam vs exact
+#   brute-force ground truth -> recall@10 per width.
+#
+# Everything is integer micro-unit arithmetic (exact on both engines;
+# beam membership after 5 rounds would be ruined by one float ULP),
+# all ranks tie-broken (d2 ASC, vec_id ASC), so the DuckDB oracle
+# mirrors the build + both serves CTE for CTE with bit-equal beams.
+# Scale shape (100 TB): build = one bucketed self-join + K-group
+# argmin; serve = NSW_ROUNDS broadcast-frontier equi-joins (the beam
+# is B*n_queries rows — tiny) against an edge table partitioned by
+# src, zero full shuffles per round beyond the frontier's own
+# hash agg. Citation: FAISS HNSW / NMSLIB are the production twins.
+NSW_CELLS = 8
+NSW_M = 6  # local out-degree within a cell
+NSW_ROUNDS = 5  # >= entry->hub->hub->cell->refine
+NSW_BEAMS = (10, 32)  # efSearch-style beam widths served head-to-head
+NSW_K = 10
+N_NSW_QUERIES = 16
+
+
+def _d2_micro_col(a: str, b: str) -> Column:
+    """Exact integer squared L2 between two BIGINT micro arrays
+    (|diff| <= ~4e6, DIM terms -> < 2^60: no overflow)."""
+    return F.aggregate(
+        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _d2_micro_lit(a: str, vec: list[int]) -> Column:
+    lits = F.array(*[F.lit(int(v)).cast("long") for v in vec])
+    return F.aggregate(
+        F.zip_with(F.col(a), lits, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _nsw_graph(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, int]:
+    """Build the NSW graph. Returns (nodes(vec_id, xm), edges(src,
+    dst, dxm), entry_vec_id). Edges carry the destination's micro
+    vector so every serve round scores without touching the corpus."""
+    a2, cent, _ = _kmeans_index(spark, sf_dir, k=NSW_CELLS)
+    # cent components are round(.,6) means, so *MICRO is integral up
+    # to float noise — round() recovers the same integer both driver-
+    # side (here) and in the oracle's round(cvec[j]*MICRO) with no
+    # half-way cases.
+    cmic = {k: [int(round(c * MICRO)) for c in vec] for k, vec in cent}
+    nodes = a2.select(
+        "vec_id", "k", _micros_col().alias("xm")
+    ).localCheckpoint()
+
+    cmarr = F.array(
+        *[
+            F.array(*[F.lit(v).cast("long") for v in cmic[k]])
+            for k in sorted(cmic)
+        ]
+    )
+    med_rows = (
+        nodes.withColumn(
+            "d2c",
+            F.aggregate(
+                F.zip_with(
+                    F.col("xm"),
+                    F.element_at(cmarr, F.col("k")),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .groupBy("k")
+        .agg(F.min(F.struct("d2c", "vec_id")).alias("m"))
+        .select("k", F.col("m.vec_id").alias("mid"))
+        .collect()
+    )  # K-row header collect (centroid convention)
+    mid = {int(r["k"]): int(r["mid"]) for r in med_rows}
+    entry = mid[min(mid)]
+
+    a = nodes.select("k", F.col("vec_id").alias("src"), F.col("xm").alias("sxm"))
+    b = nodes.select("k", F.col("vec_id").alias("dst"), F.col("xm").alias("dxm"))
+    topm = (
+        a.join(b, "k")
+        .where(F.col("src") != F.col("dst"))
+        .select("src", "dst", _d2_micro_col("sxm", "dxm").alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("src").orderBy(
+                    F.col("d2").asc(), F.col("dst").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= NSW_M)
+        .select("src", "dst")
+    )
+    lsym = topm.unionByName(
+        topm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    midarr = F.array(*[F.lit(mid[k]).cast("long") for k in sorted(mid)])
+    to_med = nodes.select(
+        F.col("vec_id").alias("src"),
+        F.element_at(midarr, F.col("k")).alias("dst"),
+    ).where(F.col("src") != F.col("dst"))
+    hub_rows = [
+        (int(x), int(y))
+        for x in mid.values()
+        for y in mid.values()
+        if x != y
+    ]
+    hubs = spark.createDataFrame(hub_rows, "src long, dst long")
+    edges = (
+        lsym.unionByName(to_med)
+        .unionByName(
+            to_med.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .unionByName(hubs)
+        .distinct()
+        .join(
+            nodes.select(F.col("vec_id").alias("dst"), F.col("xm").alias("dxm")),
+            "dst",
+        )
+        .select("src", "dst", "dxm")
+        .localCheckpoint()
+    )
+    return nodes, edges, entry
+
+
+def q_simsearch_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes, edges, entry = _nsw_graph(spark, sf_dir)
+    entry_xm = [
+        int(v)
+        for v in nodes.where(F.col("vec_id") == entry).collect()[0]["xm"]
+    ]
+    qs = nodes.where(F.col("vec_id") < N_NSW_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("xm").alias("qxm")
+    )
+    exact = (
+        nodes.select("vec_id", "xm")
+        .crossJoin(F.broadcast(qs))
+        .select("qid", "vec_id", _d2_micro_col("xm", "qxm").alias("d2"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy(
+                    F.col("d2").asc(), F.col("vec_id").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= NSW_K)
+        .select("qid", "vec_id")
+    )
+    denom = float(NSW_K * N_NSW_QUERIES)
+    # Both beam widths ride ONE loop as a `bw` column (the per-round
+    # rank partitions by (bw, qid) and cuts at the row's own width) —
+    # halves the per-round actions vs serving each width separately.
+    beam = None
+    for bw in NSW_BEAMS:
+        b0 = qs.select(
+            F.lit(bw).cast("int").alias("bw"),
+            "qid",
+            F.lit(entry).cast("long").alias("node"),
+            _d2_micro_lit("qxm", entry_xm).alias("d2"),
+        )
+        beam = b0 if beam is None else beam.unionByName(b0)
+    for _r in range(NSW_ROUNDS):
+        # Each round references beam TWICE (frontier join + the
+        # keep-best union) — without a lineage cut that doubles the
+        # replay per round (2^NSW_ROUNDS by the last). The beam is
+        # <= n_queries * sum(NSW_BEAMS) rows, so the checkpoint is a
+        # scalar-header-sized pin, same rationale as graph_sssp's
+        # per-level cut.
+        beam = beam.localCheckpoint()
+        cand = (
+            F.broadcast(beam.select("bw", "qid", "node"))
+            .join(edges, F.col("node") == F.col("src"))
+            .select("bw", "qid", F.col("dst").alias("cnode"), "dxm")
+            .dropDuplicates(["bw", "qid", "cnode"])
+        )
+        scored = cand.join(F.broadcast(qs), "qid").select(
+            "bw",
+            "qid",
+            F.col("cnode").alias("node"),
+            _d2_micro_col("dxm", "qxm").alias("d2"),
+        )
+        beam = (
+            beam.unionByName(scored)
+            .groupBy("bw", "qid", "node")
+            .agg(F.min("d2").alias("d2"))
+            .withColumn(
+                "rn",
+                F.row_number().over(
+                    Window.partitionBy("bw", "qid").orderBy(
+                        F.col("d2").asc(), F.col("node").asc()
+                    )
+                ),
+            )
+            .where(F.col("rn") <= F.col("bw"))
+            .select("bw", "qid", "node", "d2")
+        )
+    approx = (
+        beam.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("bw", "qid").orderBy(
+                    F.col("d2").asc(), F.col("node").asc()
+                )
+            ),
+        )
+        .where(F.col("rn") <= NSW_K)
+        .select("bw", "qid", F.col("node").alias("vec_id"))
+    )
+    out = None
+    for bw in NSW_BEAMS:
+        row = (
+            approx.where(F.col("bw") == bw)
+            .join(exact, ["qid", "vec_id"])
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+            .select(
+                F.lit(f"nsw_beam{bw}").alias("variant"),
+                "n_hits",
+                F.round(F.col("n_hits") / F.lit(denom), 6).alias(
+                    "recall_at_10"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("variant")
+
+
+def _nsw_d2_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        f"list_transform(range(1, {DIM} + 1), "
+        f"j -> ({a}[j] - {b}[j]) * ({a}[j] - {b}[j]))), "
+        f"(acc, x) -> acc + x)"
+    )
+
+
+def _nsw_beam_sql() -> str:
+    mic = (
+        f"list_transform(range(1, {DIM} + 1), j -> "
+        f"CAST(round(CAST(embedding[j] AS DOUBLE) * {MICRO}, 0) AS BIGINT))"
+    )
+    cmicro = (
+        f"list_transform(range(1, {DIM} + 1), j -> "
+        f"CAST(round(CAST(cvec[j] AS DOUBLE) * {MICRO}, 0) AS BIGINT))"
+    )
+
+    def rounds(bw: int) -> str:
+        # Every beam CTE is referenced twice by the next round (the
+        # frontier join and the keep-best union) and eg ten times —
+        # MATERIALIZED throughout, or DuckDB's inlining replays the
+        # whole build chain per reference (same lesson as the
+        # residual-IVFADC oracle's 33s -> 2.5s hint).
+        ctes = [
+            f"""b{bw}_0 AS MATERIALIZED (
+  SELECT q.qid, e.mid AS node, {_nsw_d2_sql('q.qxm', 'e.exm')} AS d2
+  FROM qs q CROSS JOIN entry e
+)"""
+        ]
+        for r in range(1, NSW_ROUNDS + 1):
+            ctes.append(
+                f"""b{bw}_{r} AS MATERIALIZED (
+  SELECT qid, node, d2 FROM (
+    SELECT qid, node, d2, row_number() OVER (
+      PARTITION BY qid ORDER BY d2 ASC, node ASC) AS rn
+    FROM (
+      SELECT qid, node, min(d2) AS d2 FROM (
+        SELECT qid, node, d2 FROM b{bw}_{r - 1}
+        UNION ALL
+        SELECT p.qid, g.dst AS node, {_nsw_d2_sql('q.qxm', 'g.dxm')} AS d2
+        FROM b{bw}_{r - 1} p
+        JOIN eg g ON g.src = p.node
+        JOIN qs q ON q.qid = p.qid
+      ) u GROUP BY qid, node) d) t
+  WHERE rn <= {bw}
+)"""
+            )
+        ctes.append(
+            f"""ap{bw} AS (
+  SELECT qid, node FROM (
+    SELECT qid, node, row_number() OVER (
+      PARTITION BY qid ORDER BY d2 ASC, node ASC) AS rn
+    FROM b{bw}_{NSW_ROUNDS}) t
+  WHERE rn <= {NSW_K}
+)"""
+        )
+        return ",\n".join(ctes)
+
+    denom = float(NSW_K * N_NSW_QUERIES)
+
+    def hit_row(bw: int) -> str:
+        return f"""SELECT 'nsw_beam{bw}' AS variant, CAST(count(*) AS BIGINT) AS n_hits,
+       round(count(*) / {denom!r}, 6) AS recall_at_10
+FROM ap{bw} a JOIN exact e ON a.qid = e.qid AND a.node = e.vec_id"""
+
+    kctes = (
+        _ivf_kmeans_ctes(NSW_CELLS)
+        .replace("cent AS (", "cent AS MATERIALIZED (")
+        .replace("a2 AS (", "a2 AS MATERIALIZED (")
+    )
+    return f"""
+WITH {kctes},
+nmic AS MATERIALIZED (
+  SELECT vec_id, k, {mic} AS xm FROM a2
+),
+cmic AS (
+  SELECT k, {cmicro} AS cm FROM cent
+),
+med AS MATERIALIZED (
+  SELECT k, vec_id AS mid FROM (
+    SELECT n.k, n.vec_id, row_number() OVER (PARTITION BY n.k
+      ORDER BY {_nsw_d2_sql('n.xm', 'c.cm')} ASC, n.vec_id ASC) AS rn
+    FROM nmic n JOIN cmic c ON n.k = c.k) t
+  WHERE rn = 1
+),
+topm AS MATERIALIZED (
+  SELECT src, dst FROM (
+    SELECT a.vec_id AS src, b.vec_id AS dst,
+           row_number() OVER (PARTITION BY a.vec_id
+             ORDER BY {_nsw_d2_sql('a.xm', 'b.xm')} ASC, b.vec_id ASC) AS rn
+    FROM nmic a JOIN nmic b ON a.k = b.k AND a.vec_id <> b.vec_id) t
+  WHERE rn <= {NSW_M}
+),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM topm
+    UNION ALL SELECT dst, src FROM topm
+    UNION ALL
+    SELECT n.vec_id, m.mid FROM nmic n
+    JOIN med m ON n.k = m.k AND n.vec_id <> m.mid
+    UNION ALL
+    SELECT m.mid, n.vec_id FROM nmic n
+    JOIN med m ON n.k = m.k AND n.vec_id <> m.mid
+    UNION ALL
+    SELECT a.mid, b.mid FROM med a JOIN med b ON a.mid <> b.mid
+  ) u
+),
+eg AS MATERIALIZED (
+  SELECT e.src, e.dst, n.xm AS dxm FROM edges e
+  JOIN nmic n ON n.vec_id = e.dst
+),
+qs AS MATERIALIZED (
+  SELECT vec_id AS qid, xm AS qxm FROM nmic WHERE vec_id < {N_NSW_QUERIES}
+),
+entry AS MATERIALIZED (
+  SELECT m.mid, n.xm AS exm FROM med m JOIN nmic n ON n.vec_id = m.mid
+  WHERE m.k = (SELECT min(k) FROM med)
+),
+exact AS MATERIALIZED (
+  SELECT qid, vec_id FROM (
+    SELECT q.qid, n.vec_id, row_number() OVER (PARTITION BY q.qid
+      ORDER BY {_nsw_d2_sql('n.xm', 'q.qxm')} ASC, n.vec_id ASC) AS rn
+    FROM nmic n CROSS JOIN qs q) t
+  WHERE rn <= {NSW_K}
+),
+{rounds(NSW_BEAMS[0])},
+{rounds(NSW_BEAMS[1])}
+SELECT * FROM (
+{hit_row(NSW_BEAMS[0])}
+UNION ALL
+{hit_row(NSW_BEAMS[1])}
+) ORDER BY variant
+"""
+
+
 def register_all() -> None:
     register("embed_pq_adc", q_embed_pq_adc, _pq_adc_sql())
     register("simsearch_sq8", q_simsearch_sq8, SIMSEARCH_SQ8_SQL)
@@ -3525,6 +3929,7 @@ def register_all() -> None:
     register(
         "simsearch_opq_recall", q_simsearch_opq_recall, _opq_recall_sql()
     )
+    register("simsearch_nsw_beam", q_simsearch_nsw_beam, _nsw_beam_sql())
     register("simsearch_bq", q_simsearch_bq, SIMSEARCH_BQ_SQL)
     register(
         "simsearch_ivf_pq_nprobe",

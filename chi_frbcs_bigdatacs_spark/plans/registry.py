@@ -128,6 +128,7 @@ _NEW_R15: list[str] = [
     "mv_incremental_refresh_minmax",  # changed plan: size-gated aff broadcast
     "stream_mv_refresh_minmax",  # changed plan: streaming twin, same gate
     "simsearch_opq_recall",  # new: OPQ-lite (eigen-allocation + Hadamard rotation) vs raw PQ
+    "simsearch_nsw_beam",  # new: graph-ANN — NSW + medoid hubs, beam-search serve
 ]
 
 # CORRECTNESS_r08 artifact order. Truncated to fit the 50-key cap at

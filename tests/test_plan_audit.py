@@ -51,6 +51,8 @@ BNL_ALLOWED = {
     "simsearch_recall",
     "simsearch_pq_recall",  # 16-row query batch broadcast for exact top-k
     "simsearch_ivf_pq_nprobe",  # same 16-row query batch, exact ground truth
+    "simsearch_opq_recall",  # same 16-row query batch, exact ground truth
+    "simsearch_nsw_beam",  # same 16-row query batch, exact ground truth
     "embed_neardup",
     "join_cross",
     "agg_class_counts",
