@@ -993,8 +993,217 @@ FROM agg
 """
 
 
+# --- Bloom-filter join pruning (r15) ------------------------------------------
+# The runtime-filter trick every 100 TB join wants beside
+# diag_join_skew's pre-flight: build a Bloom filter over the DIM
+# side's join keys (here: orders filtered to '1-URGENT'), broadcast
+# it, and probe the FACT side's keys against it so the expensive join
+# only sees keys that might match. Spark's own runtime row-group
+# pruning / DPP and every warehouse's sideways information passing
+# are this operator; the key surfaces the ACCOUNTING a pipeline
+# author needs to size m/k — bits set, saturation, probe pass rate,
+# and the measured false-positive rate vs the exact semi-join (Bloom
+# filters never false-negative: pinned by test and by n_true ==
+# n_pass∩truth here).
+#
+# Exactness recipe: BLOOM_K independent hashes from the established
+# md5 15-hex-digit fold (curation.py's HLL recipe — bit-equal on both
+# engines), positions mod BLOOM_BITS, state = bit_or over 64-bit
+# words (BLOOM_BITS/64 rows — broadcast-tiny, and commutative/
+# mergeable, so build is ONE map-side-combined agg at any scale).
+# Probe joins the ≤2048-word state per (key, hash) and requires all
+# BLOOM_K bits -> candidate; stats join the exact dim-key set.
+# Scale shape: build = filter + explode(K) + word agg (map-side);
+# probe = distinct fact keys (the one real shuffle) + broadcast
+# equi-join on word + per-key count agg. fp_rate denominator
+# coalesced for the no-negative-probe degenerate case (ADVICE r14's
+# NULL-contract lesson).
+BLOOM_BITS = 131072  # 2^17 -> 2048 words; ~0.9 load at sf0.1's dim side
+BLOOM_K = 4
+_BLOOM_PRED = "o_orderpriority = '1-URGENT'"
+
+
+def _bloom_hash_col(key: Column, i: int) -> Column:
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"bf{i}:"), key.cast("string"))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim_keys = (
+        orders.where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+        .distinct()
+    )
+    dim_pos = dim_keys.select(
+        F.explode(
+            F.array(*[_bloom_hash_col(F.col("k"), i) for i in range(BLOOM_K)])
+        ).alias("pos")
+    )
+    bloom = (
+        dim_pos.select(
+            F.expr("pos div 32").alias("word"), (F.col("pos") % 32).alias("bit")
+        )
+        .groupBy("word")
+        .agg(
+            F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT)))").alias(
+                "bits"
+            )
+        )
+    )
+    bstats = bloom.agg(
+        F.sum(F.expr("bit_count(bits)")).alias("n_bits_set")
+    )
+    fact_keys = li.select(
+        F.col("l_orderkey").cast("long").alias("k")
+    ).distinct()
+    probe = fact_keys.select(
+        "k",
+        F.posexplode(
+            F.array(*[_bloom_hash_col(F.col("k"), i) for i in range(BLOOM_K)])
+        ).alias("i", "pos"),
+    ).select(
+        "k", F.expr("pos div 32").alias("word"), (F.col("pos") % 32).alias("bit")
+    )
+    passed = (
+        probe.join(F.broadcast(bloom), "word")
+        .withColumn(
+            # bitwise AND, not (>> then % 2): when bit 63 is set the
+            # word is negative and the arithmetic shift keeps the
+            # sign, so % 2 would read -1/0 instead of 1/0.
+            "hit",
+            F.expr("shiftright(bits, CAST(bit AS INT)) & CAST(1 AS BIGINT)"),
+        )
+        .groupBy("k")
+        .agg(F.sum("hit").alias("n_hit"))
+        .where(F.col("n_hit") == BLOOM_K)
+        .select("k")
+    )
+    truth = dim_keys.withColumn("is_true", F.lit(1))
+    stats = (
+        fact_keys.join(passed.withColumn("is_pass", F.lit(1)), "k", "left")
+        .join(truth, "k", "left")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys_probed"),
+            F.sum(F.coalesce(F.col("is_pass"), F.lit(0))).alias("n_pass"),
+            F.sum(F.coalesce(F.col("is_true"), F.lit(0))).alias("n_true"),
+            F.sum(
+                F.coalesce(F.col("is_pass"), F.lit(0))
+                * (F.lit(1) - F.coalesce(F.col("is_true"), F.lit(0)))
+            ).alias("n_false_pos"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(bstats)).select(
+        F.lit("o_orderkey").alias("join_key"),
+        F.lit(BLOOM_BITS).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K).cast("long").alias("k_hashes"),
+        F.col("n_bits_set").cast("long").alias("n_bits_set"),
+        F.round(F.col("n_bits_set") / F.lit(float(BLOOM_BITS)), 6).alias(
+            "saturation"
+        ),
+        F.col("n_keys_probed").cast("long").alias("n_keys_probed"),
+        F.col("n_pass").cast("long").alias("n_pass"),
+        F.col("n_true").cast("long").alias("n_true"),
+        F.col("n_false_pos").cast("long").alias("n_false_pos"),
+        F.when(
+            F.col("n_keys_probed") - F.col("n_true") > 0,
+            F.round(
+                F.col("n_false_pos")
+                / (F.col("n_keys_probed") - F.col("n_true")).cast("double"),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fp_rate"),
+    )
+
+
+def _bloom_hash_sql(key: str, i: int) -> str:
+    return (
+        f"(list_sum(list_transform(range(0, 15), "
+        f"hx -> (CAST(strpos('0123456789abcdef', "
+        f"substr(md5('bf{i}:' || CAST({key} AS VARCHAR)), hx + 1, 1)) AS BIGINT)"
+        f" - 1) << (4 * (14 - hx)))) % {BLOOM_BITS})"
+    )
+
+
+def _join_bloom_prune_sql() -> str:
+    dim_hashes = " UNION ALL ".join(
+        f"SELECT {_bloom_hash_sql('k', i)} AS pos FROM dim_keys"
+        for i in range(BLOOM_K)
+    )
+    probe_hashes = " UNION ALL ".join(
+        f"SELECT k, {_bloom_hash_sql('k', i)} AS pos FROM fact_keys"
+        for i in range(BLOOM_K)
+    )
+    return f"""
+WITH dim_keys AS MATERIALIZED (
+  SELECT DISTINCT CAST(o_orderkey AS BIGINT) AS k FROM orders
+  WHERE {_BLOOM_PRED}
+),
+dim_pos AS (
+  {dim_hashes}
+),
+bloom AS MATERIALIZED (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+  FROM dim_pos GROUP BY 1
+),
+bstats AS (
+  SELECT CAST(sum(bit_count(bits)) AS BIGINT) AS n_bits_set FROM bloom
+),
+fact_keys AS MATERIALIZED (
+  SELECT DISTINCT CAST(l_orderkey AS BIGINT) AS k FROM lineitem
+),
+probe AS (
+  SELECT k, pos // 32 AS word, CAST(pos % 32 AS INT) AS bit
+  FROM ({probe_hashes}) p
+),
+passed AS (
+  SELECT k FROM (
+    SELECT p.k, sum((b.bits >> p.bit) & CAST(1 AS BIGINT)) AS n_hit
+    FROM probe p JOIN bloom b ON p.word = b.word
+    GROUP BY p.k) t
+  WHERE n_hit = {BLOOM_K}
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_keys_probed,
+         CAST(sum(CASE WHEN p.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pass,
+         CAST(sum(CASE WHEN d.k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_true,
+         CAST(sum(CASE WHEN p.k IS NOT NULL AND d.k IS NULL
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+  FROM fact_keys f
+  LEFT JOIN passed p ON f.k = p.k
+  LEFT JOIN dim_keys d ON f.k = d.k
+)
+SELECT 'o_orderkey' AS join_key,
+       CAST({BLOOM_BITS} AS BIGINT) AS m_bits,
+       CAST({BLOOM_K} AS BIGINT) AS k_hashes,
+       b.n_bits_set,
+       round(b.n_bits_set / {float(BLOOM_BITS)!r}, 6) AS saturation,
+       s.n_keys_probed, s.n_pass, s.n_true, s.n_false_pos,
+       CASE WHEN s.n_keys_probed - s.n_true > 0
+            THEN round(s.n_false_pos
+                       / CAST(s.n_keys_probed - s.n_true AS DOUBLE), 6)
+            ELSE 0.0 END AS fp_rate
+FROM stats s CROSS JOIN bstats b
+"""
+
+
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
+    register("join_bloom_prune", q_join_bloom_prune, _join_bloom_prune_sql())
     register(
         "quality_expectations", q_quality_expectations, _quality_expectations_sql()
     )

@@ -64,7 +64,9 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # r16 plan: after r15 the floor is r8 (38 keys r8-stale). Lead r16
 # with ALL 38 (CORRECTNESS_r08 artifact order, starting
 # discretize_quantile_sketch), cap new/changed keys at 12, fill any
-# remainder from oldest r9.
+# remainder from oldest r9. Keys registered in r15 AFTER the 7-slot
+# new/changed cap filled (never driver-checked yet — they MUST join
+# the r16 new group): join_bloom_prune.
 
 _R7_STALE: list[str] = [
     "simsearch_ivf_build",

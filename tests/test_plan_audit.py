@@ -39,6 +39,7 @@ BNL_ALLOWED = {
     "drift_psi",  # one-row period-totals agg broadcast
     "metrics_pr_auc",  # one-row (ptot, n_scored) agg broadcast over the bounded PR grid
     "metrics_roc_auc",  # same shape: one-row totals broadcast over the bounded ROC grid
+    "join_bloom_prune",  # one-row bits-set agg broadcast onto the one-row probe stats
     "retrieval_hybrid_rrf",  # fuses two 10-row top-k lists (bm25 + cosine)
     "timeseries_gapfill",
     "timeseries_interpolate",  # hourly spine x broadcast |event types| grid

@@ -466,3 +466,32 @@ def test_zipf_fit_recovers_power_law_on_synthetic_corpus(spark, tmp_path):
     assert row["n_terms"] == 120
     assert -1.15 < row["slope"] < -0.85, row["slope"]
     assert row["r2"] > 0.95, row["r2"]
+
+
+def test_bloom_prune_never_false_negative_and_fp_matches_theory(spark):
+    """join_bloom_prune (r15): a Bloom filter must NEVER drop a true
+    match — every dim key that actually appears on the fact side has
+    to pass the probe (n_pass - n_false_pos == n_true by the stats'
+    construction iff no false negative), and the measured fp_rate
+    must sit near the saturation**k theory (within 2x either way when
+    there are enough negative probes to measure it)."""
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        BLOOM_K,
+        q_join_bloom_prune,
+    )
+    from tests.conftest import SF_SMALL
+
+    row = q_join_bloom_prune(spark, SF_SMALL).collect()[0]
+    assert row["n_pass"] - row["n_false_pos"] == row["n_true"], (
+        "false negative: a true key failed the Bloom probe"
+    )
+    assert row["n_true"] > 0, "fixture has no true matches; proves nothing"
+    n_neg = row["n_keys_probed"] - row["n_true"]
+    theory = row["saturation"] ** BLOOM_K
+    if n_neg * theory >= 20:  # enough expected FPs to measure a rate
+        assert theory / 2 <= row["fp_rate"] <= theory * 2, (
+            row["fp_rate"],
+            theory,
+        )
+    else:
+        assert row["fp_rate"] <= max(0.01, theory * 5), row["fp_rate"]
