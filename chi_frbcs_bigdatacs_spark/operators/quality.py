@@ -1037,20 +1037,33 @@ def _bloom_hash_col(key: Column, i: int) -> Column:
 
 
 def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
-    dim_keys = (
-        orders.where(F.col("o_orderpriority") == "1-URGENT")
+    bloom = bloom_words(bloom_dim_keys(spark, sf_dir))
+    return bloom_finish(spark, sf_dir, bloom)
+
+
+def bloom_dim_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
         .select(F.col("o_orderkey").cast("long").alias("k"))
         .distinct()
     )
-    dim_pos = dim_keys.select(
+
+
+def bloom_words(keys: DataFrame) -> DataFrame:
+    """The filter STATE: (word, bits) — <= BLOOM_BITS/32 rows.
+    bit_or is commutative, associative AND idempotent, so the state
+    is mergeable across partitions, micro-batches, and duplicate key
+    arrivals alike — the property the streaming twin's
+    split-invariance rides (stream side skips the dim-key distinct
+    entirely; duplicate hashes OR to the same bits)."""
+    pos = keys.select(
         F.explode(
             F.array(*[_bloom_hash_col(F.col("k"), i) for i in range(BLOOM_K)])
         ).alias("pos")
     )
-    bloom = (
-        dim_pos.select(
+    return (
+        pos.select(
             F.expr("pos div 32").alias("word"), (F.col("pos") % 32).alias("bit")
         )
         .groupBy("word")
@@ -1060,12 +1073,20 @@ def q_join_bloom_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+def bloom_finish(spark: SparkSession, sf_dir: str, bloom: DataFrame) -> DataFrame:
+    """Probe + accounting over a built (word, bits) state — shared by
+    the batch key and the streaming twin."""
+    dim_keys = bloom_dim_keys(spark, sf_dir)
     bstats = bloom.agg(
         F.sum(F.expr("bit_count(bits)")).alias("n_bits_set")
     )
-    fact_keys = li.select(
-        F.col("l_orderkey").cast("long").alias("k")
-    ).distinct()
+    fact_keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").cast("long").alias("k"))
+        .distinct()
+    )
     probe = fact_keys.select(
         "k",
         F.posexplode(

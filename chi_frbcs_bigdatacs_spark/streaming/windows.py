@@ -669,7 +669,78 @@ GROUP BY event_type
 """
 
 
+# --- streaming Bloom-filter build (38th strict twin, r15) --------------------
+# The runtime-filter MAINTENANCE story: a production ingest keeps the
+# dim side's Bloom filter fresh as orders arrive, and the fact-side
+# probe consults whatever state has accumulated. The state is the
+# batch key's (word, bits) table verbatim — bit_or is commutative,
+# associative AND idempotent, so the streaming aggregation is
+# split-invariant under ANY micro-batch partitioning AND under the
+# stream skipping the dim-key distinct (duplicate arrivals OR the
+# same bits). Probe + accounting are SHARED CODE with the batch key
+# (operators/quality.py bloom_finish), and the oracle is the same
+# closed-form SQL — the strict-twin contract.
+N_BLOOM_FILES = 4
+
+
+def _orders_bloom_stream(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    """orders (o_orderkey, o_orderpriority only) as an
+    N_BLOOM_FILES-file stream -> N micro-batches, mtimes forcing
+    in-order pickup (order is irrelevant to the OR-state; the
+    staging just makes the replay deterministic)."""
+    batch = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def build(d: str) -> None:
+        import os
+
+        import pandas as pd
+
+        df = pd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        )
+        step = -(-len(df) // N_BLOOM_FILES)
+        base = 1_700_000_000
+        for i in range(N_BLOOM_FILES):
+            p = f"{d}/part-{i:02d}.parquet"
+            df.iloc[i * step : (i + 1) * step].to_parquet(p, index=False)
+            os.utime(p, (base + i * 60, base + i * 60))
+
+    src = staged_src or staged_dir("orders_bloom", sf_dir, build)
+    schema = "o_orderkey " + batch.schema["o_orderkey"].dataType.simpleString()
+    schema += ", o_orderpriority string"
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def q_stream_bloom_build(
+    spark: SparkSession, sf_dir: str, staged_src: str | None = None
+) -> DataFrame:
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        bloom_finish,
+        bloom_words,
+    )
+
+    keys = (
+        _orders_bloom_stream(spark, sf_dir, staged_src=staged_src)
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("long").alias("k"))
+    )
+    bloom = _run_to_memory(bloom_words(keys), mode="complete")
+    return bloom_finish(spark, sf_dir, bloom)
+
+
 def register_all() -> None:
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        _join_bloom_prune_sql,
+    )
+
+    register("stream_bloom_build", q_stream_bloom_build, _join_bloom_prune_sql())
     register("stream_stream_join", q_stream_stream_join, STREAM_STREAM_JOIN_SQL)
     register(
         "stream_late_data_accounting",

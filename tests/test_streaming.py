@@ -655,3 +655,33 @@ def test_stream_mv_refresh_minmax_invariant_under_skewed_split(spark, tmp_path):
         )
     )
     assert streamed_sh == batch
+
+
+def test_stream_bloom_build_invariant_under_skewed_split(spark, tmp_path):
+    """stream_bloom_build (38th strict twin): the Bloom word state is
+    an idempotent bit_or, so the finished accounting must be
+    bit-identical to the batch key under a deliberately skewed
+    micro-batch split — including one file that duplicates rows
+    already seen (idempotence, the property a filter maintained from
+    an at-least-once source needs)."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import q_join_bloom_prune
+    from chi_frbcs_bigdatacs_spark.streaming.windows import q_stream_bloom_build
+    from tests.conftest import SF_SMALL
+
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    src = str(tmp_path / "skewed_orders")
+    parts = [
+        orders.filter(F.col("o_orderkey") % 100 < 70),
+        orders.filter((F.col("o_orderkey") % 100).between(70, 74)),
+        orders.filter(F.col("o_orderkey") % 100 >= 70),  # overlaps on purpose
+    ]
+    for p in parts:
+        p.coalesce(1).write.mode("append").parquet(src)
+
+    streamed = q_stream_bloom_build(spark, SF_SMALL, staged_src=src).collect()
+    batch = q_join_bloom_prune(spark, SF_SMALL).collect()
+    assert list(map(tuple, streamed)) == list(map(tuple, batch)) and streamed
