@@ -82,6 +82,18 @@ HEADLINE_R13 = [
     "embed_pca_power",              # one-pass covariance + power iteration
 ]
 
+# Fifth headline group (r15): the heavy surfaces added in r14/r15,
+# same cold + median-of-3 protocol, own fields so every earlier
+# series stays comparable.
+HEADLINE_R15 = [
+    "metrics_pr_auc",            # bounded-grid average precision (r14)
+    "stream_mv_refresh_minmax",  # minmax MV streaming twin + size-gated aff (r14/r15)
+    "simsearch_ivf_sq8_residual",  # residual-encoded IVFADC (r15)
+    "simsearch_opq_recall",      # OPQ-lite 3-variant recall study (r15)
+    "simsearch_nsw_beam",        # NSW + medoid hubs, beam serve (r15)
+    "stream_bloom_build",        # streaming Bloom maintenance twin (r15)
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -215,6 +227,17 @@ def main() -> None:
             r13_samples[k].append(v)
     r13_warm = {k: round(median(v), 3) for k, v in r13_samples.items() if v}
 
+    # r15 group: same cold + median-of-3 protocol.
+    r15_timings, r15_errs = run_pass(HEADLINE_R15)
+    r15_samples: dict[str, list[float]] = {k: [] for k in HEADLINE_R15}
+    r15_warm_errs: dict[str, str] = {}
+    for _ in range(min(n_warm, 3)):
+        w, we = run_pass(HEADLINE_R15)
+        r15_warm_errs.update(we)
+        for k, v in w.items():
+            r15_samples[k].append(v)
+    r15_warm = {k: round(median(v), 3) for k, v in r15_samples.items() if v}
+
     cal = median(cal_samples)
     warm_cal = {k: round(v / cal, 2) for k, v in warm.items()}
     ext_warm_cal = {k: round(v / cal, 2) for k, v in ext_warm.items()}
@@ -297,10 +320,22 @@ def main() -> None:
         "value_r13_warm_calibrated": round(
             sum(v / cal for v in r13_warm.values()), 2
         ),
+        "value_r15": round(sum(r15_timings.values()), 3),
+        "queries_r15": r15_timings,
+        "value_r15_warm": round(sum(r15_warm.values()), 3),
+        "queries_r15_warm": r15_warm,
+        "r15_warm_n_summed": [len(r15_warm), len(HEADLINE_R15)],
+        "queries_r15_warm_calibrated": {
+            k: round(v / cal, 2) for k, v in r15_warm.items()
+        },
+        "value_r15_warm_calibrated": round(
+            sum(v / cal for v in r15_warm.values()), 2
+        ),
     }
     if (
         errs or warm_errs or ext_errs or ext_warm_errs
         or r12_errs or r12_warm_errs or r13_errs or r13_warm_errs
+        or r15_errs or r15_warm_errs
     ):
         # pass-qualified keys: "<key>" cold primary, "warm:<key>",
         # "ext:<key>", "ext_warm:<key>", "r12:<key>", "r12_warm:<key>",
@@ -315,6 +350,8 @@ def main() -> None:
             **{f"r12_warm:{k}": v for k, v in r12_warm_errs.items()},
             **{f"r13:{k}": v for k, v in r13_errs.items()},
             **{f"r13_warm:{k}": v for k, v in r13_warm_errs.items()},
+            **{f"r15:{k}": v for k, v in r15_errs.items()},
+            **{f"r15_warm:{k}": v for k, v in r15_warm_errs.items()},
         }
         out["errors"] = merged
         out["n_failed"] = len(

@@ -3602,19 +3602,27 @@ def _nsw_graph(
         "vec_id", "k", _micros_col().alias("xm")
     ).localCheckpoint()
 
-    cmarr = F.array(
-        *[
-            F.array(*[F.lit(v).cast("long") for v in cmic[k]])
-            for k in sorted(cmic)
-        ]
+    # Per-label when-chain, NOT element_at(array, k): a Lloyd cell
+    # can empty out on degenerate fixtures, leaving non-contiguous
+    # labels that positional indexing would silently misroute (the
+    # assign_cells_col keyed-pairs discipline).
+    ks = sorted(cmic)
+    cm_expr = F.when(
+        F.col("k") == ks[0],
+        F.array(*[F.lit(v).cast("long") for v in cmic[ks[0]]]),
     )
+    for k in ks[1:]:
+        cm_expr = cm_expr.when(
+            F.col("k") == k,
+            F.array(*[F.lit(v).cast("long") for v in cmic[k]]),
+        )
     med_rows = (
         nodes.withColumn(
             "d2c",
             F.aggregate(
                 F.zip_with(
                     F.col("xm"),
-                    F.element_at(cmarr, F.col("k")),
+                    cm_expr,
                     lambda x, y: (x - y) * (x - y),
                 ),
                 F.lit(0).cast("long"),
@@ -3649,10 +3657,12 @@ def _nsw_graph(
     lsym = topm.unionByName(
         topm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    midarr = F.array(*[F.lit(mid[k]).cast("long") for k in sorted(mid)])
+    mks = sorted(mid)
+    mid_expr = F.when(F.col("k") == mks[0], F.lit(mid[mks[0]]).cast("long"))
+    for k in mks[1:]:
+        mid_expr = mid_expr.when(F.col("k") == k, F.lit(mid[k]).cast("long"))
     to_med = nodes.select(
-        F.col("vec_id").alias("src"),
-        F.element_at(midarr, F.col("k")).alias("dst"),
+        F.col("vec_id").alias("src"), mid_expr.alias("dst")
     ).where(F.col("src") != F.col("dst"))
     hub_rows = [
         (int(x), int(y))
