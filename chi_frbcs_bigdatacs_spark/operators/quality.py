@@ -1148,6 +1148,98 @@ def bloom_finish(spark: SparkSession, sf_dir: str, bloom: DataFrame) -> DataFram
     )
 
 
+# --- the Bloom filter APPLIED: runtime-filtered join -------------------------
+# join_bloom_prune reports the filter's accounting; this key actually
+# DEPLOYS it the way an engine's sideways information passing does:
+# the built (word, bits) state is collected as a scalar header
+# (BLOOM_BITS/32 longs — 8 KB, the centroid convention) and folded
+# into a LITERAL-array predicate evaluated per fact row inside
+# whole-stage codegen — no explode, no probe join, the filter rides
+# the scan. False positives then die in the real equi-join, so the
+# result is EXACTLY the plain join: the DuckDB oracle is the plain
+# join+agg SQL, which is the semantic-transparency contract a runtime
+# filter must satisfy (and what the driver hash-checks). The plan-pin
+# test asserts the predicate really is in the scan stage and measures
+# its selectivity separately.
+# Scale shape: build = one map-side agg; apply = map-only predicate;
+# join = the join you were doing anyway, now over ~|match| rows
+# instead of |fact|.
+
+
+def bloom_row_filter(
+    df: DataFrame, key_col: str, words: dict[int, int]
+) -> DataFrame:
+    """Filter df to rows whose key_col passes the collected Bloom
+    words — a literal-array predicate in whole-stage codegen (no
+    explode, no join). SQL-form shiftright because the Python builtin
+    only takes a literal bit count; barr/p{i} helper columns are
+    dropped so nothing leaves the scan stage."""
+    n_words = BLOOM_BITS // 32
+    bits_arr = F.array(
+        *[F.lit(words.get(w, 0)).cast("long") for w in range(n_words)]
+    )
+    withpos = df.withColumn("barr", bits_arr)
+    for i in range(BLOOM_K):
+        withpos = withpos.withColumn(
+            f"p{i}", _bloom_hash_col(F.col(key_col), i)
+        )
+    pred = F.expr(
+        " AND ".join(
+            f"((shiftright(element_at(barr, CAST(p{i} div 32 AS INT) + 1), "
+            f"CAST(p{i} % 32 AS INT)) & CAST(1 AS BIGINT)) = 1)"
+            for i in range(BLOOM_K)
+        )
+    )
+    helper = ["barr"] + [f"p{i}" for i in range(BLOOM_K)]
+    return withpos.where(pred).drop(*helper)
+
+
+def q_join_bloom_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bloom = bloom_words(bloom_dim_keys(spark, sf_dir))
+    words = {int(r["word"]): int(r["bits"]) for r in bloom.collect()}
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").cast("long").alias("k"),
+        "l_extendedprice",
+        "l_discount",
+    )
+    filtered = bloom_row_filter(li, "k", words)
+    dim = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select(
+        F.col("o_orderkey").cast("long").alias("k"), "o_orderpriority"
+    )
+    disc = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1).cast("decimal(18,2)")
+        - F.col("l_discount").cast("decimal(18,2)")
+    )
+    return (
+        filtered.join(dim, "k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("k").alias("n_orders"),
+            # house money policy (Q1 pattern): per-factor DECIMAL
+            # casts, decimal-exact sum, double only at the boundary
+            F.sum(disc).cast("double").alias("revenue"),
+        )
+    )
+
+
+JOIN_BLOOM_FILTERED_SQL = """
+SELECT o.o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT l.l_orderkey) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (CAST(1 AS DECIMAL(18,2))
+                   - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+           AS revenue
+FROM lineitem l
+JOIN orders o ON CAST(l.l_orderkey AS BIGINT) = CAST(o.o_orderkey AS BIGINT)
+WHERE o.o_orderpriority = '1-URGENT'
+GROUP BY o.o_orderpriority
+"""
+
+
 def _bloom_hash_sql(key: str, i: int) -> str:
     return (
         f"(list_sum(list_transform(range(0, 15), "
@@ -1225,6 +1317,9 @@ FROM stats s CROSS JOIN bstats b
 def register_all() -> None:
     register("profile_columns", q_profile_columns, PROFILE_COLUMNS_SQL)
     register("join_bloom_prune", q_join_bloom_prune, _join_bloom_prune_sql())
+    register(
+        "join_bloom_filtered", q_join_bloom_filtered, JOIN_BLOOM_FILTERED_SQL
+    )
     register(
         "quality_expectations", q_quality_expectations, _quality_expectations_sql()
     )

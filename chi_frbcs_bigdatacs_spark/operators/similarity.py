@@ -3731,7 +3731,11 @@ def q_simsearch_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         # replay per round (2^NSW_ROUNDS by the last). The beam is
         # <= n_queries * sum(NSW_BEAMS) rows, so the checkpoint is a
         # scalar-header-sized pin, same rationale as graph_sssp's
-        # per-level cut.
+        # per-level cut. Cadence A/B (r15): every-2nd-round cuts were
+        # measured WORSE and unstable (35-101s vs 22-25s warm at
+        # sf0.1) — the uncut round doubles the catalyst compile depth,
+        # which costs more than the extra eager action saves. Keep
+        # every round.
         beam = beam.localCheckpoint()
         cand = (
             F.broadcast(beam.select("bw", "qid", "node"))

@@ -66,7 +66,8 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # discretize_quantile_sketch), cap new/changed keys at 12, fill any
 # remainder from oldest r9. Keys registered in r15 AFTER the 7-slot
 # new/changed cap filled (never driver-checked yet — they MUST join
-# the r16 new group): join_bloom_prune, stream_bloom_build.
+# the r16 new group): join_bloom_prune, stream_bloom_build,
+# join_bloom_filtered.
 
 _R7_STALE: list[str] = [
     "simsearch_ivf_build",

@@ -495,3 +495,75 @@ def test_bloom_prune_never_false_negative_and_fp_matches_theory(spark):
         )
     else:
         assert row["fp_rate"] <= max(0.01, theory * 5), row["fp_rate"]
+
+
+def test_bloom_filtered_join_transparent_and_predicate_in_scan(spark):
+    """join_bloom_filtered: (a) the runtime filter must be
+    SEMANTICALLY TRANSPARENT — result identical to the plain join
+    (also the oracle contract); (b) the Bloom predicate must really
+    ride the fact scan as a codegen'd literal-array filter (no
+    explode, no extra join: exactly ONE join in the plan); (c) the
+    prefilter must actually cut rows — selectivity strictly between
+    the true match rate and 1."""
+    from pyspark.sql import functions as F
+
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        q_join_bloom_filtered,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+    from tests.conftest import SF_SMALL
+
+    got = q_join_bloom_filtered(spark, SF_SMALL)
+    li = load_table(spark, SF_SMALL, "lineitem")
+    dim = (
+        load_table(spark, SF_SMALL, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").cast("long").alias("k"), "o_orderpriority")
+    )
+    plain = (
+        li.select(
+            F.col("l_orderkey").cast("long").alias("k"),
+            "l_extendedprice",
+            "l_discount",
+        )
+        .join(dim, "k")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count_distinct("k").alias("n_orders"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (
+                    F.lit(1).cast("decimal(18,2)")
+                    - F.col("l_discount").cast("decimal(18,2)")
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, plain.collect())
+    )
+
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "shiftright" in plan, "bloom predicate not in the plan"
+    assert plan.count("Generate") == 0, "explode leaked into the apply path"
+
+    # (c) the predicate earns its keep: strictly fewer rows than the
+    # raw fact side, at least as many as the true matches.
+    from chi_frbcs_bigdatacs_spark.operators.quality import (
+        bloom_dim_keys,
+        bloom_row_filter,
+        bloom_words,
+    )
+
+    words = {
+        int(r["word"]): int(r["bits"])
+        for r in bloom_words(bloom_dim_keys(spark, SF_SMALL)).collect()
+    }
+    keys = li.select(F.col("l_orderkey").cast("long").alias("k"))
+    n_all = keys.count()
+    n_kept = bloom_row_filter(keys, "k", words).count()
+    n_true = keys.join(dim.select("k"), "k").count()
+    assert n_true <= n_kept < n_all, (n_true, n_kept, n_all)
