@@ -805,21 +805,25 @@ def q_graph_sssp(
         broadcast_max_settled = SSSP_BROADCAST_MAX_SETTLED
     edges = _edges(spark, sf_dir).localCheckpoint(eager=True)
     src0 = edges.agg(F.min("src")).collect()[0][0]
-    dist = spark.createDataFrame(
-        [(src0, 0)], "node string, dist long"
-    ).localCheckpoint(eager=True)
+    # seed is a 1-row LocalRelation: no lineage to cut, so no
+    # checkpoint (the old eager checkpoint cost one no-op job)
+    dist = spark.createDataFrame([(src0, 0)], "node string, dist long")
     frontier = dist
     n_settled = 1
     d = 0
     while True:
         d += 1
+        # LAZY checkpoint + count = ONE job per level instead of two
+        # (guide §1.2 "remove unnecessary passes"): count() is the
+        # materializing action, and its shuffle map stage computes
+        # every partition, so the checkpoint is fully populated.
         nxt = _sssp_level(
             edges,
             frontier,
             dist,
             d,
             broadcast_settled=n_settled <= broadcast_max_settled,
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_new = nxt.count()
         if n_new == 0:
             break  # drained: dist is complete
@@ -835,7 +839,12 @@ def q_graph_sssp(
                 f"graph has nodes farther than {SSSP_MAX_ROUNDS} hops; "
                 "raise SSSP_MAX_ROUNDS in BOTH the loop and the oracle"
             )
-        dist = dist.unionByName(nxt).localCheckpoint(eager=True)
+        # the settled set is a UNION of per-level checkpoints (each
+        # already materialized); re-checkpointing the whole union
+        # every level re-wrote the full O(n) set once per level —
+        # O(n * diameter) total (guide §2.4). The union plan stays
+        # shallow: <= SSSP_MAX_ROUNDS LogicalRDD scans.
+        dist = dist.unionByName(nxt)
         frontier = nxt
     return dist.select("node", "dist")
 
@@ -957,17 +966,24 @@ def _star_round(edges: DataFrame, *, large: bool) -> DataFrame:
 
 def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _wcc_edges(spark, sf_dir).localCheckpoint(eager=True)
+    # lazy: all_nodes is only read by the FINAL labeling join, so it
+    # materializes inside that job instead of paying its own (guide
+    # §1.2); lineage is still cut off the edges checkpoint.
     all_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionByName(edges.select(F.col("v").alias("node")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     cur = edges
     for r in range(WCC_MAX_ROUNDS):
+        # LAZY checkpoint: the convergence probe's count() is the
+        # materializing action (its full-outer join shuffles every
+        # nxt partition, so the checkpoint is fully populated) — ONE
+        # job per round instead of two (guide §1.2).
         nxt = _star_round(
             _star_round(cur, large=True), large=False
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         # fixed point: the oriented (child, parent) set is unchanged.
         # Both sides are distinct sets (each phase ends .distinct(),
         # and the seed edges come from a .distinct()), so symmetric

@@ -27,6 +27,8 @@ def main() -> None:
     ap.add_argument("keys", nargs="+")
     ap.add_argument("--warm", type=int, default=3)
     ap.add_argument("--plans", default=None)
+    ap.add_argument("--plans-only", action="store_true")
+    ap.add_argument("--suffix", default="")
     ap.add_argument(
         "--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     )
@@ -71,8 +73,11 @@ def main() -> None:
             buf = io.StringIO()
             with redirect_stdout(buf):
                 df.explain("formatted")
-            with open(f"{args.plans}/{key}.txt", "w") as fh:
+            with open(f"{args.plans}/{key}{args.suffix}.txt", "w") as fh:
                 fh.write(buf.getvalue())
+        if args.plans_only:
+            out[key] = {"plan": "dumped"}
+            continue
         samples: list[float] = []
         sc.setJobDescription(f"probe:{key}")
         for i in range(args.warm + 1):
@@ -96,7 +101,9 @@ def main() -> None:
                 "cal_median": round(cmed, 4),
                 "keys": out,
                 "calibrated": {
-                    k: round(v["warm_median"] / cmed, 2) for k, v in out.items()
+                    k: round(v["warm_median"] / cmed, 2)
+                    for k, v in out.items()
+                    if "warm_median" in v
                 },
             }
         )
