@@ -30,6 +30,24 @@ from pyspark.sql.window import Window
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
 
+# One-generation retained cache (the dedup_near._MINHASH_CACHE
+# pattern): results are lazy, so a persist made inside a query fn
+# must outlive the call — the NEXT query's fn releases the previous
+# generation, and repeated bench/sweep runs never accumulate caches.
+_SIM_CACHE: list[DataFrame] = []
+
+
+def _retain(df: DataFrame) -> DataFrame:
+    """persist() df into the one-generation cache."""
+    df = df.persist()
+    _SIM_CACHE.append(df)
+    return df
+
+
+def _release_sim_cache() -> None:
+    while _SIM_CACHE:
+        _SIM_CACHE.pop().unpersist()
+
 DIM = 64
 
 
@@ -1394,24 +1412,50 @@ def _pq_assign(sub: DataFrame, cb: DataFrame) -> DataFrame:
 
 
 def _pq_codebook_trained(
-    spark: SparkSession, emb: DataFrame, rounds: int = PQ_LLOYD
+    spark: SparkSession,
+    emb: DataFrame,
+    rounds: int = PQ_LLOYD,
+    sub: DataFrame | None = None,
 ) -> DataFrame:
     """Per-subspace Lloyd: seeds -> (assign -> means) x rounds.
     Means are 6dp-rounded and the PQ_M*PQ_K-row result is collected
     per round (bounded, the _kmeans_index driver round-trip) so each
     round's assignment joins a literal codebook — lineage stays flat
-    regardless of round count."""
-    sub = _pq_subvectors(emb, "vec_id", "svec")
+    regardless of round count.
+
+    `sub` lets callers pass an already-persisted subvector frame so
+    each Lloyd round re-reads the cache instead of re-deriving the
+    (possibly expensive — OPQ rotation) projection (guide §5 caching:
+    reused AND expensive to recompute). The per-round means now ride
+    the SAME argmin pass — svec is carried through the min struct
+    (constant within its (vec_id, m) group, so it cannot affect the
+    (d2, k)-prefixed ordering) — instead of joining the assignment
+    back onto `sub`, which re-scanned `sub` and paid one extra
+    exchange per round (guide §2.4)."""
+    if sub is None:
+        sub = _pq_subvectors(emb, "vec_id", "svec")
     cb = _pq_codebook_seeded(emb)
     for _ in range(rounds):
-        asg = _pq_assign(sub, cb)
+        asg = (
+            sub.join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "m",
+                F.struct(
+                    _pq_dist2("svec", "cvec").alias("d2"),
+                    F.col("k"),
+                    F.col("svec"),
+                ).alias("s"),
+            )
+            .groupBy("vec_id", "m")
+            .agg(F.min("s").alias("s"))
+        )
         rows = (
-            sub.join(asg, ["vec_id", "m"])
-            .groupBy("m", F.col("code").alias("k"))
+            asg.groupBy("m", F.col("s.k").alias("k"))
             .agg(
                 *[
                     F.round(
-                        F.sum(F.element_at("svec", j).cast("double"))
+                        F.sum(F.element_at("s.svec", j).cast("double"))
                         / F.count(F.lit(1)),
                         6,
                     ).alias(f"c{j}")
@@ -1438,8 +1482,11 @@ def _pq_codebook_trained(
 def q_simsearch_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    _release_sim_cache()
     emb = load_table(spark, sf_dir, "embeddings")
-    sub = _pq_subvectors(emb, "vec_id", "svec")
+    # shared by the seeded encode, every trained-Lloyd round, and the
+    # trained encode — persist once (guide §5)
+    sub = _retain(_pq_subvectors(emb, "vec_id", "svec"))
     qs = emb.filter(
         (F.col("vec_id") >= PQ_K) & (F.col("vec_id") < PQ_K + N_PQ_QUERIES)
     ).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec"))
@@ -1467,7 +1514,7 @@ def q_simsearch_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     outs = []
     for name, cb in (
         ("seeded", _pq_codebook_seeded(emb)),
-        ("trained", _pq_codebook_trained(spark, emb)),
+        ("trained", _pq_codebook_trained(spark, emb, sub=sub)),
     ):
         codes = _pq_assign(sub, cb)
         lut = cb.join(F.broadcast(qsub), "m").select(
@@ -1770,6 +1817,7 @@ def _opq_rot_frame(emb: DataFrame) -> DataFrame:
 def q_simsearch_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    _release_sim_cache()
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(
         (F.col("vec_id") >= PQ_K) & (F.col("vec_id") < PQ_K + N_PQ_QUERIES)
@@ -1795,10 +1843,25 @@ def q_simsearch_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("opq_alloc", _opq_alloc_frame(emb, _opq_alloc_order(emb))),
         ("opq_rot", _opq_rot_frame(emb)),
     ]
+    # The three variants' Lloyd trainings are independent chains of
+    # small jobs (per-round collect round-trips); run them from a
+    # thread pool so each variant's next round back-fills executors
+    # the others leave idle (guide §2.6 overlap independent jobs).
+    # Each still persists its own subvector frame: it feeds every
+    # Lloyd round AND the final encode, and for opq_rot each
+    # re-derivation replays the 64x64 Hadamard HOF per row (guide §5).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _train(name_fr: tuple) -> tuple:
+        name, fr = name_fr
+        sub = _retain(_pq_subvectors(fr, "vec_id", "svec"))
+        return name, fr, sub, _pq_codebook_trained(spark, fr, sub=sub)
+
+    with ThreadPoolExecutor(max_workers=len(frames)) as pool:
+        built = list(pool.map(_train, frames))
+
     out = None
-    for name, fr in frames:
-        sub = _pq_subvectors(fr, "vec_id", "svec")
-        cb = _pq_codebook_trained(spark, fr)
+    for name, fr, sub, cb in built:
         codes = _pq_assign(sub, cb)
         qf = fr.filter(
             (F.col("vec_id") >= PQ_K)
@@ -1998,6 +2061,7 @@ UNION ALL
 
 
 def q_simsearch_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _release_sim_cache()
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
         "bucket", _bucket_col("embedding")
     )
@@ -2013,7 +2077,12 @@ def q_simsearch_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand = emb.join(F.broadcast(q), emb["bucket"] == q["qbucket"]).select(
         "vec_id", "bucket", "embedding"
     )
-    cb = _pq_codebook_trained(spark, load_table(spark, sf_dir, "embeddings"))
+    full_sub = _retain(
+        _pq_subvectors(load_table(spark, sf_dir, "embeddings"), "vec_id", "svec")
+    )
+    cb = _pq_codebook_trained(
+        spark, load_table(spark, sf_dir, "embeddings"), sub=full_sub
+    )
     codes = _pq_assign(_pq_subvectors(cand, "vec_id", "svec"), cb)
     qsub = _pq_subvectors(
         q.select(F.lit(0).alias("qid"), F.col("qemb").alias("embedding")),
@@ -2129,6 +2198,7 @@ ADC_SHORTLIST = 100
 def q_simsearch_ivf_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
+    _release_sim_cache()
     a2, cent, _ = _kmeans_index(spark, sf_dir, k=K_COARSE)
     emb = load_table(spark, sf_dir, "embeddings")
     qs = emb.filter(
@@ -2179,8 +2249,9 @@ def q_simsearch_ivf_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # trained PQ codebook over the full corpus; codes join cand on
     # vec_id (equi, co-partitionable with the assignment at scale)
-    cb = _pq_codebook_trained(spark, emb)
-    codes = _pq_assign(_pq_subvectors(emb, "vec_id", "svec"), cb)
+    sub = _retain(_pq_subvectors(emb, "vec_id", "svec"))
+    cb = _pq_codebook_trained(spark, emb, sub=sub)
+    codes = _pq_assign(sub, cb)
     qsub = _pq_subvectors(
         qs.select("qid", F.col("qvec").alias("embedding")), "qid", "qsub"
     )
