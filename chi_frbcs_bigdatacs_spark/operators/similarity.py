@@ -349,20 +349,33 @@ def _sqdist_sql(a: str, b: str) -> str:
     )
 
 
+def _dbl_lit_sql(v: float) -> str:
+    """A double literal as SQL text with exact round-trip: CAST of the
+    repr STRING goes through Double.parseDouble, which reproduces the
+    Python float bit-for-bit (repr is the shortest round-trip form)."""
+    return f"CAST('{float(v)!r}' AS DOUBLE)"
+
+
+def _sqdist_lit_sql(a: str, vec: list[float]) -> str:
+    """SQL text of the literal-centroid squared distance. Built as ONE
+    parsed expression instead of ~4*DIM py4j Column calls: driver-side
+    expression CONSTRUCTION was measured at ~1s per Lloyd round at any
+    data size (guide §1.1 first-principles: the work is O(rows), the
+    cost wasn't) — the Catalyst tree and therefore every computed
+    value is identical."""
+    lits = ", ".join(_dbl_lit_sql(v) for v in vec)
+    return (
+        f"aggregate(zip_with({a}, array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
 def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
     # HOF fold over the data array zipped with the literal centroid
     # array — same left-assoc accumulation as the oracle's unrolled
     # sum (0.0 + t1 == t1 exactly), same rationale as _dot_col.
-    lits = F.array(*[F.lit(float(v)) for v in vec])
-    return F.aggregate(
-        F.zip_with(
-            F.col(a),
-            lits,
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    return F.expr(_sqdist_lit_sql(a, vec))
 
 
 N_LLOYD = 4  # Lloyd mean-update rounds (seeds + 4 refinements)
@@ -374,16 +387,19 @@ def assign_cells_col(centroids: list[tuple[int, list[float]]]) -> Column:
     map-only projection — no join, no shuffle, codegen'd. Ties on
     distance break to the lowest k (`least` + ascending-k when
     chain), matching the oracle's ORDER BY dist ASC, k ASC. Shared
-    by the batch Lloyd build and the streaming ingest assigner."""
-    from functools import reduce as _r
+    by the batch Lloyd build and the streaming ingest assigner.
 
-    dists = [(k, _sqdist_lit_col("embedding", vec)) for k, vec in centroids]
-    m = F.least(*[d for _, d in dists]) if len(dists) > 1 else dists[0][1]
-    return _r(
-        lambda acc, kd: acc.when(kd[1] == m, kd[0]),
-        dists[1:],
-        F.when(dists[0][1] == m, dists[0][0]),
-    ).otherwise(dists[-1][0])
+    Emitted as ONE SQL-text expression (same Catalyst tree as the
+    previous when-chain of Column objects — each distance subtree was
+    already duplicated in least() and its WHEN): driver-side py4j
+    construction cost ~1s/round before, ~0 now (guide §1.1)."""
+    dists = [(k, _sqdist_lit_sql("embedding", vec)) for k, vec in centroids]
+    if len(dists) > 1:
+        m = "least(" + ", ".join(d for _, d in dists) + ")"
+    else:
+        m = dists[0][1]
+    whens = " ".join(f"WHEN ({d}) = ({m}) THEN {k}" for k, d in dists)
+    return F.expr(f"CASE {whens} ELSE {dists[-1][0]} END")
 
 
 def _kmeans_index(
@@ -428,25 +444,26 @@ def _kmeans_index(
     # sum-order drift.
     cent = seeds
     drifts: list[float] = []
+    # ONE struct-of-aggregates expression (1 py4j call vs 6*DIM):
+    # plans to the same map-side-combined HashAggregate, values
+    # identical — only driver-side construction cost changes.
+    mean_struct = F.expr(
+        "struct("
+        + ", ".join(
+            f"round(sum(CAST(element_at(embedding, {i}) AS DOUBLE))"
+            f" / count(1), 6) AS c{i}"
+            for i in range(1, DIM + 1)
+        )
+        + ")"
+    ).alias("s")
     for _round in range(n_iter):
         cent_rows = (
-            assign(cent)
-            .groupBy("k")
-            .agg(
-                *[
-                    F.round(
-                        F.sum(F.element_at("embedding", i).cast("double"))
-                        / F.count(F.lit(1)),
-                        6,
-                    ).alias(f"c{i}")
-                    for i in range(1, DIM + 1)
-                ]
-            )
-            .collect()
+            assign(cent).groupBy("k").agg(mean_struct).collect()
         )
         prev = dict(cent)
         cent = sorted(
-            (r.k, [r[f"c{i}"] for i in range(1, DIM + 1)]) for r in cent_rows
+            (r.k, [r["s"][f"c{i}"] for i in range(1, DIM + 1)])
+            for r in cent_rows
         )
         drifts.append(
             sum(
@@ -1045,13 +1062,14 @@ _RP_SCALE = 0.25  # 1/sqrt(RP_DIM), exact in binary
 
 
 def _rp_col(j: int) -> Column:
-    signs = F.array(*[F.lit(float(_rp_sign(i, j))) for i in range(DIM)])
-    fold = F.aggregate(
-        F.zip_with(F.col("embedding"), signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    # single parsed expression per projection (was ~DIM py4j calls x
+    # RP_DIM columns) — same fold, same values
+    lits = ", ".join(_dbl_lit_sql(float(_rp_sign(i, j))) for i in range(DIM))
+    return F.expr(
+        f"round(aggregate(zip_with(embedding, array({lits}), "
+        f"(x, s) -> CAST(x AS DOUBLE) * s), CAST('0.0' AS DOUBLE), "
+        f"(acc, x) -> acc + x) * {_dbl_lit_sql(_RP_SCALE)}, 6)"
     )
-    return F.round(fold * F.lit(_RP_SCALE), 6)
 
 
 def q_embed_project_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1777,40 +1795,37 @@ def _opq_alloc_order(emb: DataFrame) -> list[int]:
 
 def _opq_alloc_frame(emb: DataFrame, order: list[int]) -> DataFrame:
     """(vec_id, embedding): raw values re-dealt subspace-major."""
+    arr = ", ".join(
+        f"CAST(element_at(embedding, {d + 1}) AS DOUBLE)" for d in order
+    )
     return emb.select(
-        "vec_id",
-        F.array(
-            *[
-                F.element_at("embedding", d + 1).cast("double")
-                for d in order
-            ]
-        ).alias("embedding"),
+        "vec_id", F.expr(f"array({arr})").alias("embedding")
     )
 
 
 def _opq_rot_frame(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding): exact Hadamard-rotated coordinates
     rd_i = (sum_j sign(i,j) * xm_j) / (8 * 2^20) — integer sum, one
-    exact power-of-two division, map-only."""
-    h = F.array(
-        *[
-            F.array(*[F.lit(s) for s in row])
+    exact power-of-two division, map-only. The DIM*DIM sign matrix is
+    emitted as ONE parsed literal (it was 4096 F.lit py4j calls —
+    seconds of driver time per evaluation; guide §1.1). Same tree,
+    same exact-integer values."""
+    h = (
+        "array("
+        + ", ".join(
+            "array({0})".format(", ".join(str(s) for s in row))
             for row in _hadamard_signs()
-        ]
+        )
+        + ")"
+    )
+    rot = (
+        f"transform({h}, row -> CAST(aggregate("
+        f"zip_with(xm, row, (x, s) -> x * CAST(s AS BIGINT)), "
+        f"CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)"
+        f" / {_dbl_lit_sql(OPQ_SCALE)})"
     )
     return emb.select("vec_id", _micros_col().alias("xm")).select(
-        "vec_id",
-        F.transform(
-            h,
-            lambda row: F.aggregate(
-                F.zip_with(
-                    F.col("xm"), row, lambda x, s: x * s.cast("long")
-                ),
-                F.lit(0).cast("long"),
-                lambda a, b: a + b,
-            ).cast("double")
-            / F.lit(OPQ_SCALE),
-        ).alias("embedding"),
+        "vec_id", F.expr(rot).alias("embedding")
     )
 
 
@@ -2549,6 +2564,16 @@ def _micros_col() -> Column:
     )
 
 
+def _qdiff2_sql_col(qm: list[int]) -> Column:
+    """exact integer d2 vs the query micros as ONE parsed expression
+    (was 2*DIM py4j literal calls) — same (q - x) then acc + d*d fold."""
+    lits = ", ".join(f"{int(v)}L" for v in qm)
+    return F.expr(
+        f"aggregate(zip_with(xm, array({lits}), (x, q) -> q - x), "
+        f"CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"
+    )
+
+
 def _micros_and_query(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, list[int]]:
@@ -2612,16 +2637,17 @@ def _sq8_scored(
     bounds/query fold in as literals, so the whole scorer is one
     codegen'd projection — shared by the flat-SQ8 key and the
     IVF,SQ8 composition."""
-    params = F.array(
-        *[
-            F.struct(
-                F.lit(bounds[i][0]).cast("long").alias("mn"),
-                F.lit(bounds[i][1] - bounds[i][0]).cast("long").alias("rng"),
-                F.lit(SQ8_LEVELS * qm[i]).cast("long").alias("q255"),
-                F.lit(qm[i]).cast("long").alias("q"),
-            )
+    # ONE parsed array-of-named_struct literal (was 6*DIM py4j calls;
+    # guide §1.1 — construction cost, identical tree/values)
+    params = F.expr(
+        "array("
+        + ", ".join(
+            f"named_struct('mn', {bounds[i][0]}L,"
+            f" 'rng', {bounds[i][1] - bounds[i][0]}L,"
+            f" 'q255', {SQ8_LEVELS * qm[i]}L, 'q', {qm[i]}L)"
             for i in range(DIM)
-        ]
+        )
+        + ")"
     )
     return m.withColumn("p", params).select(
         "vec_id",
@@ -3274,19 +3300,19 @@ def _residual_frame(a2: DataFrame, cmm: dict[int, list[int]]) -> DataFrame:
     """(vec_id, k, xm, rm): micro corpus + per-cell residual micros,
     as ONE map-only literal-folded projection (centroids are driver
     constants — no join)."""
-    cm_arr = None
-    for k in sorted(cmm):
-        lit = F.array(*[F.lit(v).cast("long") for v in cmm[k]])
-        cm_arr = (
-            F.when(F.col("k") == k, lit)
-            if cm_arr is None
-            else cm_arr.when(F.col("k") == k, lit)
+    cm_arr = (
+        "CASE "
+        + " ".join(
+            "WHEN k = {0} THEN array({1})".format(
+                k, ", ".join(f"{v}L" for v in cmm[k])
+            )
+            for k in sorted(cmm)
         )
+        + " END"
+    )
     return a2.select(
         "vec_id", "k", _micros_col().alias("xm")
-    ).withColumn(
-        "rm", F.zip_with("xm", cm_arr, lambda x, c: x - c)
-    )
+    ).withColumn("rm", F.expr(f"zip_with(xm, {cm_arr}, (x, c) -> x - c)"))
 
 
 def q_simsearch_ivf_sq8_residual(
@@ -3329,19 +3355,16 @@ def q_simsearch_ivf_sq8_residual(
     scored = cand
     adc_exprs = []
     for pi, k in enumerate(probes):
-        params = F.array(
-            *[
-                F.struct(
-                    F.lit(bounds[i][0]).cast("long").alias("mn"),
-                    F.lit(bounds[i][1] - bounds[i][0])
-                    .cast("long")
-                    .alias("rng"),
-                    F.lit(SQ8_LEVELS * (qm[i] - cmm[k][i]))
-                    .cast("long")
-                    .alias("qr255"),
-                )
+        # single parsed array literal per probe (was 5*DIM py4j calls)
+        params = F.expr(
+            "array("
+            + ", ".join(
+                f"named_struct('mn', {bounds[i][0]}L,"
+                f" 'rng', {bounds[i][1] - bounds[i][0]}L,"
+                f" 'qr255', {SQ8_LEVELS * (qm[i] - cmm[k][i])}L)"
                 for i in range(DIM)
-            ]
+            )
+            + ")"
         )
         scored = scored.withColumn(f"p{pi}", params)
         adc_exprs.append(
@@ -3358,15 +3381,10 @@ def q_simsearch_ivf_sq8_residual(
     case = "CASE " + " ".join(
         f"WHEN k = {k} THEN ({e})" for k, e in adc_exprs[:-1]
     ) + f" ELSE ({adc_exprs[-1][1]}) END"
-    q_arr = F.array(*[F.lit(v).cast("long") for v in qm])
     scored = scored.select(
         "vec_id",
         F.expr(case).alias("sq_dist255"),
-        F.aggregate(
-            F.zip_with("xm", q_arr, lambda x, q: q - x),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d * d,
-        ).alias("exact_d2_micro"),
+        _qdiff2_sql_col(qm).alias("exact_d2_micro"),
     )
     short = scored.orderBy(
         F.col("sq_dist255").asc(), F.col("vec_id").asc()
@@ -3496,39 +3514,24 @@ def q_simsearch_bq(spark: SparkSession, sf_dir: str) -> DataFrame:
     q_hi = sum(1 << (d - 32) for d in range(32, DIM) if qm[d] > thr[d])
 
     def half_sig(lo: int) -> "F.Column":
-        params = F.array(
-            *[
-                F.struct(
-                    F.lit(thr[lo + d]).cast("long").alias("t"),
-                    F.lit(1 << d).cast("long").alias("w"),
-                )
-                for d in range(32)
-            ]
+        # single parsed expression (was ~3*32 py4j calls per half)
+        entries = ", ".join(
+            f"named_struct('t', {thr[lo + d]}L, 'w', {1 << d}L)"
+            for d in range(32)
         )
-        return F.aggregate(
-            F.zip_with(
-                F.slice("xm", lo + 1, 32),
-                params,
-                lambda x, p: F.when(x > p["t"], p["w"]).otherwise(
-                    F.lit(0).cast("long")
-                ),
-            ),
-            F.lit(0).cast("long"),
-            lambda acc, v: acc + v,
+        return F.expr(
+            f"aggregate(zip_with(slice(xm, {lo + 1}, 32), array({entries}), "
+            f"(x, p) -> CASE WHEN x > p.t THEN p.w ELSE CAST(0 AS BIGINT) END), "
+            f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
         )
 
-    q_arr = F.array(*[F.lit(v).cast("long") for v in qm])
     scored = m.select(
         "vec_id",
         (
             F.bit_count(half_sig(0).bitwiseXOR(F.lit(q_lo)))
             + F.bit_count(half_sig(32).bitwiseXOR(F.lit(q_hi)))
         ).cast("long").alias("hamming"),
-        F.aggregate(
-            F.zip_with("xm", q_arr, lambda x, q: q - x),
-            F.lit(0).cast("long"),
-            lambda acc, d: acc + d * d,
-        ).alias("exact_d2_micro"),
+        _qdiff2_sql_col(qm).alias("exact_d2_micro"),
     )
     short = scored.orderBy(
         F.col("hamming").asc(), F.col("vec_id").asc()
@@ -3649,11 +3652,12 @@ def _d2_micro_col(a: str, b: str) -> Column:
 
 
 def _d2_micro_lit(a: str, vec: list[int]) -> Column:
-    lits = F.array(*[F.lit(int(v)).cast("long") for v in vec])
-    return F.aggregate(
-        F.zip_with(F.col(a), lits, lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # single parsed expression (was 2*DIM py4j calls) — same tree
+    lits = ", ".join(f"{int(v)}L" for v in vec)
+    return F.expr(
+        f"aggregate(zip_with({a}, array({lits}), "
+        f"(x, y) -> (x - y) * (x - y)), "
+        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
     )
 
 
@@ -3676,17 +3680,19 @@ def _nsw_graph(
     # Per-label when-chain, NOT element_at(array, k): a Lloyd cell
     # can empty out on degenerate fixtures, leaving non-contiguous
     # labels that positional indexing would silently misroute (the
-    # assign_cells_col keyed-pairs discipline).
+    # assign_cells_col keyed-pairs discipline). ONE parsed CASE (was
+    # ~K*DIM py4j literal calls — guide §1.1 construction cost).
     ks = sorted(cmic)
-    cm_expr = F.when(
-        F.col("k") == ks[0],
-        F.array(*[F.lit(v).cast("long") for v in cmic[ks[0]]]),
-    )
-    for k in ks[1:]:
-        cm_expr = cm_expr.when(
-            F.col("k") == k,
-            F.array(*[F.lit(v).cast("long") for v in cmic[k]]),
+    cm_expr = F.expr(
+        "CASE "
+        + " ".join(
+            "WHEN k = {0} THEN array({1})".format(
+                k, ", ".join(f"{v}L" for v in cmic[k])
+            )
+            for k in ks
         )
+        + " END"
+    )
     med_rows = (
         nodes.withColumn(
             "d2c",
@@ -3729,9 +3735,11 @@ def _nsw_graph(
         topm.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     mks = sorted(mid)
-    mid_expr = F.when(F.col("k") == mks[0], F.lit(mid[mks[0]]).cast("long"))
-    for k in mks[1:]:
-        mid_expr = mid_expr.when(F.col("k") == k, F.lit(mid[k]).cast("long"))
+    mid_expr = F.expr(
+        "CASE "
+        + " ".join(f"WHEN k = {k} THEN {mid[k]}L" for k in mks)
+        + " END"
+    )
     to_med = nodes.select(
         F.col("vec_id").alias("src"), mid_expr.alias("dst")
     ).where(F.col("src") != F.col("dst"))
