@@ -361,14 +361,18 @@ def _sqdist_lit_sql(a: str, vec: list[float]) -> str:
     parsed expression instead of ~4*DIM py4j Column calls: driver-side
     expression CONSTRUCTION was measured at ~1s per Lloyd round at any
     data size (guide §1.1 first-principles: the work is O(rows), the
-    cost wasn't) — the Catalyst tree and therefore every computed
-    value is identical."""
-    lits = ", ".join(_dbl_lit_sql(v) for v in vec)
-    return (
-        f"aggregate(zip_with({a}, array({lits}), "
-        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
-        f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
+    cost wasn't). UNROLLED instead of aggregate/zip_with (guide §4.1
+    built-ins over interpreted paths): HOF lambdas are interpreted
+    per element, the explicit chain is whole-stage-codegen'd. The
+    left-assoc chain t1 + t2 + ... is bit-identical to the old fold
+    ((0.0 + t1) + t2) + ... — 0.0 + t1 == t1 exactly (t1 is a square,
+    never -0.0), every later addition groups identically."""
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) - {_dbl_lit_sql(v)})"
+        f" * (CAST(element_at({a}, {i + 1}) AS DOUBLE) - {_dbl_lit_sql(v)})"
+        for i, v in enumerate(vec)
     )
+    return f"({terms})"
 
 
 def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
@@ -389,17 +393,17 @@ def assign_cells_col(centroids: list[tuple[int, list[float]]]) -> Column:
     chain), matching the oracle's ORDER BY dist ASC, k ASC. Shared
     by the batch Lloyd build and the streaming ingest assigner.
 
-    Emitted as ONE SQL-text expression (same Catalyst tree as the
-    previous when-chain of Column objects — each distance subtree was
-    already duplicated in least() and its WHEN): driver-side py4j
-    construction cost ~1s/round before, ~0 now (guide §1.1)."""
-    dists = [(k, _sqdist_lit_sql("embedding", vec)) for k, vec in centroids]
-    if len(dists) > 1:
-        m = "least(" + ", ".join(d for _, d in dists) + ")"
-    else:
-        m = dists[0][1]
-    whens = " ".join(f"WHEN ({d}) = ({m}) THEN {k}" for k, d in dists)
-    return F.expr(f"CASE {whens} ELSE {dists[-1][0]} END")
+    Emitted as ONE SQL-text expression (driver-side py4j construction
+    cost ~1s/round before, ~0 now — guide §1.1), with each distance
+    appearing ONCE: array_min over (d, k) structs compares distance
+    first, then k — the same least-distance/lowest-k winner as the
+    old when-chain, at half the tree size (the chain duplicated every
+    distance in least() and again in its WHEN)."""
+    entries = ", ".join(
+        f"named_struct('d', {_sqdist_lit_sql('embedding', vec)}, 'k', {k})"
+        for k, vec in centroids
+    )
+    return F.expr(f"array_min(array({entries})).k")
 
 
 def _kmeans_index(
@@ -2565,13 +2569,15 @@ def _micros_col() -> Column:
 
 
 def _qdiff2_sql_col(qm: list[int]) -> Column:
-    """exact integer d2 vs the query micros as ONE parsed expression
-    (was 2*DIM py4j literal calls) — same (q - x) then acc + d*d fold."""
-    lits = ", ".join(f"{int(v)}L" for v in qm)
-    return F.expr(
-        f"aggregate(zip_with(xm, array({lits}), (x, q) -> q - x), "
-        f"CAST(0 AS BIGINT), (acc, d) -> acc + d * d)"
+    """exact integer d2 vs the query micros as ONE parsed UNROLLED
+    codegen chain (was 2*DIM py4j literal calls + an interpreted HOF
+    fold) — integer sums are grouping-independent, values identical."""
+    terms = " + ".join(
+        f"({int(v)}L - element_at(xm, {i + 1}))"
+        f" * ({int(v)}L - element_at(xm, {i + 1}))"
+        for i, v in enumerate(qm)
     )
+    return F.expr(f"({terms})")
 
 
 def _micros_and_query(
@@ -3643,22 +3649,28 @@ N_NSW_QUERIES = 16
 
 def _d2_micro_col(a: str, b: str) -> Column:
     """Exact integer squared L2 between two BIGINT micro arrays
-    (|diff| <= ~4e6, DIM terms -> < 2^60: no overflow)."""
-    return F.aggregate(
-        F.zip_with(F.col(a), F.col(b), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    (|diff| <= ~4e6, DIM terms -> < 2^60: no overflow). UNROLLED
+    whole-stage-codegen chain instead of an interpreted HOF fold
+    (guide §4.1) — integer addition is exact, so any grouping is
+    bit-identical; measured the dominant per-row cost of the NSW
+    per-cell kNN self-join (sum-of-bucket^2 rows x DIM lambdas)."""
+    terms = " + ".join(
+        f"(element_at({a}, {i}) - element_at({b}, {i}))"
+        f" * (element_at({a}, {i}) - element_at({b}, {i}))"
+        for i in range(1, DIM + 1)
     )
+    return F.expr(f"({terms})")
 
 
 def _d2_micro_lit(a: str, vec: list[int]) -> Column:
-    # single parsed expression (was 2*DIM py4j calls) — same tree
-    lits = ", ".join(f"{int(v)}L" for v in vec)
-    return F.expr(
-        f"aggregate(zip_with({a}, array({lits}), "
-        f"(x, y) -> (x - y) * (x - y)), "
-        f"CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    # unrolled codegen chain with inline literals (exact integer sum:
+    # grouping-independent), one parsed expression
+    terms = " + ".join(
+        f"(element_at({a}, {i + 1}) - {int(v)}L)"
+        f" * (element_at({a}, {i + 1}) - {int(v)}L)"
+        for i, v in enumerate(vec)
     )
+    return F.expr(f"({terms})")
 
 
 def _nsw_graph(
@@ -3707,12 +3719,24 @@ def _nsw_graph(
             ),
         )
         .groupBy("k")
-        .agg(F.min(F.struct("d2c", "vec_id")).alias("m"))
-        .select("k", F.col("m.vec_id").alias("mid"))
+        # xm carried through the min struct: (d2c, vec_id) is already
+        # unique per group, so the extra field never affects the
+        # ordering — it just rides along so the ENTRY VECTOR comes out
+        # of this same K-row collect (the old separate filter-collect
+        # job on nodes is gone; guide §1.2 fewer passes)
+        .agg(F.min(F.struct("d2c", "vec_id", "xm")).alias("m"))
+        .select("k", F.col("m.vec_id").alias("mid"), F.col("m.xm").alias("mxm"))
         .collect()
     )  # K-row header collect (centroid convention)
     mid = {int(r["k"]): int(r["mid"]) for r in med_rows}
-    entry = mid[min(mid)]
+    entry_k = min(mid)
+    entry = mid[entry_k]
+    entry_xm = [
+        int(v)
+        for r in med_rows
+        if int(r["k"]) == entry_k
+        for v in r["mxm"]
+    ]
 
     a = nodes.select("k", F.col("vec_id").alias("src"), F.col("xm").alias("sxm"))
     b = nodes.select("k", F.col("vec_id").alias("dst"), F.col("xm").alias("dxm"))
@@ -3764,15 +3788,11 @@ def _nsw_graph(
         .select("src", "dst", "dxm")
         .localCheckpoint()
     )
-    return nodes, edges, entry
+    return nodes, edges, entry, entry_xm
 
 
 def q_simsearch_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    nodes, edges, entry = _nsw_graph(spark, sf_dir)
-    entry_xm = [
-        int(v)
-        for v in nodes.where(F.col("vec_id") == entry).collect()[0]["xm"]
-    ]
+    nodes, edges, entry, entry_xm = _nsw_graph(spark, sf_dir)
     qs = nodes.where(F.col("vec_id") < N_NSW_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("xm").alias("qxm")
     )
@@ -3814,13 +3834,20 @@ def q_simsearch_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         # measured WORSE and unstable (35-101s vs 22-25s warm at
         # sf0.1) — the uncut round doubles the catalyst compile depth,
         # which costs more than the extra eager action saves. Keep
-        # every round.
-        beam = beam.localCheckpoint()
+        # every round — but LAZY (optimization round): each round's
+        # catalyst plan still flattens to a LogicalRDD scan, while the
+        # 5 materialization jobs fuse into the final action (the first
+        # path to compute a checkpointed partition persists it, so the
+        # round's second reference reads the cache, not lineage).
+        beam = beam.localCheckpoint(eager=False)
         cand = (
             F.broadcast(beam.select("bw", "qid", "node"))
             .join(edges, F.col("node") == F.col("src"))
             .select("bw", "qid", F.col("dst").alias("cnode"), "dxm")
-            .dropDuplicates(["bw", "qid", "cnode"])
+            # no dropDuplicates here (optimization round): the
+            # keep-best groupBy below already collapses duplicate
+            # (bw, qid, node) rows — d2 is identical for duplicates —
+            # and the dedup cost one extra exchange per round
         )
         scored = cand.join(F.broadcast(qs), "qid").select(
             "bw",
@@ -3830,6 +3857,12 @@ def q_simsearch_nsw_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         beam = (
             beam.unionByName(scored)
+            # ONE exchange per round: hash on (bw, qid) satisfies both
+            # the keep-best aggregation's (bw, qid, node) clustering
+            # (subset rule) and the rank window's (bw, qid) — the old
+            # plan exchanged once for the groupBy and again for the
+            # window (guide §2.4 share one exchange)
+            .repartition("bw", "qid")
             .groupBy("bw", "qid", "node")
             .agg(F.min("d2").alias("d2"))
             .withColumn(

@@ -248,7 +248,8 @@ def test_nsw_graph_navigable_and_symmetric(spark):
     Local kNN edges must be symmetric (NSW edges are undirected)."""
     from chi_frbcs_bigdatacs_spark.operators.similarity import _nsw_graph
 
-    nodes, edges, entry = _nsw_graph(spark, SF_SMALL)
+    nodes, edges, entry, entry_xm = _nsw_graph(spark, SF_SMALL)
+    assert len(entry_xm) > 0  # entry vector rides the medoid collect
     adj: dict[int, set[int]] = {}
     pairs = set()
     for r in edges.select("src", "dst").collect():
