@@ -361,18 +361,25 @@ def _sqdist_lit_sql(a: str, vec: list[float]) -> str:
     parsed expression instead of ~4*DIM py4j Column calls: driver-side
     expression CONSTRUCTION was measured at ~1s per Lloyd round at any
     data size (guide §1.1 first-principles: the work is O(rows), the
-    cost wasn't). UNROLLED instead of aggregate/zip_with (guide §4.1
-    built-ins over interpreted paths): HOF lambdas are interpreted
-    per element, the explicit chain is whole-stage-codegen'd. The
-    left-assoc chain t1 + t2 + ... is bit-identical to the old fold
-    ((0.0 + t1) + t2) + ... — 0.0 + t1 == t1 exactly (t1 is a square,
-    never -0.0), every later addition groups identically."""
-    terms = " + ".join(
-        f"(CAST(element_at({a}, {i + 1}) AS DOUBLE) - {_dbl_lit_sql(v)})"
-        f" * (CAST(element_at({a}, {i + 1}) AS DOUBLE) - {_dbl_lit_sql(v)})"
-        for i, v in enumerate(vec)
+    cost wasn't). HOF fold, NOT an unrolled element_at chain (r16,
+    VERDICT r15 #1/#2): the r15 snapshot's unrolled form inlined each
+    round's centroid doubles as PRIMITIVE constants in the generated
+    Java source, so every Lloyd round of every run Janino-compiled a
+    fresh K*DIM-term class — the driver measured ivf_sq8 warm 2.1x
+    WORSE than cold, and scripts/probe_codecache.py reproduced the
+    monotone degradation (7.3s -> 13.9s over 6 passes) with code-heap
+    + metaspace growing ~30 MB. The fold's literal array constant-
+    folds into a REFERENCE object, so the generated source is shape-
+    only: ONE compiled class serves all rounds, runs, and kmeans
+    consumers. The fold ((0.0 + t1) + t2) + ... groups exactly like
+    the unrolled left-assoc chain, so every computed value is
+    bit-identical (oracle-pinned both before and after)."""
+    lits = ", ".join(_dbl_lit_sql(v) for v in vec)
+    return (
+        f"aggregate(zip_with({a}, array({lits}), "
+        f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        f"CAST('0.0' AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return f"({terms})"
 
 
 def _sqdist_lit_col(a: str, vec: list[float]) -> Column:
