@@ -30,10 +30,15 @@ from pyspark.sql.window import Window
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
 
-# One-generation retained cache (the dedup_near._MINHASH_CACHE
-# pattern): results are lazy, so a persist made inside a query fn
-# must outlive the call — the NEXT query's fn releases the previous
-# generation, and repeated bench/sweep runs never accumulate caches.
+# Scoped retained cache (r16, VERDICT r15 #3): a persist made inside
+# a query fn is released by that SAME fn's try/finally before it
+# returns. The frames only pay off DURING the fn — every Lloyd round
+# is a driver collect that re-reads them — so holding them past the
+# return just parked executor memory under every unrelated query that
+# ran before the next simsearch fn (the old one-generation pattern).
+# The returned lazy serve chain recomputes the subvector explode once
+# (map-only, measured ~0 at sf0.1); the entry-point release stays as
+# a safety net for frames leaked by a crashed concurrent trainer.
 _SIM_CACHE: list[DataFrame] = []
 
 
@@ -47,6 +52,21 @@ def _retain(df: DataFrame) -> DataFrame:
 def _release_sim_cache() -> None:
     while _SIM_CACHE:
         _SIM_CACHE.pop().unpersist()
+
+
+def _releases_sim_cache(fn):
+    """Decorator: unpersist every _retain()ed frame when the query fn
+    returns (or raises) — see the _SIM_CACHE note above."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        finally:
+            _release_sim_cache()
+
+    return wrapper
 
 DIM = 64
 
@@ -1508,6 +1528,7 @@ def _pq_codebook_trained(
     return cb
 
 
+@_releases_sim_cache
 def q_simsearch_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -1816,23 +1837,31 @@ def _opq_alloc_frame(emb: DataFrame, order: list[int]) -> DataFrame:
 
 def _opq_rot_frame(emb: DataFrame) -> DataFrame:
     """(vec_id, embedding): exact Hadamard-rotated coordinates
-    rd_i = (sum_j sign(i,j) * xm_j) / (8 * 2^20) — integer sum, one
-    exact power-of-two division, map-only. The DIM*DIM sign matrix is
-    emitted as ONE parsed literal (it was 4096 F.lit py4j calls —
-    seconds of driver time per evaluation; guide §1.1). Same tree,
-    same exact-integer values."""
-    h = (
-        "array("
-        + ", ".join(
-            "array({0})".format(", ".join(str(s) for s in row))
-            for row in _hadamard_signs()
-        )
-        + ")"
+    rd_i = (sum_j sign(i,j) * xm_j) / (8 * 2^20) — integer sums, one
+    exact power-of-two division, map-only.
+
+    r16 (guide §4.1 do less work per row): computed with the fast
+    Walsh-Hadamard butterfly — a fold over the 6 bit stages, each
+    stage one 64-element transform of pairwise integer sums/diffs
+    (log2(DIM) * DIM = 384 lambda evals per row) — instead of the
+    dense sign-matrix matvec (DIM * DIM = 4096 zip_with+aggregate
+    evals per row; measured the dominant cost of the OPQ serve once
+    the r16 cache-scoping made the serve recompute the rotation).
+    The butterfly regroups the SAME +-xm_j integer sums — BIGINT
+    addition is exact and associative (|sum| <= 64 * ~1.1e6 << 2^63),
+    so every rotated coordinate is bit-identical to the matvec's and
+    to the oracle's sum(h.s * md.xm) (verified vs the DuckDB oracle
+    and by test_opq_rot_butterfly_matches_sign_matvec)."""
+    stages = ", ".join(str(1 << b) for b in range(DIM.bit_length() - 1))
+    fwht = (
+        f"aggregate(array({stages}), xm, (acc, h) -> "
+        f"transform(sequence(0, {DIM - 1}), i -> "
+        f"CASE WHEN (i & h) = 0 "
+        f"THEN element_at(acc, i + 1) + element_at(acc, i + h + 1) "
+        f"ELSE element_at(acc, i - h + 1) - element_at(acc, i + 1) END))"
     )
     rot = (
-        f"transform({h}, row -> CAST(aggregate("
-        f"zip_with(xm, row, (x, s) -> x * CAST(s AS BIGINT)), "
-        f"CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)"
+        f"transform({fwht}, v -> CAST(v AS DOUBLE)"
         f" / {_dbl_lit_sql(OPQ_SCALE)})"
     )
     return emb.select("vec_id", _micros_col().alias("xm")).select(
@@ -1840,6 +1869,7 @@ def _opq_rot_frame(emb: DataFrame) -> DataFrame:
     )
 
 
+@_releases_sim_cache
 def q_simsearch_opq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -2086,6 +2116,7 @@ UNION ALL
 # agg), serving still touches one cell's codes.
 
 
+@_releases_sim_cache
 def q_simsearch_ivf_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     _release_sim_cache()
     emb = load_table(spark, sf_dir, "embeddings").withColumn(
@@ -2221,6 +2252,7 @@ NPROBE_LEVELS = (1, 4, 8)
 ADC_SHORTLIST = 100
 
 
+@_releases_sim_cache
 def q_simsearch_ivf_pq_nprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 

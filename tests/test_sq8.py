@@ -279,3 +279,50 @@ def test_pca_project_scores_align_and_serve_map_only(spark, tmp_path):
     assert c2 > 0.99, f"p2 not aligned with d2 projection: {c2}"
     v = scores.var(axis=0)
     assert v[0] > v[1] > v[2], v
+
+
+def test_sim_cache_released_at_query_fn_return(spark):
+    """r16 (VERDICT r15 #3): a simsearch query fn must not leave its
+    _retain()ed frames persisted past its return — stale generations
+    were parking executor memory under every unrelated query that ran
+    before the next simsearch fn. Materializing the returned frame
+    must still work (lineage recomputes the subvector explode)."""
+    from chi_frbcs_bigdatacs_spark.operators import similarity as S
+
+    jsc = spark.sparkContext._jsc
+    before = set(jsc.getPersistentRDDs().keySet().toArray())
+    out = S.q_simsearch_pq_recall(spark, SF_SMALL)
+    after_fn = set(jsc.getPersistentRDDs().keySet().toArray())
+    assert after_fn <= before, "persisted frames survived the query fn"
+    assert not S._SIM_CACHE, "_SIM_CACHE not drained at fn return"
+    rows = out.collect()  # serve chain still computes without the cache
+    assert len(rows) == 2 and {r["codebook"] for r in rows} == {
+        "seeded",
+        "trained",
+    }
+
+
+def test_opq_rot_butterfly_matches_sign_matvec(spark):
+    """r16: the FWHT butterfly in _opq_rot_frame must reproduce the
+    dense Sylvester sign-matrix matvec bit-for-bit (integer sums in a
+    different association order are exact, so equality is ==)."""
+    from chi_frbcs_bigdatacs_spark.operators.similarity import (
+        DIM,
+        OPQ_SCALE,
+        _hadamard_signs,
+        _opq_rot_frame,
+    )
+    from chi_frbcs_bigdatacs_spark.sources.testdata import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings").limit(50)
+    rows = {r["vec_id"]: list(r["embedding"]) for r in _opq_rot_frame(emb).collect()}
+    H = _hadamard_signs()
+    raw = {r["vec_id"]: list(r["embedding"]) for r in emb.collect()}
+    assert rows
+    for vid, got in rows.items():
+        xm = [int(round(float(x) * 1_000_000)) for x in raw[vid]]
+        want = [
+            (sum(H[i][j] * xm[j] for j in range(DIM))) / OPQ_SCALE
+            for i in range(DIM)
+        ]
+        assert got == want, vid
