@@ -212,35 +212,65 @@ def candidate_cells(
     keys = keys or []
     d = len(parts.features)
     out = fuzz
+    mu_factors: list = []
     for i, f in enumerate(parts.features):
-        cands = F.filter(
-            F.transform(
-                F.col(mus_col(f.name)),
-                lambda m, j: F.struct(
-                    (j + F.lit(1)).cast("int").alias("l"), m.alias("m")
-                ),
-            ),
-            lambda s: s["m"] > 0,
-        )
+        c = mus_col(f.name)
+        L = parts.labels_for(f)
         if pad_unmatched:
-            sentinel = F.array(
-                F.struct(F.lit(0).cast("int").alias("l"), F.lit(0.0).alias("m"))
+            # Codegen'd candidate-label array (r16, guide §4.1): a
+            # concat of per-label IF(array(j), array()) slices instead
+            # of the old filter(transform(struct)) HOF pair — the HOFs
+            # were interpreted per element with a struct allocation
+            # each (measured 6x slower than the codegen shape on the
+            # sf0.1 cell explosion). Same candidate set ({j: mu_j > 0}
+            # in 1..L order), same label-0 sentinel when empty, and
+            # mu reads element_at(mus, l) — the very double the old
+            # struct carried — so every output row is bit-identical.
+            labels = F.concat(
+                *[
+                    F.when(
+                        F.element_at(F.col(c), j) > 0,
+                        F.array(F.lit(j).cast("int")),
+                    ).otherwise(F.array().cast("array<int>"))
+                    for j in range(1, L + 1)
+                ]
             )
-            cands = F.when(F.size(cands) > 0, cands).otherwise(sentinel)
-        out = out.withColumn(f"_c{i}", F.explode(cands))
-    mu = reduce(lambda a, b: a * b, [F.col(f"_c{i}.m") for i in range(d)])
+            cands = F.when(F.size(labels) > 0, labels).otherwise(
+                F.array(F.lit(0).cast("int"))
+            )
+            out = out.withColumn(f"_l{i}", F.explode(cands))
+            # sentinel label 0 scores mu 0.0 exactly like the old
+            # (l=0, m=0.0) struct row; product grouping is unchanged
+            mu_factors.append(
+                F.when(F.col(f"_l{i}") == 0, F.lit(0.0)).otherwise(
+                    F.element_at(F.col(c), F.col(f"_l{i}"))
+                )
+            )
+        else:
+            # Build path (null-free training contract): explode the
+            # static 1..L label range, then filter membership > 0 —
+            # Generate + Filter, fully whole-stage-codegen'd, no
+            # per-element lambda interpretation (guide §4.1).
+            out = out.withColumn(
+                f"_l{i}",
+                F.explode(
+                    F.sequence(F.lit(1).cast("int"), F.lit(L).cast("int"))
+                ),
+            ).where(F.element_at(F.col(c), F.col(f"_l{i}")) > 0)
+            mu_factors.append(F.element_at(F.col(c), F.col(f"_l{i}")))
+    mu = reduce(lambda a, b: a * b, mu_factors)
     extra = []
     if gen_flag:
         is_gen = reduce(
             lambda a, b: a & b,
-            [F.col(f"_c{i}.l") == F.col(label_col(i)) for i in range(d)],
+            [F.col(f"_l{i}") == F.col(label_col(i)) for i in range(d)],
         )
         extra = [is_gen.alias("is_gen")]
     return out.select(
         *keys,
         "id",
         "label",
-        *[F.col(f"_c{i}.l").alias(label_col(i)) for i in range(d)],
+        *[F.col(f"_l{i}").alias(label_col(i)) for i in range(d)],
         mu.alias("mu"),
         *extra,
     )

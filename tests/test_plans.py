@@ -33,23 +33,43 @@ def test_fuzzify_whole_stage_codegen(spark):
     assert "*(1)" in _plan(spark, "fuzzify"), "membership exprs fell out of codegen"
 
 
-def test_scoring_uses_broadcast(spark):
-    """The rule base must ride to tasks as a broadcast — never a
-    shuffle of the example side on rule keys, never a nested loop."""
+def test_scoring_is_map_only_numpy(spark):
+    """classify_wr (r16): a WR fit with driver-resident rules scores
+    via the numpy batch scorer — ONE map-only pass (MapInPandas), no
+    cell-explosion join, no groupBy(id) exchange of every example.
+    The rules ride in the task closure (bounded by the data-touched
+    L^d cells), so nothing rule- or example-sized shuffles."""
     p = _plan(spark, "classify_wr")
+    assert ("MapInPandas" in p) or ("ArrowEvalPython" in p), p[:800]
+    assert "Join" not in p, "scoring regressed to the join path"
+    assert "Window" not in p
+    # the only exchange allowed is fit()'s round-robin input
+    # repartition — no hash exchange of the example rows (the old
+    # join path shuffled every example on groupBy(id))
+    assert "hashpartitioning" not in p, p[:800]
+
+
+def test_scoring_uses_broadcast(spark):
+    """The join-path scorer (the no-driver-rules scale escape hatch)
+    must ride the rule base to tasks as a broadcast — never a shuffle
+    of the example side on rule keys, never a nested loop."""
+    p = _plan(spark, "classify_ac")
     assert "BroadcastHashJoin" in p, "rule base not broadcast for scoring"
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
 
 
 def test_scoring_argmax_is_hash_aggregate(spark):
-    """The WR argmax must plan as HashAggregate with map-side combine
-    (r12, VERDICT r11 #5): the decimal-key encoding exists precisely
-    so the per-example top-1 never pays a Window shuffle of all
-    candidate rows NOR a SortAggregate's per-partition sort. A
-    SortAggregate or Window here means the ordering key regressed to
-    a non-mutable buffer type (struct/string)."""
-    for key in ("classify_wr", "classify_ac", "classify_wr_bigmodel"):
+    """The join-path WR/AC argmax must plan as HashAggregate with
+    map-side combine (r12, VERDICT r11 #5): the decimal-key encoding
+    exists precisely so the per-example top-1 never pays a Window
+    shuffle of all candidate rows NOR a SortAggregate's per-partition
+    sort. A SortAggregate or Window here means the ordering key
+    regressed to a non-mutable buffer type (struct/string).
+    (classify_wr itself scores via the map-only numpy path since r16;
+    the join scorer stays pinned through classify_ac and the bigmodel
+    shuffle-join twin.)"""
+    for key in ("classify_ac", "classify_wr_bigmodel"):
         p = _plan(spark, key)
         assert "HashAggregate" in p, f"{key}: argmax not hash-aggregated"
         assert "SortAggregate" not in p, f"{key}: argmax fell to SortAggregate"
@@ -103,9 +123,11 @@ def test_ngram_jaccard_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
 
 
-def test_nominal_scoring_uses_broadcast(spark):
+def test_nominal_scoring_is_map_only_numpy(spark):
+    # nominal WR fit has driver-resident rules -> numpy scorer (r16)
     p = _plan(spark, "classify_wr_nominal")
-    assert "BroadcastHashJoin" in p, "nominal rule base not broadcast"
+    assert ("MapInPandas" in p) or ("ArrowEvalPython" in p), p[:800]
+    assert "Join" not in p
 
 
 def test_bucketed_join_key_has_no_shuffle(spark):
