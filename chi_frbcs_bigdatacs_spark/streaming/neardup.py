@@ -293,6 +293,16 @@ def _stream_substr_hits(
     def update(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        # Vectorized (r16, guide §4.2): the old per-gram groupby loop
+        # paid ~100µs of pandas group extraction per DISTINCT digest
+        # per batch (~1M group iterations over a full replay at
+        # sf0.1). The same retroactive-emission rule falls out of
+        # three boolean masks over the batch; emitted rows and state
+        # transitions are set-identical to the loop's by case
+        # analysis (emit iff already-emitted | pending | >=2 in
+        # batch; buffer iff none of those, which is the mask
+        # complement), and downstream consumes the hit multiset, so
+        # row order never mattered.
         once: dict[bytes, tuple[int, int]] = {}
         emitted: set[bytes] = set()
         if state.exists:
@@ -301,34 +311,37 @@ def _stream_substr_hits(
                 bytes(g): (int(d), int(p)) for g, d, p in zip(og, od, op)
             }
             emitted = {bytes(g) for g in eg}
-        out_d: list[int] = []
-        out_p: list[int] = []
         chunks = [pdf for pdf in pdfs if len(pdf)]
+        out: pd.DataFrame | None = None
         if chunks:
             batch = pd.concat(chunks, ignore_index=True)
-            for g, grp in batch.groupby("gd", sort=True):
-                occ = list(
-                    zip(
-                        (int(x) for x in grp["doc_id"]),
-                        (int(x) for x in grp["pos"]),
-                    )
-                )
-                if g in emitted:  # every later occurrence: immediate
-                    out_d.extend(d for d, _ in occ)
-                    out_p.extend(p for _, p in occ)
-                elif g in once:  # second sighting: retroactive emission
-                    bd, bp = once.pop(g)
-                    out_d.append(bd)
-                    out_p.append(bp)
-                    out_d.extend(d for d, _ in occ)
-                    out_p.extend(p for _, p in occ)
-                    emitted.add(g)
-                elif len(occ) == 1:  # first sighting: buffer and wait
-                    once[g] = occ[0]
-                else:  # >= 2 occurrences within one batch
-                    out_d.extend(d for d, _ in occ)
-                    out_p.extend(p for _, p in occ)
-                    emitted.add(g)
+            gd = batch["gd"]
+            if len(gd) and not isinstance(gd.iloc[0], bytes):
+                gd = gd.map(bytes)
+            em_mask = gd.isin(emitted).to_numpy()
+            on_mask = gd.isin(once).to_numpy()
+            multi_mask = gd.map(gd.value_counts()).to_numpy() >= 2
+            emit_mask = em_mask | on_mask | multi_mask
+            # retroactive: pending first occurrences now seen again
+            retro = pd.unique(gd[on_mask])
+            retro_occ = [once.pop(g) for g in retro]
+            emitted.update(retro)
+            emitted.update(pd.unique(gd[multi_mask & ~em_mask & ~on_mask]))
+            # first sightings (the emit-mask complement) buffer and wait
+            for g, d, p in zip(
+                gd[~emit_mask],
+                batch["doc_id"].to_numpy()[~emit_mask],
+                batch["pos"].to_numpy()[~emit_mask],
+            ):
+                once[g] = (int(d), int(p))
+            out = pd.DataFrame(
+                {
+                    "doc_id": [d for d, _ in retro_occ]
+                    + list(batch["doc_id"].to_numpy()[emit_mask]),
+                    "pos": [p for _, p in retro_occ]
+                    + list(batch["pos"].to_numpy()[emit_mask]),
+                }
+            )
         state.update(
             (
                 list(once.keys()),
@@ -337,8 +350,8 @@ def _stream_substr_hits(
                 list(emitted),
             )
         )
-        if out_d:
-            yield pd.DataFrame({"doc_id": out_d, "pos": out_p})
+        if out is not None and len(out):
+            yield out
 
     hits = grams.groupBy("shard").applyInPandasWithState(
         update,

@@ -27,7 +27,15 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from chi_frbcs_bigdatacs_spark.plans.registry import register
 from chi_frbcs_bigdatacs_spark.streaming.staging import staged_dir
 
-N_SOURCE_FILES = 4
+# Replay width (r16, VERDICT r15 #7): every run of a replay-staged
+# stream pays a fixed per-micro-batch cost (incremental planning,
+# state-store commit, per-shard Arrow state round-trip), so the
+# default replay uses the MINIMUM batch count that still exercises a
+# real state handoff: 2. Arrival-order invariance under arbitrary
+# (including skewed) splits stays pinned by the tests' own staged_src
+# layouts, which choose their own file counts; production ingest sets
+# the batch cadence at the source, not here.
+N_SOURCE_FILES = 2
 
 
 def _staged_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -253,7 +261,7 @@ def q_stream_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
 # DOC_PACK_SEQUENCES_SQL oracle. This is how a packing stage keeps up
 # with a streaming ingest at scale: per-shard state is one integer,
 # partition-parallel across shards.
-N_DOC_ORDER_FILES = 4
+N_DOC_ORDER_FILES = 2  # minimum real state handoff; see N_SOURCE_FILES note
 
 
 def _documents_idorder_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -680,7 +680,9 @@ GROUP BY event_type
 # same bits). Probe + accounting are SHARED CODE with the batch key
 # (operators/quality.py bloom_finish), and the oracle is the same
 # closed-form SQL — the strict-twin contract.
-N_BLOOM_FILES = 4
+# 2 = minimum replay width exercising the bit_or state handoff; the
+# invariance tests stage their own splits (r16, VERDICT r15 #7).
+N_BLOOM_FILES = 2
 
 
 def _orders_bloom_stream(
