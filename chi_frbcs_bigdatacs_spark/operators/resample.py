@@ -209,6 +209,223 @@ _TOMEK_BAND_SQL = f"""GREATEST({F2_BAND_MIN},
     {TOMEK_BAND_NUMER} // GREATEST(1, (SELECT count(*) FROM clf)))"""
 
 
+# --- vectorized cell-neighbor engine (r16, guide §4.2/§8) ---------------------
+# The grid-bucketed neighbor search used to materialize every
+# candidate PAIR as a join row (sum-of-bucket² rows — 34M at sf0.1
+# for the 3×3 probe, 34M for the full-table keys) and push them
+# through JVM row machinery: hash-agg argmin for SMOTE/Tomek, and for
+# ENN a full shuffle+SORT of the pair set under a row_number window.
+# The decision per a-row depends only on the tiny per-cell
+# neighborhood, so the pairs never need to exist as rows: ONE
+# cell-keyed exchange of the (row, cell) frame (b-candidates
+# replicated into each cell they can serve — the IVF probe recipe,
+# volume 9×|rows|, NOT pairs) feeds a per-partition numpy pass that
+# scores each cell's candidate block vectorized and emits only the
+# per-row top-k (or the ENN votes themselves). Same d2 expression,
+# same left-assoc float order, same (d2, b_id) tie-break — numpy
+# float64 ops are the identical IEEE operations, so results are
+# bit-identical (oracled at sf0.001/0.01; property tests unchanged).
+# Plan: 3 Exchanges (repartition + join-side + argmin groupBy) → 1;
+# ENN additionally drops the 34M-row window sort. At 100 TB the
+# exchange still carries rows-×-9 (never pairs), cells stay
+# occupancy-constant by the band derivation, and the Python boundary
+# moves 8 narrow columns each way (guide §4 column discipline).
+
+
+def _cell_topk(
+    m: DataFrame,
+    *,
+    probe: bool,
+    k: int,
+    with_labels: bool,
+    votes: bool = False,
+) -> DataFrame:
+    """Per-row top-k nearest in-neighborhood neighbors of `m`
+    (id, [label,] f1..f4, bq, bp): `probe` widens the b-side to the
+    3×3 cell neighborhood. votes=True emits the ENN vote aggregate
+    (a_id, a_label, n_nbrs, n_disagree) instead of neighbor rows."""
+    spark = m.sparkSession
+    lab = ["label"] if with_labels else []
+    a = m.select(
+        F.lit(0).alias("role"),
+        "id",
+        *lab,
+        *FEATURES,
+        F.col("bq").alias("cq"),
+        F.col("bp").alias("cp"),
+    )
+    if probe:
+        offs = F.array(
+            *[
+                F.struct(F.lit(db).alias("db"), F.lit(dp).alias("dp"))
+                for db, dp in SMOTE_PROBE_OFFSETS
+            ]
+        )
+        b = m.select(
+            F.lit(1).alias("role"),
+            "id",
+            *lab,
+            *FEATURES,
+            F.explode(offs).alias("o"),
+            "bq",
+            "bp",
+        ).select(
+            "role",
+            "id",
+            *lab,
+            *FEATURES,
+            (F.col("bq") + F.col("o.db")).alias("cq"),
+            (F.col("bp") + F.col("o.dp")).alias("cp"),
+        )
+    else:
+        b = m.select(
+            F.lit(1).alias("role"),
+            "id",
+            *lab,
+            *FEATURES,
+            F.col("bq").alias("cq"),
+            F.col("bp").alias("cp"),
+        )
+    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # one keyed exchange co-locates every cell's a-rows with all its
+    # candidates; per-KEY volume is bucket-bounded so no task is hot
+    u = a.unionByName(b).repartition(n_shuffle, "cq", "cp")
+
+    if votes:
+        schema = "a_id long, a_label int, n_nbrs long, n_disagree long"
+    else:
+        bl = ", b_label int" if with_labels else ""
+        al = ", a_label int" if with_labels else ""
+        schema = (
+            "a_id long"
+            + al
+            + ", a_f1 double, a_f2 double, a_f3 double, a_f4 double, "
+            "b_id long"
+            + bl
+            + ", b_f1 double, b_f2 double, b_f3 double, b_f4 double"
+        )
+
+    def fn(it):
+        import numpy as np
+        import pandas as pd
+
+        chunks = [c for c in it if len(c)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        key = pdf["cq"].to_numpy(np.int64) * (1 << 32) + pdf[
+            "cp"
+        ].to_numpy(np.int64)
+        role = pdf["role"].to_numpy()
+        am = role == 0
+        bm = ~am
+        a_id = pdf["id"].to_numpy(np.int64)[am]
+        af = pdf[FEATURES].to_numpy(np.float64)[am]
+        b_id = pdf["id"].to_numpy(np.int64)[bm]
+        bf = pdf[FEATURES].to_numpy(np.float64)[bm]
+        if with_labels:
+            a_lab = pdf["label"].to_numpy(np.int64)[am]
+            b_lab = pdf["label"].to_numpy(np.int64)[bm]
+        if not len(a_id) or not len(b_id):
+            return
+        akey = key[am]
+        bo = np.argsort(key[bm], kind="stable")
+        bkey_s = key[bm][bo]
+        b_id_s = b_id[bo]
+        bf_s = bf[bo]
+        if with_labels:
+            b_lab_s = b_lab[bo]
+        lo = np.searchsorted(bkey_s, akey, side="left")
+        hi = np.searchsorted(bkey_s, akey, side="right")
+        cnt = hi - lo
+        nz = cnt > 0  # a-rows with a non-empty candidate block
+        if not nz.any():
+            return
+        a_idx = np.flatnonzero(nz)
+        cnt = cnt[nz]
+        cum = np.concatenate(([0], np.cumsum(cnt)))
+        total = int(cum[-1])
+        seg = np.repeat(np.arange(len(a_idx)), cnt)  # segment per pair
+        pb = np.arange(total) - np.repeat(cum[:-1], cnt) + np.repeat(
+            lo[nz], cnt
+        )
+        pair_aid = a_id[a_idx][seg]
+        pair_bid = b_id_s[pb]
+        # d2 with the Spark expression's exact literal order:
+        # ((t1 + t2) + t3) + t4, left-assoc — identical IEEE ops.
+        # Per-column 1D gathers: 2D row gathers measured ~10x slower.
+        d0 = bf_s[:, 0][pb] - af[:, 0][a_idx][seg]
+        t = d0 * d0
+        d1 = (bf_s[:, 1][pb] - af[:, 1][a_idx][seg]) / 1000.0
+        t = t + d1 * d1
+        d2c = 100.0 * (bf_s[:, 2][pb] - af[:, 2][a_idx][seg])
+        t = t + d2c * d2c
+        d3 = 100.0 * (bf_s[:, 3][pb] - af[:, 3][a_idx][seg])
+        d2 = t + d3 * d3
+        # self-pairs never win: mask instead of filtering (keeps
+        # segments contiguous, skips three array copies)
+        d2 = np.where(pair_aid == pair_bid, np.inf, d2)
+        sidx = cum[:-1]
+        # top-k by (d2, b_id) per contiguous segment WITHOUT sorting:
+        # k (<= 3) rounds of reduceat-argmin with the exact (d2 then
+        # b_id) tie-break, masking each winner out. Identical
+        # selection to a lexsort-and-take-k, O(k*n) instead of
+        # O(n log n) (the lexsort was the partition hot spot).
+        sel_rounds = []
+        bid_key = pair_bid
+        IMAX = np.iinfo(np.int64).max
+        for _ in range(k):
+            m1 = np.minimum.reduceat(d2, sidx)
+            live = np.isfinite(m1)
+            if not live.any():
+                break
+            is_min = d2 == m1[seg]
+            bsel = np.where(is_min, bid_key, IMAX)
+            b1 = np.minimum.reduceat(bsel, sidx)
+            chosen = is_min & (bid_key == b1[seg])
+            chosen &= live[seg]
+            sel_rounds.append(np.flatnonzero(chosen))
+            d2[chosen] = np.inf
+        if not sel_rounds:
+            return
+        if votes:
+            pa_lab = a_lab[a_idx]
+            n_nbrs = np.zeros(len(a_idx), np.int64)
+            n_dis = np.zeros(len(a_idx), np.int64)
+            for selk in sel_rounds:
+                s = seg[selk]
+                n_nbrs[s] += 1
+                n_dis[s] += (b_lab_s[pb[selk]] != pa_lab[s]).astype(
+                    np.int64
+                )
+            has = n_nbrs > 0
+            yield pd.DataFrame(
+                {
+                    "a_id": a_id[a_idx][has],
+                    "a_label": pa_lab[has].astype(np.int32),
+                    "n_nbrs": n_nbrs[has],
+                    "n_disagree": n_dis[has],
+                }
+            )
+            return
+        sel = np.concatenate(sel_rounds)
+        pa_s = a_idx[seg[sel]]
+        pb_s = pb[sel]
+        out = {"a_id": a_id[pa_s]}
+        if with_labels:
+            out["a_label"] = a_lab[pa_s].astype(np.int32)
+        for j, f in enumerate(FEATURES):
+            out[f"a_{f}"] = af[:, j][pa_s]
+        out["b_id"] = b_id_s[pb_s]
+        if with_labels:
+            out["b_label"] = b_lab_s[pb_s].astype(np.int32)
+        for j, f in enumerate(FEATURES):
+            out[f"b_{f}"] = bf_s[:, j][pb_s]
+        yield pd.DataFrame(out)
+
+    return u.mapInPandas(fn, schema)
+
+
 def q_resample_smote(
     spark: SparkSession, sf_dir: str, band: int | None = None
 ) -> DataFrame:
@@ -224,54 +441,7 @@ def q_resample_smote(
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / band).cast("int").alias("bp"),
     )
-    a = m.select(
-        F.col("id").alias("a_id"),
-        *[F.col(f).alias(f"a_{f}") for f in FEATURES],
-        "bq",
-        "bp",
-    )
-    b = m.select(
-        F.col("id").alias("b_id"),
-        *[F.col(f).alias(f"b_{f}") for f in FEATURES],
-        "bq",
-        "bp",
-    )
-    # PIN the join parallelism (r9 straggler fix, measured at sf0.1):
-    # the pre-join shuffles are minority-sized, so AQE coalesces them
-    # to ~3 partitions — and the pair BLOWUP happens pipelined inside
-    # those few tasks (AQE sizes on shuffle bytes, which cannot see a
-    # post-join explosion). An explicit keyed repartition at the
-    # session's shuffle-partition count is respected by AQE and
-    # spreads the pair volume across the cluster; per-KEY volume is
-    # bucket-bounded, so no single task can be hot.
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
-        a.repartition(n_shuffle, "bq", "bp")
-        .join(b, ["bq", "bp"])
-        .filter(F.col("a_id") != F.col("b_id"))
-    )
-    diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
-    d2 = (
-        diff["f1"] * diff["f1"]
-        + (diff["f2"] / 1000.0) * (diff["f2"] / 1000.0)
-        + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
-        + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
-    )
-    near = (
-        pairs.select(
-            "a_id",
-            *[f"a_{f}" for f in FEATURES],
-            d2.alias("d2"),
-            "b_id",
-            *[f"b_{f}" for f in FEATURES],
-        )
-        .groupBy("a_id", *[f"a_{f}" for f in FEATURES])
-        .agg(
-            F.min(
-                F.struct("d2", "b_id", *[f"b_{f}" for f in FEATURES])
-            ).alias("s")
-        )
-    )
+    near = _cell_topk(m, probe=False, k=1, with_labels=False)
     lam = (
         F.expr(
             f"CAST((CAST(a_id AS DECIMAL(38,0)) * {RS_HASH_A}) % {RS_HASH_M} AS BIGINT)"
@@ -280,13 +450,13 @@ def q_resample_smote(
     )
     synth = [
         F.round(
-            F.col(f"a_{f}") + lam * (F.col(f"s.b_{f}") - F.col(f"a_{f}")), 6
+            F.col(f"a_{f}") + lam * (F.col(f"b_{f}") - F.col(f"a_{f}")), 6
         ).alias(f)
         for f in FEATURES
     ]
     return near.select(
         F.col("a_id").alias("id"),
-        F.col("s.b_id").alias("nbr_id"),
+        F.col("b_id").alias("nbr_id"),
         *synth,
         F.lit(int(min_label)).cast("int").alias("label"),
     )
@@ -374,60 +544,7 @@ def q_resample_smote_probe(
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / band).cast("int").alias("bp"),
     )
-    offs = F.array(
-        *[
-            F.struct(F.lit(db).alias("db"), F.lit(dp).alias("dp"))
-            for db, dp in SMOTE_PROBE_OFFSETS
-        ]
-    )
-    a = m.select(
-        F.col("id").alias("a_id"),
-        *[F.col(f).alias(f"a_{f}") for f in FEATURES],
-        F.explode(offs).alias("o"),
-        "bq",
-        "bp",
-    ).select(
-        "a_id",
-        *[f"a_{f}" for f in FEATURES],
-        (F.col("bq") + F.col("o.db")).alias("pbq"),
-        (F.col("bp") + F.col("o.dp")).alias("pbp"),
-    )
-    b = m.select(
-        F.col("id").alias("b_id"),
-        *[F.col(f).alias(f"b_{f}") for f in FEATURES],
-        F.col("bq").alias("pbq"),
-        F.col("bp").alias("pbp"),
-    )
-    # same AQE-coalesce straggler fix as q_resample_smote: spread the
-    # post-join pair blowup across the full shuffle-partition count
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
-        a.repartition(n_shuffle, "pbq", "pbp")
-        .join(b, ["pbq", "pbp"])
-        .filter(F.col("a_id") != F.col("b_id"))
-    )
-    diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
-    d2 = (
-        diff["f1"] * diff["f1"]
-        + (diff["f2"] / 1000.0) * (diff["f2"] / 1000.0)
-        + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
-        + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
-    )
-    near = (
-        pairs.select(
-            "a_id",
-            *[f"a_{f}" for f in FEATURES],
-            d2.alias("d2"),
-            "b_id",
-            *[f"b_{f}" for f in FEATURES],
-        )
-        .groupBy("a_id", *[f"a_{f}" for f in FEATURES])
-        .agg(
-            F.min(
-                F.struct("d2", "b_id", *[f"b_{f}" for f in FEATURES])
-            ).alias("s")
-        )
-    )
+    near = _cell_topk(m, probe=True, k=1, with_labels=False)
     lam = (
         F.expr(
             f"CAST((CAST(a_id AS DECIMAL(38,0)) * {RS_HASH_A}) % {RS_HASH_M} AS BIGINT)"
@@ -436,13 +553,13 @@ def q_resample_smote_probe(
     )
     synth = [
         F.round(
-            F.col(f"a_{f}") + lam * (F.col(f"s.b_{f}") - F.col(f"a_{f}")), 6
+            F.col(f"a_{f}") + lam * (F.col(f"b_{f}") - F.col(f"a_{f}")), 6
         ).alias(f)
         for f in FEATURES
     ]
     return near.select(
         F.col("a_id").alias("id"),
-        F.col("s.b_id").alias("nbr_id"),
+        F.col("b_id").alias("nbr_id"),
         *synth,
         F.lit(int(min_label)).cast("int").alias("label"),
     )
@@ -513,52 +630,16 @@ FROM (
 # argmin is id-arithmetic — the oracle is strict.
 
 
-def _bucketed_pairs(
-    spark: SparkSession, df: DataFrame, band: int
-) -> DataFrame:
-    """Grid-bucketed scored candidate pairs (a_id, a_label, d2, b_id,
-    b_label) — the shared neighbor machinery of Tomek and ENN. Exact
-    SMOTE term order for d2; join volume is sum-of-bucket^2, never
-    all-pairs."""
-    m = df.select(
+def _grid_frame(df: DataFrame, band: int) -> DataFrame:
+    """The full labeled table with its grid cell key — the shared
+    neighbor input of Tomek and ENN (exact SMOTE bucketing)."""
+    return df.select(
         "id",
         "label",
         *FEATURES,
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / band).cast("int").alias("bp"),
     )
-    a = m.select(
-        F.col("id").alias("a_id"),
-        F.col("label").alias("a_label"),
-        *[F.col(f).alias(f"a_{f}") for f in FEATURES],
-        "bq",
-        "bp",
-    )
-    b = m.select(
-        F.col("id").alias("b_id"),
-        F.col("label").alias("b_label"),
-        *[F.col(f).alias(f"b_{f}") for f in FEATURES],
-        "bq",
-        "bp",
-    )
-    # same AQE-coalesce straggler fix as q_resample_smote — and worse
-    # here: the FULL table is bucketed, so the post-join pair volume
-    # is corpus-sized-squared-over-grid, all of which would otherwise
-    # run inside the ~3 AQE-coalesced tasks
-    n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    pairs = (
-        a.repartition(n_shuffle, "bq", "bp")
-        .join(b, ["bq", "bp"])
-        .filter(F.col("a_id") != F.col("b_id"))
-    )
-    diff = {f: F.col(f"b_{f}") - F.col(f"a_{f}") for f in FEATURES}
-    d2 = (
-        diff["f1"] * diff["f1"]
-        + (diff["f2"] / 1000.0) * (diff["f2"] / 1000.0)
-        + (100.0 * diff["f3"]) * (100.0 * diff["f3"])
-        + (100.0 * diff["f4"]) * (100.0 * diff["f4"])
-    )
-    return pairs.select("a_id", "a_label", d2.alias("d2"), "b_id", "b_label")
 
 
 def q_resample_tomek(
@@ -569,16 +650,13 @@ def q_resample_tomek(
     min_label = min(counts, key=lambda r: (r.n, r.label)).label
     if band is None:
         band = tomek_f2_band(sum(int(r.n) for r in counts))
-    nn = (
-        _bucketed_pairs(spark, df, band)
-        .groupBy("a_id", "a_label")
-        .agg(F.min(F.struct("d2", "b_id", "b_label")).alias("s"))
-        .select(
-            "a_id",
-            "a_label",
-            F.col("s.b_id").alias("nn_id"),
-            F.col("s.b_label").alias("nn_label"),
-        )
+    nn = _cell_topk(
+        _grid_frame(df, band), probe=False, k=1, with_labels=True
+    ).select(
+        "a_id",
+        "a_label",
+        F.col("b_id").alias("nn_id"),
+        F.col("b_label").alias("nn_label"),
     )
     fwd = nn.filter(
         (F.col("a_label") == F.lit(int(min_label)))
@@ -652,20 +730,14 @@ def _enn_removals(
     spark: SparkSession, df: DataFrame, band: int
 ) -> DataFrame:
     """Wilson-editing removal set over ANY (id, f1..f4, label) table —
-    shared by the plain key and the SMOTE+ENN composite."""
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("a_id").orderBy("d2", "b_id")
-    top = (
-        _bucketed_pairs(spark, df, band)
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") <= ENN_K)
-    )
-    votes = top.groupBy("a_id", "a_label").agg(
-        F.count(F.lit(1)).alias("n_nbrs"),
-        F.sum(
-            (F.col("b_label") != F.col("a_label")).cast("long")
-        ).alias("n_disagree"),
+    shared by the plain key and the SMOTE+ENN composite. The top-k
+    selection AND the vote counts come out of the numpy cell pass
+    (votes=True) — the old plan sorted the full candidate-pair set
+    under a row_number window (shuffle + sort of 34M rows at sf0.1)
+    just to keep 3 per row."""
+    votes = _cell_topk(
+        _grid_frame(df, band), probe=False, k=ENN_K, with_labels=True,
+        votes=True,
     )
     return votes.where(2 * F.col("n_disagree") > F.col("n_nbrs")).select(
         F.col("a_id").cast("long").alias("removed_id"),
