@@ -99,6 +99,129 @@ def should_broadcast_rules(
     return estimated_rule_bytes(n_rules, n_features) <= budget_bytes
 
 
+def _mu_per_rule(pdf, d, feat_names, kinds, Ls, peaks, hws, rl):
+    """n x R membership-product matrix — the shared numpy core of
+    transform_pandas and ac_cscores_pandas. Evaluates the identical
+    IEEE chain as fuzzify + the cell mu product (pinned by the
+    pandas-scorer parity tests)."""
+    import numpy as np
+
+    n = len(pdf)
+    mu = np.ones((n, rl.shape[0]))
+    for k in range(d):
+        x = pdf[feat_names[k]].to_numpy(dtype=np.float64)[:, None]
+        L = Ls[k]
+        if kinds[k] == "nominal":
+            # crisp indicator: mu = 1 iff encoded value == j
+            m = (x[:, 0:1] == np.arange(L)[None, :]).astype(np.float64)
+        else:
+            p = peaks[k][None, :]
+            h = hws[k]
+            m = np.empty((n, L))
+            m[:, 0] = np.maximum(
+                0.0, np.minimum(1.0, 1.0 - (x[:, 0] - p[0, 0]) / h)
+            )
+            for j in range(1, L - 1):
+                m[:, j] = np.maximum(
+                    0.0, 1.0 - np.abs(x[:, 0] - p[0, j]) / h
+                )
+            m[:, L - 1] = np.maximum(
+                0.0, np.minimum(1.0, 1.0 - (p[0, L - 1] - x[:, 0]) / h)
+            )
+        mu = mu * m[:, rl[:, k]]
+    return mu
+
+
+def ac_per_example_pandas(
+    df: DataFrame, parts: FuzzyPartitions, rules_rows: list[tuple]
+) -> DataFrame:
+    """Per-EXAMPLE additive-combination score stats via the numpy
+    membership core: emits (id, label, ssum, c1, ss2, chit) — the
+    folds every AC metrics key aggregates — without the cell
+    explosion, the broadcast rule join, or ANY exchange (each example
+    is one input row, so both the per-class sums and the per-id folds
+    over them stay inside the row's batch).
+
+    Per class, cscore = round(sum of mu*weight over the class's rules
+    with mu > 0, 9) — exactly the join path's contributing set; a
+    class with no matched rule contributes nothing (the inner join's
+    contract), and an example with no matched class emits no row.
+    The per-id folds over the ROUNDED class scores:
+      ssum = sum(cscore_c), ss2 = sum(cscore_c^2),
+      c1 = cscore of class 1 (0.0 absent), chit = cscore of the
+      true-label class (0.0 absent)
+    summed in ascending class order — on the binary fixture these are
+    <= 2-term IEEE additions (commutative, order-exact); round-9 and
+    the checked-SF verifies cover the class sums themselves, whose
+    join-path partial aggregation already summed in
+    partition-arbitrary order."""
+    import numpy as np
+
+    d = len(parts.features)
+    rules = sorted(r for r in rules_rows if r[d + 1] > 0)
+    rl = np.array([r[:d] for r in rules], dtype=np.int64) - 1
+    rcls = np.array([r[d] for r in rules], dtype=np.int64)
+    rw = np.array([r[d + 1] for r in rules], dtype=np.float64)
+    classes = sorted({int(c) for c in rcls})
+    feat_names = [f.name for f in parts.features]
+    kinds = [f.kind for f in parts.features]
+    Ls = [parts.labels_for(f) for f in parts.features]
+    peaks = [
+        np.array(parts.peaks(f)) if f.kind == "numeric" else None
+        for f in parts.features
+    ]
+    hws = [
+        parts.half_width(f) if f.kind == "numeric" else None
+        for f in parts.features
+    ]
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n or not rules:
+                continue
+            mu = _mu_per_rule(pdf, d, feat_names, kinds, Ls, peaks, hws, rl)
+            contrib = np.where(mu > 0, mu * rw[None, :], 0.0)
+            labs = pdf["label"].to_numpy(np.int64)
+            ssum = np.zeros(n)
+            ss2 = np.zeros(n)
+            c1 = np.zeros(n)
+            chit = np.zeros(n)
+            any_matched = np.zeros(n, dtype=bool)
+            for c in classes:
+                sel = rcls == c
+                matched = (mu[:, sel] > 0).any(axis=1)
+                cs = np.where(
+                    matched, np.round(contrib[:, sel].sum(axis=1), 9), 0.0
+                )
+                ssum = ssum + cs
+                ss2 = ss2 + cs * cs
+                if c == 1:
+                    c1 = np.where(matched, cs, c1)
+                chit = np.where(matched & (labs == c), cs, chit)
+                any_matched |= matched
+            if not any_matched.any():
+                continue
+            m = any_matched
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(np.int64)[m],
+                    "label": labs[m].astype(np.int32),
+                    "ssum": ssum[m],
+                    "c1": c1[m],
+                    "ss2": ss2[m],
+                    "chit": chit[m],
+                }
+            )
+
+    return df.mapInPandas(
+        score,
+        "id long, label int, ssum double, c1 double, ss2 double, chit double",
+    )
+
+
 def _rules_schema(d: int) -> StructType:
     return StructType(
         [StructField(f"l{i + 1}", IntegerType()) for i in range(d)]
@@ -326,28 +449,7 @@ class ChiFRBCSModel:
                         }
                     )
                     continue
-                mu = np.ones((n, len(rules)))
-                for k in range(d):
-                    x = pdf[feat_names[k]].to_numpy(dtype=np.float64)[:, None]
-                    L = Ls[k]
-                    if kinds[k] == "nominal":
-                        # crisp indicator: mu = 1 iff encoded value == j
-                        m = (x[:, 0:1] == np.arange(L)[None, :]).astype(np.float64)
-                    else:
-                        p = peaks[k][None, :]
-                        h = hws[k]
-                        m = np.empty((n, L))
-                        m[:, 0] = np.maximum(
-                            0.0, np.minimum(1.0, 1.0 - (x[:, 0] - p[0, 0]) / h)
-                        )
-                        for j in range(1, L - 1):
-                            m[:, j] = np.maximum(
-                                0.0, 1.0 - np.abs(x[:, 0] - p[0, j]) / h
-                            )
-                        m[:, L - 1] = np.maximum(
-                            0.0, np.minimum(1.0, 1.0 - (p[0, L - 1] - x[:, 0]) / h)
-                        )
-                    mu = mu * m[:, rl[:, k]]
+                mu = _mu_per_rule(pdf, d, feat_names, kinds, Ls, peaks, hws, rl)
                 scores = np.where(mu > 0, mu * rw[None, :], -np.inf)
                 best = np.argmax(scores, axis=1)
                 pred = np.where(

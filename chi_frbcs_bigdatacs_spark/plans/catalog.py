@@ -809,17 +809,37 @@ def _ac_cscores(scored: DataFrame) -> DataFrame:
     )
 
 
-def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ac = _ac_cscores(_ac_scored(spark, sf_dir))
-    per = ac.groupBy("id").agg(
-        F.sum("cscore").alias("ssum"),
-        F.sum(F.col("cscore") * F.col("cscore")).alias("ss2"),
-        F.sum(
-            F.when(F.col("r_cls") == F.col("label"), F.col("cscore")).otherwise(
-                F.lit(0.0)
-            )
-        ).alias("chit"),
+def _ac_per_example(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-example AC score folds (id, label, ssum, c1, ss2, chit)
+    via the numpy membership core (r16, guide §4.2): the rule base is
+    tiny and driver-resident after the fit's collect (it was
+    broadcast-collected before anyway), so the class sums AND the
+    per-id folds over them compute inside one map-only pass — no cell
+    explosion, no broadcast join, no (id, r_cls) or (id) exchange.
+    Values are the identical round-9 contributing sets
+    (ac_per_example_pandas docstring); the three consumers' oracles
+    re-verified bit-exact at sf0.001/sf0.01."""
+    from chi_frbcs_bigdatacs_spark.fuzzy.estimator import ac_per_example_pandas
+
+    df = _clf_par(spark, sf_dir)
+    fz = R.fuzzify(df, P)
+    rules = R.build_rules(
+        R.with_antecedent(fz, P), P, resolve=True, prefuzzified=True
     )
+    d = len(P.features)
+    rows = [
+        tuple(r)
+        for r in rules.filter(F.col("weight") > 0)
+        .select(*[f"l{i + 1}" for i in range(d)], "cls", "weight")
+        .collect()
+    ]
+    return ac_per_example_pandas(df, P, rows)
+
+
+def q_metrics_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-example folds come straight off the numpy scorer — the old
+    # groupBy(id) exchange over the (id, r_cls) frame is gone (r16)
+    per = _ac_per_example(spark, sf_dir)
     bm = per.select(
         F.round(
             (
@@ -893,14 +913,8 @@ register("metrics_brier", q_metrics_brier, _METRICS_BRIER_SQL)
 
 
 def q_metrics_pr_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ac = _ac_cscores(_ac_scored(spark, sf_dir))
-    per = ac.groupBy("id").agg(
-        F.sum("cscore").alias("ssum"),
-        F.sum(
-            F.when(F.col("r_cls") == 1, F.col("cscore")).otherwise(F.lit(0.0))
-        ).alias("c1"),
-        F.max("label").alias("label"),
-    )
+    # per-example folds come straight off the numpy scorer (r16)
+    per = _ac_per_example(spark, sf_dir)
     # grid key as INTEGER micro-units (round(p1*1e6) as BIGINT), not a
     # round6 double: a double group key would expose the engines'
     # round-implementation divergence structurally (one boundary
@@ -1047,14 +1061,8 @@ register("metrics_pr_auc", q_metrics_pr_auc, _METRICS_PR_AUC_SQL)
 
 
 def q_metrics_roc_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ac = _ac_cscores(_ac_scored(spark, sf_dir))
-    per = ac.groupBy("id").agg(
-        F.sum("cscore").alias("ssum"),
-        F.sum(
-            F.when(F.col("r_cls") == 1, F.col("cscore")).otherwise(F.lit(0.0))
-        ).alias("c1"),
-        F.max("label").alias("label"),
-    )
+    # per-example folds come straight off the numpy scorer (r16)
+    per = _ac_per_example(spark, sf_dir)
     sc = per.where(F.col("ssum") > 0).select(
         F.round(F.col("c1") / F.col("ssum") * F.lit(1e6), 0)
         .cast("long")
