@@ -2126,9 +2126,18 @@ BASKET_TOP_N = 50
 
 def q_agg_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # localCheckpoint: baskets feeds FOUR consumers (the n_orders
+    # count, item_n, and both self-join legs) — without it the
+    # scan + (ok, p) distinct exchange re-executes per consumer
+    # (r16, guide §5; blocks free via ContextCleaner when the plan
+    # is dropped, nothing persists across query invocations)
+    baskets = (
+        li.select(
+            F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     n_orders = baskets.select("ok").distinct().count()
     item_n = baskets.groupBy("p").agg(F.count(F.lit(1)).alias("cnt"))
     a = baskets.select("ok", F.col("p").alias("pa"))

@@ -684,29 +684,34 @@ def pagerank_converged(
             .groupBy("dst")
             .agg(F.sum("c").alias("s"))
         )
+        # the update joins RANKS (same node set as nodes, plus the
+        # round's rank) so `prev` rides along and the residual agg
+        # below needs no second join; the checkpoint is LAZY and the
+        # residual aggregation is its materializing action (a full
+        # pass over every partition) — ONE job per round instead of
+        # the old eager-checkpoint + join-agg pair (r16, guide §1.2;
+        # the sssp/wcc loop fusion pattern from f0f107d)
         nxt = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left_outer")
+            ranks.withColumnRenamed("rank", "prev")
+            .join(contrib, ranks["node"] == contrib["dst"], "left_outer")
             .select(
                 "node",
                 (
                     F.lit(PR_BASE) + F.expr("(17 * coalesce(s, 0)) div 20")
                 ).cast("long").alias("rank"),
+                "prev",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         rounds += 1
-        row = (
-            nxt.join(ranks.withColumnRenamed("rank", "prev"), "node")
-            .agg(
-                F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"),
-                F.max(
-                    (F.abs(F.col("rank") - F.col("prev")) * F.lit(1_000_000))
-                    / F.col("prev")
-                ).alias("rel_ppm"),
-            )
-            .collect()[0]
-        )
-        ranks = nxt
+        row = nxt.agg(
+            F.max(F.abs(F.col("rank") - F.col("prev"))).alias("mx"),
+            F.max(
+                (F.abs(F.col("rank") - F.col("prev")) * F.lit(1_000_000))
+                / F.col("prev")
+            ).alias("rel_ppm"),
+        ).collect()[0]
+        ranks = nxt.select("node", "rank")
         if row["mx"] is not None and (
             row["mx"] <= tol_micro
             or (rel_tol_ppm is not None and row["rel_ppm"] <= rel_tol_ppm)
