@@ -187,7 +187,6 @@ def main() -> None:
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
     warm = {k: round(median(v), 3) for k, v in warm_samples.items() if v}
-    warm_best = {k: min(v) for k, v in warm_samples.items() if v}
 
     # ext group: same cold + median-of-N protocol, separate fields.
     # Cold and warm error dicts stay SEPARATE (ADVICE r8): a key that
@@ -259,9 +258,14 @@ def main() -> None:
         # cross-round warm totals are only compared at equal counts
         # (the error is also recorded under warm:<key>).
         "warm_n_summed": [len(warm), len(HEADLINE)],
-        "queries_warm_best": warm_best,
+        # r16 (VERDICT r15 #10): BENCH_r14 went unparsed because the
+        # one-line JSON outgrew the driver's tail-capture budget. The
+        # per-query COLD dicts of the non-primary groups and the
+        # warm-best dict are dropped from the line (never used in any
+        # round-over-round comparison — those run on the warm medians
+        # and calibrated series, all kept); every cold TOTAL stays.
+        # The primary "queries" dict is the driver contract and stays.
         "value_ext": round(sum(ext_timings.values()), 3),
-        "queries_ext": ext_timings,
         "value_ext_warm": round(sum(ext_warm.values()), 3),
         "queries_ext_warm": ext_warm,
         "ext_warm_n_summed": [len(ext_warm), len(HEADLINE_EXT)],
@@ -292,7 +296,6 @@ def main() -> None:
         "queries_ext_warm_calibrated": ext_warm_cal,
         "value_ext_warm_calibrated": round(sum(ext_warm_cal.values()), 2),
         "value_r12": round(sum(r12_timings.values()), 3),
-        "queries_r12": r12_timings,
         "value_r12_warm": round(sum(r12_warm.values()), 3),
         "queries_r12_warm": r12_warm,
         "r12_warm_n_summed": [len(r12_warm), len(HEADLINE_R12)],
@@ -310,7 +313,6 @@ def main() -> None:
             sum(v / cal for v in r12_warm.values()), 2
         ),
         "value_r13": round(sum(r13_timings.values()), 3),
-        "queries_r13": r13_timings,
         "value_r13_warm": round(sum(r13_warm.values()), 3),
         "queries_r13_warm": r13_warm,
         "r13_warm_n_summed": [len(r13_warm), len(HEADLINE_R13)],
@@ -321,7 +323,6 @@ def main() -> None:
             sum(v / cal for v in r13_warm.values()), 2
         ),
         "value_r15": round(sum(r15_timings.values()), 3),
-        "queries_r15": r15_timings,
         "value_r15_warm": round(sum(r15_warm.values()), 3),
         "queries_r15_warm": r15_warm,
         "r15_warm_n_summed": [len(r15_warm), len(HEADLINE_R15)],

@@ -42,101 +42,23 @@ _REGISTRY: dict[str, QuerySpec] = {}
 # keys every CI run -- the rotation only affects which subset the
 # external driver re-hashes).
 #
-# Round-15 window (VERDICT r14 "Next round" #1, pinned in r14's
-# registry comment), composed from named groups below; the groups
-# concatenate and the driver cap lands on the last fill entry:
-#   (1) _R7_STALE: ALL 43 keys whose last external check is r7 —
-#       derived by cross-referencing CORRECTNESS_r{01..14}
-#       (CORRECTNESS_r07 artifact order, starting
-#       simsearch_ivf_build). When these re-certify the staleness
-#       floor jumps to r8 in one round.
-#   (2) _CHANGED_PLAN_R14: keys whose plan/tables changed with
-#       locally-verified-identical output at checked SFs — external
-#       certification of the new plans (includes sketch_hll_distinct
-#       per ADVICE r14: the re-simulated bias table shipped in r14
-#       without external re-certification).
-#   (3) _NEW_R15: keys first registered this round — never
-#       driver-checked. VERDICT r14 caps new/changed at <=7 total so
-#       all 43 stale keys fit.
-#   (4) _R8_STALE_FILL: oldest r8 keys in CORRECTNESS_r08 artifact
-#       order, as many as fit under the cap (0 if groups 2+3 use all
-#       7 slots).
-# r16 plan: after r15 the floor is r8 (38 keys r8-stale). Lead r16
-# with ALL 38 (CORRECTNESS_r08 artifact order, starting
-# discretize_quantile_sketch), cap new/changed keys at 12, fill any
-# remainder from oldest r9. Keys registered in r15 AFTER the 7-slot
-# new/changed cap filled (never driver-checked yet — they MUST join
-# the r16 new group): join_bloom_prune, stream_bloom_build,
-# join_bloom_filtered.
+# r17 plan: after r16 the floor is r9. Lead r17 with the oldest r9
+# keys (CORRECTNESS_r09 artifact order), cap new/changed at ~12.
+# Keys whose execution changed in r16 WITHOUT external
+# re-certification (locally bit-exact at sf0.001+sf0.01, see
+# OPTIMIZATION_r16.md): resample_smote_enn, stream_merge_upsert,
+# stream_mv_refresh, stream_mv_refresh_minmax, the remaining
+# stream_* replay twins, simsearch PQ/OPQ family, metrics_pr_auc /
+# metrics_roc_auc / metrics_brier, rule* / classify_ac — they should
+# join r17's changed group ahead of pure staleness.
 
-_R7_STALE: list[str] = [
-    "simsearch_ivf_build",
-    "simsearch_ivf_from_index",
-    "text_repetition",
-    "corpus_report",
-    "filter_length_band",
-    "retrieval_hybrid_rrf",
-    "bpe_top_merges",
-    "drift_psi",
-    "stream_index_maintain",
-    "dedup_semantic",
-    "profile_columns",
-    "audit_fk_orphans",
-    "scalar_zorder_key",
-    "sample_group_topn",
-    "discretize_quantile",
-    "stream_drift_psi",
-    "dedup_semantic_keep",
-    "drift_ks",
-    "stream_ivf_assign",
-    "audit_duplicate_pk",
-    "graph_pagerank",
-    "anonymize_kgroups",
-    "pipeline_training_data",
-    "anomaly_zscore",
-    "text_phrase_search",
-    "text_posindex_build",
-    "text_phrase_from_index",
-    "scd2_build",
-    "merge_upsert",
-    "table_diff",
-    "delete_cascade",
-    "discretize_quantile_approx",
-    "embed_project_rp",
-    "agg_active_users_7d",
-    "stream_merge_upsert",
-    "bpe_train_merges",
-    "scan_zorder_pruned",
-    "mask_columns",
-    "audit_freshness",
-    "window_retention_cohorts",
-    "stream_audit_freshness",
-    "maintenance_compact",
-    "text_tfidf",
-]
-
-_CHANGED_PLAN_R14: list[str] = [
-    # sketch_hll_distinct: r14 re-simulated HLL bias table (30k
-    # trials, monotone knots) changed raw-estimate correction in the
-    # ~1121-1200 band; outputs unchanged at checked SFs but ADVICE
-    # r14 asks for external certification of the new table.
-    "sketch_hll_distinct",
-]
-
-_NEW_R15: list[str] = [
-    # filled in as r15 keys land; each addition evicts the tail of
-    # _R8_STALE_FILL (the window-size check below keeps it exactly 50)
-    "metrics_roc_auc",  # new: trapezoidal ROC over the bounded posterior grid
-    "simsearch_ivf_sq8_residual",  # new: residual-encoded IVFADC (VERDICT r14 #2)
-    "mv_incremental_refresh_minmax",  # changed plan: size-gated aff broadcast
-    "stream_mv_refresh_minmax",  # changed plan: streaming twin, same gate
-    "simsearch_opq_recall",  # new: OPQ-lite (eigen-allocation + Hadamard rotation) vs raw PQ
-    "simsearch_nsw_beam",  # new: graph-ANN — NSW + medoid hubs, beam-search serve
-]
-
-# CORRECTNESS_r08 artifact order. Truncated to fit the 50-key cap at
-# import time -- the slice below is the single source of truth.
-_R8_STALE_FILL: list[str] = [
+# Round-16 window, exactly the plan the r15 registry comment pinned:
+# lead with ALL 38 keys whose last external check is r8 (derived by
+# cross-referencing CORRECTNESS_r{09..15} against CORRECTNESS_r08;
+# artifact order) — the staleness floor jumps to r9 in one round —
+# then the new/changed group capped at 12. The r15 window (43
+# r7-stale + 7 new/changed) certified green in CORRECTNESS_r15.
+_R8_STALE: list[str] = [
     "discretize_quantile_sketch",
     "agg_count_min_sketch",
     "graph_triangle_count",
@@ -145,15 +67,67 @@ _R8_STALE_FILL: list[str] = [
     "embed_pq_adc",
     "agg_hll_union",
     "sketch_kmv_overlap",
+    "text_keyword_rake",
+    "text_bigram_lm",
+    "timeseries_ewma",
+    "events_attribution",
+    "anomaly_mad",
+    "agg_revenue_concentration",
+    "quality_expectations",
+    "graph_label_propagation",
+    "events_rfm",
+    "timeseries_interpolate",
+    "quality_gopher",
+    "text_collocations_pmi",
+    "graph_jaccard_neighbors",
+    "impute_missing",
+    "simsearch_ivf_pq",
+    "feature_hashing",
+    "events_path_transitions",
+    "window_streaks",
+    "join_scd2_pit",
+    "timeseries_twap",
+    "text_lexical",
+    "pipeline_clean_corpus",
+    "text_tokens",
+    "text_stats",
+    "text_quality",
+    "text_langid",
+    "text_tokens_bpe",
+    "text_fingerprint",
+    "fuzzify",
+    "rulegen_antecedent",
+]
+
+_NEW_CHANGED_R16: list[str] = [
+    # never externally checked (registered in r15 after its 7-slot
+    # new/changed cap filled — the r15 registry comment mandates them)
+    "join_bloom_prune",
+    "stream_bloom_build",
+    "join_bloom_filtered",
+    # execution changed this round with locally-verified-identical
+    # output at sf0.001+sf0.01 (bit-exact comparator) — external
+    # certification of the new execution paths. The numpy
+    # cell-neighbor engine (deepest change) leads; resample_smote_enn
+    # composes two keys below and stays on its local checks.
+    "resample_smote",
+    "resample_smote_probe",
+    "resample_tomek",
+    "resample_enn",
+    # vectorized gram-state stream + 2-batch replay
+    "stream_dedup_substring",
+    "stream_dedup_substring_trim",
+    # r16 classifier fit/scoring changes (codegen cell explosion +
+    # numpy resubstitution scorer; gm_auc keeps the AC join scorer,
+    # so both scoring paths get certified)
+    "classify_wr",
+    "metrics_gm_auc",
+    # HOF-fold literal distances (the r15 regression's fix)
+    "simsearch_ivf_sq8",
 ]
 
 _WINDOW = 50
-CHECK_PRIORITY: list[str] = (
-    _R7_STALE
-    + _CHANGED_PLAN_R14
-    + _NEW_R15
-    + _R8_STALE_FILL[: _WINDOW - len(_R7_STALE) - len(_CHANGED_PLAN_R14) - len(_NEW_R15)]
-)
+CHECK_PRIORITY: list[str] = _R8_STALE + _NEW_CHANGED_R16
 # Window invariants raise unconditionally (ADVICE r13: bare asserts
 # are stripped under python -O, silently desyncing the external
 # driver's 50-key verification window).
