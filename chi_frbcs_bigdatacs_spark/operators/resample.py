@@ -239,11 +239,20 @@ def _cell_topk(
     k: int,
     with_labels: bool,
     votes: bool = False,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Per-row top-k nearest in-neighborhood neighbors of `m`
     (id, [label,] f1..f4, bq, bp): `probe` widens the b-side to the
     3×3 cell neighborhood. votes=True emits the ENN vote aggregate
-    (a_id, a_label, n_nbrs, n_disagree) instead of neighbor rows."""
+    (a_id, a_label, n_nbrs, n_disagree) instead of neighbor rows.
+    `n_rows` (the caller's already-collected row count) sizes the
+    cell exchange so each task's numpy pass stays ~16k union rows —
+    bounding per-worker transient allocation, which is what the
+    first-run-after-a-heavy-query penalty scales with (measured at
+    sf0.1: 32 fat tasks pay +5-7s on their first run after another
+    heavy query; 4× smaller tasks pay nothing), and what keeps the
+    per-task pair volume flat at any data size (occupancy is
+    band-constant, so rows/task is the volume proxy)."""
     spark = m.sparkSession
     lab = ["label"] if with_labels else []
     a = m.select(
@@ -287,9 +296,13 @@ def _cell_topk(
             F.col("bp").alias("cp"),
         )
     n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = n_shuffle
+    if n_rows is not None:
+        width = 10 if probe else 2  # a-leg + replicated b-legs
+        n_part = max(n_shuffle, -(-(n_rows * width) // 16384))
     # one keyed exchange co-locates every cell's a-rows with all its
     # candidates; per-KEY volume is bucket-bounded so no task is hot
-    u = a.unionByName(b).repartition(n_shuffle, "cq", "cp")
+    u = a.unionByName(b).repartition(n_part, "cq", "cp")
 
     if votes:
         schema = "a_id long, a_label int, n_nbrs long, n_disagree long"
@@ -441,7 +454,9 @@ def q_resample_smote(
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / band).cast("int").alias("bp"),
     )
-    near = _cell_topk(m, probe=False, k=1, with_labels=False)
+    near = _cell_topk(
+        m, probe=False, k=1, with_labels=False, n_rows=int(mrow.n)
+    )
     lam = (
         F.expr(
             f"CAST((CAST(a_id AS DECIMAL(38,0)) * {RS_HASH_A}) % {RS_HASH_M} AS BIGINT)"
@@ -544,7 +559,9 @@ def q_resample_smote_probe(
         F.col("f1").cast("int").alias("bq"),
         F.floor(F.col("f2") / band).cast("int").alias("bp"),
     )
-    near = _cell_topk(m, probe=True, k=1, with_labels=False)
+    near = _cell_topk(
+        m, probe=True, k=1, with_labels=False, n_rows=int(mrow.n)
+    )
     lam = (
         F.expr(
             f"CAST((CAST(a_id AS DECIMAL(38,0)) * {RS_HASH_A}) % {RS_HASH_M} AS BIGINT)"
@@ -648,10 +665,12 @@ def q_resample_tomek(
     df = lineitem_clf(spark, sf_dir)
     counts = _class_counts(df)
     min_label = min(counts, key=lambda r: (r.n, r.label)).label
+    n_total = sum(int(r.n) for r in counts)
     if band is None:
-        band = tomek_f2_band(sum(int(r.n) for r in counts))
+        band = tomek_f2_band(n_total)
     nn = _cell_topk(
-        _grid_frame(df, band), probe=False, k=1, with_labels=True
+        _grid_frame(df, band), probe=False, k=1, with_labels=True,
+        n_rows=n_total,
     ).select(
         "a_id",
         "a_label",
@@ -727,7 +746,7 @@ ENN_K = 3
 
 
 def _enn_removals(
-    spark: SparkSession, df: DataFrame, band: int
+    spark: SparkSession, df: DataFrame, band: int, n_rows: int | None = None
 ) -> DataFrame:
     """Wilson-editing removal set over ANY (id, f1..f4, label) table —
     shared by the plain key and the SMOTE+ENN composite. The top-k
@@ -737,7 +756,7 @@ def _enn_removals(
     just to keep 3 per row."""
     votes = _cell_topk(
         _grid_frame(df, band), probe=False, k=ENN_K, with_labels=True,
-        votes=True,
+        votes=True, n_rows=n_rows,
     )
     return votes.where(2 * F.col("n_disagree") > F.col("n_nbrs")).select(
         F.col("a_id").cast("long").alias("removed_id"),
@@ -751,10 +770,12 @@ def q_resample_enn(
     spark: SparkSession, sf_dir: str, band: int | None = None
 ) -> DataFrame:
     df = lineitem_clf(spark, sf_dir)
+    n_total = None
     if band is None:
         counts = _class_counts(df)
-        band = tomek_f2_band(sum(int(r.n) for r in counts))
-    return _enn_removals(spark, df, band)
+        n_total = sum(int(r.n) for r in counts)
+        band = tomek_f2_band(n_total)
+    return _enn_removals(spark, df, band, n_rows=n_total)
 
 
 RESAMPLE_ENN_SQL = f"""
@@ -846,8 +867,9 @@ def q_resample_smote_enn(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = base.select("id", *FEATURES, "label").unionByName(
         synth.select((-F.col("id")).alias("id"), *FEATURES, "label")
     )
-    band = tomek_f2_band(u.count())
-    return _enn_removals(spark, u, band).withColumn(
+    n_u = u.count()
+    band = tomek_f2_band(n_u)
+    return _enn_removals(spark, u, band, n_rows=n_u).withColumn(
         "is_synth", F.col("removed_id") < 0
     )
 
