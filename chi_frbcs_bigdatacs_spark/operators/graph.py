@@ -983,9 +983,13 @@ def q_graph_wcc(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = edges
     for r in range(WCC_MAX_ROUNDS):
         # LAZY checkpoint: the convergence probe's count() is the
-        # materializing action (its full-outer join shuffles every
-        # nxt partition, so the checkpoint is fully populated) — ONE
-        # job per round instead of two (guide §1.2).
+        # materializing action — ONE job per round instead of two
+        # (guide §1.2). Correctness does NOT rest on the probe's
+        # shape (ADVICE r15): LocalRDDCheckpointData caches each
+        # partition as the action computes it and runs a catch-up job
+        # for any partition the action skipped, so swapping the probe
+        # for take()/isEmpty() would stay correct — it would just
+        # re-compute the skipped partitions in that catch-up job.
         nxt = _star_round(
             _star_round(cur, large=True), large=False
         ).localCheckpoint(eager=False)
